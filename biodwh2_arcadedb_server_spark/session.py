@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` (single JVM); the configuration is
+written so the same code runs unchanged on a multi-executor cluster:
+AQE owns runtime re-planning (partition coalescing, skew-join
+splitting, dynamic broadcast), shuffle partitioning is explicit, and
+the session timezone is pinned to UTC so results are comparable across
+engines (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "biodwh2-arcadedb-server-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Create (or fetch) the tuned SparkSession.
+
+    Scale notes (100 TB design):
+    - AQE enabled: coalesces small shuffle partitions, splits skewed
+      ones, and converts sort-merge joins to broadcast at runtime when
+      a side turns out small — this is the mechanism that lets the
+      same declarative plans survive a 1000× scale-up.
+    - ``spark.sql.shuffle.partitions`` is the *initial* partition
+      count; AQE coalescing makes over-provisioning cheap, so on a
+      real cluster this is set to ~2-3× total cores and left alone.
+    - Arrow enabled for every pandas interchange (Pandas UDFs,
+      ``toPandas``) — the only sanctioned Python hot path.
+    """
+    n = shuffle_partitions if shuffle_partitions is not None else DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    # Respect an externally-chosen master (cluster deploy); default local.
+    if not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{DEFAULT_CPUS}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
