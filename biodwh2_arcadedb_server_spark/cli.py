@@ -1,0 +1,90 @@
+"""CLI lifecycle — reference parity for A16-A18 (SURVEY.md §3).
+
+The reference exposes ``--create`` / ``--start`` / ``--create-start``
+(`/root/reference/src/.../CmdArgs.java:6-25`,
+`ArcadeDBServer.java:34-45`). Here:
+
+- ``create``        — build the LPG workspace from a source dir (E1)
+- ``start``         — register views and serve an interactive SQL
+                      loop (E2; the Spark stand-in for the embedded
+                      HTTP server + Studio)
+- ``create-start``  — both (E3)
+- ``query``         — one-shot SQL against a workspace + source tables
+
+Usage: ``python -m biodwh2_arcadedb_server_spark.cli create --source
+/root/testdata/sf0.001 --workspace /tmp/ws``
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from biodwh2_arcadedb_server_spark.session import get_spark
+from biodwh2_arcadedb_server_spark.sources.registry import register_tables
+from biodwh2_arcadedb_server_spark.workspace import build_workspace, is_stale, load_workspace
+
+
+def validate_port(value: str) -> str:
+    """A17 parity (`ArcadeDBService.java:62-79`): accept "2480" or a
+    range "2480-2489"; negatives are abs()'d; garbage falls back to
+    the default range."""
+    default = "2480-2489"
+    v = value.strip()
+    try:
+        if "-" in v[1:]:
+            lo, hi = v.split("-", 1) if not v.startswith("-") else (v[1:].split("-", 1))
+            lo_i, hi_i = abs(int(lo)), abs(int(hi))
+            return f"{min(lo_i, hi_i)}-{max(lo_i, hi_i)}"
+        return str(abs(int(v)))
+    except ValueError:
+        return default
+
+
+def _setup(args) -> tuple:
+    spark = get_spark("biodwh2-cli")
+    register_tables(spark, args.source)
+    return spark, args
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="biodwh2-arcadedb-server-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("create", "start", "create-start", "query"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--source", required=True, help="source table dir (parquet)")
+        sp.add_argument("--workspace", required=True, help="LPG workspace dir")
+        sp.add_argument("--force", action="store_true", help="rebuild even if checksum matches")
+        if name == "query":
+            sp.add_argument("--sql", required=True)
+    args = p.parse_args(argv)
+
+    spark, args = _setup(args)
+    if args.cmd in ("create", "create-start"):
+        manifest = build_workspace(spark, args.source, args.workspace, force=args.force)
+        n = sum(i["count"] for i in manifest["nodes"].values())
+        e = sum(i["count"] for i in manifest["edges"].values())
+        print(f"workspace built: {len(manifest['nodes'])} node labels ({n} nodes), "
+              f"{len(manifest['edges'])} edge labels ({e} edges)")
+    if args.cmd in ("start", "create-start"):
+        if is_stale(args.source, args.workspace):
+            # warn-only, like ArcadeDBServer.java:98-99
+            print("WARNING: workspace is stale relative to source; rerun create", file=sys.stderr)
+        load_workspace(spark, args.workspace)
+        print("views registered (n_<Label>, e_<LABEL>, nodes, edges). Enter SQL, blank line to exit.")
+        for line in sys.stdin:
+            sql = line.strip()
+            if not sql:
+                break
+            try:
+                spark.sql(sql).show(50, truncate=False)
+            except Exception as exc:  # keep the loop alive on bad SQL
+                print(f"error: {exc}", file=sys.stderr)
+    if args.cmd == "query":
+        load_workspace(spark, args.workspace)
+        spark.sql(args.sql).show(100, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

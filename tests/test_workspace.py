@@ -1,0 +1,145 @@
+"""Unit tests for the LPG workspace ETL (A1-A15) and type mapping (A6-A9)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from biodwh2_arcadedb_server_spark import typemap
+from biodwh2_arcadedb_server_spark.workspace import (
+    build_workspace,
+    is_stale,
+    load_workspace,
+    node_id,
+    source_checksum,
+)
+
+
+# --- A6/A7 type mapping -----------------------------------------------------
+@pytest.mark.parametrize(
+    "name,expected",
+    [
+        ("string", T.StringType()),
+        ("boolean", T.BooleanType()),
+        ("byte", T.ByteType()),
+        ("short", T.ShortType()),
+        ("integer", T.IntegerType()),
+        ("long", T.LongType()),
+        ("float", T.FloatType()),
+        ("double", T.DoubleType()),
+        ("list<integer>", T.ArrayType(T.IntegerType())),
+        ("list<list<long>>", T.ArrayType(T.ArrayType(T.LongType()))),
+        ("list", T.ArrayType(T.StringType())),  # unknown component → String
+        ("no_such_type", T.StringType()),  # unknown → String fallback
+    ],
+)
+def test_resolve_type(name, expected):
+    assert typemap.resolve_type(name) == expected
+
+
+def test_permissive_cast_bad_records(spark):
+    # A9: bad values become NULL, the job never aborts.
+    df = spark.createDataFrame([("1",), ("x",), (None,)], ["v"])
+    out = df.select(typemap.permissive_cast(F.col("v"), T.IntegerType()).alias("v")).collect()
+    assert [r.v for r in out] == [1, None, None]
+
+
+def test_permissive_cast_array(spark):
+    df = spark.createDataFrame([(["1", "z", "3"],)], ["v"])
+    out = df.select(
+        typemap.permissive_cast(F.col("v"), T.ArrayType(T.IntegerType())).alias("v")
+    ).collect()
+    assert out[0].v == [1, None, 3]
+
+
+# --- A15 checksum memoization + A14 overwrite + build ------------------------
+def test_build_and_memoize(spark, sf_small, tmp_path):
+    ws = str(tmp_path / "ws")
+    m1 = build_workspace(spark, sf_small, ws)
+    assert set(m1["nodes"]) >= {"Customer", "Order", "Nation", "Region", "Supplier", "Part"}
+    assert set(m1["edges"]) >= {"PLACED", "CONTAINS", "IN_REGION"}
+    assert m1["nodes"]["Nation"]["count"] == 25
+    assert m1["edges"]["IN_REGION"]["count"] == 25
+    # PLACED edge count == orders row count (no dangling endpoints here)
+    orders_n = spark.read.parquet(os.path.join(sf_small, "orders.parquet")).count()
+    assert m1["edges"]["PLACED"]["count"] == orders_n
+
+    # memoization: rebuild is a no-op returning the stored manifest
+    marker = os.path.join(ws, "manifest.json")
+    mtime1 = os.path.getmtime(marker)
+    time.sleep(0.05)
+    m2 = build_workspace(spark, sf_small, ws)
+    assert os.path.getmtime(marker) == mtime1
+    assert m2["nodes"]["Nation"]["count"] == 25
+    assert not is_stale(sf_small, ws)
+
+    # force: rewrites
+    m3 = build_workspace(spark, sf_small, ws, force=True)
+    assert os.path.getmtime(marker) > mtime1
+    assert m3["nodes"]["Nation"]["count"] == 25
+
+
+def test_checksum_changes_with_source(sf_small, tmp_path):
+    c1 = source_checksum(sf_small)
+    assert c1 == source_checksum(sf_small)  # stable
+    # different dir (different files) → different hash
+    other = "/root/testdata/sf0.01"
+    assert c1 != source_checksum(other)
+
+
+def test_node_id_deterministic(spark):
+    df = spark.range(3)
+    a = df.select(node_id("Customer", F.col("id")).alias("n")).collect()
+    b = df.select(node_id("Customer", F.col("id")).alias("n")).collect()
+    assert a == b
+    c = df.select(node_id("Order", F.col("id")).alias("n")).collect()
+    assert a != c  # label participates in the hash
+
+
+def test_dangling_edges_dropped(spark, tmp_path):
+    # A11 semantics: edges whose endpoint is missing are skipped
+    # (reference: fromNode != null && toNode != null).
+    from biodwh2_arcadedb_server_spark.workspace import EdgeSpec, build_edges
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame([(1, "a")], ["c_custkey", "c_name"]).write.parquet(
+        os.path.join(src, "customer.parquet")
+    )
+    # order 10 belongs to existing customer 1; order 20 to missing customer 99
+    spark.createDataFrame(
+        [(10, 1), (20, 99)], ["o_orderkey", "o_custkey"]
+    ).write.parquet(os.path.join(src, "orders.parquet"))
+
+    from biodwh2_arcadedb_server_spark.workspace import NodeSpec, build_nodes
+
+    nodes = {
+        "Customer": build_nodes(spark, src, NodeSpec("Customer", "customer", "c_custkey", [])),
+        "Order": build_nodes(spark, src, NodeSpec("Order", "orders", "o_orderkey", [])),
+    }
+    edges = build_edges(
+        spark, src, EdgeSpec("PLACED", "orders", "Customer", "o_custkey", "Order", "o_orderkey"), nodes
+    )
+    assert edges.count() == 1  # the dangling one was dropped
+
+
+def test_load_workspace_views(spark, sf_small, tmp_path):
+    ws = str(tmp_path / "ws2")
+    build_workspace(spark, sf_small, ws)
+    load_workspace(spark, ws)
+    n = spark.sql("SELECT COUNT(*) AS n FROM nodes").collect()[0].n
+    e = spark.sql("SELECT COUNT(*) AS n FROM edges").collect()[0].n
+    assert n > 0 and e > 0
+    # unified view and per-label views agree
+    n_cust = spark.sql("SELECT COUNT(*) AS n FROM n_Customer").collect()[0].n
+    n_cust_u = spark.sql("SELECT COUNT(*) AS n FROM nodes WHERE label='Customer'").collect()[0].n
+    assert n_cust == n_cust_u
+    # node ids are globally unique across labels
+    dup = spark.sql(
+        "SELECT node_id FROM nodes GROUP BY node_id HAVING COUNT(*) > 1"
+    ).count()
+    assert dup == 0
