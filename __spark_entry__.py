@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from biodwh2_arcadedb_server_spark.operators import relational
+from biodwh2_arcadedb_server_spark.operators import graph_queries, relational
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -28,10 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
+    out.update(graph_queries.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
+    out.update(graph_queries.ORACLE)
     return out

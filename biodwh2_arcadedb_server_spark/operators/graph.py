@@ -1,0 +1,260 @@
+"""Graph operators over edge-list DataFrames (SURVEY.md B5-B8, C6).
+
+The reference serves 1-hop expansion (`out()/in()/both()`), MATCH
+motifs, TRAVERSE, and `shortestPath()` through its embedded graph
+database (ArcadeDB SQL, `/root/reference/src/pom.xml:104-113`), which
+executes them by chasing record pointers. A Spark engine has no
+pointers — the idiomatic equivalents are:
+
+- 1-hop expansion  → equi-join against the edge list (B5)
+- fixed-depth motif → chained equi-joins (B6)
+- TRAVERSE / BFS   → frontier iteration: join frontier→edges, anti-join
+  visited, union, repeat; lineage truncated via localCheckpoint (B7)
+- shortest path    → BFS recording first-reach depth (B8)
+- degrees/CC/PageRank → GraphX-style batch analytics re-expressed as
+  DataFrame joins + aggregations (C6; cf. the GraphX/Pregel model)
+
+Conventions: ``edges(src: long, dst: long, ...)``, ``nodes(node_id:
+long, ...)``. All loops are O(diameter) or fixed-iteration; each round
+is one distributed join + aggregation, and only the loop-termination
+scalar ever reaches the driver.
+
+Scale notes (100 TB):
+- Frontiers and component tables carry only (id, value) — the shuffle
+  per round moves the minimum possible payload.
+- `localCheckpoint(eager=True)` every round truncates lineage so plan
+  size stays O(1) across iterations (otherwise Catalyst re-analyzes an
+  exponentially growing tree).
+- hash-min CC converges in O(diameter) rounds; for the pathological
+  high-diameter case the known fix is large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC 2014) — same DataFrame shape, noted as the scale path.
+- PageRank joins ranks⋈edges on src each round: pre-partitioning the
+  edge list by src (workspace write contract) makes this a one-sided
+  shuffle; AQE broadcasts the rank side when small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# --- B5: 1-hop expansion ------------------------------------------------------
+def expand(
+    start: DataFrame, edges: DataFrame, direction: str = "out", id_col: str = "node_id"
+) -> DataFrame:
+    """out()/in()/both() — returns (node_id, neighbor) pairs.
+
+    `start` must carry `id_col`; result column is `neighbor`."""
+    s = start.select(F.col(id_col).alias("_start"))
+    out_e = edges.select(F.col("src").alias("_start"), F.col("dst").alias("neighbor"))
+    in_e = edges.select(F.col("dst").alias("_start"), F.col("src").alias("neighbor"))
+    if direction == "out":
+        hop = out_e
+    elif direction == "in":
+        hop = in_e
+    else:
+        hop = out_e.unionByName(in_e)
+    return s.join(hop, "_start").select(F.col("_start").alias(id_col), "neighbor")
+
+
+# --- B6: fixed-depth motif as chained joins -----------------------------------
+def motif_chain(start: DataFrame, hops: list[DataFrame], id_col: str = "node_id") -> DataFrame:
+    """Compile a fixed-length path pattern a -e1-> b -e2-> c ... into a
+    join chain. ``hops`` is a list of edge DataFrames (src, dst); the
+    result has columns n0..nK (node ids along the path)."""
+    cur = start.select(F.col(id_col).alias("n0"))
+    for i, e in enumerate(hops):
+        nxt = e.select(F.col("src").alias(f"n{i}"), F.col("dst").alias(f"n{i+1}"))
+        cur = cur.join(nxt, f"n{i}")
+    return cur
+
+
+# --- B7/B8: BFS traversal with first-reach depth --------------------------------
+def bfs(
+    edges: DataFrame,
+    start: DataFrame,
+    max_depth: int = 10,
+    directed: bool = True,
+    id_col: str = "node_id",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Breadth-first traversal; returns (node_id, depth) with the
+    minimum hop count at which each node is first reached (depth 0 =
+    start set). Equivalent to the reference's TRAVERSE ... MAXDEPTH n
+    and, restricted to min depth, shortestPath hop counts.
+    """
+    hop = edges.select("src", "dst")
+    if not directed:
+        hop = hop.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    hop = hop.dropDuplicates(["src", "dst"])
+
+    visited = start.select(F.col(id_col).alias("node_id")).distinct().withColumn(
+        "depth", F.lit(0)
+    )
+    frontier = visited.select("node_id")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(hop, frontier.node_id == hop.src)
+            .select(F.col("dst").alias("node_id"))
+            .distinct()
+            .join(visited.select("node_id"), "node_id", "left_anti")
+        )
+        if d % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt.withColumn("depth", F.lit(d))).localCheckpoint(
+            eager=True
+        )
+        frontier = nxt
+    return visited
+
+
+# --- C6: degrees -----------------------------------------------------------------
+def degrees(edges: DataFrame) -> DataFrame:
+    """(node_id, in_degree, out_degree, degree) — one shuffle per
+    direction, merged with an outer join (both sides pre-aggregated)."""
+    out_d = edges.groupBy(F.col("src").alias("node_id")).agg(F.count(F.lit(1)).alias("out_degree"))
+    in_d = edges.groupBy(F.col("dst").alias("node_id")).agg(F.count(F.lit(1)).alias("in_degree"))
+    return (
+        out_d.join(in_d, "node_id", "full_outer")
+        .na.fill(0, ["in_degree", "out_degree"])
+        .withColumn("degree", F.col("in_degree") + F.col("out_degree"))
+    )
+
+
+# --- C6: connected components (hash-min) --------------------------------------------
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, id_col_out: str = "component"
+) -> DataFrame:
+    """Undirected CC via iterative min-id propagation. Returns
+    (node_id, component) where component = min node_id in the
+    component. Converges in O(diameter) rounds; see module docstring
+    for the large-star/small-star scale path."""
+    und = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        und.select(F.col("src").alias("node_id"))
+        .distinct()
+        .withColumn("component", F.col("node_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(comp, und.dst == comp.node_id)
+            .groupBy(F.col("src").alias("node_id"))
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        updated = (
+            comp.join(neighbor_min, "node_id", "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(comp.alias("c"), "node_id")
+            .where(F.col("u.component") != F.col("c.component"))
+            .isEmpty()
+        )
+        comp = updated
+        if changed:
+            break
+    return comp.select("node_id", F.col("component").alias(id_col_out))
+
+
+# --- C6: PageRank ---------------------------------------------------------------------
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Fixed-iteration normalized PageRank with dangling-mass
+    redistribution (ranks sum to 1). Returns (node_id, rank).
+
+    Each round: contributions = ranks ⋈ edges on src, grouped by dst;
+    dangling mass (nodes with out-degree 0) is spread uniformly. The
+    per-round shuffle is on the edge key only.
+    """
+    e = edges.select("src", "dst")
+    if nodes is None:
+        node_ids = (
+            e.select(F.col("src").alias("node_id"))
+            .unionByName(e.select(F.col("dst").alias("node_id")))
+            .distinct()
+        )
+    else:
+        node_ids = nodes.select("node_id").distinct()
+    node_ids = node_ids.localCheckpoint(eager=True)
+    n = node_ids.count()
+
+    out_deg = e.groupBy(F.col("src").alias("node_id")).agg(F.count(F.lit(1)).alias("odeg"))
+    # (node_id, odeg) with 0 for sinks — broadcast-sized per partition of ranks
+    deg = node_ids.join(out_deg, "node_id", "left").na.fill(0, ["odeg"]).localCheckpoint(eager=True)
+
+    ranks = deg.select("node_id", "odeg", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        dangling = (
+            ranks.where(F.col("odeg") == 0).agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0]
+        )
+        contribs = (
+            ranks.where(F.col("odeg") > 0)
+            .join(e, ranks.node_id == e.src)
+            .select(F.col("dst").alias("node_id"), (F.col("rank") / F.col("odeg")).alias("c"))
+            .groupBy("node_id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            deg.join(contribs, "node_id", "left")
+            .select(
+                "node_id",
+                "odeg",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node_id", "rank")
+
+
+# --- C6: label propagation --------------------------------------------------------------
+def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
+    """Synchronous LPA for community detection: each round a node
+    adopts the most frequent label among neighbors (ties → smallest
+    label, for determinism). Returns (node_id, community)."""
+    und = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("src").alias("node_id")).distinct().withColumn(
+        "community", F.col("node_id")
+    )
+    for _ in range(max_iter):
+        freq = (
+            und.join(labels, und.dst == labels.node_id)
+            .groupBy(F.col("src").alias("node_id"), "community")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = freq.groupBy("node_id").agg(
+            F.min_by(
+                F.struct("community"), F.struct(F.col("cnt").cast("long") * -1, F.col("community"))
+            )["community"].alias("community")
+        )
+        labels = best.localCheckpoint(eager=True)
+    return labels

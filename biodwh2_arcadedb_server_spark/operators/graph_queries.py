@@ -1,0 +1,184 @@
+"""Driver-contract graph queries (B5-B8, C6) with DuckDB oracles.
+
+Graph probes run over graphs derived deterministically from the
+testdata star schema:
+
+- **order edge list**: Customer -PLACED-> Order (orders FK), Order
+  -CONTAINS-> Part (lineitem FK) — raw natural keys as node ids so
+  the SQL oracle is a plain join.
+- **nation graph**: nations connected when a customer of nation A
+  bought from a supplier of nation B on a sampled subset of orders
+  (`l_orderkey % k = 0` keeps it sparse and deterministic); 25 nodes,
+  directed. BFS/CC oracles are DuckDB recursive CTEs.
+
+PageRank and label propagation have no practical single-query SQL
+equivalent → exposed without an oracle (driver records the weaker
+rows-only check); they are pinned instead by pytest against a pure
+numpy power-iteration reference (tests/test_graph.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodwh2_arcadedb_server_spark.operators.graph import (
+    bfs,
+    connected_components,
+    degrees,
+    expand,
+    label_propagation,
+    motif_chain,
+    pagerank,
+)
+from biodwh2_arcadedb_server_spark.sources.registry import load_table
+
+_NATION_GRAPH_SQL = """
+    SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+                    CAST(s.s_nationkey AS BIGINT) AS dst
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE l.l_orderkey % {mod} = 0
+"""
+
+
+def nation_graph(spark: SparkSession, sf_dir: str, mod: int) -> DataFrame:
+    """Sparse deterministic nation-adjacency edge list (src, dst)."""
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % mod == 0)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+# --- B5: 1-hop expansion ------------------------------------------------------
+def q19_expand_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 5)
+    placed = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("src"), F.col("o_orderkey").cast("long").alias("dst")
+    )
+    start = c.select(F.col("c_custkey").cast("long").alias("node_id"))
+    return expand(start, placed, direction="out")
+
+
+# --- B6: motif / pattern match ---------------------------------------------------
+def q20_motif_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH {Customer}-PLACED->{Order}-CONTAINS->{Part}: distinct
+    parts reachable per customer (custkey <= 20)."""
+    start = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 20)
+        .select(F.col("c_custkey").cast("long").alias("node_id"))
+    )
+    placed = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("src"), F.col("o_orderkey").cast("long").alias("dst")
+    )
+    contains = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("src"), F.col("l_partkey").cast("long").alias("dst")
+    )
+    path = motif_chain(start, [placed, contains])
+    return path.groupBy(F.col("n0").alias("c_custkey")).agg(
+        F.countDistinct("n2").alias("n_parts")
+    )
+
+
+# --- B7/B8: BFS traversal / shortest-path hops -------------------------------------
+def q21_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = nation_graph(spark, sf_dir, 211)
+    start = spark.range(1).select(F.lit(0).cast("long").alias("node_id"))
+    return bfs(g, start, max_depth=4, directed=True)
+
+
+# --- C6: connected components --------------------------------------------------------
+def q22_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return connected_components(nation_graph(spark, sf_dir, 97))
+
+
+# --- C6: degrees ------------------------------------------------------------------------
+def q23_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degrees(nation_graph(spark, sf_dir, 97))
+
+
+# --- C6: PageRank / LPA (no SQL oracle; pytest-pinned) -----------------------------------
+def q24_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pr = pagerank(nation_graph(spark, sf_dir, 97), iterations=10, damping=0.85)
+    return pr.select("node_id", F.round("rank", 6).alias("rank"))
+
+
+def q25_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_propagation(nation_graph(spark, sf_dir, 97), max_iter=5)
+
+
+QUERIES = {
+    "q19_expand_out": q19_expand_out,
+    "q20_motif_2hop": q20_motif_2hop,
+    "q21_bfs_hops": q21_bfs_hops,
+    "q22_connected_components": q22_connected_components,
+    "q23_degrees": q23_degrees,
+    "q24_pagerank": q24_pagerank,
+    "q25_label_propagation": q25_label_propagation,
+}
+
+_G211 = _NATION_GRAPH_SQL.format(mod=211)
+_G97 = _NATION_GRAPH_SQL.format(mod=97)
+
+ORACLE = {
+    "q19_expand_out": """
+        SELECT CAST(o_custkey AS BIGINT) AS node_id,
+               CAST(o_orderkey AS BIGINT) AS neighbor
+        FROM orders WHERE o_custkey <= 5
+    """,
+    "q20_motif_2hop": """
+        SELECT CAST(o.o_custkey AS BIGINT) AS c_custkey,
+               COUNT(DISTINCT l.l_partkey) AS n_parts
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey <= 20
+        GROUP BY o.o_custkey
+    """,
+    "q21_bfs_hops": f"""
+        WITH RECURSIVE g AS ({_G211}),
+        walk(node_id, depth) AS (
+            SELECT CAST(0 AS BIGINT), 0
+            UNION ALL
+            SELECT g.dst, walk.depth + 1
+            FROM walk JOIN g ON g.src = walk.node_id
+            WHERE walk.depth < 4
+        )
+        SELECT node_id, CAST(MIN(depth) AS INTEGER) AS depth
+        FROM walk GROUP BY node_id
+    """,
+    "q22_connected_components": f"""
+        WITH RECURSIVE und AS (
+            SELECT src, dst FROM ({_G97}) UNION SELECT dst, src FROM ({_G97})
+        ),
+        reach(a, b) AS (
+            SELECT src, src FROM und
+            UNION
+            SELECT r.a, u.dst FROM reach r JOIN und u ON u.src = r.b
+        )
+        SELECT a AS node_id, MIN(b) AS component FROM reach GROUP BY a
+    """,
+    "q23_degrees": f"""
+        WITH g AS ({_G97}),
+        outd AS (SELECT src AS node_id, COUNT(*) AS out_degree FROM g GROUP BY src),
+        ind AS (SELECT dst AS node_id, COUNT(*) AS in_degree FROM g GROUP BY dst)
+        SELECT COALESCE(outd.node_id, ind.node_id) AS node_id,
+               COALESCE(in_degree, 0) AS in_degree,
+               COALESCE(out_degree, 0) AS out_degree,
+               COALESCE(in_degree, 0) + COALESCE(out_degree, 0) AS degree
+        FROM outd FULL OUTER JOIN ind ON outd.node_id = ind.node_id
+    """,
+    # q24_pagerank / q25_label_propagation: no SQL oracle (iterative);
+    # pinned by tests/test_graph.py against numpy power iteration.
+}

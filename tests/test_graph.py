@@ -1,0 +1,105 @@
+"""Graph operator tests: oracle-free ops pinned against numpy/pure-python
+references; BFS/CC/degrees are covered by the oracle gate in
+test_oracle.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from biodwh2_arcadedb_server_spark.operators.graph import (
+    bfs,
+    connected_components,
+    expand,
+    label_propagation,
+    pagerank,
+)
+from biodwh2_arcadedb_server_spark.operators.graph_queries import nation_graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"]).select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+
+
+def test_expand_directions(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    start = spark.createDataFrame([(1,)], ["node_id"])
+    out = {(r.node_id, r.neighbor) for r in expand(start, e, "out").collect()}
+    assert out == {(1, 2)}
+    inn = {(r.node_id, r.neighbor) for r in expand(start, e, "in").collect()}
+    assert inn == {(1, 3)}
+    both = {(r.node_id, r.neighbor) for r in expand(start, e, "both").collect()}
+    assert both == {(1, 2), (1, 3)}
+
+
+def test_bfs_chain(spark):
+    # 1 -> 2 -> 3 -> 4, plus disconnected 9 -> 10
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (9, 10)])
+    start = spark.createDataFrame([(1,)], ["node_id"])
+    got = {(r.node_id, r.depth) for r in bfs(e, start, max_depth=10).collect()}
+    assert got == {(1, 0), (2, 1), (3, 2), (4, 3)}
+    # depth cap respected
+    got2 = {(r.node_id, r.depth) for r in bfs(e, start, max_depth=2).collect()}
+    assert got2 == {(1, 0), (2, 1), (3, 2)}
+
+
+def test_bfs_undirected(spark):
+    e = _edges(spark, [(2, 1), (2, 3)])
+    start = spark.createDataFrame([(1,)], ["node_id"])
+    got = {(r.node_id, r.depth) for r in bfs(e, start, max_depth=5, directed=False).collect()}
+    assert got == {(1, 0), (2, 1), (3, 2)}
+
+
+def test_connected_components_two_islands(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11), (12, 11)])
+    got = {(r.node_id, r.component) for r in connected_components(e).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
+
+
+def test_pagerank_against_numpy(spark, sf_medium):
+    g = nation_graph(spark, sf_medium, 97)
+    edges = [(r.src, r.dst) for r in g.collect()]
+    got = {r.node_id: r.rank for r in pagerank(g, iterations=10, damping=0.85).collect()}
+
+    # numpy power-iteration reference with dangling redistribution
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(10):
+        dangling = r[out_deg == 0].sum()
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[idx[t]] += r[idx[s]] / out_deg[idx[s]]
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    for node, rank in got.items():
+        assert rank == pytest.approx(r[idx[node]], abs=1e-9), node
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_dangling(spark):
+    # 1 -> 2, 2 is a sink: mass must be redistributed, ranks sum to 1
+    e = _edges(spark, [(1, 2)])
+    got = {r.node_id: r.rank for r in pagerank(e, iterations=20).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got[2] > got[1]
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles joined by nothing -> two communities
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)])
+    got = {(r.node_id, r.community) for r in label_propagation(e, max_iter=5).collect()}
+    comms = {}
+    for node, c in got:
+        comms.setdefault(c, set()).add(node)
+    assert {frozenset(v) for v in comms.values()} == {
+        frozenset({1, 2, 3}),
+        frozenset({10, 11, 12}),
+    }
