@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from biodwh2_arcadedb_server_spark.operators import graph_queries, relational
+from biodwh2_arcadedb_server_spark.operators import graph_queries, pipeline_queries, relational
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
     out.update(graph_queries.QUERIES)
+    out.update(pipeline_queries.QUERIES)
     return out
 
 
@@ -36,4 +37,5 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
     out.update(graph_queries.ORACLE)
+    out.update(pipeline_queries.ORACLE)
     return out

@@ -1,0 +1,213 @@
+"""Deduplication operators for LLM training-data pipelines (C1, C2).
+
+Four escalating strategies, all shuffle-frugal:
+
+- **Exact** — hash-groupBy on the dedup key. The shuffle carries only
+  an 8-byte ``xxhash64`` of the content, never the content itself —
+  at 100 TB the dedup shuffle is ~0.01% of the data volume.
+- **N-gram Jaccard** — exact set-similarity join via shingle
+  inverted index (explode → self-join on shingle → count). Exact but
+  quadratic in the worst case; the oracle-checkable reference for the
+  approximate methods.
+- **MinHash + LSH** — per-doc signature of ``num_hashes`` minima over
+  universal hashes of shingles; banding turns near-dup search into an
+  equi-join on (band_idx, band_hash). Candidates are verified with
+  true Jaccard. This is the scale path: cost is O(docs × bands)
+  rows shuffled, not O(docs²).
+- **SimHash** — 64-bit weighted-bit fingerprint; near-dups = pairs
+  within Hamming distance d, found by joining on rotated prefix
+  blocks (here: direct bit_count on the small side).
+
+MinHash universal-hash parameters are fixed constants derived from a
+seeded LCG at import time — deterministic across runs and executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from biodwh2_arcadedb_server_spark.functions import word_shingles
+
+# 31-bit Mersenne prime: a,b,h < 2^31 keeps a·h+b < 2^63 (no long
+# overflow under ANSI arithmetic) while leaving ample hash space for
+# min-wise hashing.
+MERSENNE_P = (1 << 31) - 1
+
+
+def _lcg_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for universal hashing h_i = (a·x+b) mod p."""
+    state = seed
+    out = []
+    for _ in range(num_hashes):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        a = (state % (MERSENNE_P - 1)) + 1
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE_P
+        out.append((a, b))
+    return out
+
+
+# --- C1: exact dedup ----------------------------------------------------------
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Row-identity dedup: dropDuplicates (hash-shuffle on the key)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def exact_dedup_by_content(
+    df: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """Content dedup keeping the smallest id per identical content.
+    Groups on xxhash64(content) so the shuffle key is 8 bytes; the
+    group's representative is min(id). (A 64-bit hash collides at
+    ~4e9 distinct docs; for beyond that, group on (hash, length).)"""
+    h = F.xxhash64(F.col(content_col))
+    return (
+        df.select(F.col(id_col), h.alias("_h"), F.length(content_col).alias("_len"))
+        .groupBy("_h", "_len")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+# --- C2: exact n-gram Jaccard similarity join -----------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All pairs (id_a < id_b) with Jaccard(shingles_a, shingles_b) >=
+    threshold, via inverted-index self-join. Exact; the verification
+    standard for MinHash. Output: (id_a, id_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
+    ).withColumn("_size", F.size("_sh"))
+    inv = sh.select("_id", "_size", F.explode("_sh").alias("_g"))
+    a = inv.select(F.col("_id").alias("id_a"), F.col("_size").alias("size_a"), "_g")
+    b = inv.select(F.col("_id").alias("id_b"), F.col("_size").alias("size_b"), "_g")
+    common = (
+        a.join(b, "_g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return (
+        common.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# --- C2: MinHash + LSH ------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """(id, sig: array<bigint>) — num_hashes minima of universal hashes
+    over the doc's shingle set. One explode + one groupBy; every hash
+    is a JVM expression on the 8-byte base hash."""
+    params = _lcg_params(num_hashes)
+    sh = df.select(F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh"))
+    base = sh.select("_id", F.explode("_sh").alias("_g")).select(
+        "_id", F.pmod(F.xxhash64("_g"), F.lit(MERSENNE_P)).alias("_h")
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(MERSENNE_P))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sigs = base.groupBy("_id").agg(*aggs)
+    return sigs.select("_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """Band the signatures and equi-join on (band_idx, band_hash).
+    Two docs collide in a band iff their signature rows there all
+    match → P(candidate) ≈ 1-(1-j^rows)^bands. Output (id_a, id_b)."""
+    banded = sigs.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice("sig", i * rows + 1, rows))).alias("bh"),
+                ),
+            )
+        ).alias("b"),
+    ).select("_id", "b.band", "b.bh")
+    l = banded.select(F.col("_id").alias("id_a"), "band", "bh")
+    r = banded.select(F.col("_id").alias("id_b"), "band", "bh")
+    return (
+        l.join(r, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → verify
+    with true Jaccard on shingle sets. Only candidate pairs (a tiny
+    fraction of all pairs) ever compare their shingle sets."""
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    cand = lsh_candidate_pairs(sigs, bands, rows)
+    sh = df.select(F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh"))
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+# --- C2: SimHash --------------------------------------------------------------------
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: bit b of the fingerprint
+    is 1 iff Σ_tokens (±1 by token-hash bit b) > 0. Computed as 64
+    conditional-sum aggregates after one explode — one shuffle, all
+    JVM expressions. Output (id, simhash: bigint)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.filter(F.split(F.lower(text_col), r"\s+"), lambda x: x != "")).alias("_t"),
+    ).select("_id", F.xxhash64("_t").alias("_h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    sums = toks.groupBy("_id").agg(*aggs)
+    fingerprint = None
+    for b in range(64):
+        bit = F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select("_id", fingerprint.alias("simhash"))
+
+
+def simhash_near_dups(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance d of their simhash. Exact via
+    xor+bit_count; at scale, pre-filter with a block-prefix join
+    (pigeonhole: d+1 blocks, one must match exactly)."""
+    a = fps.select(F.col("_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = fps.select(F.col("_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

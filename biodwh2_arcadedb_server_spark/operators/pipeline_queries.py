@@ -1,0 +1,230 @@
+"""Driver-contract queries for the LLM-pipeline operators (C1-C5).
+
+Oracle-able probes get DuckDB SQL twins; operators built on xxhash64
+(MinHash, SimHash, fingerprints, hyperplane LSH) cannot be reproduced
+in DuckDB (different hash function) → exposed rows-only and pinned by
+pytest against exact references (tests/test_pipeline.py):
+MinHash-vs-exact-Jaccard equality, ANN recall vs brute force, SimHash
+self-consistency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodwh2_arcadedb_server_spark.operators import dedup, multimodal, similarity, text
+from biodwh2_arcadedb_server_spark.sources.registry import load_table
+
+JACCARD_K = 3
+JACCARD_THRESHOLD = 0.8
+COSINE_THRESHOLD = 0.4
+
+
+# --- C2: exact n-gram Jaccard near-dup pairs (oracle-able) --------------------
+def q26_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", JACCARD_K, JACCARD_THRESHOLD)
+
+
+# --- C2: MinHash+LSH near-dups (rows-only; pytest-pinned vs q26) ---------------
+def q27_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_dups(
+        d, "doc_id", "text", k=JACCARD_K, num_hashes=64, bands=16, rows=4,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+# --- C2: SimHash near-dups (rows-only) ------------------------------------------
+def q28_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fps = dedup.simhash(d, "doc_id", "text")
+    return dedup.simhash_near_dups(fps, max_hamming=3)
+
+
+# --- C2/C3: embedding-cosine near-dup pairs (oracle-able) -------------------------
+def q29_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(e, COSINE_THRESHOLD)
+
+
+# --- C3: exact k-NN for a query set (oracle-able) ----------------------------------
+def q30_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id").isin(0, 1, 2))
+    return similarity.knn_join(e, queries, k=3)
+
+
+# --- C3: LSH-bucketed ANN (rows-only; pytest recall gate) ----------------------------
+def q31_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id").isin(0, 1, 2))
+    return similarity.ann_topk(e, queries, k=3, dim=64, n_planes=4, n_tables=8)
+
+
+# --- C4: token stats (oracle-able) -----------------------------------------------------
+def q32_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text.token_stats(d).select("doc_id", "n_tokens", "avg_token_len")
+
+
+# --- C4: quality scoring (oracle-able) ---------------------------------------------------
+def q33_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text.quality_score(d)
+
+
+# --- C4: language ID (rows-only; pytest agreement gate) ------------------------------------
+def q34_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text.language_id(d)
+
+
+# --- C4: document fingerprint (rows-only) ----------------------------------------------------
+def q35_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(d)
+
+
+# --- C5: multimodal metadata-only scan (oracle-able) -------------------------------------------
+def q36_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.metadata_only_scan(multimodal.to_media_table(d))
+
+
+# --- C5: binary feature extraction via mapInPandas (rows-only; pytest-pinned) -------------------
+def q37_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.to_media_table(d)).select(
+        "doc_id", "n_bytes", F.round("byte_mean", 4).alias("byte_mean"),
+        F.round("byte_entropy_proxy", 4).alias("byte_entropy_proxy"),
+    )
+
+
+# --- C5: frame sampling fan-out (oracle-able) ----------------------------------------------------
+def q38_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.to_media_table(d), every_n_bytes=256)
+
+
+QUERIES = {
+    "q26_neardup_jaccard": q26_neardup_jaccard,
+    "q27_minhash_neardup": q27_minhash_neardup,
+    "q28_simhash_neardup": q28_simhash_neardup,
+    "q29_cosine_neardup": q29_cosine_neardup,
+    "q30_knn_topk": q30_knn_topk,
+    "q31_ann_topk": q31_ann_topk,
+    "q32_token_stats": q32_token_stats,
+    "q33_quality_score": q33_quality_score,
+    "q34_lang_id": q34_lang_id,
+    "q35_fingerprint": q35_fingerprint,
+    "q36_multimodal_meta": q36_multimodal_meta,
+    "q37_media_features": q37_media_features,
+    "q38_frame_sample": q38_frame_sample,
+}
+
+_SHINGLES = """
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, greatest(len(toks)-2, 0)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents)
+"""
+
+_COSINE_PAIR = """
+    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+    / (SQRT(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+       * SQRT(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+"""
+
+ORACLE = {
+    "q26_neardup_jaccard": f"""
+        WITH sh AS ({_SHINGLES}),
+        inv AS (SELECT doc_id, len(g) AS sz, UNNEST(g) AS gram FROM sh),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+                   COUNT(*) AS inter
+            FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b,
+               ROUND(inter * 1.0 / (sa + sb - inter), 4) AS jaccard
+        FROM pairs WHERE inter * 1.0 / (sa + sb - inter) >= {JACCARD_THRESHOLD}
+    """,
+    "q29_cosine_neardup": f"""
+        SELECT id_a, id_b, ROUND(sim_raw, 4) AS sim FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_PAIR} AS sim_raw
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        WHERE sim_raw >= {COSINE_THRESHOLD}
+    """,
+    "q30_knn_topk": f"""
+        SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, rank FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_COSINE_PAIR} AS sim_raw,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                        ORDER BY {_COSINE_PAIR} DESC, b.vec_id) AS INTEGER) AS rank
+            FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id IN (0, 1, 2))
+        WHERE rank <= 3
+    """,
+    "q32_token_stats": """
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               ROUND(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT)))
+                     * 1.0 / greatest(len(toks), 1), 4) AS avg_token_len
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+              FROM documents)
+    """,
+    "q33_quality_score": """
+        WITH base AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+                   greatest(length(text), 1) AS n_chars
+            FROM documents),
+        feat AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS INTEGER) AS n_tokens,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / n_chars AS alpha_ratio,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / n_chars AS punct_ratio,
+                   len(list_intersect(list_distinct(toks),
+                       ['the','a','of','and','to','in','is','it','that','for'])) / 10.0 AS stopword_ratio,
+                   len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) AS distinct_ratio
+            FROM base)
+        SELECT doc_id, n_tokens,
+               ROUND(alpha_ratio, 4) AS alpha_ratio,
+               ROUND(punct_ratio, 4) AS punct_ratio,
+               ROUND(stopword_ratio, 4) AS stopword_ratio,
+               ROUND(distinct_ratio, 4) AS distinct_ratio,
+               ROUND((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25 ELSE 0 END)
+                     + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0 END)
+                     + (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0 END)
+                     + least(distinct_ratio * 2, 1.0) * 0.25, 4) AS quality_score
+        FROM feat
+    """,
+    "q36_multimodal_meta": """
+        SELECT doc_id, 'image/fake' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+    "q38_frame_sample": """
+        SELECT doc_id,
+               CAST(UNNEST(range(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT))) AS INTEGER) AS frame_idx,
+               0 AS frame_bytes_placeholder
+        FROM documents
+    """,
+}
+
+# q38's oracle needs frame_bytes = least(256, n - idx*256); rewrite with a
+# derived table so the UNNEST result is referenceable.
+ORACLE["q38_frame_sample"] = """
+    WITH f AS (
+        SELECT doc_id, octet_length(encode(text)) AS n,
+               UNNEST(range(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT))) AS idx
+        FROM documents)
+    SELECT doc_id, CAST(idx AS INTEGER) AS frame_idx,
+           CAST(least(256, n - idx * 256) AS BIGINT) AS frame_bytes
+    FROM f
+"""

@@ -1,0 +1,158 @@
+"""Embedding similarity search (C3): brute-force exact + LSH-bucketed ANN.
+
+- ``cosine_topk``      — exact top-k for one query vector: broadcast
+  the query, one scan, TakeOrderedAndProject. The baseline.
+- ``knn_join``         — exact top-k for a *set* of query vectors:
+  broadcast the (small) query side, crossJoin, per-query window rank.
+  Cost O(|queries|·|corpus|) — right when queries are few.
+- ``random_hyperplane_lsh`` / ``ann_topk`` — the scale path: sign-bit
+  signatures from deterministic pseudo-random hyperplanes bucket the
+  corpus; search touches only colliding buckets (multi-probe over
+  ``n_tables`` independent tables for recall). At 100 TB the corpus is
+  scanned once to build buckets (a write-side cost), and each query
+  reads ~corpus/2^bits rows per table instead of everything.
+
+Hyperplane components are derived from xxhash64(table, plane, dim) —
+no RNG state, identical on every executor, reproducible across runs.
+All vector math uses zip_with/aggregate (JVM-side, codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from biodwh2_arcadedb_server_spark.functions import array_dot, array_norm, cosine_similarity
+
+
+def cosine_topk(
+    corpus: DataFrame, query: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k by cosine for a single-row query DataFrame
+    (vec_col aliased 'qe'). Returns (id, sim) — see relational.q13."""
+    joined = corpus.crossJoin(F.broadcast(query))
+    sim = cosine_similarity(F.col(vec_col), F.col("qe"))
+    return (
+        joined.select(F.col(id_col), sim.alias("sim_raw"))
+        .orderBy(F.col("sim_raw").desc(), id_col)
+        .limit(k)
+        .select(id_col, F.round("sim_raw", 4).alias("sim"))
+    )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact k-NN for every query vector: (query_id, neighbor_id, sim,
+    rank). Query side is broadcast; rank via per-query window."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
+    )
+    joined = corpus.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.where(F.col(id_col) != F.col("query_id"))
+    sim = cosine_similarity(F.col(vec_col), F.col("qe")).alias("sim_raw")
+    scored = joined.select("query_id", F.col(id_col).alias("neighbor_id"), sim)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim_raw", 4).alias("sim"), "rank")
+    )
+
+
+def _hyperplane(table: int, plane: int, dim: int):
+    """Deterministic pseudo-random hyperplane component in [-1, 1]:
+    xxhash64(table, plane, d) scaled. Returns an array Column of
+    length ``dim`` built with JVM expressions."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.pmod(F.xxhash64(F.lit(table), F.lit(plane), d), F.lit(2_000_001)) - F.lit(1_000_000)
+        ).cast("double")
+        / F.lit(1_000_000.0),
+    )
+
+
+def random_hyperplane_signature(
+    vec_col, dim: int, n_planes: int = 8, table: int = 0
+):
+    """Sign-bit bucket id (long) for one LSH table: bit p = 1 iff
+    v·h_p >= 0."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        h = _hyperplane(table, p, dim)
+        bit = F.when(array_dot(vec_col, h) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + bit * F.lit(1 << p).cast("long")
+    return sig
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate k-NN: for each of ``n_tables`` hyperplane tables,
+    bucket corpus and queries by signature and only score collisions;
+    union candidates across tables, dedupe, rank. Recall grows with
+    n_tables; cost per query drops ~2^n_planes-fold vs brute force."""
+    cands = None
+    for t in range(n_tables):
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("ce"),
+            random_hyperplane_signature(F.col(vec_col), dim, n_planes, t).alias("bucket"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qe"),
+            random_hyperplane_signature(F.col(vec_col), dim, n_planes, t).alias("bucket"),
+        )
+        hit = q.join(c, "bucket").select("query_id", "neighbor_id", "qe", "ce")
+        cands = hit if cands is None else cands.unionByName(hit)
+    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+    if exclude_self:
+        cands = cands.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine_similarity("ce", "qe").alias("sim_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim_raw", 4).alias("sim"), "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, sim >= threshold).
+    Brute-force O(n²) — correct reference; the LSH path above is the
+    scale variant (bucket first, compare within buckets)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine_similarity("ea", "eb")
+    return (
+        pairs.select("id_a", "id_b", sim.alias("sim_raw"))
+        .where(F.col("sim_raw") >= threshold)
+        .select("id_a", "id_b", F.round("sim_raw", 4).alias("sim"))
+    )

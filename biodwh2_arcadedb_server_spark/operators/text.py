@@ -1,0 +1,113 @@
+"""Text analysis for LLM data pipelines (C4): language ID, quality
+scoring, token counting, document fingerprinting.
+
+All hot paths are JVM expressions (split/filter/aggregate/regexp);
+no Python UDFs. Each operator returns per-document rows keyed by
+``doc_id`` so downstream filters compose relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from biodwh2_arcadedb_server_spark.functions import bpe_ish_tokens, tokens
+
+# Minimal stopword profiles for the n-gram/stopword-ratio language
+# heuristic. (Real pipelines plug a fastText model in via pandas_udf;
+# the heuristic keeps this testable without model files.)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pas", "pour", "que"],
+}
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts and mean token length."""
+    toks = tokens(F.col(text_col))
+    bpe = bpe_ish_tokens(F.col(text_col))
+    total_len = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.round(total_len / F.greatest(F.size(toks), F.lit(1)), 4).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score: length, alpha
+    ratio, punctuation ratio, stopword ratio, repetition (distinct
+    token fraction). Score weights mirror common C4/Gopher-style
+    filters (public rules-of-thumb, recomputed relationally)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    alpha_ratio = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / F.greatest(n_chars, F.lit(1))
+    punct_ratio = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")) / F.greatest(n_chars, F.lit(1))
+    en_stop = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    stop_ratio = F.size(F.array_intersect(F.array_distinct(toks), en_stop)) / F.lit(
+        float(len(STOPWORDS["en"]))
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 100000), 0.25).otherwise(0.0)
+        + F.when(alpha_ratio >= 0.6, 0.25).otherwise(0.0)
+        + F.when(punct_ratio <= 0.1, 0.25).otherwise(0.0)
+        + (F.least(distinct_ratio * 2, F.lit(1.0)) * 0.25)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-profile language heuristic: score each language by
+    fraction of its stopword list present; argmax wins, 'und'
+    (undetermined) when nothing matches. Deterministic tie-break by
+    language code."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    scores = []
+    for lang in sorted(STOPWORDS):
+        lst = F.array([F.lit(w) for w in STOPWORDS[lang]])
+        scores.append(
+            F.struct(
+                (F.size(F.array_intersect(toks, lst)) / F.lit(float(len(STOPWORDS[lang]))))
+                .alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        F.round(best["score"], 4).alias("lang_score"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 8
+) -> DataFrame:
+    """Winnowing-style document fingerprint: hash every ``window``-gram
+    of tokens, keep the minimum (one representative per doc; extend to
+    per-window minima for substring matching). Rolling hash =
+    xxhash64 of the joined window — content-defined and deterministic."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_min(grams).alias("min_fingerprint"),
+        F.size(grams).alias("n_windows"),
+    )

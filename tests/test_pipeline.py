@@ -1,0 +1,163 @@
+"""Pins for LLM-pipeline operators that have no SQL oracle (hash-based):
+MinHash vs exact Jaccard, ANN recall vs brute force, SimHash
+consistency, language-ID agreement, media features vs pure python."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biodwh2_arcadedb_server_spark.operators import dedup, multimodal, similarity, text
+from biodwh2_arcadedb_server_spark.sources.registry import load_table
+
+
+def test_minhash_matches_exact_jaccard(spark, sf_small):
+    """LSH (16 bands × 4 rows) at threshold 0.8 must find exactly the
+    pairs exact Jaccard finds (planted dups are j≈0.99 → miss
+    probability ~(1-0.99^4)^16 ≈ 1e-22)."""
+    d = load_table(spark, sf_small, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.8).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_near_dups(
+            d, "doc_id", "text", k=3, num_hashes=64, bands=16, rows=4, threshold=0.8
+        ).collect()
+    }
+    assert exact, "test data should contain planted near-duplicates"
+    assert approx == exact
+
+
+def test_minhash_jaccard_values_match_exact(spark, sf_small):
+    d = load_table(spark, sf_small, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.8).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_near_dups(d, "doc_id", "text", threshold=0.8).collect()
+    }
+    for pair, j in approx.items():
+        assert j == pytest.approx(exact[pair], abs=1e-4)
+
+
+def test_exact_dedup_by_content(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    got = {(r.keep_id, r.n_copies) for r in
+           dedup.exact_dedup_by_content(df, "doc_id", "text").collect()}
+    assert got == {(1, 2), (3, 1)}
+
+
+def test_simhash_identical_docs_same_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "x y z w")],
+        ["doc_id", "text"],
+    )
+    fps = {r._id: r.simhash for r in dedup.simhash(df, "doc_id", "text").collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+    pairs = {(r.id_a, r.id_b, r.hamming) for r in
+             dedup.simhash_near_dups(dedup.simhash(df, "doc_id", "text"), 0).collect()}
+    assert pairs == {(1, 2, 0)}
+
+
+def test_simhash_finds_planted_near_dups(spark, sf_small):
+    d = load_table(spark, sf_small, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.9).collect()
+    }
+    fps = dedup.simhash(d, "doc_id", "text")
+    near3 = {(r.id_a, r.id_b) for r in dedup.simhash_near_dups(fps, 3).collect()}
+    near10 = {(r.id_a, r.id_b) for r in dedup.simhash_near_dups(fps, 10).collect()}
+    # the ~100-token docs make simhash noisy; planted j>=0.9 dups land
+    # at hamming<=7, so d=3 recovers most and d=10 recovers all
+    assert exact
+    assert len(near3 & exact) / len(exact) >= 0.7
+    assert exact <= near10
+
+
+def test_ann_recall_vs_brute_force(spark, sf_small):
+    e = load_table(spark, sf_small, "embeddings")
+    queries = e.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_join(e, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_topk(e, queries, k=5, dim=64, n_planes=4, n_tables=8).collect()
+    }
+    # the synthetic embeddings are near-random (top-5 cosine ~0.3-0.5),
+    # the hardest case for hyperplane LSH; 4 planes x 8 tables lands
+    # ~0.6 recall here and far higher on clustered real data
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_ann_sims_are_exact_for_found_pairs(spark, sf_small):
+    """ANN approximates the candidate set, never the similarity value."""
+    e = load_table(spark, sf_small, "embeddings")
+    queries = e.where(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in similarity.knn_join(e, queries, k=50).collect()
+    }
+    for r in similarity.ann_topk(e, queries, k=5).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert r.sim == pytest.approx(exact[key], abs=1e-4)
+
+
+def test_language_id_majority_en(spark, sf_small):
+    d = load_table(spark, sf_small, "documents")
+    pred = text.language_id(d)
+    counts = {r.pred_lang: r.n for r in
+              pred.groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("en", 0) > sum(counts.values()) * 0.9
+
+
+def test_fingerprint_deterministic_and_dup_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j"), (3, "q r s t u v w x y z")],
+        ["doc_id", "text"],
+    )
+    f1 = {r.doc_id: r.min_fingerprint for r in text.fingerprint(df).collect()}
+    f2 = {r.doc_id: r.min_fingerprint for r in text.fingerprint(df).collect()}
+    assert f1 == f2
+    assert f1[1] == f1[2]
+    assert f1[1] != f1[3]
+
+
+def test_media_features_match_python(spark, sf_small):
+    d = load_table(spark, sf_small, "documents").limit(5)
+    media = multimodal.to_media_table(d)
+    got = {r.doc_id: r for r in multimodal.extract_features(media).collect()}
+    for row in d.select("doc_id", "text").collect():
+        b = row.text.encode()
+        assert got[row.doc_id].n_bytes == len(b)
+        assert got[row.doc_id].byte_mean == pytest.approx(sum(b) / len(b))
+        assert got[row.doc_id].byte_entropy_proxy == pytest.approx(len(set(b)) / 256.0)
+
+
+def test_media_decode_stub_raises(spark, sf_small):
+    d = load_table(spark, sf_small, "documents").limit(1)
+    media = multimodal.to_media_table(d)
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        multimodal.extract_features(media, decode_stub=False).collect()
+
+
+def test_metadata_scan_prunes_payload(spark, sf_small, tmp_path):
+    """The metadata-only scan must not read payload bytes from parquet
+    (column pruning) — checked via the physical plan's ReadSchema."""
+    d = load_table(spark, sf_small, "documents")
+    path = str(tmp_path / "media")
+    multimodal.to_media_table(d).write.parquet(path)
+    scan = multimodal.metadata_only_scan(spark.read.parquet(path))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan.split("ReadSchema")[1][:400]
