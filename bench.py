@@ -1,0 +1,98 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is measured with the noop sink (full plan execution, no
+driver-side row collection) after a warmup pass that amortizes session
+startup and parquet footer caching out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from biodwh2_arcadedb_server_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+# Headline set: every oracled relational probe + the heavier graph and
+# pipeline operators (rows-only ones included — wall-clock matters even
+# without an oracle).
+HEADLINE = [
+    "q01_scan_filter",
+    "q02_join_remap",
+    "q03_two_hop",
+    "q04_tpch_q1",
+    "q05_distinct_count",
+    "q06_topk",
+    "q07_setops",
+    "q08_first_order",
+    "q09_scalars",
+    "q10_array_norm",
+    "q11_json",
+    "q12_dedup_exact",
+    "q13_cosine_topk",
+    "q14_token_counts",
+    "q15_degree",
+    "q16_tumbling_window",
+    "q17_unique_validation",
+    "q18_rollup",
+    "q20_motif_2hop",
+    "q21_bfs_hops",
+    "q22_connected_components",
+    "q24_pagerank",
+    "q26_neardup_jaccard",
+    "q27_minhash_neardup",
+    "q29_cosine_neardup",
+    "q30_knn_topk",
+    "q32_token_stats",
+    "q33_quality_score",
+    "q36_multimodal_meta",
+    "q37_media_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    queries = entry_mod.queries()
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    # Warmup: run the cheapest probe once to pay JVM/codegen startup.
+    queries["q01_scan_filter"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -37,17 +37,26 @@ def tokens(text: Column | str, lowercase: bool = True) -> Column:
     return F.filter(F.split(t, r"\s+"), lambda x: x != "")
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct word k-grams (shingles) of a document — the unit set
-    for Jaccard/MinHash near-dup detection. Built entirely with
-    sequence/transform/slice (JVM-side)."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-grams from a **materialized token-array
+    column**. ``toks`` must be a plain column reference: an expression
+    here would be re-evaluated once per gram inside the lambda
+    (interpreted HOFs don't CSE their lambda bodies), which measured
+    ~8× slower. Use a two-step select: first project the token array,
+    then build shingles from the column."""
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
     return F.array_distinct(grams)
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams of a document — convenience single-expression
+    form. WARNING: re-tokenizes per gram (see shingles_from_tokens);
+    fine for small inputs and tests, use the two-step form in hot paths."""
+    return shingles_from_tokens(tokens(text), k)
 
 
 def bpe_ish_tokens(text: Column | str) -> Column:

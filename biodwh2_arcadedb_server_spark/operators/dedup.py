@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from biodwh2_arcadedb_server_spark.functions import word_shingles
+from biodwh2_arcadedb_server_spark.functions import shingles_from_tokens, tokens
 
 # 31-bit Mersenne prime: a,b,h < 2^31 keeps a·h+b < 2^63 (no long
 # overflow under ANSI arithmetic) while leaving ample hash space for
@@ -46,6 +46,36 @@ def _lcg_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
         b = state % MERSENNE_P
         out.append((a, b))
     return out
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(_id, _sh: sorted array<bigint>, _size) — hashed distinct word
+    k-shingles per document, the shared input of every near-dup
+    strategy. Three deliberate physical steps:
+
+    1. repartition: a single parquet row group would serialize the
+       CPU-heavy shingling into one task;
+    2. two-step projection: tokens materialize as a column before the
+       gram lambda references them (an inline expression is
+       re-evaluated once per gram — measured ~8×);
+    3. eager localCheckpoint: the table is consumed by several plan
+       branches (index + both join sides); without materialization
+       Catalyst recomputes it per branch. ~8 bytes/gram.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toked = df.repartition(par, id_col).select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    return (
+        toked.select(
+            "_id",
+            F.sort_array(
+                F.transform(shingles_from_tokens(F.col("_toks"), k), lambda g: F.xxhash64(g))
+            ).alias("_sh"),
+        )
+        .withColumn("_size", F.size("_sh"))
+        .localCheckpoint(eager=True)
+    )
 
 
 # --- C1: exact dedup ----------------------------------------------------------
@@ -75,39 +105,80 @@ def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
 ) -> DataFrame:
     """All pairs (id_a < id_b) with Jaccard(shingles_a, shingles_b) >=
-    threshold, via inverted-index self-join. Exact; the verification
-    standard for MinHash. Output: (id_a, id_b, jaccard)."""
-    sh = df.select(
-        F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
-    ).withColumn("_size", F.size("_sh"))
-    inv = sh.select("_id", "_size", F.explode("_sh").alias("_g"))
+    threshold — exact, via **prefix-filtered** inverted-index join
+    (the PPJoin family: Xiao et al., "Efficient Similarity Joins for
+    Near Duplicate Detection", WWW 2008).
+
+    Two sets with Jaccard >= t must share an element within the first
+    ⌈(1-t)·|A|⌉+1 elements of a *global* ordering — so only that
+    prefix is indexed. The ordering is by ascending document
+    frequency (rarest grams first), which is what makes the prefix
+    selective: common grams never enter any prefix, so hot keys never
+    reach the candidate join. Candidates are verified exactly with
+    array_intersect on the full (hashed) gram arrays. Keys are 8-byte
+    xxhash64 of grams: fixed-width shuffle, no text movement.
+    """
+    sh = shingle_table(df, id_col, text_col, k)
+    ex = sh.select("_id", "_size", F.explode("_sh").alias("_g"))
+    # global document frequency per gram → rarest-first prefix order
+    dfreq = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    # prefix length = size - ceil(t·size) + 1, in integer-scaled
+    # arithmetic: floor((1-t)·size)+1 in floating point under-counts
+    # when t·size is an exact integer (e.g. t=0.8, size=10), which
+    # silently drops true pairs sitting exactly at the threshold.
+    t_scaled = int(round(threshold * 1_000_000))
+    required_overlap = F.ceil((F.col("_size") * F.lit(t_scaled)) / F.lit(1_000_000))
+    prefix_len = (F.col("_size") - required_overlap + 1).cast("int")
+    inv = (
+        ex.join(dfreq, "_g")
+        .groupBy("_id", "_size")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("_df", "_g"))), F.lit(1), prefix_len
+            ).alias("_pref")
+        )
+        .select("_id", "_size", F.explode("_pref").alias("_p"))
+        .select("_id", "_size", F.col("_p._g").alias("_g"))
+        .localCheckpoint(eager=True)  # consumed by both join sides
+    )
     a = inv.select(F.col("_id").alias("id_a"), F.col("_size").alias("size_a"), "_g")
     b = inv.select(F.col("_id").alias("id_b"), F.col("_size").alias("size_b"), "_g")
-    common = (
+    cand = (
         a.join(b, "_g")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # size filter prunes pairs that cannot reach the threshold
+            # (same integer-scaled arithmetic as the prefix bound)
+            & (
+                F.least("size_a", "size_b")
+                >= F.ceil((F.greatest("size_a", "size_b") * F.lit(t_scaled)) / F.lit(1_000_000))
+            )
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates()
     )
-    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    fa = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    fb = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
-        common.withColumn("jaccard", jac)
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
 
 
 # --- C2: MinHash + LSH ------------------------------------------------------------
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64
-) -> DataFrame:
-    """(id, sig: array<bigint>) — num_hashes minima of universal hashes
-    over the doc's shingle set. One explode + one groupBy; every hash
-    is a JVM expression on the 8-byte base hash."""
+def minhash_signatures_from_shingles(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """(_id, sig: array<bigint>) from a ``shingle_table`` — num_hashes
+    minima of universal hashes over the hashed shingle set. One
+    explode + one groupBy; every hash is a codegen'd JVM expression on
+    the 8-byte base hash."""
     params = _lcg_params(num_hashes)
-    sh = df.select(F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh"))
     base = sh.select("_id", F.explode("_sh").alias("_g")).select(
-        "_id", F.pmod(F.xxhash64("_g"), F.lit(MERSENNE_P)).alias("_h")
+        "_id", F.pmod(F.col("_g"), F.lit(MERSENNE_P)).alias("_h")
     )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(MERSENNE_P))).alias(f"_m{i}")
@@ -115,6 +186,14 @@ def minhash_signatures(
     ]
     sigs = base.groupBy("_id").agg(*aggs)
     return sigs.select("_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """(id, sig) straight from a document table; see
+    ``minhash_signatures_from_shingles`` for the plan shape."""
+    return minhash_signatures_from_shingles(shingle_table(df, id_col, text_col, k), num_hashes)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
@@ -155,10 +234,12 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → verify
     with true Jaccard on shingle sets. Only candidate pairs (a tiny
-    fraction of all pairs) ever compare their shingle sets."""
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    fraction of all pairs) ever compare their shingle sets. The
+    shingle table is computed once and shared by the signature and
+    verification stages."""
+    sh = shingle_table(df, id_col, text_col, k)
+    sigs = minhash_signatures_from_shingles(sh, num_hashes)
     cand = lsh_candidate_pairs(sigs, bands, rows)
-    sh = df.select(F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh"))
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     verified = (
@@ -180,7 +261,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     is 1 iff Σ_tokens (±1 by token-hash bit b) > 0. Computed as 64
     conditional-sum aggregates after one explode — one shuffle, all
     JVM expressions. Output (id, simhash: bigint)."""
-    toks = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par, id_col).select(
         F.col(id_col).alias("_id"),
         F.explode(F.filter(F.split(F.lower(text_col), r"\s+"), lambda x: x != "")).alias("_t"),
     ).select("_id", F.xxhash64("_t").alias("_h"))
@@ -203,6 +285,7 @@ def simhash_near_dups(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Pairs within Hamming distance d of their simhash. Exact via
     xor+bit_count; at scale, pre-filter with a block-prefix join
     (pigeonhole: d+1 blocks, one must match exactly)."""
+    fps = fps.localCheckpoint(eager=True)  # consumed by both sides
     a = fps.select(F.col("_id").alias("id_a"), F.col("simhash").alias("h_a"))
     b = fps.select(F.col("_id").alias("id_b"), F.col("simhash").alias("h_b"))
     return (

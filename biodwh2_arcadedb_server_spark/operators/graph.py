@@ -205,8 +205,10 @@ def pagerank(
 
     ranks = deg.select("node_id", "odeg", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
-        dangling = (
-            ranks.where(F.col("odeg") == 0).agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0]
+        # dangling mass stays in-plan as a broadcast 1-row aggregate —
+        # no driver round-trip per iteration
+        dangling = ranks.where(F.col("odeg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
         )
         contribs = (
             ranks.where(F.col("odeg") > 0)
@@ -217,13 +219,14 @@ def pagerank(
         )
         ranks = (
             deg.join(contribs, "node_id", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node_id",
                 "odeg",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("_dangling") / n)
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

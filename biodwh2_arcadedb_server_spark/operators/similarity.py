@@ -138,15 +138,16 @@ def ann_topk(
     )
 
 
-def cosine_near_dup_pairs(
+def cosine_near_dup_pairs_bruteforce(
     corpus: DataFrame,
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, sim >= threshold).
-    Brute-force O(n²) — correct reference; the LSH path above is the
-    scale variant (bucket first, compare within buckets)."""
+    Row-at-a-time reference implementation: O(n²) pairs, one
+    interpreted HOF dot per pair. Kept as the correctness reference;
+    ``cosine_near_dup_pairs`` below is the production path."""
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -156,3 +157,79 @@ def cosine_near_dup_pairs(
         .where(F.col("sim_raw") >= threshold)
         .select("id_a", "id_b", F.round("sim_raw", 4).alias("sim"))
     )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All-pairs cosine >= threshold via **blocked matrix multiply** —
+    the scale path for exact near-dup over embeddings.
+
+    1. Normalize each vector once (JVM higher-order fn) so pair
+       similarity collapses to a dot product.
+    2. Hash-assign each vector to one of ``n_blocks`` blocks; send a
+       copy of each vector to every block *pair* it participates in
+       (shuffle volume = n_blocks × data, vs n × data for a naive
+       cross join).
+    3. Per block pair, one vectorized numpy ``A @ B.T`` inside
+       ``applyInPandas`` (Arrow-batched; BLAS does the flops).
+
+    n_blocks tunes the memory/parallelism trade: each task holds two
+    blocks of ~n/n_blocks vectors. At 100 TB, n_blocks grows so a
+    block fits executor memory; the matmul stays dense and local.
+    """
+    import pandas as pd
+
+    ne = F.transform(vec_col, lambda x: x.cast("double") / array_norm(vec_col))
+    base = corpus.select(
+        F.col(id_col).cast("long").alias("_id"),
+        ne.alias("_ne"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    # replicate each row to every block pair (g1 <= g2) it belongs to
+    partner = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_other")
+    replicated = base.select("_id", "_ne", "_blk", partner).select(
+        "_id",
+        "_ne",
+        "_blk",
+        F.least("_blk", "_other").alias("_g1"),
+        F.greatest("_blk", "_other").alias("_g2"),
+    ).dropDuplicates(["_id", "_g1", "_g2"])
+
+    thr = float(threshold)
+
+    def block_pair(key, pdf: pd.DataFrame):
+        g1, g2 = key
+        import numpy as np
+
+        if g1 == g2:
+            ids = pdf["_id"].to_numpy()
+            m = np.stack(pdf["_ne"].to_numpy())
+            sims = m @ m.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            mask = sims[ia, ib] >= thr
+            a_ids, b_ids = ids[ia[mask]], ids[ib[mask]]
+            vals = sims[ia[mask], ib[mask]]
+        else:
+            left = pdf[pdf["_blk"] == g1]
+            right = pdf[pdf["_blk"] == g2]
+            if left.empty or right.empty:
+                return pd.DataFrame({"id_a": [], "id_b": [], "sim_raw": []})
+            la, lb = left["_id"].to_numpy(), right["_id"].to_numpy()
+            ma, mb = np.stack(left["_ne"].to_numpy()), np.stack(right["_ne"].to_numpy())
+            sims = ma @ mb.T
+            ia, ib = np.where(sims >= thr)
+            a_ids, b_ids = la[ia], lb[ib]
+            vals = sims[ia, ib]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim_raw": vals})
+
+    out = replicated.groupBy("_g1", "_g2").applyInPandas(
+        block_pair, schema="id_a long, id_b long, sim_raw double"
+    )
+    return out.select("id_a", "id_b", F.round("sim_raw", 4).alias("sim"))

@@ -99,14 +99,18 @@ def fingerprint(
     """Winnowing-style document fingerprint: hash every ``window``-gram
     of tokens, keep the minimum (one representative per doc; extend to
     per-window minima for substring matching). Rolling hash =
-    xxhash64 of the joined window — content-defined and deterministic."""
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
+    xxhash64 of the joined window — content-defined and deterministic.
+
+    Tokens materialize as a column before the window lambda (an inline
+    expression would re-tokenize per window — see
+    functions.shingles_from_tokens)."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    tc = F.col("_toks")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
+        F.sequence(F.lit(1), F.greatest(F.size(tc) - (window - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tc, i, window))),
     )
-    return df.select(
+    return toked.select(
         F.col(id_col),
         F.array_min(grams).alias("min_fingerprint"),
         F.size(grams).alias("n_windows"),

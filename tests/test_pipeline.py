@@ -114,6 +114,23 @@ def test_ann_sims_are_exact_for_found_pairs(spark, sf_small):
             assert r.sim == pytest.approx(exact[key], abs=1e-4)
 
 
+def test_blocked_cosine_matches_bruteforce(spark, sf_small):
+    """The blocked-matmul near-dup path must return exactly the
+    brute-force pairs and sims."""
+    e = load_table(spark, sf_small, "embeddings")
+    brute = {
+        (r.id_a, r.id_b): r.sim
+        for r in similarity.cosine_near_dup_pairs_bruteforce(e, 0.35).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.sim
+        for r in similarity.cosine_near_dup_pairs(e, 0.35, n_blocks=4).collect()
+    }
+    assert set(blocked) == set(brute)
+    for pair, sim in blocked.items():
+        assert sim == pytest.approx(brute[pair], abs=1e-4)
+
+
 def test_language_id_majority_en(spark, sf_small):
     d = load_table(spark, sf_small, "documents")
     pred = text.language_id(d)

@@ -1,0 +1,63 @@
+"""Physical-plan audits: the scale-readiness gates. A change that
+breaks pushdown, pruning, or broadcast selection fails here before it
+ever reaches a cluster."""
+
+from __future__ import annotations
+
+from biodwh2_arcadedb_server_spark.operators import relational
+from biodwh2_arcadedb_server_spark.plans.audit import (
+    has_broadcast_hash_join,
+    pushed_filters,
+    read_schema_columns,
+    whole_stage_codegen_spans,
+)
+
+
+def test_q01_pushes_filters_and_prunes_columns(spark, sf_medium):
+    df = relational.q01_scan_filter(spark, sf_medium)
+    pf = " ".join(pushed_filters(df))
+    assert "c_acctbal" in pf, pf  # predicate reached the parquet scan
+    assert "c_mktsegment" in pf, pf
+    schemas = read_schema_columns(df)
+    assert schemas, "no scan found"
+    # only the 4 referenced columns are read, not the whole table
+    assert sorted(schemas[0]) == ["c_acctbal", "c_custkey", "c_mktsegment", "c_name"]
+
+
+def test_q02_dimension_join_is_broadcast(spark, sf_medium):
+    df = relational.q02_join_remap(spark, sf_medium)
+    assert has_broadcast_hash_join(df)
+    # join reads only the needed columns from each side
+    schemas = read_schema_columns(df)
+    flat = sorted(c for s in schemas for c in s)
+    assert flat == ["c_custkey", "c_name", "o_custkey", "o_orderkey"]
+
+
+def test_q03_broadcasts_small_dim_in_chain(spark, sf_medium):
+    df = relational.q03_two_hop(spark, sf_medium)
+    assert has_broadcast_hash_join(df)
+
+
+def test_q04_agg_prunes_to_referenced_columns(spark, sf_medium):
+    df = relational.q04_tpch_q1(spark, sf_medium)
+    schemas = read_schema_columns(df)
+    cols = set(schemas[0])
+    assert "l_orderkey" not in cols  # untouched columns never read
+    assert {"l_returnflag", "l_linestatus", "l_quantity"} <= cols
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf
+
+
+def test_codegen_coverage(spark, sf_medium):
+    # aggregation probe runs fully inside whole-stage codegen spans
+    assert whole_stage_codegen_spans(relational.q04_tpch_q1(spark, sf_medium)) >= 1
+
+
+def test_array_math_stays_jvm_side(spark, sf_medium):
+    """Higher-order array functions are interpreted JVM expressions
+    (no codegen) but must never fall back to Python evaluation."""
+    from biodwh2_arcadedb_server_spark.plans.audit import explain_str
+
+    for q in (relational.q10_array_norm, relational.q13_cosine_topk):
+        plan = explain_str(q(spark, sf_medium))
+        assert "EvalPython" not in plan, plan[:500]
