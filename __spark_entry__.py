@@ -13,7 +13,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from biodwh2_arcadedb_server_spark.operators import graph_queries, pipeline_queries, relational
+from biodwh2_arcadedb_server_spark.operators import (
+    graph_queries,
+    pipeline_queries,
+    relational,
+    relational2,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -28,6 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
+    out.update(relational2.QUERIES)
     out.update(graph_queries.QUERIES)
     out.update(pipeline_queries.QUERIES)
     return out
@@ -36,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
+    out.update(relational2.ORACLE)
     out.update(graph_queries.ORACLE)
     out.update(pipeline_queries.ORACLE)
     return out

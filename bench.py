@@ -45,6 +45,15 @@ HEADLINE = [
     "q16_tumbling_window",
     "q17_unique_validation",
     "q18_rollup",
+    "q39_string_functions",
+    "q40_date_functions",
+    "q41_collection_functions",
+    "q42_exists_semi",
+    "q43_tpch_q3_shape",
+    "q44_tpch_q5_shape",
+    "q45_sessionize",
+    "q46_lpg_edge_build",
+    "q47_pandas_zscore",
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q22_connected_components",

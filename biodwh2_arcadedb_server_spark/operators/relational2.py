@@ -1,0 +1,320 @@
+"""Relational probe batch 2 (SURVEY.md §2 depth coverage).
+
+Fills in the operator classes the first 18 probes touched lightly:
+B13 subqueries/EXISTS, B14 string scalars, B16 date scalars, B17
+collection functions, TPC-H join-agg shapes (Q3/Q5), batch
+sessionization (the C7 session-window semantic expressed relationally
+so it is oracle-checkable), LPG edge derivation (A10-A12 as a checked
+query), and the C8 UDF surface (grouped pandas z-score with an
+algebraic SQL twin).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from biodwh2_arcadedb_server_spark.sources.registry import load_table
+from biodwh2_arcadedb_server_spark.workspace import node_id
+
+
+# --- B14: string scalar battery -----------------------------------------------
+def q39_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.trim(F.col("c_name")).alias("t_name"),
+        F.replace(F.col("c_mktsegment"), F.lit("BUILD"), F.lit("BLD")).alias("repl"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias("joined"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.reverse(F.col("c_mktsegment")).alias("rev"),
+        F.instr(F.col("c_name"), "1").alias("pos1"),
+        F.left(F.col("c_name"), F.lit(8)).alias("l8"),
+    )
+
+
+# --- B16: date scalar battery ---------------------------------------------------
+def q40_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        F.hour(d).alias("h"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.datediff(F.lit("2025-01-01").cast("date"), d.cast("date")).alias("days_to_2025"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.dayofweek(d).alias("dow"),
+    )
+
+
+# --- B17: collection function battery ---------------------------------------------
+def q41_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(arr).alias("n"),
+        F.round(F.element_at(arr, 1).cast("double"), 4).alias("first_elem"),
+        F.round(F.element_at(arr, -1).cast("double"), 4).alias("last_elem"),
+        F.round(F.array_max(arr).cast("double"), 4).alias("amax"),
+        F.round(F.array_min(arr).cast("double"), 4).alias("amin"),
+        F.size(F.slice(arr, 1, 8)).alias("slice8"),
+        F.size(F.array_distinct(arr)).alias("n_distinct"),
+        F.exists(arr, lambda x: x > 2.0).alias("has_gt2"),
+    )
+
+
+# --- B13: subqueries / EXISTS / NOT EXISTS -------------------------------------------
+def q42_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one high-value order (left_semi =
+    EXISTS) and customers with none (left_anti = NOT EXISTS), tagged."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 40000)
+    keys = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    with_big = c.join(keys, "c_custkey", "left_semi").select(
+        "c_custkey", F.lit("has_big_order").alias("tag")
+    )
+    without = c.join(keys, "c_custkey", "left_anti").select(
+        "c_custkey", F.lit("no_big_order").alias("tag")
+    )
+    return with_big.unionAll(without)
+
+
+# --- B13 scalar subquery + B9: TPC-H Q3 shape ------------------------------------------
+def q43_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of unshipped orders per (orderkey, orderdate) for one
+    segment — the canonical 3-way join + agg + top-k."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .where(F.col("o_orderdate") < F.lit("2024-06-01").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(revenue, 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- TPC-H Q5 shape: 5-way join through the snowflake -----------------------------------
+def q44_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation where customer and supplier share the
+    nation — the deep snowflake join (lineitem⋈orders⋈customer⋈
+    supplier⋈nation⋈region), dims broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(revenue, 4).alias("revenue"))
+    )
+
+
+# --- C7 batch sessionization (lag + gap + cumulative count) -------------------------------
+def q45_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize events per user with a 10-minute inactivity gap,
+    expressed relationally (lag → gap flag → running session index) so
+    DuckDB can verify it; the streaming twin is
+    streaming.events.session_agg."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    )
+    with_flag = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 600), 1).otherwise(0)
+    )
+    sess = with_flag.withColumn(
+        "session_idx", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("user_id", "session_idx", "session_start", "session_end", "n_events", "sum_value")
+    )
+
+
+# --- A10-A12 as an oracled query: LPG edge derivation with endpoint validation -------------
+def q46_lpg_edge_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The workspace edge pipeline (deterministic hash ids + dangling
+    drop via semi-joins) run inline and aggregated per edge direction —
+    checks A10-A12 against a pure-SQL reconstruction."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    edges = o.select(
+        node_id("Customer", F.col("o_custkey")).alias("src"),
+        node_id("Order", F.col("o_orderkey")).alias("dst"),
+    )
+    cust_ids = c.select(node_id("Customer", F.col("c_custkey")).alias("node_id"))
+    validated = edges.join(cust_ids, edges.src == cust_ids.node_id, "left_semi")
+    # aggregate away the hash values so the result is engine-portable:
+    # the ids themselves are pinned by unit tests (deterministic
+    # xxhash64); the oracle checks the dangling-drop cardinalities.
+    return validated.agg(
+        F.countDistinct("src").alias("n_src_nodes"),
+        F.countDistinct("dst").alias("n_dst_nodes"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+
+
+# --- C8: UDF surface — grouped pandas z-score with algebraic twin ---------------------------
+def q47_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event z-score of `value` within its event_type, computed in
+    an applyInPandas grouped-map UDF (the C8 extension point). The
+    oracle recomputes it with window aggregates — same algebra, so the
+    UDF plumbing itself is what's being verified."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=1)
+        mean = pdf["value"].mean()
+        z = (pdf["value"] - mean) / std if std and std > 0 else pdf["value"] * 0.0
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": z.round(4)}
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id long, event_type string, z double"
+    )
+
+
+QUERIES = {
+    "q39_string_functions": q39_string_functions,
+    "q40_date_functions": q40_date_functions,
+    "q41_collection_functions": q41_collection_functions,
+    "q42_exists_semi": q42_exists_semi,
+    "q43_tpch_q3_shape": q43_tpch_q3_shape,
+    "q44_tpch_q5_shape": q44_tpch_q5_shape,
+    "q45_sessionize": q45_sessionize,
+    "q46_lpg_edge_build": q46_lpg_edge_build,
+    "q47_pandas_zscore": q47_pandas_zscore,
+}
+
+ORACLE = {
+    "q39_string_functions": """
+        SELECT c_custkey,
+               TRIM(c_name) AS t_name,
+               REPLACE(c_mktsegment, 'BUILD', 'BLD') AS repl,
+               c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS joined,
+               LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+               REVERSE(c_mktsegment) AS rev,
+               CAST(COALESCE(NULLIF(POSITION('1' IN c_name), NULL), 0) AS BIGINT) AS pos1,
+               LEFT(c_name, 8) AS l8
+        FROM customer
+    """,
+    "q40_date_functions": """
+        SELECT o_orderkey,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+               CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+               CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS dom,
+               CAST(EXTRACT(hour FROM o_orderdate) AS INTEGER) AS h,
+               strftime(o_orderdate, '%Y-%m') AS ym,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS INTEGER) AS days_to_2025,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
+        FROM orders
+    """,
+    "q41_collection_functions": """
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS n,
+               ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_elem,
+               ROUND(CAST(embedding[-1] AS DOUBLE), 4) AS last_elem,
+               ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS amax,
+               ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS amin,
+               CAST(len(embedding[1:8]) AS INTEGER) AS slice8,
+               CAST(len(list_distinct(embedding)) AS INTEGER) AS n_distinct,
+               len(list_filter(embedding, x -> x > 2.0)) > 0 AS has_gt2
+        FROM embeddings
+    """,
+    "q42_exists_semi": """
+        SELECT c_custkey, 'has_big_order' AS tag FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 40000)
+        UNION ALL
+        SELECT c_custkey, 'no_big_order' AS tag FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 40000)
+    """,
+    "q43_tpch_q3_shape": """
+        SELECT l.l_orderkey, o.o_orderdate,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '2024-06-01 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+    "q44_tpch_q5_shape": """
+        SELECT n.n_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE c.c_nationkey = s.s_nationkey
+        GROUP BY n.n_name
+    """,
+    "q45_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                                - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 600
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+            FROM flagged
+        )
+        SELECT user_id, session_idx,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        FROM sess GROUP BY user_id, session_idx
+    """,
+    "q46_lpg_edge_build": """
+        SELECT COUNT(DISTINCT o_custkey) AS n_src_nodes,
+               COUNT(DISTINCT o_orderkey) AS n_dst_nodes,
+               COUNT(*) AS n_edges
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer)
+    """,
+    "q47_pandas_zscore": """
+        SELECT event_id, event_type,
+               ROUND(CASE WHEN stddev_samp(value) OVER (PARTITION BY event_type) > 0
+                          THEN (value - avg(value) OVER (PARTITION BY event_type))
+                               / stddev_samp(value) OVER (PARTITION BY event_type)
+                          ELSE 0.0 END, 4) AS z
+        FROM events
+    """,
+}

@@ -202,7 +202,7 @@ def cosine_near_dup_pairs(
 
     thr = float(threshold)
 
-    def block_pair(key, pdf: pd.DataFrame):
+    def block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         g1, g2 = key
         import numpy as np
 

@@ -55,7 +55,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer `div`, not `/`: float division of ~2^60 nanos loses the
+    # low microsecond bits (53-bit mantissa)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_agg(events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
