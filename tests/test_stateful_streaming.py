@@ -1,0 +1,47 @@
+"""applyInPandasWithState custom stateful operator: the final state
+per user must equal the batch per-user aggregate over the same files."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biodwh2_arcadedb_server_spark.sources.registry import load_table
+from biodwh2_arcadedb_server_spark.streaming import events as se
+from biodwh2_arcadedb_server_spark.streaming.stateful import running_user_stats
+
+
+def test_running_user_stats_matches_batch(spark, sf_small):
+    stream = se.read_events_stream(spark, sf_small).select("user_id", "ts", "value")
+    out = running_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        # update mode emits one row per user per micro-batch; the last
+        # emission per user is the final running state
+        got = {
+            r.user_id: (r.n_events, round(r.sum_value, 4), r.last_ts)
+            for r in spark.table("user_stats").collect()
+        }
+        want = {
+            r.user_id: (r.n, round(r.s, 4), r.last_ts)
+            for r in load_table(spark, sf_small, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("s"),
+                F.max("ts").alias("last_ts"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        # single availableNow batch over one file -> one emission per user
+        for uid, w in want.items():
+            assert got[uid] == w, uid
+    finally:
+        q.stop()
