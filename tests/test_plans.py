@@ -4,8 +4,9 @@ ever reaches a cluster."""
 
 from __future__ import annotations
 
-from biodwh2_arcadedb_server_spark.operators import relational
+from biodwh2_arcadedb_server_spark.operators import relational, relational3
 from biodwh2_arcadedb_server_spark.plans.audit import (
+    explain_str,
     has_broadcast_hash_join,
     pushed_filters,
     read_schema_columns,
@@ -56,8 +57,40 @@ def test_codegen_coverage(spark, sf_medium):
 def test_array_math_stays_jvm_side(spark, sf_medium):
     """Higher-order array functions are interpreted JVM expressions
     (no codegen) but must never fall back to Python evaluation."""
-    from biodwh2_arcadedb_server_spark.plans.audit import explain_str
-
     for q in (relational.q10_array_norm, relational.q13_cosine_topk):
         plan = explain_str(q(spark, sf_medium))
         assert "EvalPython" not in plan, plan[:500]
+
+
+def test_q49_asof_extracts_equi_key(spark, sf_medium):
+    """The as-of condition (equi user key + ts band) must plan as a
+    hash/sort-merge join on the equi part, never a cartesian product."""
+    plan = explain_str(relational3.q49_asof_join(spark, sf_medium))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    schemas = read_schema_columns(relational3.q49_asof_join(spark, sf_medium))
+    for s in schemas:  # only the 3 referenced event columns are read
+        assert sorted(s) == ["event_id", "ts", "user_id"]
+
+
+def test_q50_range_join_broadcasts_sampled_side(spark, sf_medium):
+    df = relational3.q50_range_join(spark, sf_medium)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    schemas = read_schema_columns(df)
+    assert ["l_shipdate"] in schemas  # probe side pruned to 1 column
+
+
+def test_q55_anti_join_pushes_date_filter(spark, sf_medium):
+    df = relational3.q55_anti_join(spark, sf_medium)
+    pf = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pf  # build side shrinks at the scan
+    assert "BroadcastHashJoin" in explain_str(df)
+
+
+def test_q48_window_prunes_columns(spark, sf_medium):
+    df = relational3.q48_window_analytics(spark, sf_medium)
+    pf = " ".join(pushed_filters(df))
+    assert "o_custkey" in pf
+    schemas = read_schema_columns(df)
+    assert sorted(schemas[0]) == ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
