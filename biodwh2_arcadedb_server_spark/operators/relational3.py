@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from biodwh2_arcadedb_server_spark.operators.temporal import asof_join, interval_point_join
 from biodwh2_arcadedb_server_spark.sources.registry import load_table
 
 
@@ -61,45 +62,46 @@ def q49_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     probes = e.where(F.col("event_id") % 20 == 0).select(
         F.col("event_id").alias("probe_id"),
-        F.col("user_id").alias("probe_user"),
+        F.col("user_id").alias("user_id"),
         F.col("ts").alias("probe_ts"),
     )
     hist = e.select("user_id", F.col("event_id").alias("asof_event_id"), F.col("ts").alias("asof_ts"))
-    joined = probes.join(
+    matched = asof_join(
+        probes,
         hist,
-        (probes.probe_user == hist.user_id) & (hist.asof_ts < probes.probe_ts),
-        "left",
+        on="user_id",
+        probe_key="probe_id",
+        probe_ts="probe_ts",
+        hist_ts="asof_ts",
+        tie_break="asof_event_id",
     )
-    rn = F.row_number().over(
-        Window.partitionBy("probe_id").orderBy(
-            F.col("asof_ts").desc_nulls_last(), F.col("asof_event_id").desc_nulls_last()
-        )
-    )
-    return (
-        joined.withColumn("rn", rn)
-        .where(F.col("rn") == 1)
-        .select("probe_id", "asof_event_id", "asof_ts")
-    )
+    return matched.select("probe_id", "asof_event_id", "asof_ts")
 
 
 # --- interval/range join -------------------------------------------------------------
 def q50_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineitems shipped within 30 days of each sampled order's date —
-    point-in-interval (band) join, broadcast build side."""
+    point-in-interval join via bin-bucketed equi join (see
+    operators.temporal: the naive band-only form plans as a nested
+    loop, ~50× slower at sf0.1). Left join keeps zero-match orders."""
     o = (
         load_table(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") % 199 == 0)
-        .select("o_orderkey", "o_orderdate")
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("ivl_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("ivl_end"),
+        )
     )
     l = load_table(spark, sf_dir, "lineitem").select("l_shipdate")
-    cond = (l.l_shipdate >= o.o_orderdate) & (
-        l.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    matched = interval_point_join(
+        o, l, start="ivl_start", end="ivl_end", point="l_shipdate", bin_days=30
     )
+    counts = matched.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_shipped"))
     return (
-        F.broadcast(o)
-        .join(l, cond, "left")
-        .groupBy("o_orderkey")
-        .agg(F.count("l_shipdate").alias("n_shipped"))
+        o.select("o_orderkey")
+        .join(counts, "o_orderkey", "left")
+        .select("o_orderkey", F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"))
     )
 
 

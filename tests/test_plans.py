@@ -73,10 +73,13 @@ def test_q49_asof_extracts_equi_key(spark, sf_medium):
         assert sorted(s) == ["event_id", "ts", "user_id"]
 
 
-def test_q50_range_join_broadcasts_sampled_side(spark, sf_medium):
+def test_q50_range_join_is_binned_equi_join(spark, sf_medium):
+    """The interval join must plan as a hash join on the time bin —
+    a band-only condition degrades to a nested loop (O(n·m))."""
     df = relational3.q50_range_join(spark, sf_medium)
     plan = explain_str(df)
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     schemas = read_schema_columns(df)
     assert ["l_shipdate"] in schemas  # probe side pruned to 1 column
 
