@@ -54,6 +54,15 @@ HEADLINE = [
     "q45_sessionize",
     "q46_lpg_edge_build",
     "q47_pandas_zscore",
+    "q48_window_analytics",
+    "q49_asof_join",
+    "q50_range_join",
+    "q51_pivot",
+    "q52_cube",
+    "q53_percentiles",
+    "q54_correlated_subquery",
+    "q55_anti_join",
+    "q56_stateful_running_stats",
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q22_connected_components",
