@@ -215,6 +215,97 @@ def build_workspace(
     return manifest
 
 
+# --- B19: DML as batch recompute ------------------------------------------------
+# The shipped system accepts INSERT / UPDATE / DELETE VERTEX through
+# ArcadeDB SQL (pom.xml:104-108 [B]); per the north star this engine
+# serves them as *batch recompute*: a declarative transform of the
+# label dataset followed by an atomic dataset swap — the Spark-native
+# mutation model (no in-place record edits at 100 TB; rewrites are
+# partition-parallel and the swap is O(1) metadata).
+
+
+def _rewrite_dataset(df: DataFrame, path: str) -> None:
+    """Materialize ``df`` next to ``path`` then atomically swap — a
+    parquet dataset can't be overwritten while a plan is reading it."""
+    tmp = path + "__tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
+def _update_manifest_count(ws_dir: str, kind: str, label: str, count: int) -> None:
+    manifest_file = os.path.join(ws_dir, "manifest.json")
+    with open(manifest_file) as mh:
+        manifest = json.load(mh)
+    manifest[kind][label]["count"] = count
+    with open(manifest_file, "w") as mh:
+        json.dump(manifest, mh, indent=2)
+
+
+def insert_nodes(spark: SparkSession, ws_dir: str, label: str, rows: DataFrame) -> int:
+    """CREATE VERTEX: append rows (node_id derived from natural_key;
+    existing ids are rejected rows — duplicates silently skipped, the
+    reference's error-tolerant ingest posture, A9). Returns new count."""
+    path = os.path.join(ws_dir, "nodes", label)
+    cur = spark.read.parquet(path)
+    new = rows.withColumn("node_id", node_id(label, F.col("natural_key"))).withColumn(
+        "label", F.lit(label)
+    )
+    new = new.select(*cur.columns).join(
+        cur.select("node_id"), "node_id", "left_anti"
+    )
+    merged = cur.unionByName(new)
+    _rewrite_dataset(merged, path)
+    n = spark.read.parquet(path).count()
+    _update_manifest_count(ws_dir, "nodes", label, n)
+    return n
+
+
+def update_nodes(
+    spark: SparkSession, ws_dir: str, label: str, predicate: F.Column, assignments: dict[str, F.Column]
+) -> int:
+    """UPDATE ... SET ... WHERE: rewrite the label dataset with the
+    assignments applied to matching rows. Returns rows touched."""
+    path = os.path.join(ws_dir, "nodes", label)
+    cur = spark.read.parquet(path)
+    touched = cur.where(predicate).count()
+    out = cur
+    for col_name, expr in assignments.items():
+        out = out.withColumn(col_name, F.when(predicate, expr).otherwise(F.col(col_name)))
+    _rewrite_dataset(out, path)
+    return touched
+
+
+def delete_nodes(spark: SparkSession, ws_dir: str, label: str, predicate: F.Column) -> int:
+    """DELETE VERTEX ... WHERE: drop matching nodes AND every edge
+    touching them (ArcadeDB's DELETE VERTEX cascades to connected
+    edges [B]). The cascade is a left_anti join per edge dataset on a
+    1-column id set — broadcast when small, shuffle on the edge key
+    otherwise. Returns nodes deleted."""
+    with open(os.path.join(ws_dir, "manifest.json")) as mh:
+        manifest = json.load(mh)
+    path = manifest["nodes"][label]["path"]
+    cur = spark.read.parquet(path)
+    doomed = cur.where(predicate).select("node_id").localCheckpoint(eager=True)
+    n_del = doomed.count()
+    if n_del == 0:
+        return 0
+    _rewrite_dataset(cur.join(doomed, "node_id", "left_anti"), path)
+    _update_manifest_count(ws_dir, "nodes", label, spark.read.parquet(path).count())
+    for e_label, info in manifest["edges"].items():
+        if label not in (info["src_label"], info["dst_label"]):
+            continue
+        e = spark.read.parquet(info["path"])
+        kept = e
+        if info["src_label"] == label:
+            kept = kept.join(doomed.withColumnRenamed("node_id", "src"), "src", "left_anti")
+        if info["dst_label"] == label:
+            kept = kept.join(doomed.withColumnRenamed("node_id", "dst"), "dst", "left_anti")
+        _rewrite_dataset(kept, info["path"])
+        _update_manifest_count(ws_dir, "edges", e_label, spark.read.parquet(info["path"]).count())
+    return n_del
+
+
 def is_stale(src_dir: str, ws_dir: str) -> bool:
     """E2 staleness check (ArcadeDBServer.java:105-119) — warn-only."""
     checksum_file = os.path.join(ws_dir, "checksum.txt")

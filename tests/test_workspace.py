@@ -12,10 +12,13 @@ from pyspark.sql import types as T
 from biodwh2_arcadedb_server_spark import typemap
 from biodwh2_arcadedb_server_spark.workspace import (
     build_workspace,
+    delete_nodes,
+    insert_nodes,
     is_stale,
     load_workspace,
     node_id,
     source_checksum,
+    update_nodes,
 )
 
 
@@ -125,6 +128,52 @@ def test_dangling_edges_dropped(spark, tmp_path):
         spark, src, EdgeSpec("PLACED", "orders", "Customer", "o_custkey", "Order", "o_orderkey"), nodes
     )
     assert edges.count() == 1  # the dangling one was dropped
+
+
+# --- B19: DML as batch recompute ----------------------------------------------
+def test_dml_insert_update_delete_cascade(spark, sf_small, tmp_path):
+    ws = str(tmp_path / "ws_dml")
+    m = build_workspace(spark, sf_small, ws)
+    n_nations0 = m["nodes"]["Nation"]["count"]
+
+    # INSERT: new nation appended; duplicate natural key skipped (A9 posture)
+    rows = spark.createDataFrame([(990, "ATLANTIS"), (0, "DUPLICATE")], ["natural_key", "n_name"])
+    n = insert_nodes(spark, ws, "Nation", rows)
+    assert n == n_nations0 + 1
+
+    # UPDATE: rename the new nation
+    touched = update_nodes(
+        spark, ws, "Nation", F.col("natural_key") == 990, {"n_name": F.lit("LEMURIA")}
+    )
+    assert touched == 1
+    got = (
+        spark.read.parquet(os.path.join(ws, "nodes", "Nation"))
+        .where(F.col("natural_key") == 990)
+        .collect()
+    )
+    assert got[0].n_name == "LEMURIA"
+
+    # DELETE cascades: dropping a nation removes its IN_REGION edge and
+    # every CUST_IN_NATION / SUPP_IN_NATION edge pointing at it
+    import json as _json
+
+    with open(os.path.join(ws, "manifest.json")) as fh:
+        before = _json.load(fh)
+    victim = 0  # nationkey 0 exists in testdata with customers attached
+    n_del = delete_nodes(spark, ws, "Nation", F.col("natural_key") == victim)
+    assert n_del == 1
+    with open(os.path.join(ws, "manifest.json")) as fh:
+        after = _json.load(fh)
+    assert after["nodes"]["Nation"]["count"] == before["nodes"]["Nation"]["count"] - 1
+    assert after["edges"]["IN_REGION"]["count"] == before["edges"]["IN_REGION"]["count"] - 1
+    assert after["edges"]["CUST_IN_NATION"]["count"] < before["edges"]["CUST_IN_NATION"]["count"]
+    # no dangling endpoints remain
+    nation_ids = {r.node_id for r in spark.read.parquet(os.path.join(ws, "nodes", "Nation")).collect()}
+    dst_ids = {r.dst for r in spark.read.parquet(os.path.join(ws, "edges", "CUST_IN_NATION")).collect()}
+    assert dst_ids <= nation_ids
+
+    # DELETE with no matches is a no-op
+    assert delete_nodes(spark, ws, "Nation", F.col("natural_key") == 999999) == 0
 
 
 def test_load_workspace_views(spark, sf_small, tmp_path):
