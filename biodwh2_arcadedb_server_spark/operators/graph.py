@@ -179,6 +179,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     nodes: DataFrame | None = None,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Fixed-iteration normalized PageRank with dangling-mass
     redistribution (ranks sum to 1). Returns (node_id, rank).
@@ -186,8 +187,17 @@ def pagerank(
     Each round: contributions = ranks ⋈ edges on src, grouped by dst;
     dangling mass (nodes with out-degree 0) is spread uniformly. The
     per-round shuffle is on the edge key only.
+
+    ``checkpoint_every`` bounds plan growth without paying an eager
+    materialization job per round: lineage across k rounds is a
+    k-deep join/agg tree (linear, unlike the BFS visited-set union),
+    so truncating every ~3 rounds keeps Catalyst analysis O(1) while
+    cutting the number of blocking jobs ~3×.
     """
-    e = edges.select("src", "dst")
+    # one materialization: the edge list joins into every round's
+    # contribs — an expensive upstream derivation would otherwise
+    # recompute per iteration
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
     if nodes is None:
         node_ids = (
             e.select(F.col("src").alias("node_id"))
@@ -204,7 +214,7 @@ def pagerank(
     deg = node_ids.join(out_deg, "node_id", "left").na.fill(0, ["odeg"]).localCheckpoint(eager=True)
 
     ranks = deg.select("node_id", "odeg", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         # dangling mass stays in-plan as a broadcast 1-row aggregate —
         # no driver round-trip per iteration
         dangling = ranks.where(F.col("odeg") == 0).agg(
@@ -229,8 +239,9 @@ def pagerank(
                     * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("_dangling") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if it % checkpoint_every == 0 or it == iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node_id", "rank")
 
 
