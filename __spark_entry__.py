@@ -19,6 +19,7 @@ from biodwh2_arcadedb_server_spark.operators import (
     relational,
     relational2,
     relational3,
+    relational4,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -36,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.QUERIES)
     out.update(relational2.QUERIES)
     out.update(relational3.QUERIES)
+    out.update(relational4.QUERIES)
     out.update(graph_queries.QUERIES)
     out.update(pipeline_queries.QUERIES)
     return out
@@ -46,6 +48,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLE)
     out.update(relational2.ORACLE)
     out.update(relational3.ORACLE)
+    out.update(relational4.ORACLE)
     out.update(graph_queries.ORACLE)
     out.update(pipeline_queries.ORACLE)
     return out

@@ -63,6 +63,11 @@ HEADLINE = [
     "q54_correlated_subquery",
     "q55_anti_join",
     "q56_stateful_running_stats",
+    "q57_offset_paging",
+    "q58_grouping_sets",
+    "q59_map_functions",
+    "q60_approx_distinct",
+    "q61_udtf_sentences",
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q22_connected_components",

@@ -1,0 +1,169 @@
+"""Driver-contract probe batch 4: paging, grouping sets, map values,
+sketch aggregates, and the Python UDTF surface.
+
+Reference parity: ArcadeDB SQL serves `SKIP`/`LIMIT` paging, grouped
+aggregates, and embedded-map property access (pom.xml:104-108 [B],
+SURVEY.md B9/B11/B17); UDTFs extend the C8 user-function surface the
+same way `LET`-style server-side functions extend the reference's.
+
+Scale notes (100 TB):
+- OFFSET paging (q57) composes with a total sort only on the final
+  page-sized result (TakeOrderedAndProject) — never a full sort of
+  the table; deep paging at scale should switch to keyset pagination
+  (WHERE key > last_seen), noted here as the contract.
+- GROUPING SETS (q58) computes all sets in one shuffle (Expand node:
+  each row replicated per set map-side, then one hash agg) rather
+  than one job per set.
+- approx_count_distinct (q60) is the sketch path: HLL++ partials are
+  mergeable map-side, so the shuffle carries fixed-size sketches, not
+  value sets — the only viable distinct-count at 100 TB.
+- Python UDTFs (q61) run one Python worker per input partition with
+  Arrow transfer; the hot-path equivalent stays `posexplode(split())`
+  JVM-side. The UDTF exists to pin the extension-point plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodwh2_arcadedb_server_spark.sources.registry import load_table
+
+
+# --- B11: ORDER BY + LIMIT + OFFSET (SKIP) ------------------------------------------
+def q57_offset_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second page of the price-ranked orders (ArcadeDB `SKIP 10
+    LIMIT 10`)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("price"))
+        .offset(10)
+        .limit(10)
+    )
+
+
+# --- B9 ext.: explicit GROUPING SETS -------------------------------------------------
+def q58_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three explicit grouping sets in one pass — (flag), (status),
+    and grand total — disambiguated by GROUPING flags."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "sum_qty")
+    )
+
+
+# --- B17: map construction + access --------------------------------------------------
+def q59_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map values as property bags: build, access, introspect. The
+    oracle pins the *values* the map operations must produce."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 100)
+    m = F.create_map(
+        F.lit("seg"), F.col("c_mktsegment"), F.lit("name"), F.col("c_name")
+    )
+    return c.select(
+        "c_custkey",
+        F.element_at(m, "seg").alias("seg"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
+    )
+
+
+# --- B10 at scale: sketch distinct (no SQL oracle — pytest-pinned error bound) -------
+def q60_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct users per event type. Mergeable fixed-size
+    sketches; tests/test_relational4.py pins the error bound against
+    the exact count."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+# --- C8: Python UDTF (table function) ------------------------------------------------
+# The synthetic documents contain no sentence punctuation; splitting
+# on the frequent token " a " gives real multi-segment output while
+# keeping re.split / regexp_split_to_array semantics identical.
+SENTENCE_SPLIT_REGEX = r"\sa\s"
+
+
+def q61_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence explosion of the first documents through a Python
+    UDTF in a LATERAL join — the table-function extension point.
+    Same output contract as JVM-side posexplode(split(...))."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(re.split(SENTENCE_SPLIT_REGEX, text)):
+                yield i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.sentence "
+        "FROM _udtf_docs d, LATERAL split_sentences(d.text) s"
+    )
+
+
+QUERIES = {
+    "q57_offset_paging": q57_offset_paging,
+    "q58_grouping_sets": q58_grouping_sets,
+    "q59_map_functions": q59_map_functions,
+    "q60_approx_distinct": q60_approx_distinct,
+    "q61_udtf_sentences": q61_udtf_sentences,
+}
+
+ORACLE = {
+    "q57_offset_paging": """
+        SELECT o_orderkey, ROUND(o_totalprice, 4) AS price
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10 OFFSET 10
+    """,
+    "q58_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(CASE WHEN GROUPING(l_returnflag) THEN 1 ELSE 0 END AS TINYINT) AS g_flag,
+               CAST(CASE WHEN GROUPING(l_linestatus) THEN 1 ELSE 0 END AS TINYINT) AS g_status,
+               COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 4) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "q59_map_functions": """
+        SELECT c_custkey,
+               c_mktsegment AS seg,
+               2 AS n_keys,
+               'name,seg' AS keys
+        FROM customer WHERE c_custkey <= 100
+    """,
+    # q60_approx_distinct: sketch result — no cross-engine oracle;
+    # pytest pins |approx - exact| / exact <= 3*rsd.
+    "q61_udtf_sentences": f"""
+        SELECT doc_id,
+               CAST(generate_subscripts(arr, 1) - 1 AS INTEGER) AS pos,
+               unnest(arr) AS sentence
+        FROM (
+            SELECT doc_id, regexp_split_to_array(text, '{SENTENCE_SPLIT_REGEX}') AS arr
+            FROM documents WHERE doc_id < 50
+        )
+    """,
+}
