@@ -124,12 +124,39 @@ def q61_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C7: stream-static enrichment, batch-checkable ----------------------------------
+def q62_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stream-static dimension join (streaming/joins.py) to
+    completion over the finite events source, then aggregate the
+    enriched output — the oracle is the equivalent batch join."""
+    from biodwh2_arcadedb_server_spark.streaming.events import read_events_stream
+    from biodwh2_arcadedb_server_spark.streaming.joins import enrich_with_dim
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = read_events_stream(spark, sf_dir)
+    out = enrich_with_dim(stream, dim, "user_id", "c_custkey").select("event_id", "c_mktsegment")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q62_enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("q62_enriched")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 QUERIES = {
     "q57_offset_paging": q57_offset_paging,
     "q58_grouping_sets": q58_grouping_sets,
     "q59_map_functions": q59_map_functions,
     "q60_approx_distinct": q60_approx_distinct,
     "q61_udtf_sentences": q61_udtf_sentences,
+    "q62_stream_enrich": q62_stream_enrich,
 }
 
 ORACLE = {
@@ -165,5 +192,10 @@ ORACLE = {
             SELECT doc_id, regexp_split_to_array(text, '{SENTENCE_SPLIT_REGEX}') AS arr
             FROM documents WHERE doc_id < 50
         )
+    """,
+    "q62_stream_enrich": """
+        SELECT c.c_mktsegment, COUNT(*) AS n_events
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
     """,
 }
