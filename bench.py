@@ -76,6 +76,8 @@ HEADLINE = [
     "q59_map_functions",
     "q60_approx_distinct",
     "q61_udtf_sentences",
+    "q62_stream_enrich",
+    "q63_sliding_window",
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q22_connected_components",

@@ -150,6 +150,19 @@ def q62_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C7: sliding-window aggregate, batch-checkable ----------------------------------
+def q63_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event lands in
+    exactly 2 windows. Same plan shape as streaming.events.sliding_agg;
+    the oracle explodes each event into its two window starts."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
 QUERIES = {
     "q57_offset_paging": q57_offset_paging,
     "q58_grouping_sets": q58_grouping_sets,
@@ -157,6 +170,7 @@ QUERIES = {
     "q60_approx_distinct": q60_approx_distinct,
     "q61_udtf_sentences": q61_udtf_sentences,
     "q62_stream_enrich": q62_stream_enrich,
+    "q63_sliding_window": q63_sliding_window,
 }
 
 ORACLE = {
@@ -197,5 +211,15 @@ ORACLE = {
         SELECT c.c_mktsegment, COUNT(*) AS n_events
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY c.c_mktsegment
+    """,
+    "q63_sliding_window": """
+        SELECT ws AS window_start, event_type, COUNT(*) AS n
+        FROM (
+            SELECT event_type,
+                   unnest([time_bucket(INTERVAL 30 MINUTES, ts),
+                           time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES]) AS ws
+            FROM events
+        )
+        GROUP BY ws, event_type
     """,
 }
