@@ -78,6 +78,7 @@ HEADLINE = [
     "q61_udtf_sentences",
     "q62_stream_enrich",
     "q63_sliding_window",
+    "q64_regex_conditionals",
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q22_connected_components",

@@ -163,6 +163,23 @@ def q63_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B14 ext.: regex + conditional battery ------------------------------------------
+def q64_regex_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract/replace plus CASE/NULLIF/COALESCE — the scalar
+    shapes ArcadeDB SQL's string functions and CASE expressions serve."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 5000)
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"(\d)-(\w+)", 2).alias("prio_word"),
+        F.regexp_replace("o_orderpriority", "[AEIOU]", "_").alias("devoweled"),
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias("status"),
+    )
+
+
 QUERIES = {
     "q57_offset_paging": q57_offset_paging,
     "q58_grouping_sets": q58_grouping_sets,
@@ -171,6 +188,7 @@ QUERIES = {
     "q61_udtf_sentences": q61_udtf_sentences,
     "q62_stream_enrich": q62_stream_enrich,
     "q63_sliding_window": q63_sliding_window,
+    "q64_regex_conditionals": q64_regex_conditionals,
 }
 
 ORACLE = {
@@ -221,5 +239,15 @@ ORACLE = {
             FROM events
         )
         GROUP BY ws, event_type
+    """,
+    "q64_regex_conditionals": r"""
+        SELECT o_orderkey,
+               regexp_extract(o_orderpriority, '(\d)-(\w+)', 2) AS prio_word,
+               regexp_replace(o_orderpriority, '[AEIOU]', '_', 'g') AS devoweled,
+               CASE WHEN o_totalprice > 200000 THEN 'high'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'low' END AS band,
+               COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status
+        FROM orders WHERE o_orderkey <= 5000
     """,
 }

@@ -317,14 +317,31 @@ def is_stale(src_dir: str, ws_dir: str) -> bool:
 
 def load_workspace(spark: SparkSession, ws_dir: str) -> dict:
     """E2 lifecycle (`--start`): register per-label views plus unified
-    ``nodes``/``edges`` views (id, label) for graph-wide analytics."""
+    ``nodes``/``edges`` views for graph-wide analytics.
+
+    Heterogeneous per-label schemas meet in the unified view through
+    the SURVEY §1.3 escape hatch: per-label columns stay exactly typed
+    in ``n_<Label>`` (the source of truth), and the unified ``nodes``
+    view carries them as a ``props map<string,string>`` so label-
+    agnostic queries (`WHERE props['name'] LIKE …`) stay expressible
+    without widening every label to a common schema."""
     with open(os.path.join(ws_dir, "manifest.json")) as mh:
         manifest = json.load(mh)
     unified_nodes = None
     for label, info in manifest["nodes"].items():
         df = spark.read.parquet(info["path"])
         df.createOrReplaceTempView(f"n_{label}")
-        slim = df.select("node_id", "label", "natural_key")
+        prop_cols = [c for c in df.columns if c not in ("node_id", "label", "natural_key")]
+        if prop_cols:
+            entries: list = []
+            for c in prop_cols:
+                entries.extend([F.lit(c), F.col(c).cast("string")])
+            props = F.map_from_arrays(
+                F.array(*entries[0::2]), F.array(*entries[1::2])
+            )
+        else:
+            props = F.create_map()
+        slim = df.select("node_id", "label", "natural_key", props.alias("props"))
         unified_nodes = slim if unified_nodes is None else unified_nodes.unionByName(slim)
     if unified_nodes is not None:
         unified_nodes.createOrReplaceTempView("nodes")

@@ -192,3 +192,13 @@ def test_load_workspace_views(spark, sf_small, tmp_path):
         "SELECT node_id FROM nodes GROUP BY node_id HAVING COUNT(*) > 1"
     ).count()
     assert dup == 0
+    # §1.3 escape hatch: unified view exposes typed per-label props as
+    # a string map, queryable label-agnostically
+    seg = spark.sql(
+        "SELECT COUNT(*) AS n FROM nodes "
+        "WHERE label = 'Customer' AND props['c_mktsegment'] = 'BUILDING'"
+    ).collect()[0].n
+    direct = spark.sql(
+        "SELECT COUNT(*) AS n FROM n_Customer WHERE c_mktsegment = 'BUILDING'"
+    ).collect()[0].n
+    assert seg == direct > 0
