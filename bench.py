@@ -82,6 +82,7 @@ HEADLINE = [
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q22_connected_components",
+    "q65_cc_star",
     "q24_pagerank",
     "q26_neardup_jaccard",
     "q27_minhash_neardup",

@@ -173,6 +173,83 @@ def connected_components(
     return comp.select("node_id", F.col("component").alias(id_col_out))
 
 
+# --- C6: connected components (large-star/small-star) --------------------------------
+def connected_components_star(
+    edges: DataFrame, max_iter: int = 50, id_col_out: str = "component"
+) -> DataFrame:
+    """Undirected CC via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014). Returns (node_id, component) with component = min
+    node_id, identical to :func:`connected_components`.
+
+    Hash-min needs O(diameter) rounds — pathological on chain-shaped
+    graphs (a 100 TB citation or provenance graph easily has diameter
+    in the thousands). Star contraction converges in O(log^2 n) rounds
+    regardless of diameter; each round is two groupBy+join passes over
+    the *current* edge set, which shrinks geometrically as stars
+    collapse, so later rounds get cheaper. Edge state is canonical
+    (big, small) pairs; both phases preserve that orientation, so no
+    re-canonicalization shuffle between rounds.
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
+    )
+    # keep the same node universe as hash-min: every endpoint, even
+    # self-loop-only nodes that the canonical edge set drops
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_count = e.count()
+    for _ in range(max_iter):
+        if prev_count == 0:
+            break
+        # large-star: every node links its larger neighbors to
+        # min(neighborhood ∪ self)
+        n = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mn = (
+            n.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        large = (
+            n.join(mn, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .dropDuplicates(["u", "v"])
+        )
+        # small-star: every node links its smaller neighbors and itself
+        # to the minimum; edges are already directed big→small
+        mn2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mn2, "u")
+            .select(F.col("v").alias("x"), "m")
+            .unionByName(mn2.select(F.col("u").alias("x"), "m"))
+            .where(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .dropDuplicates(["u", "v"])
+            .localCheckpoint(eager=True)
+        )
+        cnt = small.count()
+        converged = cnt == prev_count and small.join(e, ["u", "v"], "left_anti").isEmpty()
+        e, prev_count = small, cnt
+        if converged:
+            break
+    assigned = e.select(F.col("u").alias("node_id"), F.col("v").alias("component"))
+    roots = nodes.join(
+        e.select(F.col("u").alias("node_id")), "node_id", "left_anti"
+    ).select("node_id", F.col("node_id").alias("component"))
+    return assigned.unionByName(roots).select(
+        "node_id", F.col("component").alias(id_col_out)
+    )
+
+
 # --- C6: PageRank ---------------------------------------------------------------------
 def pagerank(
     edges: DataFrame,

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from biodwh2_arcadedb_server_spark.operators.graph import (
     bfs,
     connected_components,
+    connected_components_star,
     degrees,
     expand,
     label_propagation,
@@ -105,6 +106,12 @@ def q22_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(nation_graph(spark, sf_dir, 97))
 
 
+def q65_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same CC result as q22 via large-star/small-star contraction —
+    the O(log^2 n) high-diameter scale path (graph.py docstring)."""
+    return connected_components_star(nation_graph(spark, sf_dir, 97))
+
+
 # --- C6: degrees ------------------------------------------------------------------------
 def q23_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees(nation_graph(spark, sf_dir, 97))
@@ -128,6 +135,7 @@ QUERIES = {
     "q23_degrees": q23_degrees,
     "q24_pagerank": q24_pagerank,
     "q25_label_propagation": q25_label_propagation,
+    "q65_cc_star": q65_cc_star,
 }
 
 _G211 = _NATION_GRAPH_SQL.format(mod=211)
@@ -182,3 +190,5 @@ ORACLE = {
     # q24_pagerank / q25_label_propagation: no SQL oracle (iterative);
     # pinned by tests/test_graph.py against numpy power iteration.
 }
+
+ORACLE["q65_cc_star"] = ORACLE["q22_connected_components"]

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from biodwh2_arcadedb_server_spark.operators.graph import (
     bfs,
     connected_components,
+    connected_components_star,
     expand,
     label_propagation,
     pagerank,
@@ -57,6 +58,32 @@ def test_connected_components_two_islands(spark):
     e = _edges(spark, [(1, 2), (2, 3), (10, 11), (12, 11)])
     got = {(r.node_id, r.component) for r in connected_components(e).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
+
+
+def test_star_cc_matches_hashmin_islands(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11), (12, 11), (20, 20)])
+    got = {(r.node_id, r.component) for r in connected_components_star(e).collect()}
+    want = {(r.node_id, r.component) for r in connected_components(e).collect()}
+    assert got == want == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10), (20, 20)}
+
+
+def test_star_cc_long_chain(spark):
+    # diameter-128 path: hash-min's worst case, star's motivating case.
+    # max_iter=12 << diameter proves O(log^2 n) convergence.
+    e = _edges(spark, [(i, i + 1) for i in range(128)])
+    got = {(r.node_id, r.component) for r in connected_components_star(e, max_iter=12).collect()}
+    assert got == {(i, 0) for i in range(129)}
+
+
+def test_star_cc_random_matches_hashmin(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(200), rng.randrange(200)) for _ in range(300)]
+    e = _edges(spark, pairs)
+    got = {(r.node_id, r.component) for r in connected_components_star(e).collect()}
+    want = {(r.node_id, r.component) for r in connected_components(e).collect()}
+    assert got == want
 
 
 def test_pagerank_against_numpy(spark, sf_medium):
