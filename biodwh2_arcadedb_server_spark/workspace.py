@@ -155,10 +155,24 @@ def build_edges(spark: SparkSession, src_dir: str, spec: EdgeSpec, nodes: dict[s
 def build_workspace(
     spark: SparkSession, src_dir: str, ws_dir: str, *, force: bool = False
 ) -> dict:
-    """E1 lifecycle (`--create`): overwrite-build the LPG workspace.
+    """E1 lifecycle (`--create`): build the LPG workspace incrementally.
 
-    Returns the manifest. Skips the rebuild when the stored checksum
-    still matches the source (A15) unless ``force``.
+    A15 memoization, taken one step further than the reference: the
+    reference stores ONE pseudo-hash for the whole source and rebuilds
+    everything on any change (ArcadeDBServer.java:76-90). We store the
+    pseudo-hash *per label* in the manifest, so touching one source
+    table rebuilds only the labels derived from it:
+
+    - node label stale ⇔ its source table's hash changed (or its
+      output is missing / it's new to the spec);
+    - edge label stale ⇔ its own source table changed OR either
+      endpoint node label was rebuilt this run (the dangling-edge
+      semi-join reads those node sets).
+
+    At 100 TB this is the difference between re-ETLing the whole lake
+    and re-ETLing one updated feed. ``force`` restores the reference's
+    destructive full overwrite (A14). Returns the manifest, with the
+    labels rebuilt this run under ``"rebuilt"`` (not persisted).
     """
     checksum_file = os.path.join(ws_dir, "checksum.txt")
     manifest_file = os.path.join(ws_dir, "manifest.json")
@@ -167,43 +181,72 @@ def build_workspace(
         with open(checksum_file) as fh:
             if fh.read().strip() == checksum:
                 with open(manifest_file) as mh:
-                    return json.load(mh)
+                    cached = json.load(mh)
+                cached["rebuilt"] = []
+                return cached
 
-    # A14 destructive overwrite (deleteOldDatabase, ArcadeDBService.java:112-122)
-    if os.path.exists(ws_dir):
-        shutil.rmtree(ws_dir)
+    old: dict = {"nodes": {}, "edges": {}}
+    if force:
+        # A14 destructive overwrite (deleteOldDatabase, ArcadeDBService.java:112-122)
+        if os.path.exists(ws_dir):
+            shutil.rmtree(ws_dir)
+    elif os.path.exists(manifest_file):
+        with open(manifest_file) as mh:
+            old = json.load(mh)
     os.makedirs(ws_dir, exist_ok=True)
 
-    manifest: dict = {"version": 1, "id_scheme": "xxhash64(label,key)", "nodes": {}, "edges": {}}
+    def _src_hash(table: str) -> str:
+        return pseudo_hash(os.path.join(src_dir, f"{table}.parquet"))
+
+    manifest: dict = {"version": 2, "id_scheme": "xxhash64(label,key)", "nodes": {}, "edges": {}}
+    rebuilt: list[str] = []
     node_frames: dict[str, DataFrame] = {}
     for spec in NODE_SPECS:
         if not os.path.exists(os.path.join(src_dir, f"{spec.table}.parquet")):
             continue
-        nf = build_nodes(spark, src_dir, spec)
         out = os.path.join(ws_dir, "nodes", spec.label)
+        h = _src_hash(spec.table)
+        prev = old["nodes"].get(spec.label)
+        if prev and prev.get("source_hash") == h and os.path.exists(prev["path"]):
+            manifest["nodes"][spec.label] = prev
+            node_frames[spec.label] = spark.read.parquet(prev["path"])
+            continue
+        nf = build_nodes(spark, src_dir, spec)
         nf.write.mode("overwrite").parquet(out)
         node_frames[spec.label] = spark.read.parquet(out)
+        rebuilt.append(f"n:{spec.label}")
         manifest["nodes"][spec.label] = {
             "path": out,
             "key": spec.key,
+            "source_hash": h,
             "schema": node_frames[spec.label].schema.jsonValue(),
             "count": node_frames[spec.label].count(),
         }
     for spec in EDGE_SPECS:
         if spec.src_label not in node_frames or spec.dst_label not in node_frames:
             continue
-        ef = build_edges(spark, src_dir, spec, node_frames)
         out = os.path.join(ws_dir, "edges", spec.label)
+        h = _src_hash(spec.table)
+        prev = old["edges"].get(spec.label)
+        endpoints_fresh = not any(
+            f"n:{lbl}" in rebuilt for lbl in (spec.src_label, spec.dst_label)
+        )
+        if prev and prev.get("source_hash") == h and endpoints_fresh and os.path.exists(prev["path"]):
+            manifest["edges"][spec.label] = prev
+            continue
+        ef = build_edges(spark, src_dir, spec, node_frames)
         # Partitioning contract: edges are written hash-distributed by
         # src so per-source expansions and degree aggregations read
         # co-located data. At cluster scale this becomes
         # .repartition(N, "src") with N sized to the edge count.
         ef.repartition("src").write.mode("overwrite").parquet(out)
         edf = spark.read.parquet(out)
+        rebuilt.append(f"e:{spec.label}")
         manifest["edges"][spec.label] = {
             "path": out,
             "src_label": spec.src_label,
             "dst_label": spec.dst_label,
+            "source_hash": h,
             "schema": edf.schema.jsonValue(),
             "count": edf.count(),
         }
@@ -212,6 +255,7 @@ def build_workspace(
         json.dump(manifest, mh, indent=2)
     with open(checksum_file, "w") as fh:
         fh.write(checksum)
+    manifest["rebuilt"] = rebuilt
     return manifest
 
 

@@ -86,6 +86,44 @@ def test_build_and_memoize(spark, sf_small, tmp_path):
     assert m3["nodes"]["Nation"]["count"] == 25
 
 
+def test_incremental_rebuild_skips_unchanged_labels(spark, sf_small, tmp_path):
+    # Writable copy of the source so we can touch one table.
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for name in os.listdir(sf_small):
+        if name.endswith(".parquet"):
+            shutil.copy(os.path.join(sf_small, name), os.path.join(src, name))
+    ws = str(tmp_path / "ws")
+    m1 = build_workspace(spark, src, ws)
+    assert m1["rebuilt"]  # first build builds everything
+
+    placed_dir = os.path.join(ws, "edges", "PLACED")
+    placed_mtime = os.path.getmtime(placed_dir)
+    cust_dir = os.path.join(ws, "nodes", "Customer")
+    cust_mtime = os.path.getmtime(cust_dir)
+
+    # touch only nation.parquet → Nation node + its incident edges
+    time.sleep(0.05)
+    os.utime(os.path.join(src, "nation.parquet"))
+    m2 = build_workspace(spark, src, ws)
+    assert set(m2["rebuilt"]) == {
+        "n:Nation",
+        "e:CUST_IN_NATION",
+        "e:SUPP_IN_NATION",
+        "e:IN_REGION",
+    }
+    # untouched labels were not rewritten
+    assert os.path.getmtime(placed_dir) == placed_mtime
+    assert os.path.getmtime(cust_dir) == cust_mtime
+    assert m2["nodes"]["Nation"]["count"] == 25
+
+    # third run with nothing changed: global fast path, zero rebuilds
+    m3 = build_workspace(spark, src, ws)
+    assert m3["rebuilt"] == []
+
+
 def test_checksum_changes_with_source(sf_small, tmp_path):
     c1 = source_checksum(sf_small)
     assert c1 == source_checksum(sf_small)  # stable
