@@ -139,22 +139,37 @@ def ngram_jaccard_pairs(
         )
         .select("_id", "_size", F.explode("_pref").alias("_p"))
         .select("_id", "_size", F.col("_p._g").alias("_g"))
-        .localCheckpoint(eager=True)  # consumed by both join sides
     )
-    a = inv.select(F.col("_id").alias("id_a"), F.col("_size").alias("size_a"), "_g")
-    b = inv.select(F.col("_id").alias("id_b"), F.col("_size").alias("size_b"), "_g")
+    # bucket the inverted index per gram and emit pairs bucket-locally
+    # (one shuffle; the old self-join shuffled inv twice). Prefix grams
+    # are rarest-first, so buckets stay small by construction.
+    ds = F.col("_ds")
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"),
+                    x["_size"].alias("size_a"),
+                    y["_id"].alias("id_b"),
+                    y["_size"].alias("size_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(b, "_g")
+        inv.groupBy("_g")
+        .agg(F.array_sort(F.collect_list(F.struct("_id", "_size"))).alias("_ds"))
+        .where(F.size("_ds") > 1)
+        .select(F.explode(pair_structs).alias("p"))
         .where(
-            (F.col("id_a") < F.col("id_b"))
             # size filter prunes pairs that cannot reach the threshold
             # (same integer-scaled arithmetic as the prefix bound)
-            & (
-                F.least("size_a", "size_b")
-                >= F.ceil((F.greatest("size_a", "size_b") * F.lit(t_scaled)) / F.lit(1_000_000))
-            )
+            F.least("p.size_a", "p.size_b")
+            >= F.ceil((F.greatest("p.size_a", "p.size_b") * F.lit(t_scaled)) / F.lit(1_000_000))
         )
-        .select("id_a", "id_b")
+        .select("p.id_a", "p.id_b")
         .dropDuplicates()
     )
     fa = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
@@ -173,19 +188,27 @@ def ngram_jaccard_pairs(
 # --- C2: MinHash + LSH ------------------------------------------------------------
 def minhash_signatures_from_shingles(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
     """(_id, sig: array<bigint>) from a ``shingle_table`` — num_hashes
-    minima of universal hashes over the hashed shingle set. One
-    explode + one groupBy; every hash is a codegen'd JVM expression on
-    the 8-byte base hash."""
+    minima of universal hashes over the hashed shingle set.
+
+    Computed entirely with higher-order functions on the per-doc
+    array: ``sig_i = array_min(transform(_sh, g → (a_i·h(g)+b_i) mod
+    p))``. ZERO shuffle — the old explode + 64-column groupBy moved
+    |grams|×64 rows through an exchange; this evaluates the same
+    codegen'd expressions where each doc's array already sits.
+    Docs with no shingles carry no signature (explode parity)."""
     params = _lcg_params(num_hashes)
-    base = sh.select("_id", F.explode("_sh").alias("_g")).select(
-        "_id", F.pmod(F.col("_g"), F.lit(MERSENNE_P)).alias("_h")
+    hashed = sh.where(F.size("_sh") > 0).select(
+        "_id", F.transform("_sh", lambda g: F.pmod(g, F.lit(MERSENNE_P))).alias("_hs")
     )
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(MERSENNE_P))).alias(f"_m{i}")
+    mins = [
+        F.array_min(
+            F.transform("_hs", lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_P)))
+        ).alias(f"_m{i}")
         for i, (a, b) in enumerate(params)
     ]
-    sigs = base.groupBy("_id").agg(*aggs)
-    return sigs.select("_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"))
+    return hashed.select("_id", *mins).select(
+        "_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_signatures(
@@ -196,10 +219,33 @@ def minhash_signatures(
     return minhash_signatures_from_shingles(shingle_table(df, id_col, text_col, k), num_hashes)
 
 
+def _bucket_pairs(ids_sorted) -> F.Column:
+    """All ordered pairs (a < b) from a sorted id array — the
+    bucket-local candidate emission shared by LSH banding and the
+    prefix-filter join. Quadratic in bucket size by construction, so
+    callers must keep buckets selective (rare-gram prefixes, band
+    hashes); at scale a hot bucket means the banding/prefix parameters
+    are wrong, not that a bigger join is needed."""
+    return F.flatten(
+        F.transform(
+            ids_sorted,
+            lambda x, i: F.transform(
+                F.slice(ids_sorted, i + 2, F.size(ids_sorted)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
-    """Band the signatures and equi-join on (band_idx, band_hash).
+    """Band the signatures and bucket docs on (band_idx, band_hash).
     Two docs collide in a band iff their signature rows there all
-    match → P(candidate) ≈ 1-(1-j^rows)^bands. Output (id_a, id_b)."""
+    match → P(candidate) ≈ 1-(1-j^rows)^bands. Output (id_a, id_b).
+
+    One shuffle total: explode bands → groupBy bucket → emit pairs
+    bucket-locally (``_bucket_pairs``). The old self-join shuffled the
+    banded table twice and paid a join; grouping moves the same rows
+    once and the pair fan-out happens where the bucket lives."""
     banded = sigs.select(
         "_id",
         F.explode(
@@ -212,12 +258,12 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> Data
             )
         ).alias("b"),
     ).select("_id", "b.band", "b.bh")
-    l = banded.select(F.col("_id").alias("id_a"), "band", "bh")
-    r = banded.select(F.col("_id").alias("id_b"), "band", "bh")
     return (
-        l.join(r, ["band", "bh"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        banded.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+        .where(F.size("_ids") > 1)
+        .select(F.explode(_bucket_pairs(F.col("_ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates()
     )
 

