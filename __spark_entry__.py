@@ -20,6 +20,7 @@ from biodwh2_arcadedb_server_spark.operators import (
     relational2,
     relational3,
     relational4,
+    relational5,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -38,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational2.QUERIES)
     out.update(relational3.QUERIES)
     out.update(relational4.QUERIES)
+    out.update(relational5.QUERIES)
     out.update(graph_queries.QUERIES)
     out.update(pipeline_queries.QUERIES)
     return out
@@ -49,6 +51,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational2.ORACLE)
     out.update(relational3.ORACLE)
     out.update(relational4.ORACLE)
+    out.update(relational5.ORACLE)
     out.update(graph_queries.ORACLE)
     out.update(pipeline_queries.ORACLE)
     return out

@@ -1,0 +1,119 @@
+"""Driver-contract probe batch 5: multiset set-ops, LET-style scalar
+variables, and a regexp battery over document text.
+
+Reference parity: ArcadeDB SQL's set operators keep duplicates unless
+DISTINCT is requested, its `LET` clause binds per-query scalar
+variables reused in projections and predicates, and its string
+function set includes full regexp matching (pom.xml:104-108 [B],
+SURVEY.md B12/B13/B14).
+
+Scale notes (100 TB):
+- INTERSECT ALL / EXCEPT ALL (q66) plan as a single shuffle on the
+  compared columns with per-key multiplicity counters — no pairwise
+  row matching. Same key-partitioning reused by both branches.
+- LET scalars (q67) must NOT round-trip through the driver
+  (`collect()` then re-literal) — that serializes the DAG into two
+  jobs and blocks pipelining. A one-row aggregate cross-joined with
+  `broadcast()` keeps the scalar inside the plan; Spark folds it into
+  a BroadcastNestedLoopJoin with a 1-row build side (cost ~zero) and
+  the whole query stays one job.
+- The regexp battery (q68) is all JVM-side codegen (no Python);
+  regexes compile once per task, not per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodwh2_arcadedb_server_spark.sources.registry import load_table
+
+
+# --- B12 ext.: multiset semantics (INTERSECT ALL / EXCEPT ALL) ----------------------
+def q66_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-key multisets of a customer slice vs suppliers, with
+    duplicates preserved: rows in both (min multiplicity) and rows
+    left over on the customer side (multiset difference)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 500)
+        .select(F.col("c_nationkey").alias("nk"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    both = c.intersectAll(s).withColumn("tag", F.lit("both"))
+    cust_only = c.exceptAll(s).withColumn("tag", F.lit("cust_only"))
+    return both.unionAll(cust_only)
+
+
+# --- B13 ext.: LET-style scalar variables (ArcadeDB `LET $avg = ...`) ----------------
+def q67_let_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above 1.5x the global average, with the bound
+    scalar echoed in the projection — the `LET` pattern. The scalar
+    stays inside the plan as a broadcast 1-row aggregate (single job;
+    no driver collect-then-literal round trip)."""
+    o = load_table(spark, sf_dir, "orders")
+    avg_price = o.agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .where(F.col("o_totalprice") > F.col("_avg") * 1.5)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("price"),
+            F.round("_avg", 4).alias("avg_price"),
+        )
+    )
+
+
+# --- B14 ext.: regexp battery on free text ------------------------------------------
+def q68_regex_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count / extract-all / boolean-match / strip over document text —
+    the regexp surface ArcadeDB's string functions serve, all
+    JVM-codegen (regex compiled once per task)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"\btable\b")).alias("n_table"),
+        F.array_join(
+            F.regexp_extract_all("text", F.lit(r"\b(s\w+)\b"), F.lit(1)), "|"
+        ).alias("s_words"),
+        F.col("text").rlike("spark.*window|window.*spark").alias("has_both"),
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("n_nonspace"),
+    )
+
+
+QUERIES = {
+    "q66_setops_all": q66_setops_all,
+    "q67_let_scalars": q67_let_scalars,
+    "q68_regex_battery": q68_regex_battery,
+}
+
+ORACLE = {
+    "q66_setops_all": """
+        SELECT nk, 'both' AS tag FROM (
+            SELECT c_nationkey AS nk FROM customer WHERE c_custkey <= 500
+            INTERSECT ALL
+            SELECT s_nationkey FROM supplier
+        )
+        UNION ALL
+        SELECT nk, 'cust_only' AS tag FROM (
+            SELECT c_nationkey AS nk FROM customer WHERE c_custkey <= 500
+            EXCEPT ALL
+            SELECT s_nationkey FROM supplier
+        )
+    """,
+    "q67_let_scalars": """
+        SELECT o_orderkey,
+               ROUND(o_totalprice, 4) AS price,
+               ROUND((SELECT AVG(o_totalprice) FROM orders), 4) AS avg_price
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 1.5
+    """,
+    "q68_regex_battery": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\btable\b')) AS n_table,
+               COALESCE(array_to_string(regexp_extract_all(text, '\b(s\w+)\b', 1), '|'), '') AS s_words,
+               regexp_matches(text, 'spark.*window|window.*spark') AS has_both,
+               length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace
+        FROM documents WHERE doc_id < 300
+    """,
+}
