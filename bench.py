@@ -79,6 +79,9 @@ HEADLINE = [
     "q62_stream_enrich",
     "q63_sliding_window",
     "q64_regex_conditionals",
+    "q66_setops_all",
+    "q67_let_scalars",
+    "q68_regex_battery",
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q22_connected_components",
@@ -86,6 +89,7 @@ HEADLINE = [
     "q24_pagerank",
     "q26_neardup_jaccard",
     "q27_minhash_neardup",
+    "q28_simhash_neardup",
     "q29_cosine_neardup",
     "q30_knn_topk",
     "q32_token_stats",

@@ -45,7 +45,9 @@ def q27_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q28_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     fps = dedup.simhash(d, "doc_id", "text")
-    return dedup.simhash_near_dups(fps, max_hamming=3)
+    # pigeonhole block-LSH: equi-join on fingerprint blocks, not the
+    # quadratic cross join (pytest-pinned equal to the exact variant)
+    return dedup.simhash_near_dups_blocked(fps, max_hamming=3)
 
 
 # --- C2/C3: embedding-cosine near-dup pairs (oracle-able) -------------------------

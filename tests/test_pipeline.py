@@ -100,6 +100,22 @@ def test_simhash_finds_planted_near_dups(spark, sf_small):
     assert exact <= near10
 
 
+def test_simhash_blocked_matches_exact(spark, sf_small):
+    """Pigeonhole block-LSH is a guarantee, not an approximation:
+    the blocked equi-join variant must emit exactly the pairs the
+    quadratic reference emits, and must not plan a nested loop."""
+    d = load_table(spark, sf_small, "documents")
+    fps = dedup.simhash(d, "doc_id", "text")
+    for dist in (0, 3):
+        exact = {(r.id_a, r.id_b, r.hamming)
+                 for r in dedup.simhash_near_dups(fps, dist).collect()}
+        blocked = {(r.id_a, r.id_b, r.hamming)
+                   for r in dedup.simhash_near_dups_blocked(fps, dist).collect()}
+        assert blocked == exact
+    plan = dedup.simhash_near_dups_blocked(fps, 3)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+
+
 def test_ann_recall_vs_brute_force(spark, sf_small):
     e = load_table(spark, sf_small, "embeddings")
     queries = e.where(F.col("vec_id") < 10)
