@@ -82,6 +82,8 @@ HEADLINE = [
     "q66_setops_all",
     "q67_let_scalars",
     "q68_regex_battery",
+    "q69_stream_ingest",
+    "q70_train_test_split",
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q22_connected_components",

@@ -81,10 +81,59 @@ def q68_regex_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C7: end-to-end streaming ingest through the parquet sink ------------------------
+def q69_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events stream through the idempotent foreachBatch
+    workspace sink (streaming/sinks.py), re-read the ingested parquet
+    table, and aggregate — the oracle is the same aggregate over the
+    batch events table, so the driver gate certifies exactly-once
+    end-to-end delivery, not just plan shape."""
+    import tempfile
+
+    from biodwh2_arcadedb_server_spark.streaming.events import read_events_stream
+    from biodwh2_arcadedb_server_spark.streaming.sinks import (
+        read_workspace_events,
+        stream_events_into_workspace,
+    )
+
+    base = tempfile.mkdtemp(prefix="q69_ingest_")
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    stream_events_into_workspace(stream, f"{base}/events", f"{base}/ckpt")
+    got = read_workspace_events(spark, f"{base}/events")
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+# --- training-pipeline staple: deterministic hash split ------------------------------
+def q70_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 80/10/10 train/valid/test assignment from an md5 bucket
+    of the key — a pure function of the row (no rand()), so the split
+    is reproducible across engines and runs, and adding documents
+    never reassigns existing ones. At 100 TB this is a narrow
+    projection + scalar hash: no shuffle, no state."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 QUERIES = {
     "q66_setops_all": q66_setops_all,
     "q67_let_scalars": q67_let_scalars,
     "q68_regex_battery": q68_regex_battery,
+    "q69_stream_ingest": q69_stream_ingest,
+    "q70_train_test_split": q70_train_test_split,
 }
 
 ORACLE = {
@@ -115,5 +164,24 @@ ORACLE = {
                regexp_matches(text, 'spark.*window|window.*spark') AS has_both,
                length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace
         FROM documents WHERE doc_id < 300
+    """,
+    "q69_stream_ingest": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY event_type
+    """,
+    "q70_train_test_split": """
+        SELECT doc_id,
+               b AS bucket,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+            FROM documents
+        )
     """,
 }
