@@ -84,6 +84,8 @@ HEADLINE = [
     "q68_regex_battery",
     "q69_stream_ingest",
     "q70_train_test_split",
+    "q71_sequence_packing",
+    "q72_stratified_sample",
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q22_connected_components",

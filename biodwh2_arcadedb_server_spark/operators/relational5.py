@@ -128,12 +128,78 @@ def q70_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training-pipeline staple: sharded greedy sequence packing -----------------------
+PACK_SHARDS = 16
+PACK_BUDGET = 4000  # chars per bin
+
+
+def q71_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~budget-sized bins for LLM batch assembly:
+    docs are sharded by key hash, each shard packs greedily in doc_id
+    order (bin = floor(exclusive-prefix-sum / budget); a bin overflows
+    by at most one doc). Sharding is the scale design — a single
+    global ORDER BY window would serialize 100 TB through one
+    partition, while P shards pack independently (window partition =
+    shuffle partition) and bin ids stay globally unique via the shard
+    prefix."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    shard = (F.col("doc_id") % PACK_SHARDS).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    return (
+        d.select("doc_id", "n_chars", shard)
+        .withColumn(
+            "bin_id",
+            F.col("shard") * 1_000_000 + F.floor(prefix / PACK_BUDGET),
+        )
+        .select("doc_id", "n_chars", "bin_id")
+    )
+
+
+# --- training-pipeline staple: per-stratum deterministic sampling --------------------
+SAMPLE_RATES = {"en": 0.5, "zh": 0.2, "es": 0.2, "de": 0.2, "fr": 0.2}
+
+
+def q72_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified Bernoulli sample at per-stratum rates,
+    driven by the same md5 key bucket as q70 — deterministic, so the
+    sample is stable across runs/engines and composes with the
+    train/test split (disjoint hash prefixes would decorrelate them).
+    Shuffle-free: a scalar hash + CASE per row."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == l, F.lit(int(r * 1000))) for l, r in SAMPLE_RATES.items()],
+        F.lit(0),
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("cut"))
+        .where(F.col("bucket") < F.col("cut"))
+        .select("doc_id", "lang", "bucket")
+    )
+
+
 QUERIES = {
     "q66_setops_all": q66_setops_all,
     "q67_let_scalars": q67_let_scalars,
     "q68_regex_battery": q68_regex_battery,
     "q69_stream_ingest": q69_stream_ingest,
     "q70_train_test_split": q70_train_test_split,
+    "q71_sequence_packing": q71_sequence_packing,
+    "q72_stratified_sample": q72_stratified_sample,
 }
 
 ORACLE = {
@@ -183,5 +249,24 @@ ORACLE = {
                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
             FROM documents
         )
+    """,
+    "q71_sequence_packing": f"""
+        SELECT doc_id, n_chars,
+               (doc_id % {PACK_SHARDS!r}) * 1000000
+                 + CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+                       PARTITION BY doc_id % {PACK_SHARDS!r} ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / {PACK_BUDGET!r}) AS BIGINT) AS bin_id
+        FROM documents
+    """,
+    "q72_stratified_sample": f"""
+        SELECT doc_id, lang, bucket FROM (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS bucket,
+                   CASE lang
+                       WHEN 'en' THEN 500 WHEN 'zh' THEN 200 WHEN 'es' THEN 200
+                       WHEN 'de' THEN 200 WHEN 'fr' THEN 200 ELSE 0 END AS cut
+            FROM documents
+        ) WHERE bucket < cut
     """,
 }
