@@ -100,6 +100,7 @@ HEADLINE = [
     "q33_quality_score",
     "q36_multimodal_meta",
     "q37_media_features",
+    "q73_curation_pipeline",
 ]
 
 

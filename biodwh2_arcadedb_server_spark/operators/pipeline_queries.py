@@ -115,7 +115,39 @@ def q38_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(multimodal.to_media_table(d), every_n_bytes=256)
 
 
+# --- C1+C4 composition: end-to-end curation pipeline ---------------------------------
+QUALITY_KEEP = 0.95
+
+
+def q73_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pre-training curation chain in one plan: quality
+    filter (C4) → exact content dedup keeping the smallest id (C1,
+    md5 so the oracle can reproduce it) → deterministic split
+    assignment. One narrow scan feeds everything; the only shuffle is
+    the dedup groupBy on a 16-byte content hash."""
+    d = load_table(spark, sf_dir, "documents")
+    good = (
+        text.quality_score(d)
+        .where(F.col("quality_score") >= QUALITY_KEEP)
+        .select("doc_id")
+    )
+    kept = d.join(good, "doc_id").select("doc_id", "text")
+    rep = kept.groupBy(F.md5("text").alias("_h")).agg(F.min("doc_id").alias("doc_id"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return rep.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 QUERIES = {
+    "q73_curation_pipeline": q73_curation_pipeline,
     "q26_neardup_jaccard": q26_neardup_jaccard,
     "q27_minhash_neardup": q27_minhash_neardup,
     "q28_simhash_neardup": q28_simhash_neardup,
@@ -234,4 +266,21 @@ ORACLE["q38_frame_sample"] = """
     SELECT doc_id, CAST(idx AS INTEGER) AS frame_idx,
            CAST(least(256, n - idx * 256) AS BIGINT) AS frame_bytes
     FROM f
+"""
+
+ORACLE["q73_curation_pipeline"] = f"""
+    WITH q AS ({ORACLE['q33_quality_score']}),
+    kept AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN q ON d.doc_id = q.doc_id
+        WHERE q.quality_score >= {QUALITY_KEEP}
+    ),
+    rep AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+    SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        FROM rep
+    )
 """
