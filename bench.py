@@ -90,6 +90,8 @@ HEADLINE = [
     "q21_bfs_hops",
     "q22_connected_components",
     "q65_cc_star",
+    "q74_triangle_count",
+    "q75_clustering_coefficient",
     "q24_pagerank",
     "q26_neardup_jaccard",
     "q27_minhash_neardup",

@@ -125,6 +125,93 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+# --- C6: triangle counting / clustering coefficient -----------------------------------
+def _oriented_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set oriented low→high by (degree,
+    id) — the Cohen/Suri-Vassilvitskii degree orientation: every
+    triangle has exactly one wedge-center (its minimum node in the
+    order), and any node's oriented out-fan is O(sqrt(m)), which
+    bounds the wedge join's worst key even on power-law graphs.
+    Returns (u, v, du, dv) with (du, u) < (dv, v)."""
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    j = und.join(da, "a").join(db, "b")
+    fwd = (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    return j.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("da")).otherwise(F.col("db")).alias("du"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """All triangles as (x, y, z) rows, each exactly once. Wedge join
+    at the order-minimum corner + one closing semi-equi-join — two
+    shuffles on node keys, never a nested loop; candidate volume is
+    Σ out-fan², bounded by the degree orientation."""
+    e = _oriented_edges(edges).localCheckpoint(eager=True)  # 3 plan branches
+    a = e.select(F.col("u").alias("x"), F.col("v").alias("y"), "dv").withColumnRenamed("dv", "dy")
+    b = e.select(F.col("u").alias("x"), F.col("v").alias("z"), "dv").withColumnRenamed("dv", "dz")
+    wedges = a.join(b, "x").where(
+        (F.col("dy") < F.col("dz")) | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closing = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    return wedges.join(closing, ["y", "z"], "left_semi").select("x", "y", "z")
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Single-row global triangle count."""
+    return triangles(edges).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(node_id, degree, n_triangles, coeff) — local clustering
+    coefficient 2T/(d(d-1)) over the undirected simple graph; nodes
+    with degree < 2 get 0. Per-node triangle counts come from
+    exploding each triangle to its three corners (3 rows/triangle —
+    at 100 TB still tiny next to the edge list)."""
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    deg = (
+        und.select(F.col("a").alias("node_id"))
+        .unionAll(und.select(F.col("b").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = (
+        triangles(edges)
+        .select(F.explode(F.array("x", "y", "z")).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(tri, "node_id", "left")
+        .na.fill(0, ["n_triangles"])
+        .withColumn(
+            "coeff",
+            F.when(
+                F.col("degree") >= 2,
+                F.round(2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1)), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 # --- C6: connected components (hash-min) --------------------------------------------
 def connected_components(
     edges: DataFrame, max_iter: int = 50, id_col_out: str = "component"

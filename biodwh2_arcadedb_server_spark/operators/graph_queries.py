@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from biodwh2_arcadedb_server_spark.operators.graph import (
     bfs,
+    clustering_coefficient,
     connected_components,
     connected_components_star,
     degrees,
@@ -31,6 +32,7 @@ from biodwh2_arcadedb_server_spark.operators.graph import (
     label_propagation,
     motif_chain,
     pagerank,
+    triangle_count,
 )
 from biodwh2_arcadedb_server_spark.sources.registry import load_table
 
@@ -127,6 +129,19 @@ def q25_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(nation_graph(spark, sf_dir, 97), max_iter=5)
 
 
+# --- C6: triangle counting / clustering coefficient -----------------------------------
+def q74_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count via degree-ordered wedge join
+    (graph.py::triangles) — each triangle counted once."""
+    return triangle_count(nation_graph(spark, sf_dir, 97))
+
+
+def q75_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected
+    nation graph."""
+    return clustering_coefficient(nation_graph(spark, sf_dir, 97))
+
+
 QUERIES = {
     "q19_expand_out": q19_expand_out,
     "q20_motif_2hop": q20_motif_2hop,
@@ -136,6 +151,8 @@ QUERIES = {
     "q24_pagerank": q24_pagerank,
     "q25_label_propagation": q25_label_propagation,
     "q65_cc_star": q65_cc_star,
+    "q74_triangle_count": q74_triangle_count,
+    "q75_clustering_coefficient": q75_clustering_coefficient,
 }
 
 _G211 = _NATION_GRAPH_SQL.format(mod=211)
@@ -192,3 +209,44 @@ ORACLE = {
 }
 
 ORACLE["q65_cc_star"] = ORACLE["q22_connected_components"]
+
+_UND_97 = f"""
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ({_G97}) WHERE src <> dst
+"""
+
+ORACLE["q74_triangle_count"] = f"""
+    WITH und AS ({_UND_97})
+    SELECT COUNT(*) AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+ORACLE["q75_clustering_coefficient"] = f"""
+    WITH und AS ({_UND_97}),
+    deg AS (
+        SELECT node_id, COUNT(*) AS degree FROM (
+            SELECT a AS node_id FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY node_id
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pernode AS (
+        SELECT node_id, COUNT(*) AS n_triangles FROM (
+            SELECT x AS node_id FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY node_id
+    )
+    SELECT d.node_id, d.degree,
+           COALESCE(p.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN ROUND(2.0 * COALESCE(p.n_triangles, 0) / (d.degree * (d.degree - 1)), 4)
+                ELSE 0.0 END AS coeff
+    FROM deg d LEFT JOIN pernode p ON p.node_id = d.node_id
+"""

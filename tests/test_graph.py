@@ -9,6 +9,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from biodwh2_arcadedb_server_spark.operators.graph import (
+    clustering_coefficient,
+    triangle_count,
+    triangles,
     bfs,
     connected_components,
     connected_components_star,
@@ -130,3 +133,28 @@ def test_label_propagation_two_cliques(spark):
         frozenset({1, 2, 3}),
         frozenset({10, 11, 12}),
     }
+
+
+def test_triangles_k4_and_path(spark):
+    """K4 has C(4,3)=4 triangles, each exactly once; a path has none;
+    duplicate/reversed edges must not double-count."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]  # both directions
+    e = spark.createDataFrame(k4, ["src", "dst"])
+    tris = triangles(e).collect()
+    assert len(tris) == 4
+    assert len({tuple(sorted((r.x, r.y, r.z))) for r in tris}) == 4
+    assert triangle_count(e).collect()[0].n_triangles == 4
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    assert triangle_count(path).collect()[0].n_triangles == 0
+
+
+def test_clustering_coefficient_triangle_plus_tail(spark):
+    """Triangle 0-1-2 with tail 2-3: nodes 0,1 have coeff 1.0,
+    node 2 has 2*1/(3*2)=0.3333, node 3 (deg 1) gets 0."""
+    e = spark.createDataFrame([(0, 1), (1, 2), (0, 2), (2, 3)], ["src", "dst"])
+    got = {r.node_id: (r.degree, r.n_triangles, r.coeff)
+           for r in clustering_coefficient(e).collect()}
+    assert got[0] == (2, 1, 1.0)
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (3, 1, 0.3333)
+    assert got[3] == (1, 0, 0.0)
