@@ -97,3 +97,42 @@ def test_q48_window_prunes_columns(spark, sf_medium):
     assert "o_custkey" in pf
     schemas = read_schema_columns(df)
     assert sorted(schemas[0]) == ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+
+
+def test_q70_split_prunes_to_key_column(spark, sf_medium):
+    """The md5 split is a pure key function — the scan must read
+    doc_id alone, nothing else of the 5-column table."""
+    from biodwh2_arcadedb_server_spark.operators import relational5
+
+    df = relational5.q70_train_test_split(spark, sf_medium)
+    assert read_schema_columns(df) == [["doc_id"]]
+
+
+def test_q71_packing_window_is_sharded_not_global(spark, sf_medium):
+    """Sequence packing must never serialize through a global sort:
+    the window is partitioned by shard, so no SinglePartition
+    exchange may appear."""
+    from biodwh2_arcadedb_server_spark.operators import relational5
+
+    df = relational5.q71_sequence_packing(spark, sf_medium)
+    plan = explain_str(df)
+    assert "SinglePartition" not in plan, plan[:800]
+    assert sorted(read_schema_columns(df)[0]) == ["doc_id", "n_chars"]
+
+
+def test_q74_triangles_plan_has_no_nested_loop(spark, sf_medium):
+    """The wedge join and closing join are equi-joins on node keys;
+    a band/theta fallback to nested loops would be quadratic."""
+    from biodwh2_arcadedb_server_spark.operators import graph_queries
+
+    plan = explain_str(graph_queries.q74_triangle_count(spark, sf_medium))
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q68_regex_battery_pushes_id_filter(spark, sf_medium):
+    from biodwh2_arcadedb_server_spark.operators import relational5
+
+    df = relational5.q68_regex_battery(spark, sf_medium)
+    pf = " ".join(pushed_filters(df))
+    assert "doc_id" in pf
+    assert sorted(read_schema_columns(df)[0]) == ["doc_id", "text"]
