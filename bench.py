@@ -92,6 +92,7 @@ HEADLINE = [
     "q65_cc_star",
     "q74_triangle_count",
     "q75_clustering_coefficient",
+    "q76_kcore",
     "q24_pagerank",
     "q26_neardup_jaccard",
     "q27_minhash_neardup",

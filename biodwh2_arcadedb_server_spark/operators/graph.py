@@ -409,6 +409,54 @@ def pagerank(
     return ranks.select("node_id", "rank")
 
 
+# --- C6: k-core decomposition -----------------------------------------------------------
+def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    degree >= k (undirected, simple). Iterative peeling — each round
+    drops nodes below k and the edges touching them; a dropped node
+    can push its neighbors below k, so rounds repeat until stable.
+
+    Scale posture: each round is one degree aggregation + two
+    semi-joins on node keys (the same hash partitioning reused);
+    rounds needed = peeling depth, typically O(10) on real graphs.
+    The driver reads only a scalar edge count per round to detect the
+    fixpoint — no row data ever reaches the driver."""
+    live = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = live.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        deg = (
+            live.select(F.col("a").alias("n"))
+            .unionAll(live.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("n")
+        nxt = (
+            live.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        live = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return (
+        live.select(F.col("a").alias("node_id"))
+        .unionAll(live.select(F.col("b").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .where(F.col("core_degree") >= k)
+    )
+
+
 # --- C6: label propagation --------------------------------------------------------------
 def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
     """Synchronous LPA for community detection: each round a node

@@ -29,6 +29,7 @@ from biodwh2_arcadedb_server_spark.operators.graph import (
     connected_components_star,
     degrees,
     expand,
+    k_core,
     label_propagation,
     motif_chain,
     pagerank,
@@ -142,6 +143,13 @@ def q75_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(nation_graph(spark, sf_dir, 97))
 
 
+def q76_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the undirected nation graph (iterative peeling —
+    no SQL oracle; tests/test_graph.py pins it against a pure-Python
+    peeling reference on the same edges)."""
+    return k_core(nation_graph(spark, sf_dir, 97), k=3)
+
+
 QUERIES = {
     "q19_expand_out": q19_expand_out,
     "q20_motif_2hop": q20_motif_2hop,
@@ -153,6 +161,7 @@ QUERIES = {
     "q65_cc_star": q65_cc_star,
     "q74_triangle_count": q74_triangle_count,
     "q75_clustering_coefficient": q75_clustering_coefficient,
+    "q76_kcore": q76_kcore,
 }
 
 _G211 = _NATION_GRAPH_SQL.format(mod=211)

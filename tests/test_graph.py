@@ -158,3 +158,43 @@ def test_clustering_coefficient_triangle_plus_tail(spark):
     assert got[1] == (2, 1, 1.0)
     assert got[2] == (3, 1, 0.3333)
     assert got[3] == (1, 0, 0.0)
+
+
+def _py_kcore(edges, k):
+    """Pure-Python peeling reference."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def test_kcore_known_graph(spark):
+    """Triangle 0-1-2 plus pendant 2-3: 2-core = the triangle,
+    3-core = empty."""
+    from biodwh2_arcadedb_server_spark.operators.graph import k_core
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (0, 2), (2, 3)], ["src", "dst"])
+    got2 = {r.node_id: r.core_degree for r in k_core(e, 2).collect()}
+    assert got2 == {0: 2, 1: 2, 2: 2}
+    assert k_core(e, 3).collect() == []
+
+
+def test_kcore_matches_python_reference(spark, sf_small):
+    from biodwh2_arcadedb_server_spark.operators.graph import k_core
+
+    g = nation_graph(spark, sf_small, 97)
+    edges = [(r.src, r.dst) for r in g.collect()]
+    for k in (2, 3, 5):
+        want = _py_kcore(edges, k)
+        got = {r.node_id: r.core_degree for r in k_core(g, k).collect()}
+        assert got == want, f"k={k}"
