@@ -99,6 +99,7 @@ HEADLINE = [
     "q28_simhash_neardup",
     "q29_cosine_neardup",
     "q30_knn_topk",
+    "q77_ivf_topk",
     "q32_token_stats",
     "q33_quality_score",
     "q36_multimodal_meta",

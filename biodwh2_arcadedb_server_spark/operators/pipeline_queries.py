@@ -70,6 +70,15 @@ def q31_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(e, queries, k=3, dim=64, n_planes=4, n_tables=8)
 
 
+# --- C3: IVF (KMeans inverted-file) ANN (rows-only; pytest recall gate) --------------
+def q77_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: spherical-KMeans cells, probe the 4 nearest of 8 —
+    the data-adaptive counterpart to q31's hyperplane LSH."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id").isin(0, 1, 2))
+    return similarity.ivf_topk(e, queries, k=3, n_clusters=8, n_probe=4)
+
+
 # --- C4: token stats (oracle-able) -----------------------------------------------------
 def q32_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -154,6 +163,7 @@ QUERIES = {
     "q29_cosine_neardup": q29_cosine_neardup,
     "q30_knn_topk": q30_knn_topk,
     "q31_ann_topk": q31_ann_topk,
+    "q77_ivf_topk": q77_ivf_topk,
     "q32_token_stats": q32_token_stats,
     "q33_quality_score": q33_quality_score,
     "q34_lang_id": q34_lang_id,

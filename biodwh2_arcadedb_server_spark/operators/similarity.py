@@ -138,6 +138,86 @@ def ann_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) approximate k-NN: partition the corpus into
+    ``n_clusters`` Voronoi cells with MLlib KMeans (JVM Lloyd's — the
+    train pass is itself distributed), then each query scores only the
+    ``n_probe`` cells whose centroids are nearest. Complements the
+    hyperplane-LSH path: IVF adapts its partitions to the data
+    distribution, so recall per candidate is higher on clustered
+    corpora.
+
+    Scale: the index build scans the corpus O(maxIter) times (a
+    write-side cost, amortized over queries); centroids are tiny and
+    broadcast; the candidate join is an equi-join on cluster id, so
+    per-query read volume is ~n_probe/n_clusters of the corpus.
+    Deterministic for a fixed seed. Recall is pytest-gated vs the
+    exact ``knn_join`` (tests/test_pipeline.py)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # cluster in the *normalized* space: on the unit sphere L2 order
+    # equals cosine order (spherical k-means), aligning cell
+    # assignment with the cosine scoring metric
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / array_norm(vec_col))
+    feat = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        dbl.alias("ce"),
+        array_to_vector(unit).alias("features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(feat)
+    assigned = model.transform(feat).select(
+        "neighbor_id", "ce", F.col("prediction").alias("cluster")
+    )
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, centroid array<double>",
+    )
+    # nearest n_probe centroids per query by L2 in the normalized
+    # space (KMeans' own metric); scoring below uses raw cosine,
+    # which is scale-invariant
+    q = queries.select(
+        F.col(id_col).alias("query_id"), dbl.alias("qe"), unit.alias("_qn")
+    )
+    d2 = F.aggregate(
+        F.zip_with("_qn", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_d2"), F.col("cluster"))
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qe", "cluster", d2.alias("_d2"))
+        .withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= n_probe)
+        .select("query_id", "qe", "cluster")
+    )
+    cands = probed.join(assigned, "cluster")
+    if exclude_self:
+        cands = cands.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine_similarity("ce", "qe").alias("sim_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim_raw", 4).alias("sim"), "rank")
+    )
+
+
 def cosine_near_dup_pairs_bruteforce(
     corpus: DataFrame,
     threshold: float = 0.3,

@@ -212,3 +212,19 @@ def test_metadata_scan_prunes_payload(spark, sf_small, tmp_path):
     scan = multimodal.metadata_only_scan(spark.read.parquet(path))
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_small):
+    """IVF ANN with 4-of-8 probes must recover most exact neighbors;
+    repeated runs are identical (seeded KMeans, no RNG state)."""
+    from biodwh2_arcadedb_server_spark.operators import similarity
+
+    e = load_table(spark, sf_small, "embeddings")
+    qs = e.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.knn_join(e, qs, k=3).collect()}
+    got = {(r.query_id, r.neighbor_id)
+           for r in similarity.ivf_topk(e, qs, k=3, n_clusters=8, n_probe=4).collect()}
+    assert len(got & exact) / len(exact) >= 0.6
+    again = {(r.query_id, r.neighbor_id)
+             for r in similarity.ivf_topk(e, qs, k=3, n_clusters=8, n_probe=4).collect()}
+    assert got == again
