@@ -86,6 +86,8 @@ HEADLINE = [
     "q70_train_test_split",
     "q71_sequence_packing",
     "q72_stratified_sample",
+    "q78_json_roundtrip",
+    "q79_window_ranks",
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q22_connected_components",

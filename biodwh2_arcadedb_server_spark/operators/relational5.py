@@ -192,6 +192,55 @@ def q72_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B18 ext.: JSON construct / parse round-trip -------------------------------------
+def q78_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a JSON document from columns (to_json), parse it back
+    with an explicit schema (from_json) and a path accessor
+    (get_json_object) — the full B18 construct+parse surface. The
+    oracle computes the same scalars directly: a correct round-trip
+    is the identity, so any serialization/parsing defect breaks the
+    hash match. All JVM-side (Jackson under codegen), no UDFs."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("st"),
+            F.array("o_totalprice").alias("vals"),
+        )
+    )
+    parsed = F.from_json(doc, "id long, st string, vals array<double>")
+    return o.select(
+        "o_orderkey",
+        parsed["st"].alias("st"),
+        F.round(F.element_at(parsed["vals"], 1), 4).alias("v1"),
+        F.get_json_object(doc, "$.st").alias("st_by_path"),
+    )
+
+
+# --- B11 ext.: rank-family window battery --------------------------------------------
+def q79_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank / cume_dist /
+    first_value per market segment, ordered by account balance —
+    the rank-family half of the window surface (q48 covers
+    lag/lead/frames)."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.first("c_custkey").over(w).alias("top_cust"),
+    )
+
+
 QUERIES = {
     "q66_setops_all": q66_setops_all,
     "q67_let_scalars": q67_let_scalars,
@@ -200,6 +249,8 @@ QUERIES = {
     "q70_train_test_split": q70_train_test_split,
     "q71_sequence_packing": q71_sequence_packing,
     "q72_stratified_sample": q72_stratified_sample,
+    "q78_json_roundtrip": q78_json_roundtrip,
+    "q79_window_ranks": q79_window_ranks,
 }
 
 ORACLE = {
@@ -270,3 +321,23 @@ ORACLE = {
         ) WHERE bucket < cut
     """,
 }
+
+ORACLE["q78_json_roundtrip"] = """
+    SELECT o_orderkey,
+           o_orderstatus AS st,
+           ROUND(o_totalprice, 4) AS v1,
+           o_orderstatus AS st_by_path
+    FROM orders WHERE o_orderkey <= 2000
+"""
+
+ORACLE["q79_window_ranks"] = """
+    SELECT c_custkey, c_mktsegment,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 4) AS cume,
+           FIRST_VALUE(c_custkey) OVER w AS top_cust
+    FROM customer WHERE c_custkey <= 300
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
