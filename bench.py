@@ -95,6 +95,7 @@ HEADLINE = [
     "q74_triangle_count",
     "q75_clustering_coefficient",
     "q76_kcore",
+    "q80_sssp",
     "q24_pagerank",
     "q26_neardup_jaccard",
     "q27_minhash_neardup",

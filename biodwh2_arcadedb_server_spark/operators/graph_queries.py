@@ -33,6 +33,7 @@ from biodwh2_arcadedb_server_spark.operators.graph import (
     label_propagation,
     motif_chain,
     pagerank,
+    sssp,
     triangle_count,
 )
 from biodwh2_arcadedb_server_spark.sources.registry import load_table
@@ -150,6 +151,22 @@ def q76_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(nation_graph(spark, sf_dir, 97), k=3)
 
 
+def weighted_nation_graph(spark: SparkSession, sf_dir: str, mod: int) -> DataFrame:
+    """Nation graph with deterministic synthetic weights in [1, 5]."""
+    g = nation_graph(spark, sf_dir, mod)
+    return g.withColumn(
+        "weight", ((F.col("src") * 7 + F.col("dst") * 3) % 5 + 1).cast("double")
+    )
+
+
+def q80_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest-path distances from nation 0 (Bellman-Ford
+    relaxation — no SQL oracle; tests/test_graph.py pins it against a
+    pure-Python Dijkstra on the same weighted edges)."""
+    d = sssp(weighted_nation_graph(spark, sf_dir, 97), source=0)
+    return d.select("node_id", F.round("dist", 4).alias("dist"))
+
+
 QUERIES = {
     "q19_expand_out": q19_expand_out,
     "q20_motif_2hop": q20_motif_2hop,
@@ -162,6 +179,7 @@ QUERIES = {
     "q74_triangle_count": q74_triangle_count,
     "q75_clustering_coefficient": q75_clustering_coefficient,
     "q76_kcore": q76_kcore,
+    "q80_sssp": q80_sssp,
 }
 
 _G211 = _NATION_GRAPH_SQL.format(mod=211)

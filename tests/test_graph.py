@@ -198,3 +198,47 @@ def test_kcore_matches_python_reference(spark, sf_small):
         want = _py_kcore(edges, k)
         got = {r.node_id: r.core_degree for r in k_core(g, k).collect()}
         assert got == want, f"k={k}"
+
+
+def _py_dijkstra(edges, source):
+    """Pure-Python Dijkstra reference on (src, dst, weight) triples."""
+    import heapq
+
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {source: 0.0}
+    heap = [(0.0, source)]
+    while heap:
+        du, u = heapq.heappop(heap)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = du + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    return dist
+
+
+def test_sssp_chain_with_shortcut(spark):
+    """0-1-2 path (1+1) beats the direct 0-2 edge of weight 5."""
+    from biodwh2_arcadedb_server_spark.operators.graph import sssp
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0), (3, 4, 1.0)],
+        ["src", "dst", "weight"],
+    )
+    got = {r.node_id: r.dist for r in sssp(e, 0).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0}  # 3,4 unreachable: absent
+
+
+def test_sssp_matches_dijkstra_on_nation_graph(spark, sf_small):
+    from biodwh2_arcadedb_server_spark.operators.graph import sssp
+    from biodwh2_arcadedb_server_spark.operators.graph_queries import weighted_nation_graph
+
+    g = weighted_nation_graph(spark, sf_small, 97)
+    edges = [(r.src, r.dst, r.weight) for r in g.collect()]
+    want = _py_dijkstra(edges, 0)
+    got = {r.node_id: r.dist for r in sssp(g, 0).collect()}
+    assert got == want
