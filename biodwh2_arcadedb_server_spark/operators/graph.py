@@ -430,6 +430,11 @@ def sssp(
     e = edges.select("src", "dst", F.col(weight_col).alias("_w")).localCheckpoint(eager=True)
     spark = edges.sparkSession
     dist = spark.createDataFrame([(int(source), 0.0)], "node_id long, dist double")
+    # convergence fingerprint: distances only ever decrease and nodes
+    # only ever appear, so (count, sum) unchanged across a checkpoint
+    # interval ⇔ fixpoint. One 2-scalar driver read per k rounds —
+    # never row data.
+    prev_fp = None
     for it in range(1, max_iter + 1):
         offers = (
             dist.join(e, dist.node_id == e.src)
@@ -442,6 +447,13 @@ def sssp(
         )
         if it % checkpoint_every == 0 or it == max_iter:
             nxt = nxt.localCheckpoint(eager=True)
+            row = nxt.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+            ).collect()[0]
+            fp = (row.n, row.s)
+            if fp == prev_fp:
+                return nxt
+            prev_fp = fp
         dist = nxt
     return dist
 
