@@ -96,6 +96,7 @@ HEADLINE = [
     "q75_clustering_coefficient",
     "q76_kcore",
     "q80_sssp",
+    "q81_scc",
     "q24_pagerank",
     "q26_neardup_jaccard",
     "q27_minhash_neardup",

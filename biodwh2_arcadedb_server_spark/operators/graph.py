@@ -506,6 +506,89 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     )
 
 
+# --- C6: strongly connected components ---------------------------------------------------
+def strongly_connected_components(
+    edges: DataFrame, max_phases: int = 30, max_inner: int = 50
+) -> DataFrame:
+    """SCCs of a directed graph by iterative coloring (the FW-BW /
+    Orzan family used by distributed SCC systems): each phase
+    (1) propagates the minimum reachable source id forward along
+    edges to a fixpoint — every node's ``color`` is then the smallest
+    id that can reach it; (2) nodes with ``color == id`` are pivots,
+    and a backward sweep restricted to same-color nodes marks exactly
+    the pivot's SCC (v has color p ⇒ p→v exists; v reaches p within
+    the color class ⇒ v→p, so v ~ p); (3) settled SCCs leave the
+    graph and the next phase runs on the remainder. Phases needed =
+    length of the longest pivot-elimination chain — O(log n) expected
+    on random graphs.
+
+    Returns (node_id, scc) where scc = min node id of the component.
+    Every step is a key equi-join + min-aggregate; per-round driver
+    traffic is the (count, sum) convergence fingerprint, never rows."""
+    e_all = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    live = (
+        e_all.select(F.col("src").alias("node_id"))
+        .unionByName(e_all.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    assigned = spark.createDataFrame([], "node_id long, scc long")
+    for _ in range(max_phases):
+        if live.count() == 0:
+            break
+        e = (
+            e_all.join(live.withColumnRenamed("node_id", "src"), "src", "left_semi")
+            .join(live.withColumnRenamed("node_id", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        # (1) forward min-label to fixpoint
+        color = live.withColumn("color", F.col("node_id"))
+        prev_fp = None
+        for _i in range(max_inner):
+            offers = (
+                color.join(e, color.node_id == e.src)
+                .select(F.col("dst").alias("node_id"), "color")
+            )
+            color = (
+                color.unionByName(offers)
+                .groupBy("node_id")
+                .agg(F.min("color").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            row = color.agg(F.count(F.lit(1)).alias("n"), F.sum("color").alias("s")).collect()[0]
+            if (row.n, row.s) == prev_fp:
+                break
+            prev_fp = (row.n, row.s)
+        # (2) backward sweep from pivots within each color class
+        reach = color.where(F.col("color") == F.col("node_id")).select("node_id", "color")
+        prev_n = -1
+        for _i in range(max_inner):
+            n = reach.count()
+            if n == prev_n:
+                break
+            prev_n = n
+            step = (
+                e.join(reach.withColumnRenamed("node_id", "dst"), "dst")
+                .select(F.col("src").alias("node_id"), "color")
+            )
+            # keep only nodes whose own color matches the pivot color
+            step = step.join(color, ["node_id", "color"], "left_semi")
+            reach = reach.unionByName(step).dropDuplicates(["node_id"]).localCheckpoint(eager=True)
+        assigned = assigned.unionByName(
+            reach.select("node_id", F.col("color").alias("scc"))
+        ).localCheckpoint(eager=True)
+        live = live.join(reach, "node_id", "left_anti").localCheckpoint(eager=True)
+    # isolated nodes (no edges) never enter `live`; callers pass a node
+    # set if they need singleton SCCs for them
+    return assigned
+
+
 # --- C6: label propagation --------------------------------------------------------------
 def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
     """Synchronous LPA for community detection: each round a node

@@ -34,6 +34,7 @@ from biodwh2_arcadedb_server_spark.operators.graph import (
     motif_chain,
     pagerank,
     sssp,
+    strongly_connected_components,
     triangle_count,
 )
 from biodwh2_arcadedb_server_spark.sources.registry import load_table
@@ -159,6 +160,13 @@ def weighted_nation_graph(spark: SparkSession, sf_dir: str, mod: int) -> DataFra
     )
 
 
+def q81_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed nation graph
+    (iterative coloring — no SQL oracle; tests/test_graph.py pins it
+    against a pure-Python Tarjan on the same edges)."""
+    return strongly_connected_components(nation_graph(spark, sf_dir, 97))
+
+
 def q80_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted shortest-path distances from nation 0 (Bellman-Ford
     relaxation — no SQL oracle; tests/test_graph.py pins it against a
@@ -180,6 +188,7 @@ QUERIES = {
     "q75_clustering_coefficient": q75_clustering_coefficient,
     "q76_kcore": q76_kcore,
     "q80_sssp": q80_sssp,
+    "q81_scc": q81_scc,
 }
 
 _G211 = _NATION_GRAPH_SQL.format(mod=211)

@@ -242,3 +242,74 @@ def test_sssp_matches_dijkstra_on_nation_graph(spark, sf_small):
     want = _py_dijkstra(edges, 0)
     got = {r.node_id: r.dist for r in sssp(g, 0).collect()}
     assert got == want
+
+
+def _py_scc(edges):
+    """Iterative Tarjan reference: {node: min-id of its SCC} over
+    nodes that touch an edge."""
+    adj, nodes = {}, set()
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        nodes.update((s, d))
+    index, low, onstack, stack = {}, {}, set(), []
+    sccs, counter = [], [0]
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstack.add(v)
+            recurse = False
+            for i in range(pi, len(adj.get(v, []))):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in onstack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    return {n: min(c) for c in sccs for n in c}
+
+
+def test_scc_two_cycles_with_bridge(spark):
+    """Cycles {0,1,2} and {3,4} joined by a one-way bridge stay
+    separate SCCs; a dead-end node is its own SCC."""
+    from biodwh2_arcadedb_server_spark.operators.graph import strongly_connected_components
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (4, 5)],
+        ["src", "dst"],
+    )
+    got = {r.node_id: r.scc for r in strongly_connected_components(e).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+def test_scc_matches_tarjan_on_nation_graph(spark, sf_small):
+    from biodwh2_arcadedb_server_spark.operators.graph import strongly_connected_components
+
+    g = nation_graph(spark, sf_small, 97)
+    edges = [(r.src, r.dst) for r in g.collect()]
+    want = _py_scc(edges)
+    got = {r.node_id: r.scc for r in strongly_connected_components(g).collect()}
+    assert got == want
