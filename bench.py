@@ -88,6 +88,7 @@ HEADLINE = [
     "q72_stratified_sample",
     "q78_json_roundtrip",
     "q79_window_ranks",
+    "q82_profile_stats",
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q22_connected_components",

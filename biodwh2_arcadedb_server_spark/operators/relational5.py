@@ -241,6 +241,24 @@ def q79_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- warehouse staple: column profiling ----------------------------------------------
+def q82_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass profiling of the orders fact: row count, null count,
+    min/max/avg/stddev per numeric column, distinct count of a
+    low-cardinality column — the stats a catalog/optimizer collects.
+    Single scan, partial aggregation map-side, one 1-row result."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("null_dates"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+    )
+
+
 QUERIES = {
     "q66_setops_all": q66_setops_all,
     "q67_let_scalars": q67_let_scalars,
@@ -251,6 +269,7 @@ QUERIES = {
     "q72_stratified_sample": q72_stratified_sample,
     "q78_json_roundtrip": q78_json_roundtrip,
     "q79_window_ranks": q79_window_ranks,
+    "q82_profile_stats": q82_profile_stats,
 }
 
 ORACLE = {
@@ -340,4 +359,15 @@ ORACLE["q79_window_ranks"] = """
            FIRST_VALUE(c_custkey) OVER w AS top_cust
     FROM customer WHERE c_custkey <= 300
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+ORACLE["q82_profile_stats"] = """
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_dates,
+           ROUND(MIN(o_totalprice), 4) AS min_price,
+           ROUND(MAX(o_totalprice), 4) AS max_price,
+           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           ROUND(STDDEV_SAMP(o_totalprice), 4) AS sd_price,
+           COUNT(DISTINCT o_orderstatus) AS n_status
+    FROM orders
 """
