@@ -99,6 +99,7 @@ HEADLINE = [
     "q80_sssp",
     "q81_scc",
     "q24_pagerank",
+    "q83_personalized_pagerank",
     "q26_neardup_jaccard",
     "q27_minhash_neardup",
     "q28_simhash_neardup",

@@ -344,9 +344,17 @@ def pagerank(
     damping: float = 0.85,
     nodes: DataFrame | None = None,
     checkpoint_every: int = 3,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration normalized PageRank with dangling-mass
     redistribution (ranks sum to 1). Returns (node_id, rank).
+
+    ``reset`` personalizes the walk: a (node_id, reset) distribution
+    (summing to 1) that replaces the uniform teleport — both the
+    (1-d) jump and the dangling mass land on the reset nodes, giving
+    topic-sensitive PageRank (Haveliwala, WWW 2002). ``None`` keeps
+    the classic uniform teleport. The reset column rides inside the
+    rank table, so personalization adds zero extra joins per round.
 
     Each round: contributions = ranks ⋈ edges on src, grouped by dst;
     dangling mass (nodes with out-degree 0) is spread uniformly. The
@@ -375,9 +383,16 @@ def pagerank(
 
     out_deg = e.groupBy(F.col("src").alias("node_id")).agg(F.count(F.lit(1)).alias("odeg"))
     # (node_id, odeg) with 0 for sinks — broadcast-sized per partition of ranks
-    deg = node_ids.join(out_deg, "node_id", "left").na.fill(0, ["odeg"]).localCheckpoint(eager=True)
+    deg = node_ids.join(out_deg, "node_id", "left").na.fill(0, ["odeg"])
+    if reset is None:
+        deg = deg.withColumn("_reset", F.lit(1.0 / n))
+    else:
+        deg = deg.join(
+            reset.select("node_id", F.col("reset").alias("_reset")), "node_id", "left"
+        ).na.fill(0.0, ["_reset"])
+    deg = deg.localCheckpoint(eager=True)
 
-    ranks = deg.select("node_id", "odeg", F.lit(1.0 / n).alias("rank"))
+    ranks = deg.select("node_id", "odeg", "_reset", F.col("_reset").alias("rank"))
     for it in range(1, iterations + 1):
         # dangling mass stays in-plan as a broadcast 1-row aggregate —
         # no driver round-trip per iteration
@@ -397,10 +412,14 @@ def pagerank(
             .select(
                 "node_id",
                 "odeg",
+                "_reset",
                 (
-                    F.lit((1.0 - damping) / n)
+                    F.lit(1.0 - damping) * F.col("_reset")
                     + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("_dangling") / n)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("_dangling") * F.col("_reset")
+                    )
                 ).alias("rank"),
             )
         )

@@ -160,6 +160,15 @@ def weighted_nation_graph(spark: SparkSession, sf_dir: str, mod: int) -> DataFra
     )
 
 
+def q83_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-sensitive PageRank seeded on nations {0, 1} (half the
+    teleport mass each) — no SQL oracle; tests/test_graph.py pins it
+    against the numpy reference with the same reset vector."""
+    reset = spark.createDataFrame([(0, 0.5), (1, 0.5)], "node_id long, reset double")
+    pr = pagerank(nation_graph(spark, sf_dir, 97), iterations=10, reset=reset)
+    return pr.select("node_id", F.round("rank", 6).alias("rank"))
+
+
 def q81_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components of the directed nation graph
     (iterative coloring — no SQL oracle; tests/test_graph.py pins it
@@ -189,6 +198,7 @@ QUERIES = {
     "q76_kcore": q76_kcore,
     "q80_sssp": q80_sssp,
     "q81_scc": q81_scc,
+    "q83_personalized_pagerank": q83_personalized_pagerank,
 }
 
 _G211 = _NATION_GRAPH_SQL.format(mod=211)

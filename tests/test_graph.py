@@ -313,3 +313,34 @@ def test_scc_matches_tarjan_on_nation_graph(spark, sf_small):
     want = _py_scc(edges)
     got = {r.node_id: r.scc for r in strongly_connected_components(g).collect()}
     assert got == want
+
+
+def test_personalized_pagerank_against_numpy(spark, sf_medium):
+    """Same power iteration as the classic test but with teleport and
+    dangling mass landing on the reset vector {0: 0.5, 1: 0.5}."""
+    g = nation_graph(spark, sf_medium, 97)
+    edges = [(r.src, r.dst) for r in g.collect()]
+    reset_df = spark.createDataFrame([(0, 0.5), (1, 0.5)], "node_id long, reset double")
+    got = {r.node_id: r.rank
+           for r in pagerank(g, iterations=10, reset=reset_df).collect()}
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[idx[s]] += 1
+    reset = np.zeros(n)
+    reset[idx[0]] = 0.5
+    reset[idx[1]] = 0.5
+    r = reset.copy()
+    d = 0.85
+    for _ in range(10):
+        dangling = r[out_deg == 0].sum()
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[idx[t]] += r[idx[s]] / out_deg[idx[s]]
+        r = (1 - d) * reset + d * (contrib + dangling * reset)
+    for node, rank in got.items():
+        assert rank == pytest.approx(r[idx[node]], abs=1e-9), node
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
