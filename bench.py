@@ -103,6 +103,7 @@ HEADLINE = [
     "q26_neardup_jaccard",
     "q27_minhash_neardup",
     "q28_simhash_neardup",
+    "q84_stream_neardup",
     "q29_cosine_neardup",
     "q30_knn_topk",
     "q77_ivf_topk",

@@ -237,16 +237,12 @@ def _bucket_pairs(ids_sorted) -> F.Column:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
-    """Band the signatures and bucket docs on (band_idx, band_hash).
-    Two docs collide in a band iff their signature rows there all
-    match → P(candidate) ≈ 1-(1-j^rows)^bands. Output (id_a, id_b).
-
-    One shuffle total: explode bands → groupBy bucket → emit pairs
-    bucket-locally (``_bucket_pairs``). The old self-join shuffled the
-    banded table twice and paid a join; grouping moves the same rows
-    once and the pair fan-out happens where the bucket lives."""
-    banded = sigs.select(
+def banded_signatures(sigs: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """(_id, band, bh) — one row per (doc, band) with the band's
+    row-slice hashed to a bucket key. Pure per-row expressions
+    (stream-safe); shared by the batch LSH join and the streaming
+    near-dup operator."""
+    return sigs.select(
         "_id",
         F.explode(
             F.transform(
@@ -258,6 +254,18 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> Data
             )
         ).alias("b"),
     ).select("_id", "b.band", "b.bh")
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """Band the signatures and bucket docs on (band_idx, band_hash).
+    Two docs collide in a band iff their signature rows there all
+    match → P(candidate) ≈ 1-(1-j^rows)^bands. Output (id_a, id_b).
+
+    One shuffle total: explode bands → groupBy bucket → emit pairs
+    bucket-locally (``_bucket_pairs``). The old self-join shuffled the
+    banded table twice and paid a join; grouping moves the same rows
+    once and the pair fan-out happens where the bucket lives."""
+    banded = banded_signatures(sigs, bands, rows)
     return (
         banded.groupBy("band", "bh")
         .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))

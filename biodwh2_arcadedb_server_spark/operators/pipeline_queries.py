@@ -41,6 +41,35 @@ def q27_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C2 × C7: streaming MinHash near-dup candidates (rows-only) -------------------
+def q84_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the documents stream through the stateful band-bucket
+    store (streaming/neardup.py) and return the distinct candidate
+    pairs — pinned equal to the batch LSH join by
+    tests/test_streaming_neardup.py."""
+    import tempfile
+
+    from biodwh2_arcadedb_server_spark.streaming.neardup import (
+        read_documents_stream,
+        streaming_minhash_candidates,
+    )
+
+    stream = read_documents_stream(spark, sf_dir)
+    out = streaming_minhash_candidates(
+        stream, k=JACCARD_K, num_hashes=32, bands=8, rows=4
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q84_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q84_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q84_pairs").select("id_a", "id_b").dropDuplicates()
+
+
 # --- C2: SimHash near-dups (rows-only) ------------------------------------------
 def q28_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -160,6 +189,7 @@ QUERIES = {
     "q26_neardup_jaccard": q26_neardup_jaccard,
     "q27_minhash_neardup": q27_minhash_neardup,
     "q28_simhash_neardup": q28_simhash_neardup,
+    "q84_stream_neardup": q84_stream_neardup,
     "q29_cosine_neardup": q29_cosine_neardup,
     "q30_knn_topk": q30_knn_topk,
     "q31_ann_topk": q31_ann_topk,

@@ -1,0 +1,137 @@
+"""Streaming near-duplicate detection (C2 × C7): MinHash+LSH over a
+document stream with a stateful band-bucket store.
+
+The reference ingests once and has no streaming story; a training-data
+pipeline at 100 TB ingests continuously and wants near-dups flagged on
+arrival, not in a nightly batch. The operator composes:
+
+1. **Stateless signature stage** — tokenize → hashed k-shingles →
+   MinHash signature → band/bucket keys, all per-row JVM expressions
+   (`dedup.minhash_signatures_from_shingles` / `banded_signatures`
+   are reused verbatim; they contain no shuffle or checkpoint, so the
+   same code serves batch and stream — the batch/stream parity rule).
+2. **Stateful bucket store** — ``applyInPandasWithState`` keyed by
+   (band, bucket-hash): state is the sorted id list of documents seen
+   in that bucket; each arriving doc emits one candidate pair per
+   prior occupant, then joins the set. A pair is emitted exactly once
+   (by the doc that arrives second), so downstream dedup is only
+   needed across bands — same contract as the batch LSH join.
+
+State size is O(docs × bands) ids total, the same volume the batch
+job shuffles; ``ttl_ms`` evicts stale buckets for continuous runs
+(opt-in — a pending ProcessingTimeTimeout keeps availableNow runs
+scheduling extra micro-batches forever, see stateful.py).
+
+The pytest gate streams the same files the batch path reads (split in
+two so state must carry across micro-batches) and asserts the emitted
+pair set equals ``dedup.lsh_candidate_pairs`` on identical parameters.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from biodwh2_arcadedb_server_spark.functions import shingles_from_tokens, tokens
+from biodwh2_arcadedb_server_spark.operators.dedup import (
+    banded_signatures,
+    minhash_signatures_from_shingles,
+)
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+PAIR_SCHEMA = "id_a long, id_b long, band int"
+BUCKET_STATE_SCHEMA = "ids array<bigint>"
+
+
+def read_documents_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 1,
+    glob: str = "documents.parquet",
+) -> DataFrame:
+    """Incremental file-source stream over the documents table. The
+    glob matches leaf *file* names (the testdata table is one file;
+    tests stream multi-file directories with ``glob='*.parquet'``)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", glob)
+        .parquet(sf_dir)
+    )
+
+
+def _update_bucket(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState, ttl_ms: int | None
+) -> Iterable[pd.DataFrame]:
+    band, _bh = key
+    if state.hasTimedOut:
+        state.remove()
+        return iter(())
+    ids: set[int] = set(state.get[0]) if state.exists else set()
+    a_out: list[int] = []
+    b_out: list[int] = []
+    for pdf in pdfs:
+        for _id in pdf["_id"]:
+            _id = int(_id)
+            if _id in ids:
+                continue  # replayed doc: pairs already emitted
+            for other in ids:
+                a_out.append(min(_id, other))
+                b_out.append(max(_id, other))
+            ids.add(_id)
+    state.update((sorted(ids),))
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
+    if not a_out:
+        return iter(())
+    return iter(
+        [pd.DataFrame({"id_a": a_out, "id_b": b_out, "band": [band] * len(a_out)})]
+    )
+
+
+def streaming_minhash_candidates(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows: int = 4,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs over a streaming document source.
+    Output (id_a, id_b, band) — distinct pairs may repeat across
+    bands (dedupe downstream, exactly like the batch LSH join does
+    before verification)."""
+    toked = docs.select(F.col("doc_id").alias("_id"), tokens(F.col("text")).alias("_toks"))
+    sh = toked.select(
+        "_id",
+        F.sort_array(
+            F.transform(shingles_from_tokens(F.col("_toks"), k), lambda g: F.xxhash64(g))
+        ).alias("_sh"),
+    ).withColumn("_size", F.size("_sh"))
+    sigs = minhash_signatures_from_shingles(sh, num_hashes)
+    banded = banded_signatures(sigs, bands, rows)
+    timeout = (
+        GroupStateTimeout.NoTimeout if ttl_ms is None else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return banded.groupBy("band", "bh").applyInPandasWithState(
+        functools.partial(_update_bucket, ttl_ms=ttl_ms),
+        outputStructType=PAIR_SCHEMA,
+        stateStructType=BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
