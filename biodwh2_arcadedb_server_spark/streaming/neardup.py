@@ -55,7 +55,7 @@ DOCUMENTS_SCHEMA = T.StructType(
 )
 
 PAIR_SCHEMA = "id_a long, id_b long, band int"
-BUCKET_STATE_SCHEMA = "ids array<bigint>"
+BUCKET_STATE_SCHEMA = "bhs array<bigint>, idlists array<array<bigint>>"
 
 
 def read_documents_stream(
@@ -78,23 +78,32 @@ def read_documents_stream(
 def _update_bucket(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState, ttl_ms: int | None
 ) -> Iterable[pd.DataFrame]:
-    band, _bh = key
+    """State group = one coarse cell (band, bh mod coarse_buckets);
+    the state maps each exact bucket hash seen in the cell to its
+    sorted id list, so exact-bh matching is preserved while the
+    Python-call count drops from one per bucket to one per cell."""
+    band, _cell = key
     if state.hasTimedOut:
         state.remove()
         return iter(())
-    ids: set[int] = set(state.get[0]) if state.exists else set()
+    if state.exists:
+        bhs, idlists = state.get
+        table: dict[int, set[int]] = {int(b): set(l) for b, l in zip(bhs, idlists)}
+    else:
+        table = {}
     a_out: list[int] = []
     b_out: list[int] = []
     for pdf in pdfs:
-        for _id in pdf["_id"]:
-            _id = int(_id)
+        for _id, bh in zip(pdf["_id"], pdf["bh"]):
+            _id, bh = int(_id), int(bh)
+            ids = table.setdefault(bh, set())
             if _id in ids:
                 continue  # replayed doc: pairs already emitted
             for other in ids:
                 a_out.append(min(_id, other))
                 b_out.append(max(_id, other))
             ids.add(_id)
-    state.update((sorted(ids),))
+    state.update((list(table.keys()), [sorted(v) for v in table.values()]))
     if ttl_ms is not None:
         state.setTimeoutDuration(ttl_ms)
     if not a_out:
@@ -111,11 +120,24 @@ def streaming_minhash_candidates(
     bands: int = 8,
     rows: int = 4,
     ttl_ms: int | None = None,
+    coarse_buckets: int = 1024,
 ) -> DataFrame:
     """Candidate near-dup pairs over a streaming document source.
     Output (id_a, id_b, band) — distinct pairs may repeat across
     bands (dedupe downstream, exactly like the batch LSH join does
-    before verification)."""
+    before verification).
+
+    ``coarse_buckets`` sets state-key granularity: grouping on the
+    raw (band, bh) would pay one Python invocation per *occupied
+    bucket* per micro-batch (measured 14.5s for ~40k single-doc
+    buckets at sf0.1); grouping on (band, bh mod coarse_buckets)
+    caps the call count at bands × coarse_buckets while the in-state
+    bh→ids map keeps matching exact. Measured sf0.1 curve: raw
+    14.5s → 1024 cells 9.5s → 64 cells 6.6s (remaining floor is the
+    stateful shuffle + state-store I/O, not the calls). Size it so a
+    cell's state stays a few KB: ~docs×bands/(bands×cells) ids per
+    cell — at 10^9 docs that means 10^6-10^7 cells, still thousands
+    of docs per Python call."""
     toked = docs.select(F.col("doc_id").alias("_id"), tokens(F.col("text")).alias("_toks"))
     sh = toked.select(
         "_id",
@@ -124,11 +146,13 @@ def streaming_minhash_candidates(
         ).alias("_sh"),
     ).withColumn("_size", F.size("_sh"))
     sigs = minhash_signatures_from_shingles(sh, num_hashes)
-    banded = banded_signatures(sigs, bands, rows)
+    banded = banded_signatures(sigs, bands, rows).withColumn(
+        "cell", F.pmod("bh", F.lit(coarse_buckets))
+    )
     timeout = (
         GroupStateTimeout.NoTimeout if ttl_ms is None else GroupStateTimeout.ProcessingTimeTimeout
     )
-    return banded.groupBy("band", "bh").applyInPandasWithState(
+    return banded.groupBy("band", "cell").applyInPandasWithState(
         functools.partial(_update_bucket, ttl_ms=ttl_ms),
         outputStructType=PAIR_SCHEMA,
         stateStructType=BUCKET_STATE_SCHEMA,
