@@ -100,6 +100,7 @@ HEADLINE = [
     "q81_scc",
     "q24_pagerank",
     "q83_personalized_pagerank",
+    "q85_closeness",
     "q26_neardup_jaccard",
     "q27_minhash_neardup",
     "q28_simhash_neardup",

@@ -525,6 +525,74 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     )
 
 
+# --- C6: closeness centrality (multi-source BFS) -----------------------------------------
+def closeness_centrality(
+    edges: DataFrame,
+    pivots: DataFrame | None = None,
+    max_depth: int = 20,
+    directed: bool = False,
+) -> DataFrame:
+    """(node_id, n_reached, sum_dist, closeness) where n_reached /
+    sum_dist count pivots (≠ the node) that reach the node and their
+    BFS distances; closeness = n_reached/sum_dist — the classic
+    (n-1)/Σd when every node is a pivot and the graph is connected —
+    and 0.0 when nothing reaches the node.
+
+    One multi-source BFS: the frontier carries (pivot, node, depth)
+    triples, so K sources traverse together in depth-many rounds —
+    one job per depth regardless of K, not K separate BFS runs. With
+    ``pivots=None`` every node is a source (exact closeness, cost
+    O(n·m) messages — fine to diameter on mid graphs); at 100 TB pass
+    a sampled pivot set: the estimator converges ~1/sqrt(K)
+    (Eppstein-Wang) and the plan is unchanged."""
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.dropDuplicates().localCheckpoint(eager=True)
+    all_nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    src = (pivots if pivots is not None else all_nodes).select(
+        F.col("node_id").alias("pivot")
+    )
+    # visited: (pivot, node_id, depth) — first reach wins (BFS depth)
+    visited = src.select("pivot", F.col("pivot").alias("node_id"), F.lit(0).alias("depth"))
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.node_id == e.src)
+            .select("pivot", F.col("dst").alias("node_id"))
+            .join(visited.select("pivot", "node_id"), ["pivot", "node_id"], "left_anti")
+            .dropDuplicates(["pivot", "node_id"])
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    per_node = (
+        visited.where(F.col("depth") > 0)
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("n_reached"), F.sum("depth").alias("sum_dist"))
+    )
+    return (
+        all_nodes.join(per_node, "node_id", "left")
+        .na.fill(0, ["n_reached", "sum_dist"])
+        .withColumn(
+            "closeness",
+            F.when(
+                F.col("sum_dist") > 0,
+                F.round(F.col("n_reached") / F.col("sum_dist"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 # --- C6: strongly connected components ---------------------------------------------------
 def strongly_connected_components(
     edges: DataFrame, max_phases: int = 30, max_inner: int = 50

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from biodwh2_arcadedb_server_spark.operators.graph import (
     bfs,
+    closeness_centrality,
     clustering_coefficient,
     connected_components,
     connected_components_star,
@@ -160,6 +161,13 @@ def weighted_nation_graph(spark: SparkSession, sf_dir: str, mod: int) -> DataFra
     )
 
 
+def q85_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact closeness centrality of the undirected nation graph via
+    one multi-source BFS (every node a pivot) — no SQL oracle;
+    tests/test_graph.py pins it against a pure-Python BFS."""
+    return closeness_centrality(nation_graph(spark, sf_dir, 97))
+
+
 def q83_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-sensitive PageRank seeded on nations {0, 1} (half the
     teleport mass each) — no SQL oracle; tests/test_graph.py pins it
@@ -199,6 +207,7 @@ QUERIES = {
     "q80_sssp": q80_sssp,
     "q81_scc": q81_scc,
     "q83_personalized_pagerank": q83_personalized_pagerank,
+    "q85_closeness": q85_closeness,
 }
 
 _G211 = _NATION_GRAPH_SQL.format(mod=211)

@@ -344,3 +344,60 @@ def test_personalized_pagerank_against_numpy(spark, sf_medium):
     for node, rank in got.items():
         assert rank == pytest.approx(r[idx[node]], abs=1e-9), node
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def _py_closeness(edges, directed=False):
+    """Pure-Python BFS closeness: for each node v, count and total
+    the BFS distances from every other node that reaches v."""
+    from collections import deque
+
+    adj = {}
+    nodes = set()
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+        nodes.update((s, d))
+    n_reached = {v: 0 for v in nodes}
+    sum_dist = {v: 0 for v in nodes}
+    for src in nodes:
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            u = dq.popleft()
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+        for v, d in dist.items():
+            if v != src:
+                n_reached[v] += 1
+                sum_dist[v] += d
+    return {
+        v: (n_reached[v], sum_dist[v],
+            round(n_reached[v] / sum_dist[v], 4) if sum_dist[v] else 0.0)
+        for v in nodes
+    }
+
+
+def test_closeness_chain(spark):
+    """Path 0-1-2: the middle node is closest (1/1 from each end)."""
+    from biodwh2_arcadedb_server_spark.operators.graph import closeness_centrality
+
+    e = _edges(spark, [(0, 1), (1, 2)])
+    got = {r.node_id: (r.n_reached, r.sum_dist, r.closeness)
+           for r in closeness_centrality(e).collect()}
+    assert got[1] == (2, 2, 1.0)
+    assert got[0] == (2, 3, round(2 / 3, 4))
+    assert got[2] == (2, 3, round(2 / 3, 4))
+
+
+def test_closeness_matches_python_on_nation_graph(spark, sf_small):
+    from biodwh2_arcadedb_server_spark.operators.graph import closeness_centrality
+
+    g = nation_graph(spark, sf_small, 97)
+    edges = [(r.src, r.dst) for r in g.collect()]
+    want = _py_closeness(edges)
+    got = {r.node_id: (r.n_reached, r.sum_dist, r.closeness)
+           for r in closeness_centrality(g).collect()}
+    assert got == want
