@@ -101,6 +101,7 @@ HEADLINE = [
     "q24_pagerank",
     "q83_personalized_pagerank",
     "q85_closeness",
+    "q86_betweenness",
     "q26_neardup_jaccard",
     "q27_minhash_neardup",
     "q28_simhash_neardup",

@@ -593,6 +593,118 @@ def closeness_centrality(
     )
 
 
+# --- C6: betweenness centrality (Brandes on multi-source BFS) ----------------------------
+def betweenness_centrality(
+    edges: DataFrame,
+    pivots: DataFrame | None = None,
+    max_depth: int = 20,
+    directed: bool = False,
+) -> DataFrame:
+    """(node_id, betweenness) — Brandes' algorithm (J. Math. Sociol.
+    2001) lifted to one multi-source traversal: the forward BFS
+    carries (pivot, node, depth, sigma = #shortest paths); the
+    shortest-path DAG is the edge set filtered to depth(v) =
+    depth(u)+1 per pivot; dependencies accumulate backward one DEPTH
+    LEVEL at a time — delta(u) = Σ_successors sigma_u/sigma_v ·
+    (1+delta_v) — so the round count is the diameter in both passes,
+    never the node count. With ``pivots=None`` the result is exact;
+    a sampled pivot set gives the standard Brandes-Pich estimator at
+    K/n of the message volume, same plan."""
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.dropDuplicates().localCheckpoint(eager=True)
+    all_nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    src = (pivots if pivots is not None else all_nodes).select(F.col("node_id").alias("pivot"))
+    visited = src.select(
+        "pivot", F.col("pivot").alias("node_id"), F.lit(0).alias("depth"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    max_d = 0
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.node_id == e.src)
+            .select("pivot", F.col("dst").alias("node_id"), "sigma")
+            .join(visited.select("pivot", "node_id"), ["pivot", "node_id"], "left_anti")
+            .groupBy("pivot", "node_id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt.select("pivot", "node_id", "depth", "sigma")).localCheckpoint(
+            eager=True
+        )
+        frontier = nxt
+        max_d = d
+    # per-pivot shortest-path DAG: u→v with depth_v = depth_u + 1.
+    # Distinct column names on the two visited projections — a bare
+    # self-join on `pivot` resolves as the trivially-true predicate.
+    u = visited.select(
+        F.col("pivot").alias("pu"),
+        F.col("node_id").alias("u"),
+        F.col("depth").alias("du"),
+        F.col("sigma").alias("su"),
+    )
+    v = visited.select(
+        F.col("pivot").alias("pv"),
+        F.col("node_id").alias("v"),
+        F.col("depth").alias("dv"),
+        F.col("sigma").alias("sv"),
+    )
+    dag = (
+        e.join(u, e.src == u.u)
+        .join(v, (F.col("dst") == F.col("v")) & (F.col("pu") == F.col("pv")) & (F.col("dv") == F.col("du") + 1))
+        .select(F.col("pu").alias("pivot"), "u", "du", "su", "v", "sv")
+        .localCheckpoint(eager=True)
+    )
+    # backward accumulation, one depth level per round
+    spark = edges.sparkSession
+    delta_next = spark.createDataFrame([], "pivot long, node_id long, delta double")
+    acc = delta_next
+    for d in range(max_d - 1, -1, -1):
+        level_nodes = visited.where(F.col("depth") == d).select("pivot", "node_id")
+        contrib = (
+            dag.where(F.col("du") == d)
+            .join(
+                delta_next.withColumnRenamed("node_id", "v"),
+                ["pivot", "v"],
+                "left",
+            )
+            .na.fill(0.0, ["delta"])
+            .select(
+                "pivot",
+                F.col("u").alias("node_id"),
+                (F.col("su") / F.col("sv") * (F.lit(1.0) + F.col("delta"))).alias("_c"),
+            )
+            .groupBy("pivot", "node_id")
+            .agg(F.sum("_c").alias("delta"))
+        )
+        delta_next = (
+            level_nodes.join(contrib, ["pivot", "node_id"], "left")
+            .na.fill(0.0, ["delta"])
+            .localCheckpoint(eager=True)
+        )
+        acc = acc.unionByName(delta_next.where(F.col("delta") > 0))
+    bc = (
+        acc.where(F.col("node_id") != F.col("pivot"))
+        .groupBy("node_id")
+        .agg(F.sum("delta").alias("_b"))
+    )
+    scale = 0.5 if not directed else 1.0
+    return (
+        all_nodes.join(bc, "node_id", "left")
+        .na.fill(0.0, ["_b"])
+        .select("node_id", F.round(F.col("_b") * scale, 4).alias("betweenness"))
+    )
+
+
 # --- C6: strongly connected components ---------------------------------------------------
 def strongly_connected_components(
     edges: DataFrame, max_phases: int = 30, max_inner: int = 50

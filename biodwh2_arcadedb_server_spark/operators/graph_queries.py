@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from biodwh2_arcadedb_server_spark.operators.graph import (
+    betweenness_centrality,
     bfs,
     closeness_centrality,
     clustering_coefficient,
@@ -161,6 +162,13 @@ def weighted_nation_graph(spark: SparkSession, sf_dir: str, mod: int) -> DataFra
     )
 
 
+def q86_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact betweenness centrality of the undirected nation graph
+    (multi-source Brandes) — no SQL oracle; tests/test_graph.py pins
+    it against a pure-Python Brandes."""
+    return betweenness_centrality(nation_graph(spark, sf_dir, 97))
+
+
 def q85_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact closeness centrality of the undirected nation graph via
     one multi-source BFS (every node a pivot) — no SQL oracle;
@@ -208,6 +216,7 @@ QUERIES = {
     "q81_scc": q81_scc,
     "q83_personalized_pagerank": q83_personalized_pagerank,
     "q85_closeness": q85_closeness,
+    "q86_betweenness": q86_betweenness,
 }
 
 _G211 = _NATION_GRAPH_SQL.format(mod=211)

@@ -401,3 +401,64 @@ def test_closeness_matches_python_on_nation_graph(spark, sf_small):
     got = {r.node_id: (r.n_reached, r.sum_dist, r.closeness)
            for r in closeness_centrality(g).collect()}
     assert got == want
+
+
+def _py_betweenness(edges, directed=False):
+    """Exact Brandes reference."""
+    from collections import deque
+
+    adj, nodes = {}, set()
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+        nodes.update((s, d))
+    bc = dict.fromkeys(nodes, 0.0)
+    for s in nodes:
+        order, preds = [], {v: [] for v in nodes}
+        sigma = dict.fromkeys(nodes, 0.0)
+        sigma[s] = 1.0
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            order.append(v)
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = dict.fromkeys(nodes, 0.0)
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    scale = 0.5 if not directed else 1.0
+    return {v: round(b * scale, 4) for v, b in bc.items()}
+
+
+def test_betweenness_path_and_star(spark):
+    from biodwh2_arcadedb_server_spark.operators.graph import betweenness_centrality
+
+    path = _edges(spark, [(0, 1), (1, 2)])
+    got = {r.node_id: r.betweenness for r in betweenness_centrality(path).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 0.0}
+    # star: center carries every pair, leaves none — C(3,2)=3 pairs
+    star = _edges(spark, [(9, 1), (9, 2), (9, 3)])
+    got = {r.node_id: r.betweenness for r in betweenness_centrality(star).collect()}
+    assert got == {9: 3.0, 1: 0.0, 2: 0.0, 3: 0.0}
+
+
+def test_betweenness_matches_brandes_on_nation_graph(spark, sf_small):
+    from biodwh2_arcadedb_server_spark.operators.graph import betweenness_centrality
+
+    g = nation_graph(spark, sf_small, 97)
+    edges = [(r.src, r.dst) for r in g.collect()]
+    want = _py_betweenness(edges)
+    got = {r.node_id: r.betweenness for r in betweenness_centrality(g).collect()}
+    assert set(got) == set(want)
+    for v in got:
+        assert got[v] == pytest.approx(want[v], abs=1e-3), v
