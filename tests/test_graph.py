@@ -462,3 +462,42 @@ def test_betweenness_matches_brandes_on_nation_graph(spark, sf_small):
     assert set(got) == set(want)
     for v in got:
         assert got[v] == pytest.approx(want[v], abs=1e-3), v
+
+
+def test_centrality_sampled_pivots_exact_restriction(spark, sf_small):
+    """The sampled-pivot scale path must compute exactly the
+    pivot-restricted sums (sampling changes the estimator, not the
+    arithmetic): closeness counts only the chosen pivots."""
+    from biodwh2_arcadedb_server_spark.operators.graph import closeness_centrality
+
+    g = nation_graph(spark, sf_small, 97)
+    edges = [(r.src, r.dst) for r in g.collect()]
+    pivot_ids = [0, 5, 11]
+    pivots = spark.createDataFrame([(p,) for p in pivot_ids], "node_id long")
+    got = {r.node_id: (r.n_reached, r.sum_dist)
+           for r in closeness_centrality(g, pivots=pivots).collect()}
+
+    # python reference restricted to the same pivot set
+    from collections import deque
+
+    adj = {}
+    nodes = set()
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+        nodes.update((s, d))
+    want = {v: [0, 0] for v in nodes}
+    for src in pivot_ids:
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            u = dq.popleft()
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+        for v, d in dist.items():
+            if v != src:
+                want[v][0] += 1
+                want[v][1] += d
+    assert got == {v: tuple(c) for v, c in want.items()}
