@@ -54,8 +54,40 @@ def _interleave2(a: Column, b: Column, bits: int) -> Column:
     return reduce(lambda x, y: x.bitwiseOR(y), terms)
 
 
-def zorder_key(df: DataFrame, col_a: str, col_b: str, bits: int = ZBITS) -> DataFrame:
-    """Append a ``_zkey`` column: Morton code of the two columns'
+def _hilbert_d(a: Column, b: Column, bits: int) -> Column:
+    """Hilbert-curve index of (a, b) on the 2^bits grid — the classic
+    xy→d bit walk (quadrant accumulate + rotate). Hilbert never jumps
+    diagonally (adjacent indices are adjacent cells), so file boxes
+    are tighter than Morton's at a few more ops per row.
+
+    Expressed as an ``F.aggregate`` fold over the bit sequence, NOT a
+    Python-side unroll: each rotation reads both prior x and y, so an
+    unrolled tree doubles per round (2^bits expression nodes — a
+    16-bit key froze the analyzer); the fold keeps the plan O(1) and
+    loops at runtime."""
+    seq = F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1))
+    init = F.struct(
+        a.cast("long").alias("x"), b.cast("long").alias("y"), F.lit(0).cast("long").alias("d")
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        s = F.pow(F.lit(2.0), i.cast("double")).cast("long")
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        d2 = acc["d"] + s * s * ((F.lit(3) * rx).bitwiseXOR(ry))
+        flip = rx == 1
+        nx = F.when(ry == 0, F.when(flip, s - 1 - acc["y"]).otherwise(acc["y"])).otherwise(acc["x"])
+        ny = F.when(ry == 0, F.when(flip, s - 1 - acc["x"]).otherwise(acc["x"])).otherwise(acc["y"])
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    return F.aggregate(seq, init, step)["d"]
+
+
+def zorder_key(
+    df: DataFrame, col_a: str, col_b: str, bits: int = ZBITS, curve: str = "morton"
+) -> DataFrame:
+    """Append a ``_zkey`` column: the space-filling-curve index
+    (``morton`` interleave or ``hilbert`` walk) of the two columns'
     normalized ranks. Column min/max ride as a broadcast 1-row
     aggregate — single job, no driver round-trip."""
     stats = df.agg(
@@ -67,9 +99,13 @@ def zorder_key(df: DataFrame, col_a: str, col_b: str, bits: int = ZBITS) -> Data
     with_stats = df.crossJoin(F.broadcast(stats))
     ra = _normalize_to_bits(F.col(col_a), F.col("_amin"), F.col("_amax"), bits)
     rb = _normalize_to_bits(F.col(col_b), F.col("_bmin"), F.col("_bmax"), bits)
-    return with_stats.withColumn("_zkey", _interleave2(ra, rb, bits)).drop(
-        "_amin", "_amax", "_bmin", "_bmax"
-    )
+    if curve == "hilbert":
+        key = _hilbert_d(ra, rb, bits)
+    elif curve == "morton":
+        key = _interleave2(ra, rb, bits)
+    else:
+        raise ValueError(f"unknown curve {curve!r} (morton|hilbert)")
+    return with_stats.withColumn("_zkey", key).drop("_amin", "_amax", "_bmin", "_bmax")
 
 
 def write_zordered(
@@ -79,13 +115,14 @@ def write_zordered(
     col_b: str,
     n_files: int = 8,
     bits: int = ZBITS,
+    curve: str = "morton",
 ) -> None:
-    """Write ``df`` as parquet clustered along the Z-curve of
-    (col_a, col_b): range-partition by the Morton key into
-    ``n_files`` compact curve segments, sort within each, drop the
-    key. Each output file then owns a tight (col_a, col_b) box in
-    the footers, which is what scan-time skipping consumes."""
-    keyed = zorder_key(df, col_a, col_b, bits)
+    """Write ``df`` as parquet clustered along the space-filling
+    curve of (col_a, col_b): range-partition by the curve key into
+    ``n_files`` compact segments, sort within each, drop the key.
+    Each output file then owns a tight (col_a, col_b) box in the
+    footers, which is what scan-time skipping consumes."""
+    keyed = zorder_key(df, col_a, col_b, bits, curve)
     (
         keyed.repartitionByRange(n_files, "_zkey")
         .sortWithinPartitions("_zkey")

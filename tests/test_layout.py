@@ -98,3 +98,59 @@ def test_zorder_layout_skips_2d_box_better_than_single_sort(spark, sf_small, tmp
     assert max(z_u, z_t) < max(s_u, s_t)
     # and the 2-D box still prunes under z-order
     assert _overlapping(zr, "user_id", *bu, "ts_s", *bt) < N_FILES
+
+
+def _py_hilbert(order, x, y):
+    d = 0
+    for i in range(order - 1, -1, -1):
+        s = 1 << i
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+    return d
+
+
+def test_hilbert_key_matches_reference_and_is_a_curve(spark):
+    """Spark Hilbert key == the reference walk on the full 8x8 grid;
+    the reference itself is bijective with unit steps (verified
+    inline), so transitively the Spark key inherits both."""
+    from biodwh2_arcadedb_server_spark.sources.layout import _hilbert_d
+
+    order = 3
+    cells = {}
+    for x in range(8):
+        for y in range(8):
+            cells[_py_hilbert(order, x, y)] = (x, y)
+    assert len(cells) == 64
+    for d in range(63):
+        (x1, y1), (x2, y2) = cells[d], cells[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.h
+        for r in df.select("x", "y", _hilbert_d(F.col("x"), F.col("y"), order).alias("h")).collect()
+    }
+    assert got == {(x, y): _py_hilbert(order, x, y) for x, y in rows}
+
+
+def test_hilbert_layout_also_skips_on_both_dimensions(spark, sf_small, tmp_path):
+    e = load_table(spark, sf_small, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s"), "value"
+    )
+    h_dir = str(tmp_path / "hilbert")
+    write_zordered(e, h_dir, "user_id", "ts_s", n_files=N_FILES, curve="hilbert")
+    assert spark.read.parquet(h_dir).count() == e.count()
+    stats = e.agg(F.min("user_id"), F.max("user_id"), F.min("ts_s"), F.max("ts_s")).collect()[0]
+    ulo, uhi, tlo, thi = stats
+    box = lambda lo, hi: (lo + 0.1 * (hi - lo), lo + 0.3 * (hi - lo))
+    bu, bt = box(ulo, uhi), box(tlo, thi)
+    hr = _file_ranges(h_dir, "user_id", "ts_s")
+    assert _overlapping(hr, "user_id", ulo, uhi, "ts_s", *bt) < N_FILES
+    assert _overlapping(hr, "user_id", *bu, "ts_s", tlo, thi) < N_FILES
