@@ -89,6 +89,9 @@ HEADLINE = [
     "q78_json_roundtrip",
     "q79_window_ranks",
     "q82_profile_stats",
+    "q87_unpivot",
+    "q88_scd2_history",
+    "q89_approx_percentiles",
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q22_connected_components",

@@ -259,6 +259,51 @@ def q82_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B17/B9 ext.: unpivot (wide → long) ----------------------------------------------
+def q87_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt two customer measures into (metric, value) rows — the
+    inverse of q51's pivot. Spark's native `unpivot` expands rows
+    map-side (an Expand node, no shuffle, no UDF)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+
+
+# --- warehouse staple: SCD2 dimension history ----------------------------------------
+def q88_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing history from each customer's order
+    stream: one validity interval per order, closed by the next
+    order's date (lead window), open-ended for the latest. The MERGE
+    INTO-free SCD2 emulation: per-key window, no self-join."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("version_key"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(nxt, F.lit("9999-12-31").cast("date")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# --- B10/B15 at scale: quantile sketch (rows-only; pytest error gate) ----------------
+def q89_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna sketch quantiles of order prices per status —
+    the only viable percentile at 100 TB (mergeable fixed-size
+    partials; exact percentile_cont needs a per-group sort). Accuracy
+    vs the exact quantiles is pinned by tests/test_relational5.py."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("approx_p50_p95")
+    )
+
+
 QUERIES = {
     "q66_setops_all": q66_setops_all,
     "q67_let_scalars": q67_let_scalars,
@@ -270,6 +315,9 @@ QUERIES = {
     "q78_json_roundtrip": q78_json_roundtrip,
     "q79_window_ranks": q79_window_ranks,
     "q82_profile_stats": q82_profile_stats,
+    "q87_unpivot": q87_unpivot,
+    "q88_scd2_history": q88_scd2_history,
+    "q89_approx_percentiles": q89_approx_percentiles,
 }
 
 ORACLE = {
@@ -371,3 +419,24 @@ ORACLE["q82_profile_stats"] = """
            COUNT(DISTINCT o_orderstatus) AS n_status
     FROM orders
 """
+
+ORACLE["q87_unpivot"] = """
+    SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS value
+    FROM customer WHERE c_custkey <= 300
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+    FROM customer WHERE c_custkey <= 300
+"""
+
+ORACLE["q88_scd2_history"] = """
+    SELECT o_custkey,
+           o_orderkey AS version_key,
+           o_orderdate AS valid_from,
+           COALESCE(LEAD(o_orderdate) OVER w, DATE '9999-12-31') AS valid_to,
+           (LEAD(o_orderdate) OVER w) IS NULL AS is_current
+    FROM orders WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+# q89_approx_percentiles: sketch result - no cross-engine oracle;
+# tests/test_relational5.py pins |approx - exact| per quantile.
