@@ -70,6 +70,30 @@ def q84_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q84_pairs").select("id_a", "id_b").dropDuplicates()
 
 
+# --- C7: custom stateful session windows, drained end-to-end (oracled) -----------
+SESSION_GAP_MS = 4 * 3600 * 1000  # 4 hours
+
+
+def q90_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the chunked events stream through the custom
+    applyInPandasWithState sessionizer (streaming/stateful.py) to
+    completion; the far-future sentinel advances the watermark past
+    every real session so the emitted append-mode output equals the
+    batch gaps-and-islands sessionization — the oracle certifies
+    exactly-once final-session emission across micro-batch boundaries,
+    not just plan shape."""
+    from biodwh2_arcadedb_server_spark.streaming.stateful import run_finite_sessionize
+
+    out = run_finite_sessionize(spark, sf_dir, SESSION_GAP_MS, n_chunks=4, name="q90_sessions")
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 # --- C2: SimHash near-dups (rows-only) ------------------------------------------
 def q28_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -190,6 +214,7 @@ QUERIES = {
     "q27_minhash_neardup": q27_minhash_neardup,
     "q28_simhash_neardup": q28_simhash_neardup,
     "q84_stream_neardup": q84_stream_neardup,
+    "q90_stream_sessionize": q90_stream_sessionize,
     "q29_cosine_neardup": q29_cosine_neardup,
     "q30_knn_topk": q30_knn_topk,
     "q31_ann_topk": q31_ann_topk,
@@ -220,6 +245,28 @@ _COSINE_PAIR = """
 """
 
 ORACLE = {
+    # strict `<` gap: a session spans [first_ts, last_ts + gap); an
+    # event exactly gap after the last one opens a NEW session —
+    # matching both F.session_window and the stateful sessionizer
+    "q90_stream_sessionize": """
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM (
+            SELECT user_id, ts, value,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM (
+                SELECT user_id, ts, value,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 < INTERVAL 4 HOUR
+                            THEN 0 ELSE 1 END AS new_s
+                FROM events)
+        )
+        GROUP BY user_id, sid
+    """,
     "q26_neardup_jaccard": f"""
         WITH sh AS ({_SHINGLES}),
         inv AS (SELECT doc_id, len(g) AS sz, UNNEST(g) AS gram FROM sh),

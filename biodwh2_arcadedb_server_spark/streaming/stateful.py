@@ -16,10 +16,13 @@ a long TTL never terminates.
 from __future__ import annotations
 
 import functools
+import os
+import tempfile
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_ts timestamp"
@@ -60,3 +63,183 @@ def running_user_stats(events: DataFrame, ttl_ms: int | None = None) -> DataFram
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# --- session windows as a custom stateful operator ---------------------------------
+#
+# The built-in ``F.session_window`` covers plain gap sessions; the
+# applyInPandasWithState variant below is the extension point for
+# session semantics the built-in can't express (per-session custom
+# state, early emission policies, dynamic gaps). Semantics here match
+# the built-in exactly — a session is extended iff the next event is
+# STRICTLY less than ``gap`` after the last one (session span is
+# [first_ts, last_ts + gap)) — so the batch twin is the oracle.
+#
+# Emission contract (append mode): a session row is emitted exactly
+# once, when it is FINAL — either superseded in-stream by a later
+# event from the same user (> gap after it), or closed by the
+# event-time watermark passing session_end + gap (EventTimeTimeout).
+# State per user is one open session: 4 scalars, bounded regardless
+# of input volume; keys evict on timeout, so the state store stays
+# proportional to *active* users, not all users ever seen.
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+SESSION_STATE_SCHEMA = "start timestamp, end timestamp, n long, s double"
+
+
+def _session_rows(user_id, sessions) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * len(sessions),
+            "session_start": [s[0] for s in sessions],
+            "session_end": [s[1] for s in sessions],
+            "n_events": [s[2] for s in sessions],
+            "sum_value": [s[3] for s in sessions],
+        }
+    )
+
+
+def _sessionize_user(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState, gap_ms: int
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    gap = pd.Timedelta(milliseconds=gap_ms)
+    if state.hasTimedOut:
+        # watermark passed end+gap: the open session is final
+        start, end, n, s = state.get
+        state.remove()
+        return iter([_session_rows(user_id, [(pd.Timestamp(start), pd.Timestamp(end), n, s)])])
+
+    pdf = pd.concat(list(pdfs)).sort_values("ts")
+    # local gaps-and-islands over this micro-batch's events
+    brk = pdf["ts"].diff() >= gap
+    groups = pdf.groupby(brk.cumsum()).agg(
+        start=("ts", "min"), end=("ts", "max"), n=("ts", "size"), s=("value", "sum")
+    )
+    sessions = [
+        (r.start, r.end, int(r.n), float(r.s)) for r in groups.itertuples(index=False)
+    ]
+    if state.exists:
+        st, en, n0, s0 = state.get
+        sessions.insert(0, (pd.Timestamp(st), pd.Timestamp(en), n0, s0))
+    # merge adjacent sessions across the open-state / batch boundary
+    merged: list[tuple] = []
+    for sess in sessions:
+        if merged and sess[0] - merged[-1][1] < gap:
+            prev = merged[-1]
+            merged[-1] = (
+                min(prev[0], sess[0]),
+                max(prev[1], sess[1]),
+                prev[2] + sess[2],
+                prev[3] + sess[3],
+            )
+        else:
+            merged.append(sess)
+    closed, open_ = merged[:-1], merged[-1]
+    end_ms = pd.Timestamp(open_[1]).value // 1_000_000
+    if state.getCurrentWatermarkMs() >= end_ms + gap_ms:
+        # the watermark already guarantees no extension can arrive
+        closed.append(open_)
+        state.remove()
+    else:
+        state.update(open_)
+        state.setTimeoutTimestamp(end_ms + gap_ms)
+    return iter([_session_rows(user_id, closed)]) if closed else iter(())
+
+
+def sessionize(events: DataFrame, gap_ms: int, watermark: str = "1 minute") -> DataFrame:
+    """Custom session windows over (user_id, ts, value) with
+    exactly-once final-session emission (append semantics).
+
+    Streaming twin of ``events.session_agg`` / the batch
+    ``F.session_window`` aggregate; runs unchanged on a Kafka or rate
+    source — a rate-limited source only changes HOW FAST event-time
+    advances per trigger, never which sessions are emitted, because
+    emission is driven by the event-time watermark, not the trigger
+    cadence (parity pinned across 1-file-per-trigger cadences by
+    tests/test_stateful_streaming.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            functools.partial(_sessionize_user, gap_ms=gap_ms),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+SENTINEL_USER = -1
+
+
+def chunked_event_files(sf_dir: str, n_chunks: int = 4, out_dir: str | None = None) -> str:
+    """Write the events table as ``n_chunks`` time-ordered parquet
+    chunks plus a far-future sentinel row, mtimes ascending, so a
+    maxFilesPerTrigger=1 file stream replays them as an ordered
+    sequence of micro-batches and the final watermark closes every
+    real session. This is the finite-run harness ONLY — a production
+    deployment reads Kafka and sessions close continuously as the
+    watermark advances; the sentinel plays the role time itself plays
+    on an unbounded stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+    # events.parquet is TIMESTAMP(NANOS) with sub-µs digits; truncate
+    # to µs exactly like the batch reader (`ts div 1000`) and DuckDB's
+    # TIMESTAMP_NS→TIMESTAMP coercion, so all three engines agree.
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"),
+        "ts",
+        tbl.column("ts").cast(pa.timestamp("us"), safe=False),
+    )
+    df = tbl.to_pandas().sort_values("ts", ignore_index=True)
+    out = out_dir or tempfile.mkdtemp(prefix="sessionize_chunks_")
+    bounds = [round(i * len(df) / n_chunks) for i in range(n_chunks + 1)]
+    sentinel = pd.DataFrame(
+        {"user_id": [SENTINEL_USER], "ts": [df["ts"].max() + pd.Timedelta(days=365)], "value": [0.0]}
+    )
+    chunks = [df.iloc[bounds[i] : bounds[i + 1]] for i in range(n_chunks)] + [sentinel]
+    for i, chunk in enumerate(chunks):
+        path = os.path.join(out, f"chunk{i:04d}.parquet")
+        t = pa.Table.from_pandas(chunk, preserve_index=False)
+        ts_idx = t.schema.get_field_index("ts")
+        pq.write_table(t.set_column(ts_idx, "ts", t.column("ts").cast(pa.timestamp("us"))), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    return out
+
+
+def run_finite_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_ms: int,
+    n_chunks: int = 4,
+    name: str = "sessionize_out",
+) -> DataFrame:
+    """Drain the chunked events stream through ``sessionize`` to
+    completion and return the emitted (final) sessions for real users.
+    The sentinel advances the watermark past every real session's
+    end+gap, so the emitted set equals the batch session aggregate."""
+    src = chunked_event_files(sf_dir, n_chunks)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sessionize(stream, gap_ms)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).filter(F.col("user_id") != SENTINEL_USER)

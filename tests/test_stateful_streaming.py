@@ -45,3 +45,46 @@ def test_running_user_stats_matches_batch(spark, sf_small):
             assert got[uid] == w, uid
     finally:
         q.stop()
+
+
+def test_sessionize_matches_batch_session_window(spark, sf_small):
+    """Custom stateful sessionizer == built-in F.session_window batch
+    aggregate (starts, counts, sums), and the emitted session set is
+    invariant to trigger cadence (2-chunk vs 6-chunk replay) — the
+    watermark, not the trigger, decides emission."""
+    from biodwh2_arcadedb_server_spark.streaming.stateful import run_finite_sessionize
+
+    GAP_MS = 4 * 3600 * 1000
+
+    def emitted(n_chunks, name):
+        rows = run_finite_sessionize(
+            spark, sf_small, GAP_MS, n_chunks=n_chunks, name=name
+        ).collect()
+        return {
+            (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 4))
+            for r in rows
+        }
+
+    got = emitted(2, "sess_c2")
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 4))
+        for r in (
+            load_table(spark, sf_small, "events")
+            .groupBy(F.session_window("ts", "4 hours").alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+                F.max("ts").alias("last_ts"),
+            )
+            .select(
+                F.col("w.start").alias("session_start"),
+                F.col("last_ts").alias("session_end"),
+                "user_id",
+                "n_events",
+                "sum_value",
+            )
+            .collect()
+        )
+    }
+    assert got == batch
+    assert emitted(6, "sess_c6") == got
