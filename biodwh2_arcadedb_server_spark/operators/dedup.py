@@ -48,8 +48,10 @@ def _lcg_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return out
 
 
-def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """(_id, _sh: sorted array<bigint>, _size) — hashed distinct word
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, hash_bits: int = 64
+) -> DataFrame:
+    """(_id, _sh: sorted array, _size) — hashed distinct word
     k-shingles per document, the shared input of every near-dup
     strategy. Three deliberate physical steps:
 
@@ -60,17 +62,34 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
        re-evaluated once per gram — measured ~8×);
     3. eager localCheckpoint: the table is consumed by several plan
        branches (index + both join sides); without materialization
-       Catalyst recomputes it per branch. ~8 bytes/gram.
-    """
+       Catalyst recomputes it per branch.
+
+    ``hash_bits=64`` stores grams as bigint (collision-free in
+    practice: ~4e9 distinct grams before birthday effects) — the
+    exact-reference setting. ``hash_bits=32`` keeps the top 32 bits as
+    an int array, HALVING the bytes every downstream shuffle moves
+    (inverted index, verification join) at a corpus-wide collision
+    rate of ~n²/2³³ gram pairs — at 1e6 distinct grams that is ~100
+    collided pairs, perturbing any single doc-pair Jaccard by <1e-5 —
+    the right trade for the approximate MinHash path, whose banding
+    error is orders of magnitude larger. The shift is arithmetic
+    (sign-preserving) so the value range is exactly int: no ANSI cast
+    overflow."""
     par = df.sparkSession.sparkContext.defaultParallelism
     toked = df.repartition(par, id_col).select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
     )
+    if hash_bits == 64:
+        gram_hash = lambda g: F.xxhash64(g)  # noqa: E731
+    elif hash_bits == 32:
+        gram_hash = lambda g: F.shiftright(F.xxhash64(g), 32).cast("int")  # noqa: E731
+    else:
+        raise ValueError(f"hash_bits must be 32 or 64, got {hash_bits}")
     return (
         toked.select(
             "_id",
             F.sort_array(
-                F.transform(shingles_from_tokens(F.col("_toks"), k), lambda g: F.xxhash64(g))
+                F.transform(shingles_from_tokens(F.col("_toks"), k), gram_hash)
             ).alias("_sh"),
         )
         .withColumn("_size", F.size("_sh"))
@@ -197,8 +216,12 @@ def minhash_signatures_from_shingles(sh: DataFrame, num_hashes: int = 64) -> Dat
     codegen'd expressions where each doc's array already sits.
     Docs with no shingles carry no signature (explode parity)."""
     params = _lcg_params(num_hashes)
+    # cast to bigint first: a 32-bit shingle_table yields int grams,
+    # and int·int universal-hash products overflow under ANSI — the
+    # promotion is per-row compute, the narrow array already shuffled
     hashed = sh.where(F.size("_sh") > 0).select(
-        "_id", F.transform("_sh", lambda g: F.pmod(g, F.lit(MERSENNE_P))).alias("_hs")
+        "_id",
+        F.transform("_sh", lambda g: F.pmod(g.cast("bigint"), F.lit(MERSENNE_P))).alias("_hs"),
     )
     mins = [
         F.array_min(
@@ -212,11 +235,14 @@ def minhash_signatures_from_shingles(sh: DataFrame, num_hashes: int = 64) -> Dat
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """(id, sig) straight from a document table; see
     ``minhash_signatures_from_shingles`` for the plan shape."""
-    return minhash_signatures_from_shingles(shingle_table(df, id_col, text_col, k), num_hashes)
+    return minhash_signatures_from_shingles(
+        shingle_table(df, id_col, text_col, k, hash_bits), num_hashes
+    )
 
 
 def _bucket_pairs(ids_sorted) -> F.Column:
@@ -285,13 +311,17 @@ def minhash_near_dups(
     bands: int = 16,
     rows: int = 4,
     threshold: float = 0.5,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → verify
     with true Jaccard on shingle sets. Only candidate pairs (a tiny
     fraction of all pairs) ever compare their shingle sets. The
     shingle table is computed once and shared by the signature and
-    verification stages."""
-    sh = shingle_table(df, id_col, text_col, k)
+    verification stages. ``hash_bits=32`` is the scale setting — it
+    halves the verification join's shuffle bytes (the dominant mover:
+    full shingle arrays on both sides) for a <1e-5 Jaccard
+    perturbation; see ``shingle_table``."""
+    sh = shingle_table(df, id_col, text_col, k, hash_bits)
     sigs = minhash_signatures_from_shingles(sh, num_hashes)
     cand = lsh_candidate_pairs(sigs, bands, rows)
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))

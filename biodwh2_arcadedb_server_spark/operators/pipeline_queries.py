@@ -33,11 +33,14 @@ def q27_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding fan-out of the classic 64/16/4 at near-identical recall in
     the verified regime — candidates are re-checked with true Jaccard,
     so banding only risks misses, P(miss) = (1-j^4)^8 ≈ 5e-12 at the
-    planted j≈0.99 (pinned vs exact by tests/test_pipeline.py)."""
+    planted j≈0.99 (pinned vs exact by tests/test_pipeline.py).
+    32-bit gram hashes halve the verification join's shuffle width
+    (the approximate path tolerates ~1e-5 collision noise; the exact
+    q26 reference stays on 64-bit)."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.minhash_near_dups(
         d, "doc_id", "text", k=JACCARD_K, num_hashes=32, bands=8, rows=4,
-        threshold=JACCARD_THRESHOLD,
+        threshold=JACCARD_THRESHOLD, hash_bits=32,
     )
 
 

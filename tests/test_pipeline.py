@@ -31,9 +31,10 @@ def test_minhash_matches_exact_jaccard(spark, sf_small):
 
 
 def test_minhash_wide_bands_match_exact(spark, sf_small):
-    """q27's production parameters (32 hashes, 8 bands × 4 rows) must
-    still find every exact pair: P(miss) ≈ (1-0.99^4)^8 ≈ 5e-12 on the
-    planted j≈0.99 dups."""
+    """q27's production parameters (32 hashes, 8 bands × 4 rows,
+    32-bit gram hashes) must still find every exact pair: P(miss) ≈
+    (1-0.99^4)^8 ≈ 5e-12 on the planted j≈0.99 dups, and 32-bit gram
+    collisions perturb Jaccard by <1e-5 — far from the 0.8 cut."""
     d = load_table(spark, sf_small, "documents")
     exact = {
         (r.id_a, r.id_b)
@@ -42,7 +43,8 @@ def test_minhash_wide_bands_match_exact(spark, sf_small):
     approx = {
         (r.id_a, r.id_b)
         for r in dedup.minhash_near_dups(
-            d, "doc_id", "text", k=3, num_hashes=32, bands=8, rows=4, threshold=0.8
+            d, "doc_id", "text", k=3, num_hashes=32, bands=8, rows=4, threshold=0.8,
+            hash_bits=32,
         ).collect()
     }
     assert approx == exact
