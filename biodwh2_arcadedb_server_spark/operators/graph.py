@@ -394,17 +394,22 @@ def pagerank(
 
     ranks = deg.select("node_id", "odeg", "_reset", F.col("_reset").alias("rank"))
     for it in range(1, iterations + 1):
-        # dangling mass stays in-plan as a broadcast 1-row aggregate —
-        # no driver round-trip per iteration
-        dangling = ranks.where(F.col("odeg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
-        )
         contribs = (
             ranks.where(F.col("odeg") > 0)
             .join(e, ranks.node_id == e.src)
             .select(F.col("dst").alias("node_id"), (F.col("rank") / F.col("odeg")).alias("c"))
             .groupBy("node_id")
             .agg(F.sum("c").alias("contrib"))
+        )
+        # dangling mass by conservation: ranks sum to 1 every round, and
+        # Σ contribs = Σ_{odeg>0} rank, so dangling = 1 − Σ contribs.
+        # This folds the old separate agg over `ranks` into the contrib
+        # shuffle — the prior-round plan is referenced ONCE per round
+        # (linear lineage between checkpoints instead of 2^k branches),
+        # and the 1-row total rides the contrib exchange as a
+        # ReusedExchange, costing one extra reduce, no extra scan.
+        dangling = contribs.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias("_dangling")
         )
         ranks = (
             deg.join(contribs, "node_id", "left")
