@@ -230,3 +230,19 @@ def test_ivf_recall_vs_brute_force(spark, sf_small):
     again = {(r.query_id, r.neighbor_id)
              for r in similarity.ivf_topk(e, qs, k=3, n_clusters=8, n_probe=4).collect()}
     assert got == again
+
+
+def test_jaccard_prefix_orders_agree(spark, sf_small):
+    """The prefix principle holds under ANY global gram ordering:
+    hash-order (free slice) and df-order (rarest-first) must produce
+    identical verified pair sets."""
+    d = load_table(spark, sf_small, "documents")
+    hash_o = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.8, prefix_order="hash").collect()
+    }
+    df_o = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.8, prefix_order="df").collect()
+    }
+    assert hash_o and hash_o == df_o
