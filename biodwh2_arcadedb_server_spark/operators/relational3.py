@@ -190,19 +190,21 @@ def q56_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive streaming.stateful.running_user_stats to completion over
     the finite events source; final state per user must equal the
     batch per-user aggregate (the oracle)."""
+    from biodwh2_arcadedb_server_spark.streaming import state_partitions
     from biodwh2_arcadedb_server_spark.streaming.events import read_events_stream
     from biodwh2_arcadedb_server_spark.streaming.stateful import running_user_stats
 
-    stream = read_events_stream(spark, sf_dir).select("user_id", "ts", "value")
-    q = (
-        running_user_stats(stream)
-        .writeStream.format("memory")
-        .queryName("q56_user_stats")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions(spark):
+        stream = read_events_stream(spark, sf_dir).select("user_id", "ts", "value")
+        q = (
+            running_user_stats(stream)
+            .writeStream.format("memory")
+            .queryName("q56_user_stats")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # update mode emits one row per user per micro-batch; n_events is
     # monotone, so max_by(·, n_events) selects each user's final state
     final = F.max_by(F.struct("n_events", "sum_value", "last_ts"), "n_events").alias("s")

@@ -129,20 +129,24 @@ def q62_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stream-static dimension join (streaming/joins.py) to
     completion over the finite events source, then aggregate the
     enriched output — the oracle is the equivalent batch join."""
+    from biodwh2_arcadedb_server_spark.streaming import state_partitions
     from biodwh2_arcadedb_server_spark.streaming.events import read_events_stream
     from biodwh2_arcadedb_server_spark.streaming.joins import enrich_with_dim
 
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    stream = read_events_stream(spark, sf_dir)
-    out = enrich_with_dim(stream, dim, "user_id", "c_custkey").select("event_id", "c_mktsegment")
-    q = (
-        out.writeStream.format("memory")
-        .queryName("q62_enriched")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions(spark):
+        stream = read_events_stream(spark, sf_dir)
+        out = enrich_with_dim(stream, dim, "user_id", "c_custkey").select(
+            "event_id", "c_mktsegment"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("q62_enriched")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table("q62_enriched")
         .groupBy("c_mktsegment")

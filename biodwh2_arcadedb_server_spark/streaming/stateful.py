@@ -227,19 +227,22 @@ def run_finite_sessionize(
     completion and return the emitted (final) sessions for real users.
     The sentinel advances the watermark past every real session's
     end+gap, so the emitted set equals the batch session aggregate."""
+    from biodwh2_arcadedb_server_spark.streaming import state_partitions
+
     src = chunked_event_files(sf_dir, n_chunks)
-    stream = (
-        spark.readStream.schema("user_id long, ts timestamp, value double")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    out = sessionize(stream, gap_ms)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions(spark):
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = sessionize(stream, gap_ms)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).filter(F.col("user_id") != SENTINEL_USER)
