@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from biodwh2_arcadedb_server_spark.operators import (
     graph_queries,
     pipeline_queries,
+    pipeline_queries2,
     relational,
     relational2,
     relational3,
@@ -42,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational5.QUERIES)
     out.update(graph_queries.QUERIES)
     out.update(pipeline_queries.QUERIES)
+    out.update(pipeline_queries2.QUERIES)
     return out
 
 
@@ -54,4 +56,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational5.ORACLE)
     out.update(graph_queries.ORACLE)
     out.update(pipeline_queries.ORACLE)
+    out.update(pipeline_queries2.ORACLE)
     return out

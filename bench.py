@@ -87,6 +87,12 @@ HEADLINE = [
     "q71_sequence_packing",
     "q72_stratified_sample",
     "q78_json_roundtrip",
+    "q91_decontamination",
+    "q92_repetition_stats",
+    "q93_tfidf_topterms",
+    "q94_bm25_search",
+    "q95_pii_scan",
+    "q96_random_projection",
     "q79_window_ranks",
     "q82_profile_stats",
     "q87_unpivot",

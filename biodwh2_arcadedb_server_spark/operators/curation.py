@@ -1,0 +1,268 @@
+"""Corpus-curation operators for LLM training-data pipelines (C4 ext.):
+decontamination, repetition filters, TF-IDF / BM25 relevance, PII
+scanning.
+
+These extend the reference's capability surface per the project north
+star (the reference itself ships only the graph ETL + ArcadeDB SQL,
+`/root/reference/src/.../ArcadeDBService.java`); semantics follow the
+published pipeline literature — benchmark decontamination by n-gram
+overlap (GPT-3 appendix C; Dodge et al., C4 audit, EMNLP 2021),
+repetition-based quality signals (Rae et al., Gopher, 2021, §A1.1),
+BM25 (Robertson-Sparck Jones probabilistic retrieval), and
+regex-based PII detection.
+
+All hot paths are JVM expressions (split / higher-order functions /
+regexp); no Python UDFs anywhere.
+
+Scale notes (100 TB):
+- Decontamination shuffles only fixed-width gram hashes, never text;
+  the eval side is typically tiny (benchmarks), so the gram join
+  broadcast-reduces. At extreme train-side volume the distinct train
+  gram set is itself a shuffle — bucket it by gram hash once and
+  reuse across eval sets.
+- Repetition stats are ZERO-shuffle: per-doc higher-order-function
+  folds (O(distinct·total) per doc compute, embarrassingly parallel,
+  no skew surface).
+- TF-IDF / BM25 shuffle (doc, term) pairs pre-aggregated map-side;
+  document-frequency tables are term-keyed and small relative to the
+  corpus (vocabulary-sized), so the idf join broadcasts.
+- PII scans are pure per-row regexp projections — map-only, no
+  exchange at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from biodwh2_arcadedb_server_spark.functions import tokens
+
+
+def _gram_text(toks: F.Column, k: int) -> F.Column:
+    """All word k-grams (non-distinct, order-preserving) from a
+    materialized token-array column — joined with single spaces.
+    Docs shorter than k tokens yield an EMPTY array (guarded: Spark's
+    ``sequence(1, 0)`` counts DOWN rather than producing empty)."""
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _md5_gram_hash(g: F.Column) -> F.Column:
+    """32-bit gram hash both engines can reproduce exactly:
+    first 8 hex chars of md5 as a bigint (DuckDB twin:
+    ``('0x' || substr(md5(g), 1, 8))::BIGINT``). Collisions are
+    IDENTICAL across engines, so differential checks stay exact."""
+    return F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+
+
+# --- decontamination: train/eval n-gram overlap ---------------------------------
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-decontamination scan: for every eval document, the
+    fraction of its distinct k-grams that occur anywhere in the train
+    corpus. Returns (doc_id, n_grams, n_matched, contamination,
+    contaminated) — ``contaminated`` flags docs at/above ``threshold``
+    (pipelines drop the *train* docs matching flagged eval grams; the
+    per-eval-doc report is the audit artifact both directions need).
+
+    Plan shape: one distinct-aggregate over train gram hashes, one
+    explode of eval grams, one equi-join on the 8-byte hash, one
+    per-doc count aggregate. Text never crosses the wire — only
+    fixed-width hashes."""
+    train_grams = (
+        train.select(tokens(F.col(text_col)).alias("_toks"))
+        .select(F.explode(F.array_distinct(_gram_text(F.col("_toks"), k))).alias("_g"))
+        .select(_md5_gram_hash(F.col("_g")).alias("_gh"))
+        .distinct()
+    )
+    eval_grams = (
+        eval_df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), F.explode(F.array_distinct(_gram_text(F.col("_toks"), k))).alias("_g"))
+        .select(F.col(id_col), _md5_gram_hash(F.col("_g")).alias("_gh"))
+    )
+    hit = train_grams.withColumn("_hit", F.lit(1))
+    per_doc = (
+        eval_grams.join(hit, "_gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_matched"),
+        )
+    )
+    frac = F.col("n_matched") / F.greatest(F.col("n_grams"), F.lit(1))
+    return per_doc.select(
+        F.col(id_col),
+        "n_grams",
+        "n_matched",
+        F.round(frac, 4).alias("contamination"),
+        (frac >= threshold).alias("contaminated"),
+    )
+
+
+# --- repetition-based quality signals (Gopher-style) -----------------------------
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 2
+) -> DataFrame:
+    """Per-document repetition signals over word k-grams: total and
+    distinct gram counts, duplicate-gram fraction (1 − distinct/total)
+    and top-gram fraction (occurrences of the most frequent gram /
+    total) — the Gopher §A1.1 "repetition" filter family.
+
+    ZERO shuffle: the mode is computed per doc by a higher-order fold
+    over the (small) per-doc gram array — O(distinct·total) compute
+    per document, no exchange, no skew. At web scale this beats the
+    (doc, gram) re-aggregation shape outright: repetition is a local
+    property and never needs to leave the row."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    grams = F.col("_grams")
+    distinct = F.array_distinct(grams)
+    top_cnt = F.array_max(
+        F.transform(distinct, lambda x: F.size(F.filter(grams, lambda y: y == x)))
+    )
+    out = (
+        toked.select(F.col(id_col), _gram_text(F.col("_toks"), k).alias("_grams"))
+        .select(
+            F.col(id_col),
+            F.size(grams).alias("n_grams"),
+            F.size(distinct).alias("n_distinct"),
+            F.coalesce(top_cnt, F.lit(0)).alias("_top"),
+        )
+    )
+    safe_n = F.greatest(F.col("n_grams"), F.lit(1))
+    return out.select(
+        F.col(id_col),
+        "n_grams",
+        "n_distinct",
+        F.round(1.0 - F.col("n_distinct") / safe_n, 4).alias("dup_frac"),
+        F.round(F.col("_top") / safe_n, 4).alias("top_frac"),
+    )
+
+
+# --- TF-IDF ----------------------------------------------------------------------
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", top_n: int = 3
+) -> DataFrame:
+    """Top-``top_n`` characteristic terms per document by smoothed
+    TF-IDF: score = tf · (ln((1+N)/(1+df)) + 1). Ties break on term
+    for determinism. Returns (doc_id, term, tf, score, rank).
+
+    Plan: one explode + map-side-combined (doc, term) count, a
+    vocabulary-sized df aggregate joined back (broadcasts — vocab ≪
+    corpus), a 1-row N broadcast, then a per-doc top-n window."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.lit(1.0) + F.col("_n")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(F.col(id_col), "term", "tf", F.round("score", 4).alias("score"), "rank")
+    )
+
+
+# --- BM25 ------------------------------------------------------------------------
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 10,
+) -> DataFrame:
+    """BM25 ranking of documents for a bag-of-words query (Robertson
+    et al., TREC-3): score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 −
+    b + b·dl/avgdl)), idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    Returns the ``limit`` best (doc_id, score) ordered by score desc,
+    doc_id.
+
+    The per-term postings are filtered to the query terms BEFORE the
+    (doc, term) aggregate, so the shuffle carries only query-relevant
+    rows — at corpus scale this is the classic inverted-list access
+    pattern expressed relationally; N/avgdl ride a 1-row broadcast."""
+    q = [t.lower() for t in query_terms]
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    stats = toked.select(F.col(id_col), F.size("_toks").alias("dl"))
+    corpus = stats.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+    tf = (
+        toked.select(F.col(id_col), F.explode("_toks").alias("term"))
+        .where(F.col("term").isin(q))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl")
+    )
+    per_term = (
+        tf.join(F.broadcast(docfreq), "term")
+        .join(stats, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("_s", idf * F.col("tf") * F.lit(k1 + 1.0) / denom)
+    )
+    return (
+        per_term.groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(limit)
+    )
+
+
+# --- PII scanning ----------------------------------------------------------------
+# Conservative RE2-compatible patterns (no lookaround/backrefs) so the
+# same regex runs verbatim in Spark (Java regex) and DuckDB (RE2).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3,4}\b",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scan(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", redact: str = "[PII]"
+) -> DataFrame:
+    """Per-document PII hit counts per pattern class plus a fully
+    redacted text column (every match replaced by ``redact``; URL
+    redaction runs first so emails inside URLs are counted once as
+    URLs). Map-only — one regexp pass per pattern, no shuffle.
+    Returns (doc_id, n_email, n_phone, n_url, n_ipv4, redacted)."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    red = t
+    for name in ("url", "email", "ipv4", "phone"):
+        red = F.regexp_replace(red, PII_PATTERNS[name], redact)
+    return df.select(F.col(id_col), *counts, red.alias("redacted"))

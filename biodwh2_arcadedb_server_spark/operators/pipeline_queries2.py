@@ -1,0 +1,236 @@
+"""Driver-contract queries for the corpus-curation operators
+(operators/curation.py, similarity.random_projection): benchmark
+decontamination, repetition filters, TF-IDF, BM25, PII scanning, and
+JL random projection. Every probe here carries a DuckDB oracle — the
+md5-based gram/sign derivations were chosen precisely so both engines
+reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodwh2_arcadedb_server_spark.operators import curation
+from biodwh2_arcadedb_server_spark.operators.similarity import (
+    random_projection,
+    srp_sign_matrix,
+)
+from biodwh2_arcadedb_server_spark.sources.registry import load_table
+
+DECON_K = 3
+DECON_THRESHOLD = 0.5
+BM25_TERMS = ["spark", "join", "window"]
+SRP_OUT_DIM = 8
+SRP_IN_DIM = 64
+
+_TOKS = r"""
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+    FROM documents
+"""
+
+
+# --- decontamination (train = doc_id%10 < 8, eval = the rest) --------------------
+def q91_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination audit: contamination fraction of each
+    held-out doc's 3-grams against the train split's gram universe."""
+    d = load_table(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 10 < 8)
+    eval_df = d.where(F.col("doc_id") % 10 >= 8)
+    return curation.decontaminate(
+        train, eval_df, k=DECON_K, threshold=DECON_THRESHOLD
+    )
+
+
+# --- repetition stats ------------------------------------------------------------
+def q92_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals over word 2-grams (zero-shuffle
+    per-doc higher-order folds)."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.repetition_stats(d, k=2)
+
+
+# --- TF-IDF ----------------------------------------------------------------------
+def q93_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return curation.tfidf_top_terms(d, top_n=3)
+
+
+# --- BM25 ------------------------------------------------------------------------
+def q94_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return curation.bm25_search(d, BM25_TERMS, limit=10)
+
+
+# --- PII scan --------------------------------------------------------------------
+def _inject_pii(d: DataFrame) -> DataFrame:
+    """Deterministic synthetic PII appended per doc (the generated
+    corpus contains none) so the regex battery is exercised end-to-end
+    with nonzero counts; the oracle performs the identical injection."""
+    did = F.col("doc_id").cast("string")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did, F.lit("@example.com via http://ex.io/"),
+            did, F.lit(" tel 555-0199 host 10.0.0."), (F.col("doc_id") % 255).cast("string"),
+        ).alias("text"),
+    )
+
+
+def q95_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = curation.pii_scan(_inject_pii(d))
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_url", "n_ipv4",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+# --- JL random projection --------------------------------------------------------
+def q96_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return random_projection(e, out_dim=SRP_OUT_DIM, in_dim=SRP_IN_DIM)
+
+
+QUERIES = {
+    "q91_decontamination": q91_decontamination,
+    "q92_repetition_stats": q92_repetition_stats,
+    "q93_tfidf_topterms": q93_tfidf_topterms,
+    "q94_bm25_search": q94_bm25_search,
+    "q95_pii_scan": q95_pii_scan,
+    "q96_random_projection": q96_random_projection,
+}
+
+_GRAMS3 = f"""
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+    FROM ({_TOKS})
+"""
+
+ORACLE = {
+    "q91_decontamination": f"""
+        WITH grams AS ({_GRAMS3}),
+        train_g AS (
+            SELECT DISTINCT ('0x' || substr(md5(gram), 1, 8))::BIGINT AS gh
+            FROM (SELECT UNNEST(g) AS gram FROM grams WHERE doc_id % 10 < 8)
+        ),
+        eval_g AS (
+            SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS gh
+            FROM (SELECT doc_id, UNNEST(g) AS gram FROM grams WHERE doc_id % 10 >= 8)
+        ),
+        per_doc AS (
+            SELECT e.doc_id,
+                   COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN t.gh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_matched
+            FROM eval_g e LEFT JOIN train_g t ON e.gh = t.gh
+            GROUP BY e.doc_id
+        )
+        SELECT doc_id, n_grams, n_matched,
+               ROUND(n_matched * 1.0 / greatest(n_grams, 1), 4) AS contamination,
+               n_matched * 1.0 / greatest(n_grams, 1) >= {DECON_THRESHOLD} AS contaminated
+        FROM per_doc
+    """,
+    "q92_repetition_stats": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> toks[i] || ' ' || toks[i+1]) AS grams
+            FROM ({_TOKS})
+        )
+        SELECT doc_id,
+               CAST(len(grams) AS INTEGER) AS n_grams,
+               CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+               ROUND(1.0 - len(list_distinct(grams)) * 1.0 / greatest(len(grams), 1), 4) AS dup_frac,
+               ROUND(COALESCE(list_max(list_transform(list_distinct(grams),
+                         x -> len(list_filter(grams, y -> y = x)))), 0)
+                     * 1.0 / greatest(len(grams), 1), 4) AS top_frac
+        FROM g
+    """,
+    "q93_tfidf_topterms": f"""
+        WITH tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, UNNEST(toks) AS term FROM ({_TOKS}))
+            GROUP BY doc_id, term
+        ),
+        dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+        SELECT doc_id, term, tf, ROUND(raw, 4) AS score, rank
+        FROM (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   tf.tf * (ln((1.0 + n.n) / (1.0 + dft.df)) + 1.0) AS raw,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY tf.doc_id
+                        ORDER BY tf.tf * (ln((1.0 + n.n) / (1.0 + dft.df)) + 1.0) DESC,
+                                 tf.term) AS INTEGER) AS rank
+            FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n
+        )
+        WHERE rank <= 3
+    """,
+    "q94_bm25_search": f"""
+        WITH toked AS ({_TOKS}),
+        stats AS (SELECT doc_id, len(toks) AS dl FROM toked),
+        corpus AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM stats),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM (SELECT doc_id, UNNEST(toks) AS term FROM toked)
+            WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+            GROUP BY doc_id, term
+        ),
+        dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+        SELECT tf.doc_id AS doc_id, ROUND(SUM(
+                   ln(1.0 + (corpus.n - dft.df + 0.5) / (dft.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * stats.dl / corpus.avgdl))
+               ), 4) AS score
+        FROM tf
+        JOIN dft ON tf.term = dft.term
+        JOIN stats ON tf.doc_id = stats.doc_id
+        CROSS JOIN corpus
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+    """,
+    "q95_pii_scan": """
+        WITH injected AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com via http://ex.io/' || CAST(doc_id AS VARCHAR)
+                        || ' tel 555-0199 host 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+               CAST(len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3,4}\\b')) AS INTEGER) AS n_phone,
+               CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INTEGER) AS n_url,
+               CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) AS n_ipv4,
+               md5(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text, 'https?://[^\\s]+', '[PII]', 'g'),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[PII]', 'g'),
+                   '\\b\\d{3}[-.]\\d{3,4}\\b', '[PII]', 'g')) AS redacted_md5
+        FROM injected
+    """,
+}
+
+
+def _srp_oracle() -> str:
+    """DuckDB twin of random_projection: the identical md5-derived ±1
+    matrix is inlined as literals; term order inside list_transform +
+    list_sum matches the Spark zip_with/aggregate fold."""
+    signs = srp_sign_matrix(SRP_OUT_DIM, SRP_IN_DIM)
+    cols = []
+    for j in range(SRP_OUT_DIM):
+        arr = "[" + ", ".join(f"{float(s):.1f}" for s in signs[j]) + "]"
+        cols.append(
+            f"ROUND(list_sum(list_transform(list_zip(embedding, {arr}::DOUBLE[]),"
+            f" x -> CAST(x[1] AS DOUBLE) * x[2])) * (1.0 / sqrt({SRP_OUT_DIM}.0)), 4) AS p{j}"
+        )
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+ORACLE["q96_random_projection"] = _srp_oracle()

@@ -1,0 +1,148 @@
+"""Unit tests for corpus-curation operators (operators/curation.py,
+similarity.random_projection) on hand-built fixtures with known
+answers; the differential oracle gate (test_oracle.py) covers the
+q91-q96 probes on sf0.01 automatically."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from biodwh2_arcadedb_server_spark.operators import curation
+from biodwh2_arcadedb_server_spark.operators.similarity import (
+    random_projection,
+    srp_sign_matrix,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_known_overlap(spark):
+    train = _docs(spark, [(1, "a b c d e")])  # 3-grams: {a b c, b c d, c d e}
+    ev = _docs(
+        spark,
+        [
+            (10, "a b c d e"),      # all 3 grams in train → 1.0
+            (11, "a b c x y z"),    # 1 of 4 grams → 0.25
+            (12, "p q r s"),        # 0 of 2 → 0.0
+            (13, "hi"),             # < k tokens → no grams → absent
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curation.decontaminate(train, ev, k=3, threshold=0.5).collect()
+    }
+    assert set(out) == {10, 11, 12}
+    assert out[10]["contamination"] == 1.0 and out[10]["contaminated"]
+    assert out[11]["n_grams"] == 4 and out[11]["n_matched"] == 1
+    assert out[11]["contamination"] == 0.25 and not out[11]["contaminated"]
+    assert out[12]["contamination"] == 0.0
+
+
+def test_repetition_stats_known(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "x y x y x y"),  # 2-grams: [x y, y x, x y, y x, x y] → top 'x y' 3/5
+            (2, "a b c d"),      # all distinct → dup 0, top 1/3
+            (3, "w"),            # no grams
+        ],
+    )
+    out = {r["doc_id"]: r for r in curation.repetition_stats(d, k=2).collect()}
+    assert out[1]["n_grams"] == 5 and out[1]["n_distinct"] == 2
+    assert out[1]["dup_frac"] == 0.6 and out[1]["top_frac"] == 0.6
+    assert out[2]["dup_frac"] == 0.0 and out[2]["top_frac"] == round(1 / 3, 4)
+    assert out[3]["n_grams"] == 0 and out[3]["top_frac"] == 0.0
+
+
+def test_tfidf_top_terms_ranks_rare_terms(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "common rare1 common common"),
+            (2, "common rare2"),
+            (3, "common other"),
+        ],
+    )
+    out = curation.tfidf_top_terms(d, top_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    top1 = {d_: sorted(rs, key=lambda r: r["rank"])[0] for d_, rs in by_doc.items()}
+    # 'common' appears in every doc (idf floor) but tf=3 in doc 1
+    assert top1[1]["term"] == "common" and top1[1]["tf"] == 3
+    assert top1[2]["term"] == "rare2"
+    # score formula spot check: tf=1, df=1, N=3 → 1·(ln(4/2)+1)
+    expected = round(np.log(2.0) + 1.0, 4)
+    assert top1[2]["score"] == expected
+
+
+def test_bm25_prefers_matching_short_docs(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "spark join fast"),
+            (2, "spark spark spark join join window"),
+            (3, "nothing relevant here"),
+            (4, "spark"),
+        ],
+    )
+    out = curation.bm25_search(d, ["spark", "join", "window"], limit=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids  # no query terms → no score
+    assert ids[0] == 2  # all three terms, highest combined tf
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_pii_scan_counts_and_redacts(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "mail a@b.com and c.d+x@e.org call 555-0123 see https://x.io/p at 10.0.0.1"),
+            (2, "clean text only"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in curation.pii_scan(d).collect()}
+    assert out[1]["n_email"] == 2
+    assert out[1]["n_phone"] == 1
+    assert out[1]["n_url"] == 1
+    assert out[1]["n_ipv4"] == 1
+    assert "@" not in out[1]["redacted"] and "555" not in out[1]["redacted"]
+    assert out[2]["n_email"] == 0 and out[2]["redacted"] == "clean text only"
+
+
+def test_random_projection_matches_numpy_and_preserves_structure(spark):
+    rng = np.random.default_rng(7)
+    # two planted clusters far apart in 64-d
+    base = rng.normal(size=(2, 64)) * 10
+    vecs = np.vstack([base[i % 2] + rng.normal(size=64) for i in range(40)])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out_dim = 8
+    rows = {r["vec_id"]: r for r in random_projection(df, out_dim=out_dim).collect()}
+    signs = np.array(srp_sign_matrix(out_dim, 64), dtype=np.float64)
+    # parity vs numpy (float32 storage on the Spark side)
+    proj_np = (vecs.astype(np.float32).astype(np.float64) @ signs.T) / np.sqrt(out_dim)
+    for i in range(40):
+        got = np.array([rows[i][f"p{j}"] for j in range(out_dim)])
+        assert np.allclose(got, np.round(proj_np[i], 4), atol=1e-3)
+    # JL structure preservation: within-cluster distances stay smaller
+    # than between-cluster distances after projection
+    proj = np.vstack([[rows[i][f"p{j}"] for j in range(out_dim)] for i in range(40)])
+    even, odd = proj[::2], proj[1::2]
+    within = np.linalg.norm(even - even.mean(0), axis=1).mean()
+    between = np.linalg.norm(even.mean(0) - odd.mean(0))
+    assert between > within
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_gram_text_short_doc_empty(spark, k):
+    d = _docs(spark, [(1, "one")])
+    out = d.select(curation._gram_text(curation.tokens(F.col("text")), k).alias("g")).collect()
+    assert out[0]["g"] == []
