@@ -100,6 +100,7 @@ HEADLINE = [
     "q89_approx_percentiles",
     "q20_motif_2hop",
     "q21_bfs_hops",
+    "q97_shortest_path",
     "q22_connected_components",
     "q65_cc_star",
     "q74_triangle_count",
@@ -150,29 +151,34 @@ def main() -> None:
             pass  # a probe that fails at warmup still gets timed (and fails loudly)
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        # per-query fault isolation: one broken probe must never zero
+        # the whole round's bench — record the error and keep timing.
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         # drop py-side refs so the ContextCleaner can release the
         # iterative operators' localCheckpoint RDDs between probes
         gc.collect()
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -482,6 +482,92 @@ def sssp(
     return dist
 
 
+# --- B8: path-returning shortest path ---------------------------------------------------
+def shortest_path_tree(
+    edges: DataFrame,
+    source: int,
+    max_depth: int = 10,
+    directed: bool = True,
+    target: int | None = None,
+) -> DataFrame:
+    """Hop-count shortest paths from ``source`` with the actual node
+    sequence — parity with ArcadeDB's ``shortestPath()`` SQL function
+    (dependency surface: reference ``src/pom.xml:104-108``), which
+    returns the path, not just its length.
+
+    Returns (dst, hops, path array<long>) for every reachable node
+    (or only ``target`` when given). Among equal-hop paths the result
+    is deterministic: each node records its MINIMUM first-reach
+    predecessor, so the emitted path minimizes the predecessor
+    sequence read backwards from ``dst`` (lexicographically minimal
+    reversed path — the property the DuckDB oracle reproduces with
+    ``ORDER BY list_reverse(path)``).
+
+    Scale posture: the BFS phase shuffles only (node_id, pred) pairs —
+    8+8 bytes per node regardless of path length — never paths; path
+    arrays are materialized afterwards level-by-level (depth(v)=d rows
+    join their depth d-1 predecessors' finished paths), so array bytes
+    are written once per node, not once per frontier expansion. Both
+    phases are plain hash joins + min-aggregates on node keys, and
+    lineage is truncated per level with localCheckpoint.
+    """
+    hop = edges.select("src", "dst")
+    if not directed:
+        hop = hop.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    hop = hop.where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
+
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(int(source), 0, None)], "node_id long, depth int, pred long")
+    frontier = visited.select("node_id")
+    reached_depth = 0
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(hop, frontier.node_id == hop.src)
+            # min() over the frontier preds that first reach each node
+            # — the deterministic tie-break the docstring promises
+            .groupBy(F.col("dst").alias("node_id"))
+            .agg(F.min("src").alias("pred"))
+            .join(visited.select("node_id"), "node_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt.withColumn("depth", F.lit(d))).localCheckpoint(
+            eager=True
+        )
+        frontier = nxt.select("node_id")
+        reached_depth = d
+
+    # Level-wise path reconstruction: depth-d nodes append themselves
+    # to their predecessor's (already final) depth d-1 path.
+    paths = visited.where(F.col("depth") == 0).select(
+        "node_id", F.array(F.col("node_id")).alias("path")
+    )
+    done = paths
+    for d in range(1, reached_depth + 1):
+        level = visited.where(F.col("depth") == d).select(
+            F.col("node_id").alias("_n"), F.col("pred").alias("_p")
+        )
+        step = (
+            level.join(paths, level["_p"] == paths["node_id"])
+            .select(
+                F.col("_n").alias("node_id"),
+                F.concat(F.col("path"), F.array(F.col("_n"))).alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        done = done.unionByName(step)
+        paths = step
+    out = done.select(
+        F.col("node_id").alias("dst"),
+        (F.size("path") - 1).alias("hops"),
+        "path",
+    )
+    if target is not None:
+        out = out.where(F.col("dst") == int(target))
+    return out
+
+
 # --- C6: k-core decomposition -----------------------------------------------------------
 def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     """Nodes of the k-core: the maximal subgraph where every node has

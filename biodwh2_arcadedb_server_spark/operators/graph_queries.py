@@ -35,6 +35,7 @@ from biodwh2_arcadedb_server_spark.operators.graph import (
     label_propagation,
     motif_chain,
     pagerank,
+    shortest_path_tree,
     sssp,
     strongly_connected_components,
     triangle_count,
@@ -192,6 +193,18 @@ def q81_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(nation_graph(spark, sf_dir, 97))
 
 
+def q97_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-returning shortest path (ArcadeDB ``shortestPath()``
+    parity): the full shortest-path tree from nation 0, one row per
+    (destination, position) so the path sequence is engine-portable
+    for hashing. Deterministic among equal-hop paths via min-pred
+    backtrack (see graph.shortest_path_tree)."""
+    tree = shortest_path_tree(nation_graph(spark, sf_dir, 211), source=0, max_depth=4)
+    return tree.select(
+        "dst", "hops", F.posexplode("path").alias("pos", "node_id")
+    ).select("dst", "hops", F.col("pos").cast("int").alias("pos"), "node_id")
+
+
 def q80_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted shortest-path distances from nation 0 (Bellman-Ford
     relaxation — no SQL oracle; tests/test_graph.py pins it against a
@@ -214,6 +227,7 @@ QUERIES = {
     "q76_kcore": q76_kcore,
     "q80_sssp": q80_sssp,
     "q81_scc": q81_scc,
+    "q97_shortest_path": q97_shortest_path,
     "q83_personalized_pagerank": q83_personalized_pagerank,
     "q85_closeness": q85_closeness,
     "q86_betweenness": q86_betweenness,
@@ -270,6 +284,30 @@ ORACLE = {
     """,
     # q24_pagerank / q25_label_propagation: no SQL oracle (iterative);
     # pinned by tests/test_graph.py against numpy power iteration.
+    "q97_shortest_path": f"""
+        WITH RECURSIVE g AS ({_G211}),
+        walk(node_id, depth, path) AS (
+            SELECT CAST(0 AS BIGINT), 0, [CAST(0 AS BIGINT)]
+            UNION ALL
+            SELECT g.dst, walk.depth + 1, list_append(walk.path, g.dst)
+            FROM walk JOIN g ON g.src = walk.node_id
+            WHERE walk.depth < 4 AND NOT list_contains(walk.path, g.dst)
+        ),
+        best AS (
+            SELECT node_id, depth, path,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY node_id
+                       ORDER BY depth, list_reverse(path)
+                   ) AS rn
+            FROM walk
+        )
+        SELECT b.node_id AS dst,
+               CAST(b.depth AS INTEGER) AS hops,
+               CAST(unnest(range(len(b.path))) AS INTEGER) AS pos,
+               unnest(b.path) AS node_id
+        FROM best b
+        WHERE b.rn = 1
+    """,
 }
 
 ORACLE["q65_cc_star"] = ORACLE["q22_connected_components"]

@@ -136,9 +136,11 @@ def q45_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming.events.session_agg."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    )
+    # TIMESTAMP_NTZ has no direct →BIGINT cast in Spark 4; route epoch
+    # math through TIMESTAMP (session tz is pinned UTC, so the value is
+    # the same epoch DuckDB's epoch() returns).
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
     with_flag = ev.withColumn(
         "new_session", F.when(gap.isNull() | (gap > 600), 1).otherwise(0)
     )

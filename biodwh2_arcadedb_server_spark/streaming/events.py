@@ -24,40 +24,46 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-# events.parquet carries TIMESTAMP(NANOS) which Spark reads as long
-# under nanosAsLong (see sources.registry); the stream schema declares
-# the physical type and converts after read.
-EVENTS_PHYSICAL_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos since epoch
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
-    """Incremental file-source stream over the events table."""
+    """Incremental file-source stream over the events table.
+
+    The stream schema is sniffed from a batch read of the parquet
+    footer rather than hard-coded: the testdata has shipped `ts` both
+    as TIMESTAMP(NANOS) (which Spark only reads as long under
+    nanosAsLong) and as timestamp[us] (TIMESTAMP_NTZ). Declaring the
+    wrong physical type silently corrupts every event time by 1000×,
+    so the batch reader's view of the file is the single source of
+    truth for both engines.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
     # The file stream source requires a directory; point it at sf_dir
     # and glob-filter to the events file(s).
     raw = (
-        spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # integer `div`, not `/`: float division of ~2^60 nanos loses the
-    # low microsecond bits (53-bit mantissa)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        # legacy nanos-as-long layout: integer `div`, not `/` — float
+        # division of ~2^60 nanos loses the low microsecond bits
+        # (53-bit mantissa)
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks/event-time require TIMESTAMP; the session tz is
+        # pinned UTC, so this cast is value-preserving vs the batch
+        # NTZ view.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_agg(events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:

@@ -21,8 +21,8 @@ appends to them, with exactly-once delivery:
 
 Kafka parity: every plan here runs unchanged on a Kafka source —
 swap ``read_events_stream`` for ``spark.readStream.format("kafka")
-.option("subscribe", ...)`` plus ``from_json(value)`` with
-``EVENTS_PHYSICAL_SCHEMA``; watermarks, sinks, and checkpoints are
+.option("subscribe", ...)`` plus ``from_json(value)`` with the events
+schema; watermarks, sinks, and checkpoints are
 source-agnostic. Not exercised here (no broker in the container).
 
 Scale notes:
