@@ -99,6 +99,17 @@ def decontaminate(
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_matched"),
         )
     )
+    # Audit completeness: eval docs shorter than k tokens have no
+    # grams (the explode drops them) but MUST still appear in the
+    # report — an audit artifact that silently omits documents reads
+    # as "checked and clean". Left-join the full eval id set back and
+    # emit n_grams=0, contamination=0.
+    all_ids = eval_df.select(F.col(id_col)).distinct()
+    per_doc = all_ids.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+    )
     frac = F.col("n_matched") / F.greatest(F.col("n_grams"), F.lit(1))
     return per_doc.select(
         F.col(id_col),
@@ -157,8 +168,12 @@ def tfidf_top_terms(
     for determinism. Returns (doc_id, term, tf, score, rank).
 
     Plan: one explode + map-side-combined (doc, term) count, a
-    vocabulary-sized df aggregate joined back (broadcasts — vocab ≪
-    corpus), a 1-row N broadcast, then a per-doc top-n window."""
+    vocabulary-sized df aggregate joined back, a 1-row N broadcast,
+    then a per-doc top-n window. The docfreq join is deliberately NOT
+    broadcast-hinted: web-corpus vocabulary is unbounded (billions of
+    distinct tokens at 100 TB), so a forced broadcast would OOM; AQE
+    converts it to broadcast at runtime whenever the vocabulary
+    actually fits under autoBroadcastJoinThreshold."""
     from pyspark.sql import Window
 
     tf = (
@@ -169,7 +184,7 @@ def tfidf_top_terms(
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("_n"))
     scored = (
-        tf.join(F.broadcast(docfreq), "term")
+        tf.join(docfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
@@ -253,10 +268,13 @@ def pii_scan(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", redact: str = "[PII]"
 ) -> DataFrame:
     """Per-document PII hit counts per pattern class plus a fully
-    redacted text column (every match replaced by ``redact``; URL
-    redaction runs first so emails inside URLs are counted once as
-    URLs). Map-only — one regexp pass per pattern, no shuffle.
-    Returns (doc_id, n_email, n_phone, n_url, n_ipv4, redacted)."""
+    redacted text column. Counts are per-pattern on the RAW text, so
+    overlapping classes double-count (an email inside a URL increments
+    both n_url and n_email); only the redacted column applies the
+    patterns in sequence (URL first, so a URL-embedded email is
+    redacted once as a URL). Map-only — one regexp pass per pattern,
+    no shuffle. Returns (doc_id, n_email, n_phone, n_url, n_ipv4,
+    redacted)."""
     t = F.col(text_col)
     counts = [
         F.regexp_count(t, F.lit(pat)).alias(f"n_{name}")

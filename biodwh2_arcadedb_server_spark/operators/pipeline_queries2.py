@@ -127,11 +127,21 @@ ORACLE = {
                    CAST(SUM(CASE WHEN t.gh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_matched
             FROM eval_g e LEFT JOIN train_g t ON e.gh = t.gh
             GROUP BY e.doc_id
+        ),
+        -- audit completeness: eval docs shorter than k tokens have no
+        -- grams but must still appear with n_grams=0 (mirror of the
+        -- Spark-side left join)
+        filled AS (
+            SELECT d.doc_id,
+                   COALESCE(p.n_grams, 0) AS n_grams,
+                   COALESCE(p.n_matched, 0) AS n_matched
+            FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+            LEFT JOIN per_doc p ON p.doc_id = d.doc_id
         )
         SELECT doc_id, n_grams, n_matched,
                ROUND(n_matched * 1.0 / greatest(n_grams, 1), 4) AS contamination,
                n_matched * 1.0 / greatest(n_grams, 1) >= {DECON_THRESHOLD} AS contaminated
-        FROM per_doc
+        FROM filled
     """,
     "q92_repetition_stats": f"""
         WITH g AS (

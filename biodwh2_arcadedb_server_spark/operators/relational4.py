@@ -80,14 +80,28 @@ def q59_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- B10 at scale: sketch distinct (no SQL oracle — pytest-pinned error bound) -------
+# --- B10 at scale: sketch distinct (tolerance-contract oracle) -----------------------
 def q60_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct users per event type. Mergeable fixed-size
-    sketches; tests/test_relational4.py pins the error bound against
-    the exact count."""
+    """HLL++ distinct users per event type — mergeable fixed-size
+    sketches, the only viable distinct-count at 100 TB.
+
+    Oracle strategy (tolerance contract): a sketch can't hash-match a
+    cross-engine exact count, so the probe computes BOTH the sketch
+    and the exact count in one aggregate and emits the exact count
+    plus a ``within_tol`` bound check (|approx−exact|/exact ≤ 5·rsd).
+    DuckDB reproduces the exact count and asserts ``true`` — the
+    sketch's accuracy contract is what the differential gate verifies.
+    tests/test_relational4.py keeps the tighter 3·rsd pin."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    rel_err = F.abs(F.col("_approx") - F.col("exact_users")) / F.greatest(
+        F.col("exact_users"), F.lit(1)
+    )
+    return agg.select(
+        "event_type", "exact_users", (rel_err <= 0.05).alias("within_tol")
     )
 
 
@@ -218,8 +232,12 @@ ORACLE = {
                'name,seg' AS keys
         FROM customer WHERE c_custkey <= 100
     """,
-    # q60_approx_distinct: sketch result — no cross-engine oracle;
-    # pytest pins |approx - exact| / exact <= 3*rsd.
+    "q60_approx_distinct": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS within_tol
+        FROM events GROUP BY event_type
+    """,
     "q61_udtf_sentences": f"""
         SELECT doc_id,
                CAST(generate_subscripts(arr, 1) - 1 AS INTEGER) AS pos,

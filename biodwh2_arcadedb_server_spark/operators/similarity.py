@@ -252,14 +252,32 @@ def random_projection(
 
     Map-only: one zip_with/aggregate fold per output dim, all JVM
     codegen, no exchange. Returns (vec_id, p0..p{out_dim-1}) scalars,
-    rounded to 4 dp for cross-engine comparison."""
+    rounded to 4 dp for cross-engine comparison.
+
+    Hard precondition: ``size(vec_col) == in_dim`` with no NULL
+    elements. It is enforced with ``raise_error`` rather than silently
+    tolerated — zip_with pads a short vector with NULLs and the fold
+    would null-poison the whole projection while an engine that skips
+    NULLs (DuckDB list_sum) returns a partial sum: a silent
+    wrong-result and a cross-engine divergence. Failing loudly at the
+    first nonconforming row is the 100 TB-safe contract."""
     signs = srp_sign_matrix(out_dim, in_dim)
     scale = 1.0 / (out_dim ** 0.5)
+    vec = F.when(
+        F.size(F.col(vec_col)) == in_dim, F.col(vec_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"random_projection: size({vec_col}) != {in_dim} for {id_col}="),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
     cols = []
     for j in range(out_dim):
         sj = F.array(*[F.lit(float(s)) for s in signs[j]])
         dot = F.aggregate(
-            F.zip_with(F.col(vec_col), sj, lambda x, s: x.cast("double") * s),
+            F.zip_with(vec, sj, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

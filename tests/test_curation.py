@@ -28,18 +28,21 @@ def test_decontaminate_known_overlap(spark):
             (10, "a b c d e"),      # all 3 grams in train → 1.0
             (11, "a b c x y z"),    # 1 of 4 grams → 0.25
             (12, "p q r s"),        # 0 of 2 → 0.0
-            (13, "hi"),             # < k tokens → no grams → absent
+            (13, "hi"),             # < k tokens → no grams → audited as clean
         ],
     )
     out = {
         r["doc_id"]: r
         for r in curation.decontaminate(train, ev, k=3, threshold=0.5).collect()
     }
-    assert set(out) == {10, 11, 12}
+    # audit completeness: every eval doc appears, even gram-less ones
+    assert set(out) == {10, 11, 12, 13}
     assert out[10]["contamination"] == 1.0 and out[10]["contaminated"]
     assert out[11]["n_grams"] == 4 and out[11]["n_matched"] == 1
     assert out[11]["contamination"] == 0.25 and not out[11]["contaminated"]
     assert out[12]["contamination"] == 0.0
+    assert out[13]["n_grams"] == 0 and out[13]["contamination"] == 0.0
+    assert not out[13]["contaminated"]
 
 
 def test_repetition_stats_known(spark):
