@@ -147,16 +147,18 @@ def q33_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(d)
 
 
-# --- C4: language ID (rows-only; pytest agreement gate) ------------------------------------
+# --- C4: language ID (oracle-able: stopword-profile argmax) ----------------------------------
 def q34_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return text.language_id(d)
 
 
-# --- C4: document fingerprint (rows-only) ----------------------------------------------------
+# --- C4: document fingerprint (oracle-able via the md5_32 rolling hash) ----------------------
 def q35_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5_32 here so DuckDB reproduces the fingerprint bit-for-bit;
+    production default stays xxhash64 (text.fingerprint)."""
     d = load_table(spark, sf_dir, "documents")
-    return text.fingerprint(d)
+    return text.fingerprint(d, hash_fn="md5_32")
 
 
 # --- C5: multimodal metadata-only scan (oracle-able) -------------------------------------------
@@ -333,10 +335,59 @@ ORACLE = {
                      + least(distinct_ratio * 2, 1.0) * 0.25, 4) AS quality_score
         FROM feat
     """,
+    # argmax over stopword-profile scores; ties resolve to the
+    # lexicographically LARGEST language code (Spark's array_max over
+    # struct(score, lang)), hence the fr→en→de CASE order.
+    "q34_lang_id": """
+        WITH s AS (
+            SELECT doc_id,
+                   len(list_intersect(toks, ['the','a','of','and','to','in','is','it','that','for'])) / 10.0 AS s_en,
+                   len(list_intersect(toks, ['der','die','das','und','ist','ein','nicht','mit','zu','den'])) / 10.0 AS s_de,
+                   len(list_intersect(toks, ['le','la','les','et','est','un','une','pas','pour','que'])) / 10.0 AS s_fr
+            FROM (SELECT doc_id,
+                         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS toks
+                  FROM documents)
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
+                    WHEN s_fr = greatest(s_en, s_de, s_fr) THEN 'fr'
+                    WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+                    ELSE 'de' END AS pred_lang,
+               ROUND(greatest(s_en, s_de, s_fr), 4) AS lang_score
+        FROM s
+    """,
+    "q35_fingerprint": """
+        WITH g AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, greatest(len(toks) - 7, 1)),
+                       i -> ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 8))::BIGINT) AS hs
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+                  FROM documents)
+        )
+        SELECT doc_id, list_min(hs) AS min_fingerprint,
+               CAST(len(hs) AS INTEGER) AS n_windows
+        FROM g
+    """,
     "q36_multimodal_meta": """
         SELECT doc_id, 'image/fake' AS media_type,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
+    """,
+    # the mapInPandas stub's byte statistics recomputed from ASCII
+    # codepoints (the corpus is pure ASCII, so ord == byte)
+    "q37_media_features": """
+        WITH codes AS (
+            SELECT doc_id, length(text) AS n,
+                   list_transform(range(1, length(text) + 1), i -> ord(text[i])) AS cs
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_bytes,
+               ROUND(COALESCE(list_sum(cs), 0) * 1.0 / greatest(n, 1), 4) AS byte_mean,
+               ROUND(CASE WHEN n = 0 THEN 0.0
+                          ELSE len(list_distinct(cs)) / 256.0 END, 4) AS byte_entropy_proxy
+        FROM codes
     """,
     "q38_frame_sample": """
         SELECT doc_id,

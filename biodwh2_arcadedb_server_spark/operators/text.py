@@ -94,21 +94,33 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def fingerprint(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 8
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing-style document fingerprint: hash every ``window``-gram
     of tokens, keep the minimum (one representative per doc; extend to
-    per-window minima for substring matching). Rolling hash =
-    xxhash64 of the joined window — content-defined and deterministic.
+    per-window minima for substring matching). Rolling hash choices:
+    ``xxhash64`` (default — fastest, JVM-native) or ``md5_32`` (first
+    8 hex chars of md5 as a bigint, reproducible verbatim in DuckDB/
+    any engine with md5 — the cross-engine verification path).
 
     Tokens materialize as a column before the window lambda (an inline
     expression would re-tokenize per window — see
     functions.shingles_from_tokens)."""
+    if hash_fn == "xxhash64":
+        h = F.xxhash64
+    elif hash_fn == "md5_32":
+        h = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     tc = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(tc) - (window - 1), F.lit(1))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tc, i, window))),
+        lambda i: h(F.concat_ws(" ", F.slice(tc, i, window))),
     )
     return toked.select(
         F.col(id_col),
