@@ -127,6 +127,11 @@ def q23_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- C6: PageRank / LPA (no SQL oracle; pytest-pinned) -----------------------------------
 def q24_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank. Oracle: the 10 rounds unrolled as
+    chained DuckDB CTEs — a fixed-iteration power method is plain
+    relational algebra per round, so the sketch-vs-SQL boundary runs
+    between *convergence-driven* iteration (no oracle) and
+    *fixed-count* iteration (oracled here)."""
     pr = pagerank(nation_graph(spark, sf_dir, 97), iterations=10, damping=0.85)
     return pr.select("node_id", F.round("rank", 6).alias("rank"))
 
@@ -352,3 +357,301 @@ ORACLE["q75_clustering_coefficient"] = f"""
                 ELSE 0.0 END AS coeff
     FROM deg d LEFT JOIN pernode p ON p.node_id = d.node_id
 """
+
+
+# --- generated oracles for the fixed-iteration / closure-expressible analytics ----------
+#
+# The line between "oracled" and "rows-only" is NOT "iterative vs
+# not": a FIXED-count iteration is just k rounds of relational
+# algebra, and a reachability closure is a recursive CTE. DuckDB
+# twins below are generated by unrolling the exact per-round
+# update of the Spark operator (pagerank / sssp / k-core / LPA)
+# or by computing the closure (SCC / closeness). Only
+# convergence-driven or sampled algorithms (betweenness pivots,
+# LSH recall) stay rows-only.
+
+_NODES_97 = f"""
+    SELECT DISTINCT node_id FROM (
+        SELECT src AS node_id FROM g UNION ALL SELECT dst FROM g
+    )
+"""
+
+
+def _pagerank_oracle(iterations: int, damping: float, reset_rows: dict[int, float] | None) -> str:
+    """Unrolled power iteration mirroring graph.pagerank round-for-round:
+    contribs → dangling-by-conservation → blend with the reset vector."""
+    if reset_rows is None:
+        reset_expr = "1.0 / (SELECT COUNT(*) FROM nodes)"
+        reset_join = ""
+    else:
+        vals = ", ".join(f"({k}, {v})" for k, v in sorted(reset_rows.items()))
+        reset_expr = "COALESCE(rv.reset, 0.0)"
+        reset_join = f"LEFT JOIN (VALUES {vals}) rv(node_id, reset) ON rv.node_id = n.node_id"
+    parts = [
+        f"WITH g AS MATERIALIZED ({_G97})",
+        f"nodes AS MATERIALIZED ({_NODES_97})",
+        f"""deg AS MATERIALIZED (
+            SELECT n.node_id, COALESCE(o.odeg, 0) AS odeg, {reset_expr} AS reset
+            FROM nodes n
+            LEFT JOIN (SELECT src, COUNT(*) AS odeg FROM g GROUP BY src) o ON o.src = n.node_id
+            {reset_join}
+        )""",
+        "r0 AS MATERIALIZED (SELECT node_id, odeg, reset, reset AS rank FROM deg)",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(f"""c{i} AS MATERIALIZED (
+            SELECT g.dst AS node_id, SUM(r.rank / r.odeg) AS contrib
+            FROM r{p} r JOIN g ON g.src = r.node_id
+            WHERE r.odeg > 0 GROUP BY g.dst
+        )""")
+        parts.append(f"d{i} AS MATERIALIZED (SELECT 1.0 - COALESCE(SUM(contrib), 0.0) AS dang FROM c{i})")
+        parts.append(f"""r{i} AS MATERIALIZED (
+            SELECT deg.node_id, deg.odeg, deg.reset,
+                   {1.0 - damping} * deg.reset
+                   + {damping} * (COALESCE(c.contrib, 0.0) + d.dang * deg.reset) AS rank
+            FROM deg LEFT JOIN c{i} c ON c.node_id = deg.node_id CROSS JOIN d{i} d
+        )""")
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node_id, ROUND(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
+ORACLE["q24_pagerank"] = _pagerank_oracle(10, 0.85, None)
+ORACLE["q83_personalized_pagerank"] = _pagerank_oracle(10, 0.85, {0: 0.5, 1: 0.5})
+
+_G97W = f"""
+    SELECT src, dst, CAST((src * 7 + dst * 3) % 5 + 1 AS DOUBLE) AS w
+    FROM ({_G97})
+"""
+
+
+def _sssp_oracle(rounds: int, source: int) -> str:
+    """Unrolled Bellman-Ford relaxation mirroring graph.sssp: each
+    round every settled node offers dist+w, nodes keep the min.
+    Distances are sums of small integers — exact in doubles, so the
+    cross-engine equality is deterministic."""
+    parts = [
+        f"WITH g AS MATERIALIZED ({_G97W})",
+        f"r0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS node_id, 0.0 AS dist)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""r{i} AS MATERIALIZED (
+            SELECT node_id, MIN(dist) AS dist FROM (
+                SELECT node_id, dist FROM r{p}
+                UNION ALL
+                SELECT g.dst AS node_id, r.dist + g.w AS dist
+                FROM r{p} r JOIN g ON g.src = r.node_id
+            ) GROUP BY node_id
+        )""")
+    return parts[0] + ",\n" + ",\n".join(parts[1:]) + (
+        f"\nSELECT node_id, ROUND(dist, 4) AS dist FROM r{rounds}"
+    )
+
+
+ORACLE["q80_sssp"] = _sssp_oracle(20, 0)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peeling mirroring graph.k_core: each round recomputes
+    undirected simple-graph degrees and keeps nodes with degree >= k
+    plus their incident edges. ``rounds`` = node count + 1 (every
+    non-final round removes at least one node, so the fixpoint is
+    reached within n rounds; extra rounds are no-ops)."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({_UND_97})",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""k{i} AS MATERIALIZED (
+            SELECT node_id FROM (
+                SELECT node_id, COUNT(*) AS d FROM (
+                    SELECT a AS node_id FROM e{p} UNION ALL SELECT b FROM e{p}
+                ) GROUP BY node_id
+            ) WHERE d >= {k}
+        )""")
+        parts.append(f"""e{i} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e{p} e
+            JOIN k{i} x ON x.node_id = e.a
+            JOIN k{i} y ON y.node_id = e.b
+        )""")
+    return parts[0] + ",\n" + ",\n".join(parts[1:]) + f"""
+        SELECT node_id, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+            SELECT a AS node_id FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+        ) GROUP BY node_id HAVING COUNT(*) >= {k}
+    """
+
+
+ORACLE["q76_kcore"] = _kcore_oracle(3, 26)
+
+
+def _lpa_oracle(iterations: int) -> str:
+    """Unrolled synchronous label propagation mirroring
+    graph.label_propagation: each round a node adopts the most frequent
+    neighbor label, ties to the smallest label. Pure integer logic —
+    exact cross-engine equality."""
+    parts = [
+        f"WITH g AS MATERIALIZED ({_G97})",
+        """und AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM g UNION ALL SELECT dst AS src, src AS dst FROM g
+            )
+        )""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node_id, src AS community FROM und)",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(f"""l{i} AS MATERIALIZED (
+            SELECT node_id, community FROM (
+                SELECT u.src AS node_id, l.community,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY u.src
+                           ORDER BY COUNT(*) DESC, l.community
+                       ) AS rn
+                FROM und u JOIN l{p} l ON u.dst = l.node_id
+                GROUP BY u.src, l.community
+            ) WHERE rn = 1
+        )""")
+    return (
+        parts[0] + ",\n" + ",\n".join(parts[1:])
+        + f"\nSELECT node_id, community FROM l{iterations}"
+    )
+
+
+ORACLE["q25_label_propagation"] = _lpa_oracle(5)
+
+# SCC via mutual reachability over the directed transitive closure;
+# component id = the minimum node id in the component (the same label
+# graph.strongly_connected_components converges to).
+ORACLE["q81_scc"] = f"""
+    WITH RECURSIVE g AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({_G97}) WHERE src <> dst
+    ),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT node_id FROM (
+            SELECT src AS node_id FROM g UNION ALL SELECT dst FROM g
+        )
+    ),
+    reach(a, b) AS (
+        SELECT src, dst FROM g
+        UNION
+        SELECT r.a, g.dst FROM reach r JOIN g ON g.src = r.b
+    ),
+    mutual AS (
+        SELECT r1.a AS u, r1.b AS v
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+    )
+    SELECT n.node_id, LEAST(n.node_id, COALESCE(MIN(m.v), n.node_id)) AS scc
+    FROM nodes n LEFT JOIN mutual m ON m.u = n.node_id
+    GROUP BY n.node_id
+"""
+
+# Closeness via the multi-source BFS closure: min depth per
+# (pivot, node) pair, aggregated per node — (pivot, node, depth)
+# states are bounded by n² · diameter under UNION dedup.
+ORACLE["q85_closeness"] = f"""
+    WITH RECURSIVE g AS MATERIALIZED ({_G97}),
+    und AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM g UNION ALL SELECT dst AS src, src AS dst FROM g
+        )
+    ),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT node_id FROM (
+            SELECT src AS node_id FROM und UNION ALL SELECT dst FROM und
+        )
+    ),
+    walk(pv, node_id, depth) AS (
+        SELECT node_id, node_id, 0 FROM nodes
+        UNION
+        SELECT w.pv, u.dst, w.depth + 1
+        FROM walk w JOIN und u ON u.src = w.node_id
+        WHERE w.depth < 20
+    ),
+    md AS (
+        SELECT pv, node_id, MIN(depth) AS d
+        FROM walk GROUP BY pv, node_id
+    ),
+    per AS (
+        SELECT node_id,
+               CAST(COUNT(*) AS BIGINT) AS n_reached,
+               CAST(SUM(d) AS BIGINT) AS sum_dist
+        FROM md WHERE d > 0 GROUP BY node_id
+    )
+    SELECT n.node_id,
+           COALESCE(p.n_reached, 0) AS n_reached,
+           COALESCE(p.sum_dist, 0) AS sum_dist,
+           CASE WHEN COALESCE(p.sum_dist, 0) > 0
+                THEN ROUND(p.n_reached * 1.0 / p.sum_dist, 4)
+                ELSE 0.0 END AS closeness
+    FROM nodes n LEFT JOIN per p ON p.node_id = n.node_id
+"""
+
+
+def _betweenness_oracle(depth: int) -> str:
+    """Betweenness via the pair-dependency identity bc(v) = ½ Σ_{s,t}
+    σ_sv·σ_vt/σ_st over triples with d(s,v)+d(v,t)=d(s,t) — the closed
+    form Brandes' backward accumulation computes incrementally. σ
+    (shortest-path counts) comes from a depth-unrolled DP over the
+    BFS closure; counts are integer-valued, so only the final ratio
+    sum is float (rounded 4dp, same as the Spark side)."""
+    parts = [
+        f"WITH RECURSIVE g AS MATERIALIZED ({_G97})",
+        """und AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM g UNION ALL SELECT dst AS src, src AS dst FROM g
+            )
+        )""",
+        """nodes AS MATERIALIZED (
+            SELECT DISTINCT node_id FROM (
+                SELECT src AS node_id FROM und UNION ALL SELECT dst FROM und
+            )
+        )""",
+        f"""walk(pv, node_id, depth) AS (
+            SELECT node_id, node_id, 0 FROM nodes
+            UNION
+            SELECT w.pv, u.dst, w.depth + 1
+            FROM walk w JOIN und u ON u.src = w.node_id
+            WHERE w.depth < {depth}
+        )""",
+        """md AS MATERIALIZED (
+            SELECT pv AS s, node_id AS v, MIN(depth) AS d
+            FROM walk GROUP BY pv, node_id
+        )""",
+        "s0 AS MATERIALIZED (SELECT node_id AS s, node_id AS v, 1.0 AS sig FROM nodes)",
+    ]
+    for k in range(1, depth + 1):
+        parts.append(f"""s{k} AS MATERIALIZED (
+            SELECT p.s, u.dst AS v, SUM(p.sig) AS sig
+            FROM s{k-1} p
+            JOIN und u ON u.src = p.v
+            JOIN md ON md.s = p.s AND md.v = u.dst AND md.d = {k}
+            JOIN md m2 ON m2.s = p.s AND m2.v = p.v AND m2.d = {k - 1}
+            GROUP BY p.s, u.dst
+        )""")
+    sig_union = " UNION ALL ".join(
+        f"SELECT s, v, sig FROM s{k}" for k in range(depth + 1)
+    )
+    parts.append(f"sig AS MATERIALIZED ({sig_union})")
+    parts.append("""sd AS MATERIALIZED (
+        SELECT sig.s, sig.v, sig.sig, md.d
+        FROM sig JOIN md ON md.s = sig.s AND md.v = sig.v
+    )""")
+    return ",\n".join(parts) + """
+        SELECT n.node_id,
+               ROUND(COALESCE(b.bc, 0.0), 4) AS betweenness
+        FROM nodes n LEFT JOIN (
+            SELECT a.v AS node_id, 0.5 * SUM(a.sig * b.sig / c.sig) AS bc
+            FROM sd a
+            JOIN sd b ON b.s = a.v
+            JOIN sd c ON c.s = a.s AND c.v = b.v
+            WHERE a.d + b.d = c.d
+              AND a.s <> a.v AND b.v <> a.v AND a.s <> b.v
+            GROUP BY a.v
+        ) b ON b.node_id = n.node_id
+    """
+
+
+ORACLE["q86_betweenness"] = _betweenness_oracle(20)
