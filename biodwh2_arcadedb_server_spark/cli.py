@@ -5,9 +5,12 @@ The reference exposes ``--create`` / ``--start`` / ``--create-start``
 `ArcadeDBServer.java:34-45`). Here:
 
 - ``create``        — build the LPG workspace from a source dir (E1)
-- ``start``         — register views and serve an interactive SQL
-                      loop (E2; the Spark stand-in for the embedded
-                      HTTP server + Studio)
+- ``start``         — register views, start the embedded concurrent
+                      HTTP query server (server.QueryServer, the A18
+                      analog of the reference's embedded ArcadeDB
+                      HTTP server + ``biodwh2`` user) and serve an
+                      interactive SQL loop alongside it (the Studio
+                      console analog)
 - ``create-start``  — both (E3)
 - ``query``         — one-shot SQL against a workspace + source tables
 
@@ -41,6 +44,32 @@ def validate_port(value: str) -> str:
         return default
 
 
+def port_candidates(spec: str) -> list[int]:
+    """Expand a validated port spec ("2480" or "2480-2489") into the
+    candidate list the server scans for the first free port —
+    the reference's 2480-2489 behavior (`ArcadeDBService.java:62-79`)."""
+    if "-" in spec:
+        lo, hi = spec.split("-", 1)
+        return list(range(int(lo), int(hi) + 1))
+    return [int(spec)]
+
+
+def start_server(spark, port_spec: str, password: str | None = None):
+    """Start the embedded HTTP query server on the first free port of
+    the validated spec. Returns the running QueryServer."""
+    from biodwh2_arcadedb_server_spark.server import QueryServer
+
+    last_err: Exception | None = None
+    for port in port_candidates(validate_port(port_spec)):
+        srv = QueryServer(spark, port=port, password=password)
+        try:
+            srv.start()
+            return srv
+        except OSError as exc:  # port in use — scan on
+            last_err = exc
+    raise last_err or OSError("no free port in range")
+
+
 def _setup(args) -> tuple:
     spark = get_spark("biodwh2-cli")
     register_tables(spark, args.source)
@@ -57,6 +86,9 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--force", action="store_true", help="rebuild even if checksum matches")
         if name == "query":
             sp.add_argument("--sql", required=True)
+        if name in ("start", "create-start"):
+            sp.add_argument("--port", default="2480-2489", help="HTTP port or range")
+            sp.add_argument("--no-server", action="store_true", help="console only")
     args = p.parse_args(argv)
 
     spark, args = _setup(args)
@@ -71,6 +103,13 @@ def main(argv: list[str] | None = None) -> int:
             # warn-only, like ArcadeDBServer.java:98-99
             print("WARNING: workspace is stale relative to source; rerun create", file=sys.stderr)
         load_workspace(spark, args.workspace)
+        srv = None
+        if not getattr(args, "no_server", False):
+            srv = start_server(spark, args.port)
+            print(
+                f"query server on http://127.0.0.1:{srv.port} "
+                f"(user {srv.username}, password {srv.password})"
+            )
         print("views registered (n_<Label>, e_<LABEL>, nodes, edges). Enter SQL, blank line to exit.")
         for line in sys.stdin:
             sql = line.strip()
@@ -80,6 +119,8 @@ def main(argv: list[str] | None = None) -> int:
                 spark.sql(sql).show(50, truncate=False)
             except Exception as exc:  # keep the loop alive on bad SQL
                 print(f"error: {exc}", file=sys.stderr)
+        if srv is not None:
+            srv.stop()
     if args.cmd == "query":
         load_workspace(spark, args.workspace)
         spark.sql(args.sql).show(100, truncate=False)

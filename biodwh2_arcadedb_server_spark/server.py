@@ -1,0 +1,128 @@
+"""Embedded concurrent query server — A18 parity.
+
+The reference runs an embedded ArcadeDB HTTP server with a configured
+``biodwh2`` user and serves concurrent Studio/HTTP queries
+(`/root/reference/src/.../ArcadeDBService.java:53-60,81-105`: server
+bootstrap, root password handling, and the per-database user grant).
+The Spark analog is an embedded HTTP endpoint over the shared
+SparkSession: Spark drivers accept concurrent job submission from
+multiple threads natively (each request thread submits independent
+jobs; the scheduler interleaves their stages), so a threading HTTP
+server over one session IS the concurrent-serving model — no extra
+processes, and on a cluster the same class serves from the driver.
+
+Surface:
+- ``POST /query``  body ``{"sql": ..., "limit": N}`` → ``{"columns":
+  [...], "rows": [[...], ...]}``; HTTP basic auth with the
+  ``biodwh2`` user (password generated per server start unless
+  configured — the analog of the reference's generated root password).
+- ``GET /health`` → ``{"status": "ok"}`` (unauthenticated, like the
+  reference's readiness ping).
+
+Production notes: a real deployment would front this with Spark
+Connect / Thrift for wire compatibility; the point pinned by tests is
+the concurrency + auth contract of the embedded server, which is what
+the reference ships.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import secrets
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+DEFAULT_USER = "biodwh2"
+MAX_ROWS = 1000
+
+
+class QueryServer:
+    """Embedded threaded HTTP SQL endpoint over a SparkSession."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        username: str = DEFAULT_USER,
+        password: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.host = host
+        self.port = port
+        self.username = username
+        # generated-per-start secret, like the reference's root
+        # password bootstrap (ArcadeDBService.java:81-92)
+        self.password = password or secrets.token_urlsafe(16)
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self) -> int:
+        """Bind and serve in a daemon thread; returns the bound port
+        (``port=0`` picks a free one, the analog of the reference's
+        2480-2489 first-free-port scan)."""
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet; Spark logs enough
+                pass
+
+            def _reply(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _authorized(self) -> bool:
+                hdr = self.headers.get("Authorization", "")
+                if not hdr.startswith("Basic "):
+                    return False
+                try:
+                    user, pw = base64.b64decode(hdr[6:]).decode().split(":", 1)
+                except Exception:
+                    return False
+                return user == server.username and pw == server.password
+
+            def do_GET(self):
+                if self.path == "/health":
+                    self._reply(200, {"status": "ok"})
+                else:
+                    self._reply(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/query":
+                    self._reply(404, {"error": "not found"})
+                    return
+                if not self._authorized():
+                    self.send_response(401)
+                    self.send_header("WWW-Authenticate", 'Basic realm="biodwh2"')
+                    self.end_headers()
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    sql = req["sql"]
+                    limit = min(int(req.get("limit", 100)), MAX_ROWS)
+                    df = server.spark.sql(sql).limit(limit)
+                    rows = [[None if v is None else str(v) for v in r] for r in df.collect()]
+                    self._reply(200, {"columns": df.columns, "rows": rows})
+                except Exception as exc:  # bad SQL must not kill the server
+                    self._reply(400, {"error": f"{type(exc).__name__}: {exc}"[:500]})
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
