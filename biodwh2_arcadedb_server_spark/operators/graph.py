@@ -548,13 +548,12 @@ def shortest_path_tree(
         level = visited.where(F.col("depth") == d).select(
             F.col("node_id").alias("_n"), F.col("pred").alias("_p")
         )
-        step = (
-            level.join(paths, level["_p"] == paths["node_id"])
-            .select(
-                F.col("_n").alias("node_id"),
-                F.concat(F.col("path"), F.array(F.col("_n"))).alias("path"),
-            )
-            .localCheckpoint(eager=True)
+        # no checkpoint here: lineage depth is bounded by reached_depth
+        # (each level joins the previous level's plan once — linear),
+        # and an eager checkpoint would cost one blocking job per level
+        step = level.join(paths, level["_p"] == paths["node_id"]).select(
+            F.col("_n").alias("node_id"),
+            F.concat(F.col("path"), F.array(F.col("_n"))).alias("path"),
         )
         done = done.unionByName(step)
         paths = step

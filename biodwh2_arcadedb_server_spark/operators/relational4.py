@@ -93,9 +93,16 @@ def q60_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch's accuracy contract is what the differential gate verifies.
     tests/test_relational4.py keeps the tighter 3·rsd pin."""
     e = load_table(spark, sf_dir, "events")
-    agg = e.groupBy("event_type").agg(
+    # One map-side-combined shuffle to distinct (event_type, user_id)
+    # pairs feeds BOTH aggregates: HLL is duplicate-insensitive, so
+    # sketching the deduped pairs gives the identical estimate, and
+    # the exact count becomes a plain count — this avoids the expand
+    # plan (scan doubling) that countDistinct-next-to-another-agg
+    # would produce.
+    pairs = e.groupBy("event_type", "user_id").agg(F.lit(1).alias("_one"))
+    agg = pairs.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
-        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("exact_users"),
     )
     rel_err = F.abs(F.col("_approx") - F.col("exact_users")) / F.greatest(
         F.col("exact_users"), F.lit(1)

@@ -171,11 +171,16 @@ def ivf_topk(
     # equals cosine order (spherical k-means), aligning cell
     # assignment with the cosine scoring metric
     unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / array_norm(vec_col))
+    # materialize once: Lloyd's makes one pass PER ITERATION over its
+    # input, and an unmaterialized plan would re-run the parquet scan +
+    # normalization HOFs every pass (MLlib itself warns on uncached
+    # input). localCheckpoint also truncates lineage for the transform
+    # reuse below.
     feat = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         dbl.alias("ce"),
         array_to_vector(unit).alias("features"),
-    )
+    ).localCheckpoint(eager=True)
     model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(feat)
     assigned = model.transform(feat).select(
         "neighbor_id", "ce", F.col("prediction").alias("cluster")
