@@ -70,19 +70,16 @@ HEADLINE = [
     "q53_percentiles",
     "q54_correlated_subquery",
     "q55_anti_join",
-    "q56_stateful_running_stats",
     "q57_offset_paging",
     "q58_grouping_sets",
     "q59_map_functions",
     "q60_approx_distinct",
     "q61_udtf_sentences",
-    "q62_stream_enrich",
     "q63_sliding_window",
     "q64_regex_conditionals",
     "q66_setops_all",
     "q67_let_scalars",
     "q68_regex_battery",
-    "q69_stream_ingest",
     "q70_train_test_split",
     "q71_sequence_packing",
     "q72_stratified_sample",
@@ -115,10 +112,6 @@ HEADLINE = [
     "q26_neardup_jaccard",
     "q27_minhash_neardup",
     "q28_simhash_neardup",
-    # q84_stream_neardup excluded: applyInPandasWithState pays a
-    # Python call per bucket group (~40k tiny groups at sf0.1 → 14.5s)
-    # — a state-key-granularity property, not plan quality; see
-    # bench/results.json optimization_log and ROADMAP item 2.
     "q29_cosine_neardup",
     "q30_knn_topk",
     "q77_ivf_topk",
@@ -127,6 +120,20 @@ HEADLINE = [
     "q36_multimodal_meta",
     "q37_media_features",
     "q73_curation_pipeline",
+]
+
+# Streaming micro-batch drains, timed and reported separately: their
+# local wall time is the trigger-cycle + state-store floor (the same
+# 5-trigger stream costs ~7s even with a built-in JVM aggregate), not
+# plan quality — folding them into the headline total would swamp the
+# batch signal (VERDICT r1). On a real cluster these are continuous
+# queries where the floor amortizes per-trigger.
+STREAMING = [
+    "q56_stateful_running_stats",
+    "q62_stream_enrich",
+    "q69_stream_ingest",
+    "q84_stream_neardup",
+    "q90_stream_sessionize",
 ]
 
 
@@ -138,10 +145,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
-    # Warmup: run every headline plan once on the smallest sf so JIT/
-    # codegen compilation is paid outside the timed region.
+    # Warmup: run every plan once on the smallest sf so JIT/codegen
+    # compilation is paid outside the timed region.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
+    for name in HEADLINE + STREAMING:
         fn = queries.get(name)
         if fn is None:
             continue
@@ -150,30 +157,37 @@ def main() -> None:
         except Exception:
             pass  # a probe that fails at warmup still gets timed (and fails loudly)
 
-    times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        # per-query fault isolation: one broken probe must never zero
-        # the whole round's bench — record the error and keep timing.
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            times[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-        # drop py-side refs so the ContextCleaner can release the
-        # iterative operators' localCheckpoint RDDs between probes
-        gc.collect()
 
-    total = round(sum(times.values()), 3)
+    def timed(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = queries.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            # per-query fault isolation: one broken probe must never
+            # zero the whole round's bench — record the error, go on.
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                out[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            # drop py-side refs so the ContextCleaner can release the
+            # iterative operators' localCheckpoint RDDs between probes
+            gc.collect()
+        return out
+
+    times = timed(HEADLINE)
+    stream_times = timed(STREAMING)
+
     payload = {
         "metric": "headline_queries_total_wall",
-        "value": total,
+        "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "streaming": stream_times,
+        "streaming_total_sec": round(sum(stream_times.values()), 3),
         "sf": sf,
     }
     if errors:
