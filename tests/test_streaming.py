@@ -74,3 +74,50 @@ def test_sliding_total_events(spark, sf_small):
         assert total == 2 * n_events
     finally:
         q.stop()
+
+
+def test_trigger_cadence_never_changes_results(spark, sf_small, tmp_path):
+    """ROADMAP rate-limited-source parity: a rate-limited or chunked
+    source only changes HOW FAST event-time advances per trigger,
+    never which windows are emitted. The same events replayed as 4
+    micro-batches and as 1 must produce identical tumbling windows,
+    both equal to the batch aggregate."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_small, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"),
+        "ts",
+        tbl.column("ts").cast(pa.timestamp("us"), safe=False),
+    )
+    df = tbl.to_pandas().sort_values("ts", ignore_index=True)
+    src = str(tmp_path / "chunks")
+    os.makedirs(src)
+    bounds = [round(i * len(df) / 4) for i in range(5)]
+    for i in range(4):
+        path = os.path.join(src, f"c{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(df.iloc[bounds[i]:bounds[i + 1]], preserve_index=False), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def run(max_files, name):
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(src)
+        )
+        agg = se.tumbling_agg(stream, "1 hour", "10 minutes")
+        q = se.run_stream_to_memory(agg, name, output_mode="complete")
+        try:
+            return _rows(spark.table(name))
+        finally:
+            q.stop()
+
+    slow = run(1, "cadence_slow")  # 4 micro-batches
+    fast = run(4, "cadence_fast")  # 1 micro-batch
+    want = _rows(q16_tumbling_window(spark, sf_small))
+    assert slow == fast == want
