@@ -90,6 +90,8 @@ HEADLINE = [
     "q94_bm25_search",
     "q95_pii_scan",
     "q96_random_projection",
+    "q98_bigram_lm_score",
+    "q99_source_cap",
     "q79_window_ranks",
     "q82_profile_stats",
     "q87_unpivot",

@@ -32,7 +32,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from biodwh2_arcadedb_server_spark.functions import tokens
@@ -250,6 +250,88 @@ def bm25_search(
         .agg(F.round(F.sum("_s"), 4).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(limit)
+    )
+
+
+# --- n-gram LM scoring (CCNet-style perplexity filter) ----------------------------
+def bigram_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: float = 0.5
+) -> DataFrame:
+    """Language-model quality scoring with a corpus-trained bigram
+    model (the CCNet / RedPajama filter family scores documents by LM
+    perplexity; a KenLM plugs in the same way via pandas_udf, this
+    in-engine bigram model keeps it testable without model files):
+
+        P(w2|w1) = (c(w1 w2) + k) / (c(w1·) + k·V)   (add-k smoothing)
+        avg_logp(doc) = mean over its bigrams of ln P
+
+    Returns (doc_id, n_bigrams, avg_logp) — higher = more typical of
+    the corpus; docs with < 2 tokens report n_bigrams=0, avg_logp=0.
+
+    Scale: the bigram-count table is (vocab²-bounded but Zipf-small)
+    and both count tables derive from ONE map-side-combined shuffle of
+    8-byte-hashable gram strings; scoring is two equi-joins on the
+    gram key. V and the count tables stay un-hinted — AQE broadcasts
+    them when they fit (same unbounded-vocabulary argument as TF-IDF's
+    docfreq)."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    big = toked.select(
+        F.col(id_col), F.explode(_gram_text(F.col("_toks"), 2)).alias("g")
+    ).withColumn("w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+    c12 = big.groupBy("g").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toked.select(F.explode("_toks").alias("w")).agg(
+        F.countDistinct("w").alias("_v")
+    )
+    p = (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("_v"))
+    scored = (
+        big.join(c12, "g")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log(p)).alias("_lp"),
+        )
+    )
+    all_ids = df.select(F.col(id_col)).distinct()
+    return all_ids.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.round(F.coalesce(F.col("_lp"), F.lit(0.0)), 4).alias("avg_logp"),
+    )
+
+
+# --- per-source caps (domain balancing) -------------------------------------------
+def source_cap(
+    df: DataFrame,
+    cap: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain balancing: cap each source at ``cap`` documents, keeping
+    the longest (tokens desc, id asc tie-break — any deterministic
+    quality key slots in). Common Crawl-style pipelines cap per-domain
+    contributions so no host dominates the mixture.
+
+    One shuffle on the source key + a rank window; at 100 TB the
+    per-source partitions are exactly the skew surface, so a heavy
+    host's window sorts spill-free only if cap ≪ partition budget —
+    for pathological hosts pre-filter with an approximate per-source
+    count and sample before ranking."""
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = Window.partitionBy(source_col).orderBy(F.col("_nt").desc(), F.col(id_col))
+    return (
+        df.select(F.col(id_col), F.col(source_col), n_tok.alias("_nt"))
+        .withColumn("rank_in_source", F.row_number().over(w))
+        .select(
+            id_col,
+            source_col,
+            F.col("_nt").alias("n_tokens"),
+            F.col("rank_in_source"),
+            (F.col("rank_in_source") <= cap).alias("kept"),
+        )
     )
 
 

@@ -94,6 +94,25 @@ def q96_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(e, out_dim=SRP_OUT_DIM, in_dim=SRP_IN_DIM)
 
 
+# --- bigram LM quality scoring ----------------------------------------------------
+def q98_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM filter: score each document by the average
+    smoothed bigram log-probability under a model trained on the
+    corpus itself."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.bigram_lm_score(d, k=0.5)
+
+
+SOURCE_CAP = 10
+
+
+def q99_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: rank documents within each source and cap
+    contributions at SOURCE_CAP."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.source_cap(d, cap=SOURCE_CAP)
+
+
 QUERIES = {
     "q91_decontamination": q91_decontamination,
     "q92_repetition_stats": q92_repetition_stats,
@@ -101,6 +120,8 @@ QUERIES = {
     "q94_bm25_search": q94_bm25_search,
     "q95_pii_scan": q95_pii_scan,
     "q96_random_projection": q96_random_projection,
+    "q98_bigram_lm_score": q98_bigram_lm_score,
+    "q99_source_cap": q99_source_cap,
 }
 
 _GRAMS3 = f"""
@@ -244,3 +265,50 @@ def _srp_oracle() -> str:
 
 
 ORACLE["q96_random_projection"] = _srp_oracle()
+
+# non-distinct, order-preserving bigrams — the q92 gram pattern at k=2
+_GRAMS2 = f"""
+    SELECT doc_id,
+           list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+               i -> toks[i] || ' ' || toks[i+1]) AS g
+    FROM ({_TOKS})
+"""
+
+ORACLE["q98_bigram_lm_score"] = f"""
+    WITH big AS MATERIALIZED (
+        SELECT doc_id, gram, split_part(gram, ' ', 1) AS w1
+        FROM (SELECT doc_id, UNNEST(g) AS gram FROM ({_GRAMS2}))
+    ),
+    c12 AS (SELECT gram, COUNT(*) AS c12 FROM big GROUP BY gram),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+    v AS (
+        SELECT COUNT(DISTINCT tok) AS v
+        FROM (SELECT UNNEST(toks) AS tok FROM ({_TOKS}))
+    ),
+    scored AS (
+        SELECT big.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               AVG(ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v))) AS lp
+        FROM big JOIN c12 ON c12.gram = big.gram
+                 JOIN c1 ON c1.w1 = big.w1
+                 CROSS JOIN v
+        GROUP BY big.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           ROUND(COALESCE(s.lp, 0.0), 4) AS avg_logp
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+ORACLE["q99_source_cap"] = f"""
+    SELECT doc_id, source,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY len(toks) DESC, doc_id
+           ) AS INTEGER) AS rank_in_source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY len(toks) DESC, doc_id
+           ) <= 10 AS kept
+    FROM (SELECT doc_id, source, toks FROM ({_TOKS.replace("SELECT doc_id,", "SELECT doc_id, source,")}))
+"""

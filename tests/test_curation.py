@@ -149,3 +149,43 @@ def test_gram_text_short_doc_empty(spark, k):
     d = _docs(spark, [(1, "one")])
     out = d.select(curation._gram_text(curation.tokens(F.col("text")), k).alias("g")).collect()
     assert out[0]["g"] == []
+
+
+def test_bigram_lm_score_known(spark):
+    import math
+
+    d = _docs(
+        spark,
+        [
+            (1, "a b a b"),   # bigrams: ab, ba, ab
+            (2, "a b"),       # bigram: ab
+            (3, "x"),         # < 2 tokens → n_bigrams 0
+        ],
+    )
+    out = {r["doc_id"]: r for r in curation.bigram_lm_score(d, k=0.5).collect()}
+    # corpus: c(a b)=3, c(b a)=1, c1(a)=3, c1(b)=1, V=3 (a, b, x)
+    p_ab = (3 + 0.5) / (3 + 0.5 * 3)
+    p_ba = (1 + 0.5) / (1 + 0.5 * 3)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logp"] == round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 4)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_logp"] == round(math.log(p_ab), 4)
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_logp"] == 0.0
+
+
+def test_source_cap_known(spark):
+    rows = [(i, "tok " * (i % 7 + 1), "en", f"s{i % 2}", 1) for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = curation.source_cap(d, cap=2).collect()
+    kept = {r.doc_id for r in out if r.kept}
+    # per source: longest docs win, id asc breaks ties
+    assert len(kept) == 4
+    for r in out:
+        assert r.kept == (r.rank_in_source <= 2)
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r.source, []).append(r)
+    for src_rows in per_src.values():
+        src_rows.sort(key=lambda r: r.rank_in_source)
+        for a, b in zip(src_rows, src_rows[1:]):
+            assert (a.n_tokens, -a.doc_id) >= (b.n_tokens, -b.doc_id)
