@@ -22,6 +22,7 @@ from biodwh2_arcadedb_server_spark.operators import (
     relational3,
     relational4,
     relational5,
+    relational6,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -67,6 +68,7 @@ PRIORITY = [
     "q86_betweenness",
     # near-duplicate dedup (C2)
     "q26_neardup_jaccard",
+    "q100_neardup_clusters",
     "q27_minhash_neardup",
     "q28_simhash_neardup",
     "q29_cosine_neardup",
@@ -112,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pooled.update(relational3.QUERIES)
     pooled.update(relational4.QUERIES)
     pooled.update(relational5.QUERIES)
+    pooled.update(relational6.QUERIES)
     pooled.update(graph_queries.QUERIES)
     pooled.update(pipeline_queries.QUERIES)
     pooled.update(pipeline_queries2.QUERIES)
@@ -131,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational3.ORACLE)
     out.update(relational4.ORACLE)
     out.update(relational5.ORACLE)
+    out.update(relational6.ORACLE)
     out.update(graph_queries.ORACLE)
     out.update(pipeline_queries.ORACLE)
     out.update(pipeline_queries2.ORACLE)

@@ -455,3 +455,54 @@ def simhash_near_dups_blocked(fps: DataFrame, max_hamming: int = 3) -> DataFrame
         .select("p.id_a", "p.id_b", "p.hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# --- C2: end-to-end fuzzy dedup (pairs → clusters → canonical keep) -----------------
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    pairs: DataFrame | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """The full fuzzy-dedup decision a training pipeline actually
+    needs: not the pair list but **which row to keep**. Near-dup
+    similarity is not transitive, so pairs are grouped into clusters
+    by connected components over the pair graph (the standard
+    MinHash-dedup closure step — e.g. SlimPajama/RefinedWeb group LSH
+    pairs this way) and one canonical document (min id) survives per
+    cluster.
+
+    Returns one row per input document: ``(<id_col>, cluster_id,
+    is_canonical)`` — filter ``is_canonical`` to materialize the
+    deduplicated corpus; ``cluster_id`` is the min doc id reachable
+    through the near-dup relation (singletons are their own cluster).
+
+    ``pairs`` defaults to the exact :func:`ngram_jaccard_pairs` (the
+    oracle-able reference); pass the output of
+    :func:`minhash_near_dups` / :func:`simhash_near_dups_blocked` to
+    run the same closure on an approximate pair set at scale.
+
+    Scale: the pair graph holds only documents that HAVE a near-dup —
+    a sliver of the corpus — so the iterative CC runs on a tiny edge
+    set regardless of corpus size; the corpus-sized work is one
+    left join back to the full id list (hash shuffle on the 8-byte
+    id). Cluster diameter is short in practice (near-dup chains),
+    so min-propagation converges in a handful of rounds."""
+    from biodwh2_arcadedb_server_spark.operators.graph import connected_components
+
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df, id_col, text_col, k, threshold)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges, max_iter=max_iter)
+    return (
+        df.select(F.col(id_col).alias("node_id"))
+        .join(comp, "node_id", "left")
+        .select(
+            F.col("node_id").alias(id_col),
+            F.coalesce("component", "node_id").alias("cluster_id"),
+            (F.coalesce("component", "node_id") == F.col("node_id")).alias("is_canonical"),
+        )
+    )

@@ -44,6 +44,16 @@ def q27_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C2: end-to-end fuzzy dedup — pair graph → clusters → canonical keep (oracle-able)
+def q100_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup *decision*: exact Jaccard pairs grouped into
+    clusters by connected components (near-dup is not transitive —
+    chains merge), one canonical survivor (min doc_id) per cluster.
+    Oracle: recursive-CTE transitive closure over the same pair set."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters(d, "doc_id", "text", JACCARD_K, JACCARD_THRESHOLD)
+
+
 # --- C2 × C7: streaming MinHash near-dup candidates (rows-only) -------------------
 def q84_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the documents stream through the stateful band-bucket
@@ -224,6 +234,7 @@ def q73_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q73_curation_pipeline": q73_curation_pipeline,
     "q26_neardup_jaccard": q26_neardup_jaccard,
+    "q100_neardup_clusters": q100_neardup_clusters,
     "q27_minhash_neardup": q27_minhash_neardup,
     "q28_simhash_neardup": q28_simhash_neardup,
     "q84_stream_neardup": q84_stream_neardup,
@@ -291,6 +302,31 @@ ORACLE = {
         SELECT id_a, id_b,
                ROUND(inter * 1.0 / (sa + sb - inter), 4) AS jaccard
         FROM pairs WHERE inter * 1.0 / (sa + sb - inter) >= {JACCARD_THRESHOLD}
+    """,
+    "q100_neardup_clusters": f"""
+        WITH RECURSIVE sh AS ({_SHINGLES}),
+        inv AS (SELECT doc_id, len(g) AS sz, UNNEST(g) AS gram FROM sh),
+        cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+                   COUNT(*) AS inter
+            FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+        pairs AS (
+            SELECT id_a, id_b FROM cand
+            WHERE inter * 1.0 / (sa + sb - inter) >= {JACCARD_THRESHOLD}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs),
+        reach(node, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node),
+        comp AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+        SELECT d.doc_id,
+               COALESCE(c.comp, d.doc_id) AS cluster_id,
+               COALESCE(c.comp, d.doc_id) = d.doc_id AS is_canonical
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
     """,
     "q29_cosine_neardup": f"""
         SELECT id_a, id_b, ROUND(sim_raw, 4) AS sim FROM (

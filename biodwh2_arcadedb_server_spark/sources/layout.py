@@ -41,17 +41,31 @@ def _normalize_to_bits(col: Column, cmin: Column, cmax: Column, bits: int) -> Co
     )
 
 
-def _interleave2(a: Column, b: Column, bits: int) -> Column:
-    """Morton-interleave two ``bits``-wide integers: bit i of ``a``
-    lands at 2i, of ``b`` at 2i+1. Unrolled shifts — whole-stage
-    codegen folds this into straight-line long arithmetic."""
+def _interleave_nd(cols: list[Column], bits: int) -> Column:
+    """Morton-interleave N ``bits``-wide integers: bit i of column j
+    lands at position i·N + j. Unrolled shifts — whole-stage codegen
+    folds this into straight-line long arithmetic (N·bits OR terms).
+    The key must fit a signed long: N·bits ≤ 62."""
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(
+            f"{n} dims x {bits} bits = {n * bits}-bit key overflows a signed long; "
+            f"lower bits to <= {62 // n}"
+        )
+
     def bit_at(c: Column, i: int, pos: int) -> Column:
         return F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), pos)
 
-    terms = [bit_at(a, i, 2 * i) for i in range(bits)] + [
-        bit_at(b, i, 2 * i + 1) for i in range(bits)
+    terms = [
+        bit_at(c, i, i * n + j) for j, c in enumerate(cols) for i in range(bits)
     ]
     return reduce(lambda x, y: x.bitwiseOR(y), terms)
+
+
+def _interleave2(a: Column, b: Column, bits: int) -> Column:
+    """Morton-interleave two ``bits``-wide integers (N=2 special case
+    kept for call-site clarity)."""
+    return _interleave_nd([a, b], bits)
 
 
 def _hilbert_d(a: Column, b: Column, bits: int) -> Column:
@@ -83,29 +97,83 @@ def _hilbert_d(a: Column, b: Column, bits: int) -> Column:
     return F.aggregate(seq, init, step)["d"]
 
 
+def zorder_key_nd(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = ZBITS,
+    curve: str = "morton",
+    normalize: str = "minmax",
+) -> DataFrame:
+    """Append a ``_zkey`` column: the space-filling-curve index of the
+    N columns' normalized ranks (``morton`` for any N; ``hilbert`` is
+    the 2-dim walk only). Per-column stats ride as ONE broadcast 1-row
+    aggregate regardless of N — single job, no driver round-trip.
+
+    ``normalize``:
+    - ``"minmax"`` — linear scaling between the column's min and max.
+      Cheap, but a skewed column (one large outlier, log-normal mass)
+      crams most rows into a few ranks and that dimension stops
+      skipping.
+    - ``"quantile"`` — equal-MASS bins from a one-pass
+      ``approx_percentile`` sketch: rank = #bin-edges ≤ value, so
+      every rank holds ~the same row count no matter the shape of the
+      distribution (what production OPTIMIZE ZORDER BY does). The
+      per-row cost is an O(2^bits) filter over the broadcast edge
+      array — use modest ``bits`` (≤ 8; 256 bins ≫ any file count)
+      in this mode.
+
+    Practical N: skipping power per dimension decays as each column
+    gets bits/N of the key's selectivity — 2-4 columns is the sweet
+    spot (the same guidance Delta/Iceberg give for ZORDER BY)."""
+    if len(cols) < 2:
+        raise ValueError("zorder needs at least 2 columns")
+    if normalize == "quantile" and bits > 10:
+        raise ValueError("quantile normalization: use bits <= 10 (per-row cost is O(2^bits))")
+    aggs = []
+    for j, c in enumerate(cols):
+        if normalize == "minmax":
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"_min{j}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"_max{j}"))
+        elif normalize == "quantile":
+            n_bins = 1 << bits
+            qs = F.array(*[F.lit(k / n_bins) for k in range(1, n_bins)])
+            aggs.append(
+                F.percentile_approx(F.col(c).cast("double"), qs, 10_000).alias(f"_edges{j}")
+            )
+        else:
+            raise ValueError(f"unknown normalize {normalize!r} (minmax|quantile)")
+    with_stats = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    if normalize == "minmax":
+        ranks = [
+            _normalize_to_bits(F.col(c), F.col(f"_min{j}"), F.col(f"_max{j}"), bits)
+            for j, c in enumerate(cols)
+        ]
+    else:
+        def _qrank(j: int, c: str) -> Column:
+            x = F.col(c).cast("double")
+            return F.size(F.filter(F.col(f"_edges{j}"), lambda e: e <= x)).cast("long")
+
+        ranks = [_qrank(j, c) for j, c in enumerate(cols)]
+    if curve == "hilbert":
+        if len(cols) != 2:
+            raise ValueError("hilbert curve is 2-dim; use morton for N > 2")
+        key = _hilbert_d(ranks[0], ranks[1], bits)
+    elif curve == "morton":
+        key = _interleave_nd(ranks, bits)
+    else:
+        raise ValueError(f"unknown curve {curve!r} (morton|hilbert)")
+    if normalize == "minmax":
+        drop = [f"_min{j}" for j in range(len(cols))] + [f"_max{j}" for j in range(len(cols))]
+    else:
+        drop = [f"_edges{j}" for j in range(len(cols))]
+    return with_stats.withColumn("_zkey", key).drop(*drop)
+
+
 def zorder_key(
     df: DataFrame, col_a: str, col_b: str, bits: int = ZBITS, curve: str = "morton"
 ) -> DataFrame:
-    """Append a ``_zkey`` column: the space-filling-curve index
-    (``morton`` interleave or ``hilbert`` walk) of the two columns'
-    normalized ranks. Column min/max ride as a broadcast 1-row
-    aggregate — single job, no driver round-trip."""
-    stats = df.agg(
-        F.min(F.col(col_a).cast("double")).alias("_amin"),
-        F.max(F.col(col_a).cast("double")).alias("_amax"),
-        F.min(F.col(col_b).cast("double")).alias("_bmin"),
-        F.max(F.col(col_b).cast("double")).alias("_bmax"),
-    )
-    with_stats = df.crossJoin(F.broadcast(stats))
-    ra = _normalize_to_bits(F.col(col_a), F.col("_amin"), F.col("_amax"), bits)
-    rb = _normalize_to_bits(F.col(col_b), F.col("_bmin"), F.col("_bmax"), bits)
-    if curve == "hilbert":
-        key = _hilbert_d(ra, rb, bits)
-    elif curve == "morton":
-        key = _interleave2(ra, rb, bits)
-    else:
-        raise ValueError(f"unknown curve {curve!r} (morton|hilbert)")
-    return with_stats.withColumn("_zkey", key).drop("_amin", "_amax", "_bmin", "_bmax")
+    """2-column form of :func:`zorder_key_nd` (original surface)."""
+    return zorder_key_nd(df, [col_a, col_b], bits, curve)
 
 
 def write_zordered(
@@ -122,7 +190,24 @@ def write_zordered(
     ``n_files`` compact segments, sort within each, drop the key.
     Each output file then owns a tight (col_a, col_b) box in the
     footers, which is what scan-time skipping consumes."""
-    keyed = zorder_key(df, col_a, col_b, bits, curve)
+    write_zordered_nd(df, out_dir, [col_a, col_b], n_files, bits, curve)
+
+
+def write_zordered_nd(
+    df: DataFrame,
+    out_dir: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = ZBITS,
+    curve: str = "morton",
+    normalize: str = "minmax",
+) -> None:
+    """N-column :func:`write_zordered`: each output file owns a tight
+    N-dim box in the footers. With the default 16 bits, up to 3
+    columns fit the signed-long key; pass ``bits=15`` for 4. Use
+    ``normalize="quantile"`` (with small bits, e.g. 8) when any
+    clustered column is skewed."""
+    keyed = zorder_key_nd(df, cols, bits, curve, normalize)
     (
         keyed.repartitionByRange(n_files, "_zkey")
         .sortWithinPartitions("_zkey")

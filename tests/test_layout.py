@@ -100,6 +100,74 @@ def test_zorder_layout_skips_2d_box_better_than_single_sort(spark, sf_small, tmp
     assert _overlapping(zr, "user_id", *bu, "ts_s", *bt) < N_FILES
 
 
+def test_zorder_3d_skips_on_every_dimension(spark, sf_small, tmp_path):
+    """The N-dim Morton layout must let a single-dimension box skip
+    files on ANY of the three clustered columns — the guarantee no
+    single- or even two-column sort can give for the third column.
+    `value` is skewed, so this runs the quantile (equal-mass)
+    normalization; min/max normalization demonstrably fails on it
+    (every file overlapped the value box when this test was first
+    written)."""
+    from biodwh2_arcadedb_server_spark.sources.layout import write_zordered_nd
+
+    e = load_table(spark, sf_small, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s"), "value"
+    )
+    z_dir = str(tmp_path / "z3")
+    cols = ["user_id", "ts_s", "value"]
+    write_zordered_nd(e, z_dir, cols, n_files=N_FILES, bits=8, normalize="quantile")
+    assert spark.read.parquet(z_dir).count() == e.count()
+
+    # equal-MASS boxes (10th-30th percentile), matching the equal-mass
+    # layout: a raw-span box can straddle the curve's median split on
+    # a skewed column and touch every file through no fault of the key
+    lo_hi = {}
+    row = e.agg(
+        *[
+            F.expr(f"percentile({c}, array(0.1, 0.3))").alias(f"box_{c}")
+            for c in cols
+        ]
+    ).collect()[0]
+    for c in cols:
+        lo_hi[c] = tuple(row[f"box_{c}"])
+
+    files = sorted(glob.glob(os.path.join(z_dir, "part-*.parquet")))
+    assert len(files) == N_FILES
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        mins, maxs = {}, {}
+        for c in cols:
+            ci = names[c]
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            mins[c], maxs[c] = lo, hi
+        ranges.append((mins, maxs))
+
+    for c in cols:
+        blo, bhi = lo_hi[c]
+        n_overlap = sum(
+            1 for mins, maxs in ranges if maxs[c] >= blo and mins[c] <= bhi
+        )
+        assert n_overlap < N_FILES, f"no skipping on {c}"
+
+
+def test_zorder_nd_key_bit_budget_guard(spark):
+    df = spark.createDataFrame([(1, 2, 3, 4)], ["a", "b", "c", "d"])
+    from biodwh2_arcadedb_server_spark.sources.layout import zorder_key_nd
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overflows"):
+        zorder_key_nd(df, ["a", "b", "c", "d"], bits=16)
+    # 4 dims fit at 15 bits
+    assert zorder_key_nd(df, ["a", "b", "c", "d"], bits=15).collect()[0]._zkey is not None
+
+
 def _py_hilbert(order, x, y):
     d = 0
     for i in range(order - 1, -1, -1):

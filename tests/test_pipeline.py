@@ -64,6 +64,36 @@ def test_minhash_jaccard_values_match_exact(spark, sf_small):
         assert j == pytest.approx(exact[pair], abs=1e-4)
 
 
+def test_neardup_clusters_chain_merges(spark):
+    """a~b and b~c above threshold must land in ONE cluster even when
+    a~c alone falls below it (the closure step near-dup dedup needs);
+    untouched docs are their own canonical singleton."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    mid = base.replace("today", "tonight")          # ~b: 1 word off a
+    far = mid.replace("quick", "slow")              # ~c: 1 word off b, 2 off a
+    df = spark.createDataFrame(
+        [(1, base), (2, mid), (3, far), (9, "completely unrelated content here")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in dedup.near_dup_clusters(df, "doc_id", "text", k=3, threshold=0.6).collect()
+    }
+    assert got == {(1, 1, True), (2, 1, False), (3, 1, False), (9, 9, True)}
+
+
+def test_neardup_clusters_accepts_precomputed_pairs(spark):
+    """The closure composes with ANY pair source (minhash/simhash) —
+    pass a pair DataFrame and no shingling runs."""
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(1, 6)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"])
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.near_dup_clusters(docs, "doc_id", "text", pairs=pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)}
+
+
 def test_exact_dedup_by_content(spark):
     df = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
