@@ -138,6 +138,73 @@ def ann_topk(
     )
 
 
+def _lloyd_sample(X, n_clusters: int, seed: int, max_iter: int = 25):
+    """Deterministic spherical k-means on a numpy sample: k-means++
+    seeding from a seeded RNG, Lloyd iterations with empty-cluster
+    reseed to the farthest point. Pure vectorized numpy — this runs
+    ONCE on the driver over a bounded sample, never over the corpus."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    # k-means++ init
+    centers = [X[rng.randint(n)]]
+    for _ in range(1, n_clusters):
+        d2 = np.min(
+            [((X - c) ** 2).sum(axis=1) for c in centers], axis=0
+        )
+        tot = d2.sum()
+        if tot <= 0:
+            centers.append(X[rng.randint(n)])
+            continue
+        centers.append(X[np.searchsorted(np.cumsum(d2 / tot), rng.rand())])
+    C = np.array(centers)
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        newC = np.zeros_like(C)
+        for j in range(n_clusters):
+            mask = assign == j
+            if mask.any():
+                c = X[mask].mean(axis=0)
+                nrm = np.linalg.norm(c)
+                newC[j] = c / nrm if nrm > 0 else c
+            else:  # empty cell: reseed to the point farthest from its center
+                newC[j] = X[d2.min(axis=1).argmax()]
+        if np.allclose(newC, C, atol=1e-9):
+            C = newC
+            break
+        C = newC
+    return C
+
+
+def _nearest_cells(vec_col, cent_lit, n_cells: int, n_probe: int):
+    """Indices of the ``n_probe`` nearest of ``n_cells`` UNIT-NORM
+    centroids to a raw vector column — pure JVM HOFs over the
+    centroid literal (no crossJoin, no window). Nearest-on-the-sphere
+    reduces to argmax dot(v, c): the row's own norm is constant
+    across cells, so the raw vector ranks cells identically to its
+    unit form and NO per-row normalization runs (a normalization
+    expression inside the lambda would be re-evaluated per centroid —
+    O(d²·cells) per row). Sort key is (-dot, idx); slice n_probe."""
+    dots = F.transform(
+        cent_lit,
+        lambda c: -F.aggregate(
+            F.zip_with(vec_col, c, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    ranked = F.array_sort(
+        F.zip_with(
+            dots,
+            F.sequence(F.lit(0), F.lit(n_cells - 1)),
+            lambda d, i: F.struct(d.alias("negdot"), i.alias("cluster")),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cluster"])
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -148,66 +215,60 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     exclude_self: bool = True,
+    sample_cap: int = 4096,
+    max_iter: int = 25,
 ) -> DataFrame:
     """IVF (inverted-file) approximate k-NN: partition the corpus into
-    ``n_clusters`` Voronoi cells with MLlib KMeans (JVM Lloyd's — the
-    train pass is itself distributed), then each query scores only the
+    ``n_clusters`` Voronoi cells, then each query scores only the
     ``n_probe`` cells whose centroids are nearest. Complements the
     hyperplane-LSH path: IVF adapts its partitions to the data
     distribution, so recall per candidate is higher on clustered
     corpora.
 
-    Scale: the index build scans the corpus O(maxIter) times (a
-    write-side cost, amortized over queries); centroids are tiny and
-    broadcast; the candidate join is an equi-join on cluster id, so
-    per-query read volume is ~n_probe/n_clusters of the corpus.
-    Deterministic for a fixed seed. Recall is pytest-gated vs the
-    exact ``knn_join`` (tests/test_pipeline.py)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    The coarse quantizer is trained the way production IVF indexes
+    train (FAISS practice): spherical k-means on a BOUNDED
+    deterministic sample (``sample_cap`` rows picked by hash order —
+    a map-side TakeOrdered, one corpus pass), run vectorized on the
+    driver. Training on a sample is statistically standard (centroids
+    need ~100s of points per cell, not the corpus) and removes the
+    O(iterations) distributed passes an in-cluster Lloyd's would pay.
+    Cell assignment and query probing are pure JVM HOF argmins over
+    the broadcast centroid literal — map-only, no crossJoin, no
+    window. The only shuffles left are the candidate equi-join on
+    cluster id (~n_probe/n_clusters of the corpus read per query) and
+    the final per-query top-k. Deterministic for a fixed seed.
+    Recall is pytest-gated vs the exact ``knn_join``
+    (tests/test_pipeline.py)."""
+    import numpy as np
 
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    # cluster in the *normalized* space: on the unit sphere L2 order
-    # equals cosine order (spherical k-means), aligning cell
-    # assignment with the cosine scoring metric
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / array_norm(vec_col))
-    # materialize once: Lloyd's makes one pass PER ITERATION over its
-    # input, and an unmaterialized plan would re-run the parquet scan +
-    # normalization HOFs every pass (MLlib itself warns on uncached
-    # input). localCheckpoint also truncates lineage for the transform
-    # reuse below.
-    feat = corpus.select(
+    # train on a bounded hash-ordered sample (TakeOrderedAndProject —
+    # map-side top-cap, one corpus pass); normalize in numpy, not in
+    # the plan (spherical k-means clusters the unit sphere, where L2
+    # order equals cosine order, aligning cells with the scoring
+    # metric)
+    sample = (
+        corpus.select(F.xxhash64(F.col(id_col)).alias("_h"), F.col(vec_col).alias("_v"))
+        .orderBy("_h")
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r._v for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = _lloyd_sample(X, n_clusters, seed, max_iter)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in C]
+    )
+    n_cells = len(C)
+    assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         dbl.alias("ce"),
-        array_to_vector(unit).alias("features"),
-    ).localCheckpoint(eager=True)
-    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(feat)
-    assigned = model.transform(feat).select(
-        "neighbor_id", "ce", F.col("prediction").alias("cluster")
+        _nearest_cells(F.col(vec_col), cent_lit, n_cells, 1)[0].alias("cluster"),
     )
-    spark = corpus.sparkSession
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cluster int, centroid array<double>",
-    )
-    # nearest n_probe centroids per query by L2 in the normalized
-    # space (KMeans' own metric); scoring below uses raw cosine,
-    # which is scale-invariant
-    q = queries.select(
-        F.col(id_col).alias("query_id"), dbl.alias("qe"), unit.alias("_qn")
-    )
-    d2 = F.aggregate(
-        F.zip_with("_qn", "centroid", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("_d2"), F.col("cluster"))
-    probed = (
-        q.crossJoin(F.broadcast(cents))
-        .select("query_id", "qe", "cluster", d2.alias("_d2"))
-        .withColumn("_r", F.row_number().over(wq))
-        .where(F.col("_r") <= n_probe)
-        .select("query_id", "qe", "cluster")
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        dbl.alias("qe"),
+        F.explode(_nearest_cells(F.col(vec_col), cent_lit, n_cells, n_probe)).alias("cluster"),
     )
     cands = probed.join(assigned, "cluster")
     if exclude_self:
