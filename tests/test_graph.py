@@ -501,3 +501,66 @@ def test_centrality_sampled_pivots_exact_restriction(spark, sf_small):
                 want[v][0] += 1
                 want[v][1] += d
     assert got == {v: tuple(c) for v, c in want.items()}
+
+
+def _hub_graph(spark, n: int):
+    """Deterministic hub-heavy test graph: 5 interconnected hubs, every
+    other node wired to its hub (i%5) and chained to its neighbor.
+    Centrality is strongly heterogeneous (hubs dominate), so rank
+    recovery is a meaningful estimator gate — a near-regular graph
+    (ring+chords) has near-uniform centrality and the top-10 is
+    tie-break noise."""
+    edges = (
+        [(i, i % 5) for i in range(5, n)]
+        + [(i, i + 1) for i in range(5, n - 1)]
+        + [(h, (h + 1) % 5) for h in range(5)]
+    )
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_sampled_closeness_estimator_error_bound(spark):
+    """ROADMAP: the pivot-sampling scale path as an ESTIMATOR, gated
+    on a 120-node graph: with K=30 deterministic pivots (node_id %4
+    == 0) the Eppstein-Wang closeness estimate must stay near exact —
+    mean abs error < 0.05 and the exact top-10 must be mostly
+    recovered by the estimate's top-10 (python prototype of this
+    graph: mae 0.007, overlap 6)."""
+    from biodwh2_arcadedb_server_spark.operators.graph import closeness_centrality
+
+    n = 120
+    g = _hub_graph(spark, n)
+    exact = {r.node_id: r.closeness for r in closeness_centrality(g).collect()}
+    pivots = spark.createDataFrame([(i,) for i in range(0, n, 4)], "node_id long")
+    est = {r.node_id: r.closeness for r in closeness_centrality(g, pivots=pivots).collect()}
+    assert set(est) == set(exact)
+    mae = sum(abs(est[v] - exact[v]) for v in exact) / len(exact)
+    assert mae < 0.05, mae
+    top_exact = sorted(exact, key=lambda v: (-exact[v], v))[:10]
+    top_est = sorted(est, key=lambda v: (-est[v], v))[:10]
+    assert len(set(top_exact) & set(top_est)) >= 5
+
+
+def test_sampled_betweenness_estimator_rank_agreement(spark):
+    """Brandes-Pich pivot sampling: scaling the K-pivot accumulation
+    by n/K estimates exact betweenness; gate mean relative error on
+    the heavy nodes and top-10 rank recovery (python prototype:
+    rel 0.31, overlap 5)."""
+    from biodwh2_arcadedb_server_spark.operators.graph import betweenness_centrality
+
+    n = 120
+    g = _hub_graph(spark, n)
+    exact = {r.node_id: r.betweenness for r in betweenness_centrality(g).collect()}
+    pivot_ids = list(range(0, n, 4))
+    pivots = spark.createDataFrame([(i,) for i in pivot_ids], "node_id long")
+    scale = n / len(pivot_ids)
+    est = {
+        r.node_id: r.betweenness * scale
+        for r in betweenness_centrality(g, pivots=pivots).collect()
+    }
+    assert set(est) == set(exact)
+    heavy = [v for v in exact if exact[v] > sorted(exact.values())[len(exact) // 2]]
+    rel = sum(abs(est[v] - exact[v]) / exact[v] for v in heavy) / len(heavy)
+    assert rel < 0.5, rel
+    top_exact = sorted(exact, key=lambda v: (-exact[v], v))[:10]
+    top_est = sorted(est, key=lambda v: (-est[v], v))[:10]
+    assert len(set(top_exact) & set(top_est)) >= 4
