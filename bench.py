@@ -97,6 +97,11 @@ HEADLINE = [
     "q87_unpivot",
     "q88_scd2_history",
     "q89_approx_percentiles",
+    "q101_qualify_topn",
+    "q102_windowed_distinct",
+    "q103_lateral_explode",
+    "q104_leakage_safe_split",
+    "q105_length_batching",
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q97_shortest_path",
@@ -112,6 +117,7 @@ HEADLINE = [
     "q85_closeness",
     "q86_betweenness",
     "q26_neardup_jaccard",
+    "q100_neardup_clusters",
     "q27_minhash_neardup",
     "q28_simhash_neardup",
     "q29_cosine_neardup",

@@ -54,6 +54,30 @@ def q100_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_clusters(d, "doc_id", "text", JACCARD_K, JACCARD_THRESHOLD)
 
 
+# --- C2 + split composition: leakage-safe grouped split (oracle-able) ---------------
+def q104_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test split assigned per NEAR-DUP CLUSTER, not per
+    document: hashing doc_id (q70) puts two near-identical documents
+    on opposite sides of the split — silent eval contamination. Here
+    the md5 bucket hashes the cluster's canonical id, so every member
+    of a near-dup cluster lands in the same fold. Same pure-function
+    contract as q70 (no rand(), reproducible, append-stable)."""
+    d = load_table(spark, sf_dir, "documents")
+    clusters = dedup.near_dup_clusters(d, "doc_id", "text", JACCARD_K, JACCARD_THRESHOLD)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 # --- C2 × C7: streaming MinHash near-dup candidates (rows-only) -------------------
 def q84_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the documents stream through the stateful band-bucket
@@ -235,6 +259,7 @@ QUERIES = {
     "q73_curation_pipeline": q73_curation_pipeline,
     "q26_neardup_jaccard": q26_neardup_jaccard,
     "q100_neardup_clusters": q100_neardup_clusters,
+    "q104_leakage_safe_split": q104_leakage_safe_split,
     "q27_minhash_neardup": q27_minhash_neardup,
     "q28_simhash_neardup": q28_simhash_neardup,
     "q84_stream_neardup": q84_stream_neardup,
@@ -327,6 +352,36 @@ ORACLE = {
                COALESCE(c.comp, d.doc_id) AS cluster_id,
                COALESCE(c.comp, d.doc_id) = d.doc_id AS is_canonical
         FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+    "q104_leakage_safe_split": f"""
+        WITH RECURSIVE sh AS ({_SHINGLES}),
+        inv AS (SELECT doc_id, len(g) AS sz, UNNEST(g) AS gram FROM sh),
+        cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+                   COUNT(*) AS inter
+            FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+        pairs AS (
+            SELECT id_a, id_b FROM cand
+            WHERE inter * 1.0 / (sa + sb - inter) >= {JACCARD_THRESHOLD}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs),
+        reach(node, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node),
+        comp AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+        assigned AS (
+            SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+        SELECT doc_id, cluster_id,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, cluster_id,
+                     ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+              FROM assigned)
     """,
     "q29_cosine_neardup": f"""
         SELECT id_a, id_b, ROUND(sim_raw, 4) AS sim FROM (

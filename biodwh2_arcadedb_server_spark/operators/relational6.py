@@ -112,10 +112,42 @@ def q103_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training-pipeline staple: length-bucketed batch assembly -----------------------
+BATCH_BAND_CHARS = 200   # documents within one band pad to a similar length
+BATCH_SHARDS = 8         # parallel packers per band (scale knob)
+BATCH_SIZE = 16          # docs per batch
+
+
+def q105_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment — the padding-efficiency
+    staple: group documents into length BANDS (similar-length docs
+    batch together, so per-batch padding waste is bounded by the band
+    width), then assign contiguous batch ids within each (band,
+    shard). Sharding is the scale design, as in sequence packing: the
+    window partitions on (band, shard) so no band serializes through
+    one task, and batch ids stay globally unique via the (band,
+    shard) prefix. Pure key functions + one window — no rand(), no
+    global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    band = F.floor(F.col("n_chars") / BATCH_BAND_CHARS)
+    shard = F.col("doc_id") % BATCH_SHARDS
+    w = Window.partitionBy("band", "shard").orderBy("doc_id")
+    return (
+        d.select("doc_id", "n_chars", band.alias("band"), shard.alias("shard"))
+        .withColumn(
+            "batch_id",
+            (F.col("band") * BATCH_SHARDS + F.col("shard")) * 1_000_000
+            + F.floor((F.row_number().over(w) - 1) / BATCH_SIZE),
+        )
+        .select("doc_id", "n_chars", "band", "batch_id")
+    )
+
+
 QUERIES = {
     "q101_qualify_topn": q101_qualify_topn,
     "q102_windowed_distinct": q102_windowed_distinct,
     "q103_lateral_explode": q103_lateral_explode,
+    "q105_length_batching": q105_length_batching,
 }
 
 ORACLE = {
@@ -138,6 +170,16 @@ ORACLE = {
                    AS n_distinct_types
         FROM events
         WHERE user_id <= 50
+    """,
+    "q105_length_batching": f"""
+        SELECT doc_id, n_chars, band,
+               (band * {BATCH_SHARDS} + shard) * 1000000
+                 + CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY band, shard
+                       ORDER BY doc_id) - 1) / {BATCH_SIZE}) AS BIGINT) AS batch_id
+        FROM (SELECT doc_id, n_chars,
+                     CAST(FLOOR(n_chars / {BATCH_BAND_CHARS}) AS BIGINT) AS band,
+                     doc_id % {BATCH_SHARDS} AS shard
+              FROM documents)
     """,
     # DuckDB has no WITH ORDINALITY; parallel UNNESTs zip positionally
     "q103_lateral_explode": r"""
