@@ -102,6 +102,8 @@ HEADLINE = [
     "q103_lateral_explode",
     "q104_leakage_safe_split",
     "q105_length_batching",
+    "q106_cosine_neardup_clusters",
+    "q107_temperature_resample",
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q97_shortest_path",

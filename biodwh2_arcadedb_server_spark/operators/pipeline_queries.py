@@ -154,6 +154,18 @@ def q29_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(e, COSINE_THRESHOLD)
 
 
+# --- C2/C3: embedding-cosine clusters + canonical keep (oracle-able) ----------------
+def q106_cosine_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end: blocked-matmul cosine pairs closed
+    under connected components, one canonical vector per cluster —
+    the embedding-space twin of q100's lexical closure (SemDeDup
+    shape). The closure reuses near_dup_clusters with the cosine pair
+    set plugged in."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_near_dup_pairs(e, COSINE_THRESHOLD).select("id_a", "id_b")
+    return dedup.near_dup_clusters(e, "vec_id", "embedding", pairs=pairs)
+
+
 # --- C3: exact k-NN for a query set (oracle-able) ----------------------------------
 def q30_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -265,6 +277,7 @@ QUERIES = {
     "q84_stream_neardup": q84_stream_neardup,
     "q90_stream_sessionize": q90_stream_sessionize,
     "q29_cosine_neardup": q29_cosine_neardup,
+    "q106_cosine_neardup_clusters": q106_cosine_neardup_clusters,
     "q30_knn_topk": q30_knn_topk,
     "q31_ann_topk": q31_ann_topk,
     "q77_ivf_topk": q77_ivf_topk,
@@ -388,6 +401,26 @@ ORACLE = {
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_PAIR} AS sim_raw
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         WHERE sim_raw >= {COSINE_THRESHOLD}
+    """,
+    "q106_cosine_neardup_clusters": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT id_a, id_b FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_PAIR} AS sim_raw
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WHERE sim_raw >= {COSINE_THRESHOLD}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs),
+        reach(node, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node),
+        comp AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+        SELECT v.vec_id,
+               COALESCE(c.comp, v.vec_id) AS cluster_id,
+               COALESCE(c.comp, v.vec_id) = v.vec_id AS is_canonical
+        FROM embeddings v LEFT JOIN comp c ON c.node = v.vec_id
     """,
     "q30_knn_topk": f"""
         SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, rank FROM (

@@ -143,11 +143,50 @@ def q105_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training-pipeline staple: temperature resampling across sources ----------------
+TEMP_ALPHA = 0.5  # mixture temperature: kept_s ∝ count_s^alpha
+
+
+def q107_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft domain rebalancing — the mixture-temperature staple
+    (multilingual/multi-source pre-training): keep each source's
+    documents at rate (c_min/c_s)^(1-alpha), so kept counts follow
+    c_s^alpha (alpha=1 keeps natural proportions, alpha→0 equalizes
+    sources; the smallest source keeps 100%). Complements q99's hard
+    per-source cap with a smooth curve. Keep decisions are the usual
+    deterministic md5 bucket — no rand(), append-stable. The
+    per-source rates ride as one broadcast aggregate (counts) plus
+    one broadcast 1-row min (the LET pattern) — map-only over the
+    corpus, no corpus shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("_c"))
+    cmin = counts.agg(F.min("_c").alias("_cmin"))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        "source",
+        "_c",
+        F.pow(F.col("_cmin") / F.col("_c"), 1.0 - TEMP_ALPHA).alias("_rate"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("t:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1_000_000
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .where(bucket < F.floor(F.col("_rate") * 1_000_000))
+        .select(
+            "doc_id",
+            "source",
+            F.round("_rate", 4).alias("keep_rate"),
+        )
+    )
+
+
 QUERIES = {
     "q101_qualify_topn": q101_qualify_topn,
     "q102_windowed_distinct": q102_windowed_distinct,
     "q103_lateral_explode": q103_lateral_explode,
     "q105_length_batching": q105_length_batching,
+    "q107_temperature_resample": q107_temperature_resample,
 }
 
 ORACLE = {
@@ -170,6 +209,19 @@ ORACLE = {
                    AS n_distinct_types
         FROM events
         WHERE user_id <= 50
+    """,
+    "q107_temperature_resample": f"""
+        WITH counts AS (
+            SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+        rates AS (
+            SELECT source,
+                   POW((SELECT MIN(c) FROM counts) * 1.0 / c, 1.0 - {TEMP_ALPHA}) AS rate
+            FROM counts)
+        SELECT d.doc_id, d.source, ROUND(r.rate, 4) AS keep_rate
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE ('0x' || substr(md5('t:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000000
+              < CAST(FLOOR(r.rate * 1000000) AS BIGINT)
     """,
     "q105_length_batching": f"""
         SELECT doc_id, n_chars, band,
