@@ -90,6 +90,8 @@ HEADLINE = [
     "q94_bm25_search",
     "q95_pii_scan",
     "q96_random_projection",
+    "q109_boilerplate_removal",
+    "q110_chunking",
     "q98_bigram_lm_score",
     "q99_source_cap",
     "q79_window_ranks",
@@ -115,6 +117,7 @@ HEADLINE = [
     "q80_sssp",
     "q81_scc",
     "q24_pagerank",
+    "q108_hits",
     "q83_personalized_pagerank",
     "q85_closeness",
     "q86_betweenness",

@@ -366,3 +366,128 @@ def pii_scan(
     for name in ("url", "email", "ipv4", "phone"):
         red = F.regexp_replace(red, PII_PATTERNS[name], redact)
     return df.select(F.col(id_col), *counts, red.alias("redacted"))
+
+
+# --- cross-document boilerplate (repeated-segment) removal ------------------------
+def remove_common_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_len: int = 8,
+    max_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet / RefinedWeb
+    line-dedup shape adapted to unstructured token streams): split
+    each document into consecutive non-overlapping ``seg_len``-token
+    segments, drop every segment whose content appears in at least
+    ``max_docs`` DISTINCT documents (headers, footers, licence
+    blurbs), and reassemble the survivors in order.
+
+    Returns (doc_id, n_segments, n_dropped, n_tokens_kept,
+    cleaned_md5) — the md5 of the space-rejoined surviving tokens
+    keeps the audit row fixed-width; callers wanting the cleaned text
+    re-run the same projection without the hash.
+
+    Plan shape (100 TB): segments shuffle as (doc_id, pos, 8-byte
+    md5_32 hash) — text never crosses the wire. One countDistinct
+    aggregate keyed by segment hash finds the common set (bounded by
+    the corpus's distinct-segment count, itself ≪ corpus size for
+    boilerplate-heavy web data); a left_semi join back marks drops;
+    the final per-doc drop-position list rides a doc-keyed join and
+    the reassembly is a zero-shuffle HOF fold over the original
+    tokens."""
+    from biodwh2_arcadedb_server_spark.functions import tokens
+
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    n_seg = F.ceil(F.size("_toks") / F.lit(seg_len)).cast("int")
+    with_seg = toked.withColumn("_nseg", n_seg)
+    # (doc_id, pos, gh): hash of each segment's space-joined tokens
+    segs = with_seg.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.when(F.col("_nseg") > 0, F.sequence(F.lit(0), F.col("_nseg") - 1))
+                .otherwise(F.array().cast("array<int>")),
+                lambda i: _md5_gram_hash(
+                    F.concat_ws(" ", F.slice(F.col("_toks"), i * seg_len + 1, seg_len))
+                ),
+            )
+        ).alias("pos", "_gh"),
+    )
+    common = (
+        segs.groupBy("_gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= max_docs)
+        .select("_gh")
+    )
+    drops = (
+        segs.join(common, "_gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_drop_pos"))
+    )
+    rebuilt = (
+        with_seg.join(drops, id_col, "left")
+        .withColumn("_drop_pos", F.coalesce("_drop_pos", F.array().cast("array<int>")))
+        .withColumn(
+            "_kept_toks",
+            F.flatten(
+                F.transform(
+                    F.filter(
+                        F.when(
+                            F.col("_nseg") > 0, F.sequence(F.lit(0), F.col("_nseg") - 1)
+                        ).otherwise(F.array().cast("array<int>")),
+                        lambda i: ~F.array_contains(F.col("_drop_pos"), i),
+                    ),
+                    lambda i: F.slice(F.col("_toks"), i * seg_len + 1, seg_len),
+                )
+            ),
+        )
+    )
+    return rebuilt.select(
+        F.col(id_col),
+        F.col("_nseg").alias("n_segments"),
+        F.size("_drop_pos").alias("n_dropped"),
+        F.size("_kept_toks").alias("n_tokens_kept"),
+        F.md5(F.concat_ws(" ", F.col("_kept_toks"))).alias("cleaned_md5"),
+    )
+
+
+# --- sliding-window document chunking ---------------------------------------------
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking for context-length-bounded training:
+    overlapping windows of ``chunk`` tokens advancing by ``stride``
+    (overlap = chunk - stride). Every token lands in at least one
+    chunk; the final chunk may be short. Documents with zero tokens
+    emit no chunks (nothing to train on).
+
+    Returns (doc_id, chunk_id, n_tokens, chunk_md5). Map-only: the
+    windows are a per-row ``sequence``/``slice`` fold followed by one
+    posexplode — no shuffle at any scale, and the output is
+    immediately repackable by q71's per-shard packing window."""
+    from biodwh2_arcadedb_server_spark.functions import tokens
+
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).where(
+        F.size("_toks") > 0
+    )
+    return toked.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks"), F.lit(stride)),
+                lambda s: F.slice(F.col("_toks"), s, chunk),
+            )
+        ).alias("chunk_id", "_ctoks"),
+    ).select(
+        F.col(id_col),
+        "chunk_id",
+        F.size("_ctoks").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("_ctoks"))).alias("chunk_md5"),
+    )

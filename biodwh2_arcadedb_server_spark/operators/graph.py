@@ -433,6 +433,75 @@ def pagerank(
     return ranks.select("node_id", "rank")
 
 
+# --- C6: HITS hubs & authorities --------------------------------------------------------
+def hits(
+    edges: DataFrame,
+    iterations: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg, JACM 1999): mutually recursive
+    hub/authority scores. Returns (node_id, auth, hub).
+
+    Each round:
+      auth(v) = Σ_{u→v} hub(u), then L1-normalized;
+      hub(u)  = Σ_{u→v} auth(v), then L1-normalized.
+
+    L1 (sum) normalization instead of the textbook L2 keeps every
+    round a plain sum/divide — exactly reproducible as unrolled SQL
+    CTEs in the oracle, and scale-equivalent (the fixed point only
+    differs by a constant factor per vector).
+
+    Scale shape mirrors ``pagerank``: per round two shuffles keyed by
+    the edge endpoints (one per direction); the normalizing constants
+    are 1-row aggregates broadcast into the update — no driver
+    round-trips; lineage truncated every ``checkpoint_every`` rounds.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    node_ids = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    scores = node_ids.select("node_id", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub"))
+    for it in range(1, iterations + 1):
+        # authority pass: pull hub mass along in-edges
+        a = (
+            scores.join(e, scores.node_id == e.src)
+            .groupBy(F.col("dst").alias("node_id"))
+            .agg(F.sum("hub").alias("raw_auth"))
+        )
+        a_tot = a.agg(F.sum("raw_auth").alias("_ta"))
+        auth = (
+            node_ids.join(a, "node_id", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node_id",
+                (F.coalesce(F.col("raw_auth"), F.lit(0.0)) / F.col("_ta")).alias("auth"),
+            )
+        )
+        # hub pass: pull the NEW authority mass along out-edges
+        h = (
+            auth.join(e, auth.node_id == e.dst)
+            .groupBy(F.col("src").alias("node_id"))
+            .agg(F.sum("auth").alias("raw_hub"))
+        )
+        h_tot = h.agg(F.sum("raw_hub").alias("_th"))
+        scores = (
+            node_ids.join(auth, "node_id", "left")
+            .join(h, "node_id", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node_id",
+                F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
+                (F.coalesce(F.col("raw_hub"), F.lit(0.0)) / F.col("_th")).alias("hub"),
+            )
+        )
+        if it % checkpoint_every == 0 or it == iterations:
+            scores = scores.localCheckpoint(eager=True)
+    return scores
+
+
 # --- B8 ext.: weighted single-source shortest paths -------------------------------------
 def sssp(
     edges: DataFrame,

@@ -31,6 +31,7 @@ from biodwh2_arcadedb_server_spark.operators.graph import (
     connected_components_star,
     degrees,
     expand,
+    hits,
     k_core,
     label_propagation,
     motif_chain,
@@ -210,6 +211,17 @@ def q97_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("dst", "hops", F.col("pos").cast("int").alias("pos"), "node_id")
 
 
+def q108_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS hub/authority scores on the nation graph.
+    Oracle: the 10 L1-normalized rounds unrolled as chained DuckDB
+    CTEs (the same fixed-iteration-is-relational-algebra boundary as
+    the q24 PageRank oracle)."""
+    s = hits(nation_graph(spark, sf_dir, 97), iterations=10)
+    return s.select(
+        "node_id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
 def q80_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted shortest-path distances from nation 0 (Bellman-Ford
     relaxation — no SQL oracle; tests/test_graph.py pins it against a
@@ -236,6 +248,7 @@ QUERIES = {
     "q83_personalized_pagerank": q83_personalized_pagerank,
     "q85_closeness": q85_closeness,
     "q86_betweenness": q86_betweenness,
+    "q108_hits": q108_hits,
 }
 
 _G211 = _NATION_GRAPH_SQL.format(mod=211)
@@ -420,6 +433,46 @@ def _pagerank_oracle(iterations: int, damping: float, reset_rows: dict[int, floa
 
 ORACLE["q24_pagerank"] = _pagerank_oracle(10, 0.85, None)
 ORACLE["q83_personalized_pagerank"] = _pagerank_oracle(10, 0.85, {0: 0.5, 1: 0.5})
+
+
+def _hits_oracle(iterations: int) -> str:
+    """Unrolled HITS mirroring graph.hits round-for-round: auth pull /
+    L1 normalize / hub pull / L1 normalize. Round-6 output absorbs
+    cross-engine summation-order noise (same contract as q24)."""
+    parts = [
+        f"WITH g AS MATERIALIZED ({_G97})",
+        f"nodes AS MATERIALIZED ({_NODES_97})",
+        "s0 AS MATERIALIZED (SELECT node_id, 1.0 AS auth, 1.0 AS hub FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(f"""ra{i} AS MATERIALIZED (
+            SELECT g.dst AS node_id, SUM(s.hub) AS raw_auth
+            FROM s{p} s JOIN g ON g.src = s.node_id GROUP BY g.dst
+        )""")
+        parts.append(f"""a{i} AS MATERIALIZED (
+            SELECT n.node_id,
+                   COALESCE(r.raw_auth, 0.0) / (SELECT SUM(raw_auth) FROM ra{i}) AS auth
+            FROM nodes n LEFT JOIN ra{i} r ON r.node_id = n.node_id
+        )""")
+        parts.append(f"""rh{i} AS MATERIALIZED (
+            SELECT g.src AS node_id, SUM(a.auth) AS raw_hub
+            FROM a{i} a JOIN g ON g.dst = a.node_id GROUP BY g.src
+        )""")
+        parts.append(f"""s{i} AS MATERIALIZED (
+            SELECT n.node_id, a.auth,
+                   COALESCE(r.raw_hub, 0.0) / (SELECT SUM(raw_hub) FROM rh{i}) AS hub
+            FROM nodes n
+            JOIN a{i} a ON a.node_id = n.node_id
+            LEFT JOIN rh{i} r ON r.node_id = n.node_id
+        )""")
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node_id, ROUND(auth, 6) AS auth, ROUND(hub, 6) AS hub FROM s{iterations}"
+    )
+
+
+ORACLE["q108_hits"] = _hits_oracle(10)
 
 _G97W = f"""
     SELECT src, dst, CAST((src * 7 + dst * 3) % 5 + 1 AS DOUBLE) AS w

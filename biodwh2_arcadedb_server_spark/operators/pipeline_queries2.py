@@ -113,6 +113,28 @@ def q99_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.source_cap(d, cap=SOURCE_CAP)
 
 
+SEG_LEN = 2
+SEG_MAX_DOCS = 50
+CHUNK = 64
+STRIDE = 48
+
+
+def q109_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-segment removal (CCNet/RefinedWeb line
+    dedup adapted to token streams): 2-token segments occurring in
+    >= 50 distinct docs are boilerplate; audit row per doc with the
+    md5 of the cleaned token stream."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.remove_common_segments(d, seg_len=SEG_LEN, max_docs=SEG_MAX_DOCS)
+
+
+def q110_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, stride 48) — the
+    context-length packer's upstream stage."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.chunk_documents(d, chunk=CHUNK, stride=STRIDE)
+
+
 QUERIES = {
     "q91_decontamination": q91_decontamination,
     "q92_repetition_stats": q92_repetition_stats,
@@ -122,6 +144,8 @@ QUERIES = {
     "q96_random_projection": q96_random_projection,
     "q98_bigram_lm_score": q98_bigram_lm_score,
     "q99_source_cap": q99_source_cap,
+    "q109_boilerplate_removal": q109_boilerplate_removal,
+    "q110_chunking": q110_chunking,
 }
 
 _GRAMS3 = f"""
@@ -299,6 +323,54 @@ ORACLE["q98_bigram_lm_score"] = f"""
            ROUND(COALESCE(s.lp, 0.0), 4) AS avg_logp
     FROM (SELECT DISTINCT doc_id FROM documents) d
     LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+ORACLE["q109_boilerplate_removal"] = f"""
+    WITH toked AS ({_TOKS}),
+    ws AS (
+        SELECT doc_id, toks,
+               CAST(ceil(len(toks) / {float(SEG_LEN)}) AS INTEGER) AS nseg
+        FROM toked
+    ),
+    segs AS (
+        SELECT ws.doc_id, t.i - 1 AS pos,
+               ('0x' || substr(md5(array_to_string(
+                    ws.toks[((t.i-1)*{SEG_LEN}+1):((t.i-1)*{SEG_LEN}+{SEG_LEN})], ' ')), 1, 8))::BIGINT AS gh
+        FROM ws, UNNEST(generate_series(1, ws.nseg)) AS t(i)
+    ),
+    common AS (
+        SELECT gh FROM segs GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= {SEG_MAX_DOCS}
+    ),
+    drops AS (
+        SELECT s.doc_id, list_sort(list(s.pos)) AS drop_pos
+        FROM segs s JOIN common c ON c.gh = s.gh
+        GROUP BY s.doc_id
+    ),
+    rebuilt AS (
+        SELECT w.doc_id, w.nseg,
+               COALESCE(d.drop_pos, []) AS drop_pos,
+               flatten(list_transform(
+                   list_filter(generate_series(1, w.nseg),
+                       i -> NOT list_contains(COALESCE(d.drop_pos, []), i - 1)),
+                   i -> w.toks[((i-1)*{SEG_LEN}+1):((i-1)*{SEG_LEN}+{SEG_LEN})])) AS kept
+        FROM ws w LEFT JOIN drops d ON d.doc_id = w.doc_id
+    )
+    SELECT doc_id,
+           nseg AS n_segments,
+           CAST(len(drop_pos) AS INTEGER) AS n_dropped,
+           CAST(len(kept) AS INTEGER) AS n_tokens_kept,
+           md5(array_to_string(kept, ' ')) AS cleaned_md5
+    FROM rebuilt
+"""
+
+ORACLE["q110_chunking"] = f"""
+    WITH toked AS ({_TOKS})
+    SELECT doc_id,
+           CAST(t.i AS INTEGER) - 1 AS chunk_id,
+           CAST(len(toks[(1 + ({STRIDE} * (t.i - 1))):({STRIDE} * (t.i - 1) + {CHUNK})]) AS INTEGER) AS n_tokens,
+           md5(array_to_string(toks[(1 + ({STRIDE} * (t.i - 1))):({STRIDE} * (t.i - 1) + {CHUNK})], ' ')) AS chunk_md5
+    FROM toked, UNNEST(generate_series(1, CAST(ceil(len(toks) / {float(STRIDE)}) AS INTEGER))) AS t(i)
+    WHERE len(toks) > 0
 """
 
 ORACLE["q99_source_cap"] = f"""
