@@ -1,0 +1,293 @@
+"""GraphQL read surface over the LPG workspace — B20 parity.
+
+The reference ships ArcadeDB's GraphQL plugin as part of the server
+artifact (`/root/reference/src/pom.xml:109-113`): every vertex type is
+exposed as a GraphQL object type whose fields are the vertex
+properties, and relationship fields traverse edges to related
+vertices. This module re-expresses that surface Spark-first: a
+GraphQL executable document compiles to ONE declarative DataFrame
+plan over the workspace views (`n_<Label>` / `e_<LABEL>`,
+workspace.load_workspace), so Catalyst sees the whole query —
+equality arguments push down to the parquet scan, selection sets
+become column pruning, and nested selections become edge joins
+aggregated into `array<struct>` columns (the natural relational
+encoding of GraphQL's nested lists).
+
+Supported subset (the read path the reference's plugin serves):
+
+    { Customer(c_mktsegment: "BUILDING", limit: 5) {
+        c_name
+        c_acctbal
+        placed { o_orderstatus o_totalprice }
+    } }
+
+- Root field = node label → scan of the `n_<Label>` view.
+- Scalar arguments = equality filters (pushed down); `limit` caps the
+  root row set.
+- Nested selection sets traverse relationships declared in a schema
+  map (field name → edge label + direction + target label; the
+  default map is derived from the workspace EDGE_SPECS, out-edges
+  named after the lowercased edge label, in-edges suffixed `_rev`).
+  Nested fields accept the same equality arguments.
+- Nested results are `sort_array`-ed for deterministic output.
+
+Mutations, variables, fragments, and introspection are out of scope —
+the reference plugin's read-query surface is what the server answers.
+
+Scale notes: the compiled plan is join + groupBy(collect_list) per
+nesting level, shuffling on node ids only after per-label column
+pruning; a root `limit` truncates the parent side before any
+traversal join. No driver-side row handling anywhere — execution
+returns an unmaterialized DataFrame.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodwh2_arcadedb_server_spark.workspace import EDGE_SPECS
+
+# --- document model ---------------------------------------------------------------
+
+
+@dataclass
+class Field:
+    name: str
+    args: dict = dc_field(default_factory=dict)
+    selection: list["Field"] = dc_field(default_factory=list)
+
+
+@dataclass(frozen=True)
+class Rel:
+    edge: str
+    direction: str  # "out" | "in"
+    target: str
+
+
+def default_relationships() -> dict[str, dict[str, Rel]]:
+    """Relationship fields derived from the workspace edge specs:
+    `placed` on Customer walks PLACED out-edges to Order;
+    `placed_rev` on Order walks them back."""
+    rels: dict[str, dict[str, Rel]] = {}
+    for spec in EDGE_SPECS:
+        rels.setdefault(spec.src_label, {})[spec.label.lower()] = Rel(
+            spec.label, "out", spec.dst_label
+        )
+        rels.setdefault(spec.dst_label, {})[spec.label.lower() + "_rev"] = Rel(
+            spec.label, "in", spec.src_label
+        )
+    return rels
+
+
+# --- lexer / parser ---------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<punct>[{}():,])
+      | (?P<string>"(?:[^"\\]|\\.)*")
+      | (?P<number>-?\d+(?:\.\d+)?)
+      | (?P<name>[_A-Za-z][_0-9A-Za-z]*)
+    )""",
+    re.VERBOSE,
+)
+
+
+class GraphQLError(ValueError):
+    pass
+
+
+def _tokenize(doc: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(doc):
+        m = _TOKEN.match(doc, pos)
+        if m is None:
+            rest = doc[pos:].strip()
+            if not rest:
+                break
+            raise GraphQLError(f"unexpected character at: {rest[:20]!r}")
+        pos = m.end()
+        for kind in ("punct", "string", "number", "name"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def _peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> tuple[str, str]:
+        t = self._peek()
+        if t is None:
+            raise GraphQLError("unexpected end of document")
+        self.i += 1
+        return t
+
+    def _expect(self, value: str) -> None:
+        kind, v = self._next()
+        if v != value:
+            raise GraphQLError(f"expected {value!r}, got {v!r}")
+
+    def parse_document(self) -> Field:
+        # optional leading `query` / operation name
+        t = self._peek()
+        if t and t[0] == "name" and t[1] == "query":
+            self._next()
+            t = self._peek()
+            if t and t[0] == "name":
+                self._next()
+        self._expect("{")
+        root = self._parse_field()
+        self._expect("}")
+        if self._peek() is not None:
+            raise GraphQLError("one root field per document")
+        return root
+
+    def _parse_field(self) -> Field:
+        kind, name = self._next()
+        if kind != "name":
+            raise GraphQLError(f"expected field name, got {name!r}")
+        f = Field(name)
+        t = self._peek()
+        if t and t[1] == "(":
+            self._next()
+            while True:
+                kind, k = self._next()
+                if kind != "name":
+                    raise GraphQLError(f"expected argument name, got {k!r}")
+                self._expect(":")
+                f.args[k] = self._parse_value()
+                kind, v = self._next()
+                if v == ")":
+                    break
+                if v != ",":
+                    raise GraphQLError(f"expected ',' or ')', got {v!r}")
+            t = self._peek()
+        if t and t[1] == "{":
+            self._next()
+            while True:
+                t = self._peek()
+                if t is None:
+                    raise GraphQLError("unterminated selection set")
+                if t[1] == "}":
+                    self._next()
+                    break
+                f.selection.append(self._parse_field())
+        return f
+
+    def _parse_value(self):
+        kind, v = self._next()
+        if kind == "string":
+            return v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        if kind == "number":
+            return float(v) if "." in v else int(v)
+        if kind == "name":
+            if v == "true":
+                return True
+            if v == "false":
+                return False
+            if v == "null":
+                return None
+            raise GraphQLError(f"unsupported enum/variable value: {v!r}")
+        raise GraphQLError(f"expected a value, got {v!r}")
+
+
+def parse(doc: str) -> Field:
+    return _Parser(_tokenize(doc)).parse_document()
+
+
+# --- execution --------------------------------------------------------------------
+
+
+def _build(
+    spark: SparkSession,
+    label: str,
+    fld: Field,
+    rels: dict[str, dict[str, Rel]],
+    *,
+    keep_node_id: bool,
+) -> DataFrame:
+    try:
+        df = spark.table(f"n_{label}")
+    except Exception as exc:
+        raise GraphQLError(f"unknown type {label!r} (no n_{label} view)") from exc
+    limit = None
+    for k, v in fld.args.items():
+        if k == "limit":
+            limit = int(v)
+            continue
+        if k not in df.columns:
+            raise GraphQLError(f"unknown argument {k!r} on type {label!r}")
+        df = df.where(F.col(k) == F.lit(v))
+
+    scalars: list[str] = []
+    nested: list[Field] = []
+    for sub in fld.selection:
+        if sub.selection:
+            nested.append(sub)
+        else:
+            if sub.name not in df.columns:
+                raise GraphQLError(f"unknown field {sub.name!r} on type {label!r}")
+            scalars.append(sub.name)
+    if not fld.selection:
+        raise GraphQLError(f"selection set required on type {label!r}")
+
+    # column pruning before any join: only requested fields travel
+    df = df.select("node_id", *dict.fromkeys(scalars))
+    if limit is not None:
+        df = df.limit(limit)
+
+    for nf in nested:
+        rel = rels.get(label, {}).get(nf.name)
+        if rel is None:
+            known = sorted(rels.get(label, {}))
+            raise GraphQLError(
+                f"unknown relationship {nf.name!r} on type {label!r} (known: {known})"
+            )
+        e = spark.table(f"e_{rel.edge}").select("src", "dst")
+        if rel.direction == "in":
+            e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        child = _build(spark, rel.target, nf, rels, keep_node_id=False)
+        linked = e.join(child, e.dst == child._gql_key).select(
+            F.col("src").alias("_parent"),
+            F.struct(*[c for c in child.columns if c != "_gql_key"]).alias("_s"),
+        )
+        agg = linked.groupBy("_parent").agg(
+            F.sort_array(F.collect_list("_s")).alias(nf.name)
+        )
+        arr_type = agg.schema[nf.name].dataType
+        df = (
+            df.join(agg, df.node_id == agg._parent, "left")
+            .drop("_parent")
+            .withColumn(nf.name, F.coalesce(F.col(nf.name), F.array().cast(arr_type)))
+        )
+
+    if keep_node_id:
+        return df
+    return df.withColumnRenamed("node_id", "_gql_key")
+
+
+def execute(
+    spark: SparkSession,
+    document: str,
+    relationships: dict[str, dict[str, Rel]] | None = None,
+) -> DataFrame:
+    """Compile a GraphQL executable document into a DataFrame over the
+    loaded workspace views. The root field name is the node label;
+    returns one row per matched root entity with nested selections as
+    sorted `array<struct>` columns."""
+    root = parse(document)
+    rels = default_relationships() if relationships is None else relationships
+    df = _build(spark, root.name, root, rels, keep_node_id=True)
+    return df.drop("node_id")

@@ -96,7 +96,7 @@ class QueryServer:
                     self._reply(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path != "/query":
+                if self.path not in ("/query", "/graphql"):
                     self._reply(404, {"error": "not found"})
                     return
                 if not self._authorized():
@@ -107,12 +107,18 @@ class QueryServer:
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(n) or b"{}")
-                    sql = req["sql"]
                     limit = min(int(req.get("limit", 100)), MAX_ROWS)
-                    df = server.spark.sql(sql).limit(limit)
+                    if self.path == "/graphql":
+                        # B20: the reference serves the same graph over
+                        # the bundled arcadedb-graphql plugin
+                        from biodwh2_arcadedb_server_spark.graphql import execute
+
+                        df = execute(server.spark, req["query"]).limit(limit)
+                    else:
+                        df = server.spark.sql(req["sql"]).limit(limit)
                     rows = [[None if v is None else str(v) for v in r] for r in df.collect()]
                     self._reply(200, {"columns": df.columns, "rows": rows})
-                except Exception as exc:  # bad SQL must not kill the server
+                except Exception as exc:  # bad queries must not kill the server
                     self._reply(400, {"error": f"{type(exc).__name__}: {exc}"[:500]})
 
         self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)

@@ -1,0 +1,126 @@
+"""B20 GraphQL surface: executable-document subset compiled to
+DataFrame plans over the workspace views, differentially checked
+against the equivalent Spark SQL."""
+
+from __future__ import annotations
+
+import pytest
+
+from biodwh2_arcadedb_server_spark import graphql
+from biodwh2_arcadedb_server_spark.workspace import build_workspace, load_workspace
+
+
+@pytest.fixture(scope="module")
+def ws(spark, sf_small, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("gqlws"))
+    build_workspace(spark, sf_small, d)
+    load_workspace(spark, d)
+    return d
+
+
+def test_scalar_selection_with_filter(spark, ws):
+    df = graphql.execute(
+        spark, '{ Customer(c_mktsegment: "BUILDING") { c_name c_acctbal } }'
+    )
+    assert df.columns == ["c_name", "c_acctbal"]
+    expect = spark.sql(
+        "SELECT c_name, c_acctbal FROM n_Customer WHERE c_mktsegment = 'BUILDING'"
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, expect.collect()))
+    assert expect.count() > 0
+
+
+def test_limit_caps_root(spark, ws):
+    df = graphql.execute(spark, "{ Customer(limit: 5) { c_name } }")
+    assert df.count() == 5
+
+
+def test_nested_out_edge(spark, ws):
+    df = graphql.execute(
+        spark, "{ Nation(natural_key: 3) { n_name in_region { r_name } } }"
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    expect = spark.sql(
+        """SELECT r.r_name FROM n_Nation n
+           JOIN e_IN_REGION e ON e.src = n.node_id
+           JOIN n_Region r ON r.node_id = e.dst
+           WHERE n.natural_key = 3"""
+    ).collect()
+    assert [x.r_name for x in rows[0].in_region] == [r.r_name for r in expect]
+
+
+def test_nested_rev_edge_and_child_filter(spark, ws):
+    # Orders of one customer, reverse-traversed from Order via _rev is
+    # exercised the other way: Customer -> placed -> Order with child filter
+    df = graphql.execute(
+        spark,
+        '{ Customer(natural_key: 1) { c_name placed(o_orderstatus: "O") { o_orderstatus o_totalprice } } }',
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    expect = spark.sql(
+        """SELECT o.o_totalprice FROM n_Customer c
+           JOIN e_PLACED e ON e.src = c.node_id
+           JOIN n_Order o ON o.node_id = e.dst
+           WHERE c.natural_key = 1 AND o.o_orderstatus = 'O'"""
+    ).count()
+    assert len(rows[0].placed) == expect
+    assert all(p.o_orderstatus == "O" for p in rows[0].placed)
+
+
+def test_two_level_nesting(spark, ws):
+    df = graphql.execute(
+        spark,
+        "{ Customer(natural_key: 1) { c_name cust_in_nation { n_name in_region { r_name } } } }",
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    nat = rows[0].cust_in_nation
+    assert len(nat) == 1
+    assert len(nat[0].in_region) == 1
+    expect = spark.sql(
+        """SELECT r.r_name FROM n_Customer c
+           JOIN e_CUST_IN_NATION cn ON cn.src = c.node_id
+           JOIN n_Nation n ON n.node_id = cn.dst
+           JOIN e_IN_REGION ir ON ir.src = n.node_id
+           JOIN n_Region r ON r.node_id = ir.dst
+           WHERE c.natural_key = 1"""
+    ).collect()[0].r_name
+    assert nat[0].in_region[0].r_name == expect
+
+
+def test_parents_without_children_keep_empty_array(spark, ws):
+    # every Region appears even though Region has only rev edges selected
+    df = graphql.execute(
+        spark, '{ Region { r_name in_region_rev(n_name: "no-such-nation") { n_name } } }'
+    )
+    rows = df.collect()
+    assert len(rows) == spark.table("n_Region").count()
+    assert all(r.in_region_rev == [] for r in rows)
+
+
+def test_operation_keyword_and_name(spark, ws):
+    df = graphql.execute(spark, "query Q { Region { r_name } }")
+    assert df.count() == spark.table("n_Region").count()
+
+
+@pytest.mark.parametrize(
+    "doc,msg",
+    [
+        ("{ Customer }", "selection set"),
+        ("{ Customer { no_such_field } }", "unknown field"),
+        ("{ Customer(bogus: 1) { c_name } }", "unknown argument"),
+        ("{ NoSuchType { x } }", "unknown type"),
+        ("{ Customer { nope { x } } }", "unknown relationship"),
+        ("{ Customer { c_name } } trailing", "one root field"),
+    ],
+)
+def test_errors(spark, ws, doc, msg):
+    with pytest.raises(graphql.GraphQLError, match=msg):
+        graphql.execute(spark, doc).collect()
+
+
+def test_parse_values():
+    f = graphql.parse('{ T(a: "s", b: 2, c: 2.5, d: true, e: null) { x } }')
+    assert f.args == {"a": "s", "b": 2, "c": 2.5, "d": True, "e": None}

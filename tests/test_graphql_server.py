@@ -1,0 +1,53 @@
+"""B20 over the wire: the embedded server's /graphql endpoint answers
+an authenticated GraphQL document against the loaded workspace."""
+
+from __future__ import annotations
+
+import base64
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from biodwh2_arcadedb_server_spark.server import QueryServer
+from biodwh2_arcadedb_server_spark.workspace import build_workspace, load_workspace
+
+
+@pytest.fixture(scope="module")
+def ws(spark, sf_small, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("gqlsrv"))
+    build_workspace(spark, sf_small, d)
+    load_workspace(spark, d)
+    return d
+
+
+def test_graphql_endpoint(spark, ws):
+    srv = QueryServer(spark)
+    port = srv.start()
+    auth = base64.b64encode(f"{srv.username}:{srv.password}".encode()).decode()
+
+    def post(payload, path="/graphql"):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Authorization": f"Basic {auth}"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+
+    try:
+        out = post({"query": "{ Region { r_name in_region_rev { n_name } } }"})
+        assert out["columns"] == ["r_name", "in_region_rev"]
+        assert len(out["rows"]) == 5
+        # malformed document → 400, server stays up
+        try:
+            post({"query": "{ Region"})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        out2 = post({"sql": "SELECT 1 AS one"}, path="/query")
+        assert out2["rows"] == [["1"]]
+    finally:
+        srv.stop()
