@@ -23,6 +23,7 @@ from biodwh2_arcadedb_server_spark.operators import (
     relational4,
     relational5,
     relational6,
+    relational7,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -119,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pooled.update(relational4.QUERIES)
     pooled.update(relational5.QUERIES)
     pooled.update(relational6.QUERIES)
+    pooled.update(relational7.QUERIES)
     pooled.update(graph_queries.QUERIES)
     pooled.update(pipeline_queries.QUERIES)
     pooled.update(pipeline_queries2.QUERIES)
@@ -139,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational4.ORACLE)
     out.update(relational5.ORACLE)
     out.update(relational6.ORACLE)
+    out.update(relational7.ORACLE)
     out.update(graph_queries.ORACLE)
     out.update(pipeline_queries.ORACLE)
     out.update(pipeline_queries2.ORACLE)

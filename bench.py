@@ -106,6 +106,9 @@ HEADLINE = [
     "q105_length_batching",
     "q106_cosine_neardup_clusters",
     "q107_temperature_resample",
+    "q111_gap_fill",
+    "q112_mode_corr",
+    "q113_weighted_sample",
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q97_shortest_path",
@@ -113,6 +116,7 @@ HEADLINE = [
     "q65_cc_star",
     "q74_triangle_count",
     "q75_clustering_coefficient",
+    "q115_link_prediction",
     "q76_kcore",
     "q80_sssp",
     "q81_scc",

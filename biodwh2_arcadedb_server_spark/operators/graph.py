@@ -212,6 +212,70 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     )
 
 
+# --- C6: neighborhood-similarity link prediction ------------------------------------
+def link_prediction(edges: DataFrame) -> DataFrame:
+    """(u, v, common_neighbors, jaccard, adamic_adar, adjacent) for
+    every unordered node pair sharing at least one neighbor in the
+    undirected simple graph — the classic link-prediction /
+    entity-resolution feature battery (Liben-Nowell & Kleinberg).
+
+    Plan: symmetric adjacency → wedge self-join on the shared
+    neighbor w (one shuffle on w), with deg(w) attached BEFORE the
+    pair aggregation so Adamic-Adar's 1/ln(deg(w)) rides the same
+    shuffle; per-pair aggregate; two degree joins for Jaccard's
+    denominator |N(u)|+|N(v)|−cn.
+
+    Scale: the wedge join fans out deg(w)² pairs around hubs — the
+    same skew surface as triangle counting. At 100 TB cap neighbor
+    lists first (hash-order top-d per node) or drop super-hub
+    neighbors (a w adjacent to everything contributes ~0 signal and
+    ~n² pairs); both are one extra window/filter before the join.
+    Every shared neighbor has degree ≥ 2, so ln(deg) > 0 and the
+    Adamic-Adar fold never divides by zero."""
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    adj = und.select(F.col("a").alias("w"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("w"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (
+        adj.select(F.col("w"), F.col("n").alias("u"))
+        .join(adj.select(F.col("w"), F.col("n").alias("v")), "w")
+        .where(F.col("u") < F.col("v"))
+        .join(deg, "w")
+    )
+    pairs = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum(1.0 / F.log(F.col("deg"))).alias("_aa"),
+    )
+    deg_u = deg.select(F.col("w").alias("u"), F.col("deg").alias("_du"))
+    deg_v = deg.select(F.col("w").alias("v"), F.col("deg").alias("_dv"))
+    return (
+        pairs.join(deg_u, "u")
+        .join(deg_v, "v")
+        .join(
+            und.select(F.col("a").alias("u"), F.col("b").alias("v"), F.lit(True).alias("_adj")),
+            ["u", "v"],
+            "left",
+        )
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors")
+                / (F.col("_du") + F.col("_dv") - F.col("common_neighbors")),
+                4,
+            ).alias("jaccard"),
+            F.round("_aa", 4).alias("adamic_adar"),
+            F.coalesce(F.col("_adj"), F.lit(False)).alias("adjacent"),
+        )
+    )
+
+
 # --- C6: connected components (hash-min) --------------------------------------------
 def connected_components(
     edges: DataFrame, max_iter: int = 50, id_col_out: str = "component"

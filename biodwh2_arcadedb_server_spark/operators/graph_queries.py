@@ -33,6 +33,7 @@ from biodwh2_arcadedb_server_spark.operators.graph import (
     expand,
     hits,
     k_core,
+    link_prediction,
     label_propagation,
     motif_chain,
     pagerank,
@@ -230,8 +231,16 @@ def q80_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("node_id", F.round("dist", 4).alias("dist"))
 
 
+def q115_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors / Jaccard / Adamic-Adar over every co-neighbor
+    nation pair — the link-prediction feature battery (sparser mod=211
+    graph so non-adjacent candidate pairs actually exist)."""
+    return link_prediction(nation_graph(spark, sf_dir, 211))
+
+
 QUERIES = {
     "q19_expand_out": q19_expand_out,
+    "q115_link_prediction": q115_link_prediction,
     "q20_motif_2hop": q20_motif_2hop,
     "q21_bfs_hops": q21_bfs_hops,
     "q22_connected_components": q22_connected_components,
@@ -253,6 +262,37 @@ QUERIES = {
 
 _G211 = _NATION_GRAPH_SQL.format(mod=211)
 _G97 = _NATION_GRAPH_SQL.format(mod=97)
+
+_UND_211 = f"""
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ({_G211}) WHERE src <> dst
+"""
+
+_LINK_PREDICTION_SQL = f"""
+    WITH und AS ({_UND_211}),
+    adj AS (
+        SELECT a AS w, b AS n FROM und
+        UNION ALL
+        SELECT b AS w, a AS n FROM und),
+    deg AS (SELECT w, COUNT(*) AS deg FROM adj GROUP BY w),
+    pairs AS (
+        SELECT x.n AS u, y.n AS v,
+               COUNT(*) AS common_neighbors,
+               SUM(1.0 / ln(d.deg)) AS aa
+        FROM adj x
+        JOIN adj y ON x.w = y.w AND x.n < y.n
+        JOIN deg d ON d.w = x.w
+        GROUP BY x.n, y.n)
+    SELECT p.u, p.v, p.common_neighbors,
+           ROUND(p.common_neighbors * 1.0
+                 / (du.deg + dv.deg - p.common_neighbors), 4) AS jaccard,
+           ROUND(p.aa, 4) AS adamic_adar,
+           (e.a IS NOT NULL) AS adjacent
+    FROM pairs p
+    JOIN deg du ON du.w = p.u
+    JOIN deg dv ON dv.w = p.v
+    LEFT JOIN und e ON e.a = p.u AND e.b = p.v
+"""
 
 ORACLE = {
     "q19_expand_out": """
@@ -329,6 +369,7 @@ ORACLE = {
 }
 
 ORACLE["q65_cc_star"] = ORACLE["q22_connected_components"]
+ORACLE["q115_link_prediction"] = _LINK_PREDICTION_SQL
 
 _UND_97 = f"""
     SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

@@ -1,0 +1,212 @@
+"""Driver-contract probe batch 7: time-grid gap-fill with LOCF,
+deterministic mode + bivariate statistics, and exact-k weighted
+sampling (Efraimidis–Spirakis exponential keys).
+
+Reference parity: ArcadeDB SQL covers these shapes with client-side
+post-processing (SURVEY.md B9/B11/B16); warehouse SQL spells them
+generate_series + window fill, MODE()/CORR(), and ORDER BY key
+LIMIT k. The Spark-first forms:
+
+- Gap-fill + LOCF (q111): the time-series staple — build the dense
+  (entity × day) grid from `sequence()` + explode, left-join the
+  per-day aggregate, and carry the last observation forward with
+  `last(col, ignorenulls=True)` over an unbounded-preceding window.
+- Mode + correlation (q112): Spark's built-in `F.mode` documents
+  nondeterministic tie-breaks, which a differential gate cannot
+  tolerate — the probe desugars mode to count + rank with a
+  value-order tie-break, which both engines reproduce bit-for-bit.
+  CORR / COVAR_SAMP / STDDEV_SAMP share one definition (Pearson,
+  n−1 denominators) across engines and ride the same aggregate.
+- Weighted sampling without replacement (q113): Efraimidis–Spirakis
+  A-ES — key_i = u_i^(1/w_i) with u_i a deterministic md5-derived
+  uniform, keep the global top-k keys. The standard distributed
+  exact-k weighted sample: one map-only key computation + a top-k.
+
+Scale notes (100 TB):
+- q111's grid is |entities| × |days| — generated, never shuffled
+  (the day spine is a broadcast of one tiny exploded row). The LOCF
+  window shuffles once on the entity key; per-partition state is one
+  running value. At scale the grid join is the cost — keep the day
+  spine bounded (partition the fill by calendar range) and the left
+  side pre-aggregated (per entity-day, not per event).
+- q112 is two hash aggregates, both map-side combined: the moment
+  aggregates (corr/covar/stddev) are single-pass streaming partials,
+  and the mode desugar's buffer never exceeds the
+  (group × distinct-value) domain. No sort, no value buffer — this
+  is why mode is desugared rather than collected.
+- q113 never sorts the corpus: the exponential keys are map-only
+  expressions and `orderBy().limit(k)` plans as
+  TakeOrderedAndProject — per-partition top-k heaps merged on the
+  driver, O(n) scan + O(k log k) merge, the same pattern at any
+  scale. Weights enter only through 1/w in the exponent, so skewed
+  weights cannot skew partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from biodwh2_arcadedb_server_spark.sources.registry import load_table
+
+WSAMPLE_K = 100  # exact sample size for q113
+
+
+# --- B16 ext.: dense time grid + gap-fill + LOCF ------------------------------------
+def q111_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily event series with missing days filled: n_events
+    gap-filled to 0, daily mean value carried forward (LOCF). The day
+    spine derives from the data's own min/max date (the LET pattern:
+    a broadcast 1-row aggregate exploded via sequence())."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    day = F.to_date("ts").alias("day")
+    daily = e.groupBy("user_id", day).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.round(F.avg("value"), 4).alias("_day_avg"),
+    )
+    spine = (
+        e.agg(F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    grid = e.select("user_id").distinct().crossJoin(F.broadcast(spine))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_events"),
+            F.last("_day_avg", ignorenulls=True).over(w).alias("locf_avg"),
+        )
+    )
+
+
+# --- B9 ext.: deterministic mode + bivariate moments --------------------------------
+def q112_mode_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return flag: modal line status (deterministic tie-break)
+    plus Pearson correlation, sample covariance, and sample stddev of
+    (quantity, extendedprice) — the catalog/feature-engineering
+    moment battery q82's single-column profile doesn't cover."""
+    li = load_table(spark, sf_dir, "lineitem")
+    moments = li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cnts = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wm = Window.partitionBy("l_returnflag").orderBy(
+        F.col("_c").desc(), F.col("l_linestatus")
+    )
+    mode = (
+        cnts.withColumn("_rn", F.row_number().over(wm))
+        .where(F.col("_rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_linestatus").alias("mode_status"),
+            F.col("_c").alias("mode_n"),
+        )
+    )
+    return moments.join(F.broadcast(mode), "l_returnflag")
+
+
+# --- training-pipeline staple: exact-k weighted sample (A-ES) -----------------------
+def q113_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus subset: keep exactly k documents with
+    probability proportional to length (any quality score slots into
+    the weight). Efraimidis–Spirakis exponential keys u^(1/w) with a
+    deterministic md5 uniform — append-stable, reproducible, and
+    rank-equivalent to true weighted sampling without replacement.
+    Keys are rounded to 6 decimals with a doc_id tie-break so both
+    engines select the identical set despite libm pow ulp noise."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+        + 0.5
+    ) / 1_000_000.0
+    key = F.round(F.pow(u, 1.0 / F.greatest(F.col("n_chars"), F.lit(1))), 6)
+    return (
+        d.select("doc_id", "source", "n_chars", key.alias("ws_key"))
+        .orderBy(F.col("ws_key").desc(), "doc_id")
+        .limit(WSAMPLE_K)
+    )
+
+
+QUERIES = {
+    "q111_gap_fill": q111_gap_fill,
+    "q112_mode_corr": q112_mode_corr,
+    "q113_weighted_sample": q113_weighted_sample,
+}
+
+
+ORACLE = {
+    "q111_gap_fill": """
+        WITH e AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, value
+            FROM events WHERE user_id <= 20),
+        daily AS (
+            SELECT user_id, day, COUNT(*) AS n,
+                   ROUND(AVG(value), 4) AS day_avg
+            FROM e GROUP BY user_id, day),
+        spine AS (
+            SELECT CAST(UNNEST(generate_series(
+                       (SELECT MIN(day) FROM e),
+                       (SELECT MAX(day) FROM e),
+                       INTERVAL 1 DAY)) AS DATE) AS day),
+        grid AS (
+            SELECT u.user_id, s.day
+            FROM (SELECT DISTINCT user_id FROM e) u CROSS JOIN spine s)
+        SELECT g.user_id, g.day,
+               COALESCE(d.n, 0) AS n_events,
+               LAST_VALUE(d.day_avg IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS locf_avg
+        FROM grid g LEFT JOIN daily d
+          ON g.user_id = d.user_id AND g.day = d.day
+    """,
+    "q112_mode_corr": """
+        WITH moments AS (
+            SELECT l_returnflag,
+                   ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+                   ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+                   ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag),
+        cnts AS (
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS c
+            FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        mode AS (
+            SELECT l_returnflag, l_linestatus AS mode_status, c AS mode_n
+            FROM cnts
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY l_returnflag
+                ORDER BY c DESC, l_linestatus) = 1)
+        SELECT m.l_returnflag, m.corr_qty_price, m.covar_qty_price,
+               m.sd_qty, m.n, d.mode_status, d.mode_n
+        FROM moments m JOIN mode d USING (l_returnflag)
+    """,
+    "q113_weighted_sample": f"""
+        SELECT doc_id, source, n_chars,
+               ROUND(POW(
+                   (('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 1000000 + 0.5) / 1000000.0,
+                   1.0 / GREATEST(n_chars, 1)), 6) AS ws_key
+        FROM documents
+        ORDER BY ws_key DESC, doc_id
+        LIMIT {WSAMPLE_K}
+    """,
+}
