@@ -132,6 +132,7 @@ HEADLINE = [
     "q29_cosine_neardup",
     "q30_knn_topk",
     "q77_ivf_topk",
+    "q116_pq_topk",
     "q32_token_stats",
     "q33_quality_score",
     "q36_multimodal_meta",

@@ -189,6 +189,20 @@ def q77_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, queries, k=3, n_clusters=8, n_probe=4)
 
 
+# --- C3: product-quantization ANN (rows-only; pytest recall gate) --------------------
+def q116_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN with exact re-rank: 16×16 sub-quantizer codes (16
+    bytes/vector, 16× compression of a 64-dim float corpus),
+    asymmetric-distance shortlist, exact cosine on the refine·k
+    survivors — the compression counterpart to q77's IVF pruning.
+    m=16 because the synthetic embeddings are near-random (the PQ
+    worst case — no cluster structure to absorb quantization error);
+    real corpora run coarser m at equal recall."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id").isin(0, 1, 2))
+    return similarity.pq_topk(e, queries, k=3, m=16, n_codes=16, refine=8)
+
+
 # --- C4: token stats (oracle-able) -----------------------------------------------------
 def q32_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -281,6 +295,7 @@ QUERIES = {
     "q30_knn_topk": q30_knn_topk,
     "q31_ann_topk": q31_ann_topk,
     "q77_ivf_topk": q77_ivf_topk,
+    "q116_pq_topk": q116_pq_topk,
     "q32_token_stats": q32_token_stats,
     "q33_quality_score": q33_quality_score,
     "q34_lang_id": q34_lang_id,

@@ -138,11 +138,13 @@ def ann_topk(
     )
 
 
-def _lloyd_sample(X, n_clusters: int, seed: int, max_iter: int = 25):
-    """Deterministic spherical k-means on a numpy sample: k-means++
-    seeding from a seeded RNG, Lloyd iterations with empty-cluster
-    reseed to the farthest point. Pure vectorized numpy — this runs
-    ONCE on the driver over a bounded sample, never over the corpus."""
+def _lloyd_sample(X, n_clusters: int, seed: int, max_iter: int = 25, spherical: bool = True):
+    """Deterministic k-means on a numpy sample: k-means++ seeding from
+    a seeded RNG, Lloyd iterations with empty-cluster reseed to the
+    farthest point. ``spherical=True`` renormalizes centroids each
+    round (IVF coarse quantizer on the unit sphere); ``False`` keeps
+    plain L2 means (PQ sub-quantizers). Pure vectorized numpy — this
+    runs ONCE on the driver over a bounded sample, never the corpus."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
@@ -167,8 +169,11 @@ def _lloyd_sample(X, n_clusters: int, seed: int, max_iter: int = 25):
             mask = assign == j
             if mask.any():
                 c = X[mask].mean(axis=0)
-                nrm = np.linalg.norm(c)
-                newC[j] = c / nrm if nrm > 0 else c
+                if spherical:
+                    nrm = np.linalg.norm(c)
+                    newC[j] = c / nrm if nrm > 0 else c
+                else:
+                    newC[j] = c
             else:  # empty cell: reseed to the point farthest from its center
                 newC[j] = X[d2.min(axis=1).argmax()]
         if np.allclose(newC, C, atol=1e-9):
@@ -275,6 +280,160 @@ def ivf_topk(
         cands = cands.where(F.col("query_id") != F.col("neighbor_id"))
     scored = cands.select(
         "query_id", "neighbor_id", cosine_similarity("ce", "qe").alias("sim_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim_raw", 4).alias("sim"), "rank")
+    )
+
+
+def _unit(vec_col):
+    """Unit-normalize an array<double> column (JVM HOFs, zero-guard)."""
+    nrm = F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.transform(vec_col, lambda x: x / F.greatest(nrm, F.lit(1e-12)))
+
+
+def _sub_l2(slice_col, code_lit):
+    """Squared L2 distance between a subvector slice and one codeword
+    literal — zip_with diff² + aggregate fold, all JVM-side."""
+    return F.aggregate(
+        F.zip_with(slice_col, code_lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    refine: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    exclude_self: bool = True,
+    sample_cap: int = 4096,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) and exact re-ranking — the memory-compression path of the
+    FAISS pair (q77's IVF prunes candidates; PQ shrinks them): each
+    unit-normalized vector is encoded as ``m`` sub-quantizer codes
+    (here 8 codes × 16 centroids = 8 bytes per vector instead of
+    8·dim), and query-to-code distance is m table lookups instead of
+    a dim-length dot product. Unit normalization first makes L2 order
+    equal cosine order, so ADC ranks by the same metric the exact
+    path scores.
+
+    Stages (all declarative):
+    1. Sub-quantizer codebooks: plain-L2 Lloyd's per dim/m-slice on
+       the same bounded hash-ordered driver sample IVF trains on.
+    2. Corpus encoding: per subvector, argmin over the broadcast
+       codebook literal — map-only JVM HOFs, one pass, no shuffle.
+    3. ADC scan: per query, an m×n_codes distance table computed once
+       (HOF over the codebook literal), then a broadcast join against
+       the encoded corpus; approximate distance = m element_at
+       lookups folded with aggregate.
+    4. Refinement: the ``refine``·k best ADC candidates per query are
+       re-scored with exact cosine against the raw vectors (a
+       candidate-sized equi-join — k'·|queries| lookups, not a
+       corpus scan), and the exact top-k is emitted.
+
+    Scale: the encoded corpus is ~m bytes/vector — at 100 TB of raw
+    embeddings the code table is ~1-2% of that and scans at memory
+    bandwidth; the raw vectors are touched only by the candidate
+    re-rank join. Deterministic for a fixed seed; recall is
+    pytest-gated vs the exact ``knn_join`` (tests/test_pipeline.py)."""
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    sample = (
+        corpus.select(F.xxhash64(F.col(id_col)).alias("_h"), F.col(vec_col).alias("_v"))
+        .orderBy("_h")
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r._v for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    books = [
+        _lloyd_sample(X[:, j * sub : (j + 1) * sub], n_codes, seed + j, max_iter, spherical=False)
+        for j in range(m)
+    ]
+    book_lits = [
+        F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in B]) for B in books
+    ]
+
+    unit = _unit(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+
+    def encode(vec_unit):
+        cols = []
+        for j in range(m):
+            sl = F.slice(vec_unit, j * sub + 1, sub)
+            ranked = F.array_sort(
+                F.zip_with(
+                    F.transform(book_lits[j], lambda c: _sub_l2(sl, c)),
+                    F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                    lambda d, i: F.struct(d.alias("dist"), i.alias("code")),
+                )
+            )
+            cols.append(ranked[0]["code"])
+        return F.array(*cols)
+
+    encoded = corpus.select(
+        F.col(id_col).alias("neighbor_id"), encode(unit).alias("codes")
+    )
+
+    def adc_table(vec_unit):
+        rows = []
+        for j in range(m):
+            sl = F.slice(vec_unit, j * sub + 1, sub)
+            rows.append(F.transform(book_lits[j], lambda c: _sub_l2(sl, c)))
+        return F.array(*rows)
+
+    qtab = queries.select(
+        F.col(id_col).alias("query_id"), adc_table(unit).alias("tab")
+    )
+    approx = encoded.crossJoin(F.broadcast(qtab))
+    if exclude_self:
+        approx = approx.where(F.col("query_id") != F.col("neighbor_id"))
+    approx_dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("tab"),
+            lambda code, trow: F.element_at(trow, code + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
+    shortlist = (
+        approx.select("query_id", "neighbor_id", approx_dist.alias("adist"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the candidate-sized shortlist against raw vectors
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("ce"),
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qe"),
+    )
+    scored = (
+        shortlist.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", cosine_similarity("ce", "qe").alias("sim_raw"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), F.col("neighbor_id"))
     return (

@@ -262,6 +262,24 @@ def test_ivf_recall_vs_brute_force(spark, sf_small):
     assert got == again
 
 
+def test_pq_recall_vs_brute_force(spark, sf_small):
+    """PQ-ADC with exact re-rank must recover most exact neighbors;
+    repeated runs are identical (seeded sub-quantizers, no RNG
+    state). The re-rank guarantees emitted sims are EXACT cosines —
+    any overlap with the exact set carries identical scores."""
+    from biodwh2_arcadedb_server_spark.operators import similarity
+
+    e = load_table(spark, sf_small, "embeddings")
+    qs = e.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.knn_join(e, qs, k=3).collect()}
+    got = {(r.query_id, r.neighbor_id)
+           for r in similarity.pq_topk(e, qs, k=3, m=16, n_codes=16, refine=8).collect()}
+    assert len(got & exact) / len(exact) >= 0.6
+    again = {(r.query_id, r.neighbor_id)
+             for r in similarity.pq_topk(e, qs, k=3, m=16, n_codes=16, refine=8).collect()}
+    assert got == again
+
+
 def test_jaccard_prefix_orders_agree(spark, sf_small):
     """The prefix principle holds under ANY global gram ordering:
     hash-order (free slice) and df-order (rarest-first) must produce
