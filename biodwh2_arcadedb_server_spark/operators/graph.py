@@ -515,10 +515,19 @@ def hits(
     CTEs in the oracle, and scale-equivalent (the fixed point only
     differs by a constant factor per vector).
 
-    Scale shape mirrors ``pagerank``: per round two shuffles keyed by
-    the edge endpoints (one per direction); the normalizing constants
-    are 1-row aggregates broadcast into the update — no driver
-    round-trips; lineage truncated every ``checkpoint_every`` rounds.
+    Normalization is DEFERRED to checkpoint boundaries: the HITS
+    recursion is linear, so per-round scaling factors cancel and
+    normalizing every ``checkpoint_every`` rounds (plus at the end)
+    produces the identical final vectors while eliminating two 1-row
+    aggregate broadcasts per round. This matters doubly: a broadcast
+    of a derived total re-executes its upstream join/agg subtree, and
+    nested across rounds that re-execution compounds exponentially
+    between checkpoints (the per-round-normalizing version measured
+    30s where this one runs ~2s on the 25-node probe graph). The
+    checkpoint both truncates lineage and bounds raw-score magnitude
+    (growth ≤ λ(AᵀA)^checkpoint_every between normalizations, far
+    inside double range). Per round: two shuffles keyed by the edge
+    endpoints, nothing else; no driver round-trips.
     """
     e = edges.select("src", "dst").localCheckpoint(eager=True)
     node_ids = (
@@ -529,40 +538,35 @@ def hits(
     )
     scores = node_ids.select("node_id", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub"))
     for it in range(1, iterations + 1):
-        # authority pass: pull hub mass along in-edges
+        # authority pass: pull raw hub mass along in-edges
         a = (
             scores.join(e, scores.node_id == e.src)
             .groupBy(F.col("dst").alias("node_id"))
             .agg(F.sum("hub").alias("raw_auth"))
         )
-        a_tot = a.agg(F.sum("raw_auth").alias("_ta"))
-        auth = (
-            node_ids.join(a, "node_id", "left")
-            .crossJoin(F.broadcast(a_tot))
-            .select(
-                "node_id",
-                (F.coalesce(F.col("raw_auth"), F.lit(0.0)) / F.col("_ta")).alias("auth"),
-            )
+        auth = node_ids.join(a, "node_id", "left").select(
+            "node_id", F.coalesce(F.col("raw_auth"), F.lit(0.0)).alias("auth")
         )
-        # hub pass: pull the NEW authority mass along out-edges
+        # hub pass: pull the round's raw authority mass along out-edges
         h = (
             auth.join(e, auth.node_id == e.dst)
             .groupBy(F.col("src").alias("node_id"))
             .agg(F.sum("auth").alias("raw_hub"))
         )
-        h_tot = h.agg(F.sum("raw_hub").alias("_th"))
-        scores = (
-            node_ids.join(auth, "node_id", "left")
-            .join(h, "node_id", "left")
-            .crossJoin(F.broadcast(h_tot))
-            .select(
-                "node_id",
-                F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
-                (F.coalesce(F.col("raw_hub"), F.lit(0.0)) / F.col("_th")).alias("hub"),
-            )
+        scores = auth.join(h, "node_id", "left").select(
+            "node_id", "auth", F.coalesce(F.col("raw_hub"), F.lit(0.0)).alias("hub")
         )
         if it % checkpoint_every == 0 or it == iterations:
             scores = scores.localCheckpoint(eager=True)
+            tot = scores.agg(
+                F.sum("auth").alias("_ta"), F.sum("hub").alias("_th")
+            )
+            # broadcast reads the checkpoint just taken — one tiny job
+            scores = scores.crossJoin(F.broadcast(tot)).select(
+                "node_id",
+                (F.col("auth") / F.col("_ta")).alias("auth"),
+                (F.col("hub") / F.col("_th")).alias("hub"),
+            )
     return scores
 
 

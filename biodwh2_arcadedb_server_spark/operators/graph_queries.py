@@ -476,10 +476,14 @@ ORACLE["q24_pagerank"] = _pagerank_oracle(10, 0.85, None)
 ORACLE["q83_personalized_pagerank"] = _pagerank_oracle(10, 0.85, {0: 0.5, 1: 0.5})
 
 
-def _hits_oracle(iterations: int) -> str:
-    """Unrolled HITS mirroring graph.hits round-for-round: auth pull /
-    L1 normalize / hub pull / L1 normalize. Round-6 output absorbs
-    cross-engine summation-order noise (same contract as q24)."""
+def _hits_oracle(iterations: int, checkpoint_every: int = 3) -> str:
+    """Unrolled HITS mirroring graph.hits round-for-round: raw auth
+    pull / raw hub pull each round, with L1 normalization applied only
+    at checkpoint rounds (i % checkpoint_every == 0) and at the end —
+    the same deferred-normalization cadence the Spark operator runs,
+    so both engines execute identical arithmetic. Round-6 output
+    absorbs cross-engine summation-order noise (same contract as
+    q24)."""
     parts = [
         f"WITH g AS MATERIALIZED ({_G97})",
         f"nodes AS MATERIALIZED ({_NODES_97})",
@@ -492,21 +496,27 @@ def _hits_oracle(iterations: int) -> str:
             FROM s{p} s JOIN g ON g.src = s.node_id GROUP BY g.dst
         )""")
         parts.append(f"""a{i} AS MATERIALIZED (
-            SELECT n.node_id,
-                   COALESCE(r.raw_auth, 0.0) / (SELECT SUM(raw_auth) FROM ra{i}) AS auth
+            SELECT n.node_id, COALESCE(r.raw_auth, 0.0) AS auth
             FROM nodes n LEFT JOIN ra{i} r ON r.node_id = n.node_id
         )""")
         parts.append(f"""rh{i} AS MATERIALIZED (
             SELECT g.src AS node_id, SUM(a.auth) AS raw_hub
             FROM a{i} a JOIN g ON g.dst = a.node_id GROUP BY g.src
         )""")
-        parts.append(f"""s{i} AS MATERIALIZED (
-            SELECT n.node_id, a.auth,
-                   COALESCE(r.raw_hub, 0.0) / (SELECT SUM(raw_hub) FROM rh{i}) AS hub
-            FROM nodes n
-            JOIN a{i} a ON a.node_id = n.node_id
-            LEFT JOIN rh{i} r ON r.node_id = n.node_id
-        )""")
+        raw = f"""sr{i} AS MATERIALIZED (
+            SELECT a.node_id, a.auth, COALESCE(r.raw_hub, 0.0) AS hub
+            FROM a{i} a LEFT JOIN rh{i} r ON r.node_id = a.node_id
+        )"""
+        if i % checkpoint_every == 0 or i == iterations:
+            parts.append(raw)
+            parts.append(f"""s{i} AS MATERIALIZED (
+                SELECT node_id,
+                       auth / (SELECT SUM(auth) FROM sr{i}) AS auth,
+                       hub / (SELECT SUM(hub) FROM sr{i}) AS hub
+                FROM sr{i}
+            )""")
+        else:
+            parts.append(raw.replace(f"sr{i} AS", f"s{i} AS", 1))
     return (
         ",\n".join(parts)
         + f"\nSELECT node_id, ROUND(auth, 6) AS auth, ROUND(hub, 6) AS hub FROM s{iterations}"
