@@ -109,6 +109,8 @@ HEADLINE = [
     "q111_gap_fill",
     "q112_mode_corr",
     "q113_weighted_sample",
+    "q117_interval_merge",
+    "q118_funnel",
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q97_shortest_path",

@@ -145,10 +145,89 @@ def q113_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B11/B16 ext.: gaps-and-islands interval merge ----------------------------------
+MERGE_GAP_MIN = 30  # two activity intervals closer than this merge
+
+
+def q117_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge each user's event timeline into maximal activity islands
+    (intervals separated by gaps > MERGE_GAP_MIN minutes) — the
+    gaps-and-islands staple behind sessionization, uptime reporting,
+    and interval consolidation. Pure window algebra: a new-island flag
+    when the gap from the previous event exceeds the threshold, a
+    running sum of flags as the island id, then one aggregate per
+    island. Two window passes + one aggregate, all sharing the single
+    shuffle on user_id (Catalyst collapses same-partitioning windows
+    into one Exchange)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 40)
+    ts_s = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id", "ts", "event_id", ts_s.alias("_s")
+    ).withColumn(
+        "_new",
+        F.when(
+            F.col("_s") - F.lag("_s").over(wo) > MERGE_GAP_MIN * 60, 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("_new").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("ts").alias("island_start"),
+        F.max("ts").alias("island_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- B11/B16 ext.: ordered-event funnel ---------------------------------------------
+def q118_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user signup → click → purchase funnel with ORDER enforced
+    (each stage must follow the previous stage's first completion) —
+    the conversion-analysis staple. Expressed as chained conditional
+    MIN aggregates over one hash aggregate per stage depth: stage 1 is
+    a plain conditional min; later stages re-aggregate events joined
+    against the prior stage's timestamps. All joins are on user_id —
+    one shuffle key end to end, so the whole funnel co-partitions."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = e.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t_signup")
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2.select("user_id", "t_click"), "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_signup",
+            "t_click",
+            "t_purchase",
+            (F.col("t_click").isNotNull()).alias("reached_click"),
+            (F.col("t_purchase").isNotNull()).alias("converted"),
+        )
+    )
+
+
 QUERIES = {
     "q111_gap_fill": q111_gap_fill,
     "q112_mode_corr": q112_mode_corr,
     "q113_weighted_sample": q113_weighted_sample,
+    "q117_interval_merge": q117_interval_merge,
+    "q118_funnel": q118_funnel,
 }
 
 
@@ -208,5 +287,47 @@ ORACLE = {
         FROM documents
         ORDER BY ws_key DESC, doc_id
         LIMIT {WSAMPLE_K}
+    """,
+    "q117_interval_merge": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                               - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                             > {MERGE_GAP_MIN} * 60
+                        THEN 1 ELSE 0 END AS new_flag
+            FROM events WHERE user_id <= 40
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        islands AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_flag) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS island
+            FROM flagged)
+        SELECT user_id, island,
+               MIN(ts) AS island_start, MAX(ts) AS island_end,
+               COUNT(*) AS n_events
+        FROM islands GROUP BY user_id, island
+    """,
+    "q118_funnel": """
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t_signup
+            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+            GROUP BY e.user_id),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+            GROUP BY e.user_id)
+        SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+               (s2.user_id IS NOT NULL) AS reached_click,
+               (s3.user_id IS NOT NULL) AS converted
+        FROM s1
+        LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
     """,
 }
