@@ -111,6 +111,7 @@ HEADLINE = [
     "q113_weighted_sample",
     "q117_interval_merge",
     "q118_funnel",
+    "q119_rolling_time_window",
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q97_shortest_path",

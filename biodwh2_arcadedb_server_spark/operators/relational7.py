@@ -222,12 +222,44 @@ def q118_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B11 ext.: time-RANGE rolling window --------------------------------------------
+ROLLING_WINDOW_S = 3600  # trailing 1 hour
+
+
+def q119_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: count and sum of the user's events in the trailing
+    hour — a RANGE frame over event time, not a ROWS frame: the frame
+    holds however many events fall in the interval. Spark range
+    frames need a numeric ordering column, so the frame is expressed
+    over epoch seconds; the DuckDB oracle uses the literal
+    RANGE BETWEEN INTERVAL syntax over the timestamp. One shuffle on
+    user_id; the range frame is evaluated with a sliding pointer over
+    the sorted partition (no per-row rescan)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 40)
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_s")
+        .rangeBetween(-ROLLING_WINDOW_S, 0)
+    )
+    return (
+        e.select("event_id", "user_id", "ts", "value", sec.alias("_s"))
+        .select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+        )
+    )
+
+
 QUERIES = {
     "q111_gap_fill": q111_gap_fill,
     "q112_mode_corr": q112_mode_corr,
     "q113_weighted_sample": q113_weighted_sample,
     "q117_interval_merge": q117_interval_merge,
     "q118_funnel": q118_funnel,
+    "q119_rolling_time_window": q119_rolling_time_window,
 }
 
 
@@ -287,6 +319,20 @@ ORACLE = {
         FROM documents
         ORDER BY ws_key DESC, doc_id
         LIMIT {WSAMPLE_K}
+    """,
+    # numeric RANGE frame over truncated epoch seconds on BOTH sides:
+    # a literal INTERVAL frame over the raw microsecond timestamps
+    # would disagree with Spark's second-granularity frame at exact
+    # boundary events
+    "q119_rolling_time_window": f"""
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_1h,
+               ROUND(SUM(value) OVER w, 4) AS sum_1h
+        FROM (SELECT event_id, user_id, value,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS s
+              FROM events WHERE user_id <= 40)
+        WINDOW w AS (PARTITION BY user_id ORDER BY s
+                     RANGE BETWEEN {ROLLING_WINDOW_S} PRECEDING AND CURRENT ROW)
     """,
     "q117_interval_merge": f"""
         WITH flagged AS (
