@@ -35,8 +35,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import SparkSession
 
+from biodwh2_arcadedb_server_spark.logging_bridge import engine_logger
+
 DEFAULT_USER = "biodwh2"
 MAX_ROWS = 1000
+
+_log = engine_logger("http-server")
 
 
 class QueryServer:
@@ -68,8 +72,11 @@ class QueryServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
-            def log_message(self, *args):  # quiet; Spark logs enough
-                pass
+            def log_message(self, fmt, *args):
+                # A19 bridge: http.server's own access log records flow
+                # into the engine's logging tree with the requester
+                # prefix (quiet unless the engine level is DEBUG)
+                _log.debug(fmt, *args)
 
             def _reply(self, code: int, payload: dict) -> None:
                 body = json.dumps(payload).encode()
