@@ -112,6 +112,7 @@ HEADLINE = [
     "q117_interval_merge",
     "q118_funnel",
     "q119_rolling_time_window",
+    "q120_bloom_semi_join",
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q97_shortest_path",

@@ -253,6 +253,43 @@ def q119_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- scale toolkit: Bloom-prefiltered semi-join -------------------------------------
+BLOOM_PRICE_MIN = 350_000.0  # rare-key build side
+
+
+def q120_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems of very-high-value orders: the build side (rare order
+    keys) folds into a Bloom sketch via one BIT_OR aggregate, the
+    probe scan pre-filters on the sketch (map-side, false-positives
+    only), and the exact semi-join runs on the survivors — so the
+    RESULT is exact (the oracle is the plain semi-join) while the
+    shuffle carries only rows that might match. The manual form of
+    Spark's runtime bloom join, applicable across stage boundaries
+    the optimizer won't cross."""
+    from biodwh2_arcadedb_server_spark.operators.skew import (
+        bloom_bits,
+        bloom_might_contain,
+    )
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > BLOOM_PRICE_MIN
+    )
+    keys = o.select("o_orderkey")
+    bits = bloom_bits(keys, "o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    prefiltered = li.where(bloom_might_contain(F.col("l_orderkey"), bits))
+    return (
+        prefiltered.join(
+            keys, prefiltered.l_orderkey == keys.o_orderkey, "left_semi"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
 QUERIES = {
     "q111_gap_fill": q111_gap_fill,
     "q112_mode_corr": q112_mode_corr,
@@ -260,6 +297,7 @@ QUERIES = {
     "q117_interval_merge": q117_interval_merge,
     "q118_funnel": q118_funnel,
     "q119_rolling_time_window": q119_rolling_time_window,
+    "q120_bloom_semi_join": q120_bloom_semi_join,
 }
 
 
@@ -319,6 +357,16 @@ ORACLE = {
         FROM documents
         ORDER BY ws_key DESC, doc_id
         LIMIT {WSAMPLE_K}
+    """,
+    # the bloom is pruning-only, so the oracle is the PLAIN semi-join
+    "q120_bloom_semi_join": f"""
+        SELECT l_returnflag, COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 4) AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders
+            WHERE o_totalprice > {BLOOM_PRICE_MIN})
+        GROUP BY l_returnflag
     """,
     # numeric RANGE frame over truncated epoch seconds on BOTH sides:
     # a literal INTERVAL frame over the raw microsecond timestamps

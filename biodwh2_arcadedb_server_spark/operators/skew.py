@@ -51,6 +51,68 @@ def salted_join(
     return out.drop("_salt")
 
 
+def bloom_bits(
+    build: DataFrame,
+    key: str,
+    n_longs: int = 16,
+    n_hashes: int = 3,
+) -> list[int]:
+    """Aggregate the build side's join keys into a Bloom filter of
+    ``64·n_longs`` bits, as one map-side-combined BIT_OR aggregate —
+    the sketch is a fixed-width row of longs, so the driver round-trip
+    is O(n_longs) bytes regardless of build cardinality (the same
+    contract as IVF's centroid collect). Bit positions come from
+    seeded ``xxhash64`` — deterministic across runs and engines' task
+    retries.
+
+    At 100 TB this is the manual form of what Spark's runtime bloom
+    join injects for equi-joins it can see through; hand-building it
+    lets the filter jump ACROSS stages the optimizer won't cross
+    (e.g. pruning a scan feeding an expensive Python/UDF stage, or a
+    streaming micro-batch prefiltered against a static build side).
+    Size rule: false-positive rate ≈ (1−e^{−kn/m})^k — 1024 bits / 3
+    hashes holds ~1% at n≈100 keys; scale n_longs with the build side
+    (the aggregate's cost is unchanged, it's still one BIT_OR row)."""
+    slots = []
+    width = 64 * n_longs
+    for j in range(n_longs):
+        acc = F.lit(0).cast("long")
+        for i in range(n_hashes):
+            p = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(width))
+            acc = acc.bitwiseOR(
+                F.when(
+                    (p / 64).cast("int") == j,
+                    F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        slots.append(F.bit_or(acc).alias(f"b{j}"))
+    row = build.agg(*slots).collect()[0]
+    return [int(row[f"b{j}"] or 0) for j in range(n_longs)]
+
+
+def bloom_might_contain(
+    key_col: Column,
+    bits: list[int],
+    n_hashes: int = 3,
+) -> Column:
+    """Membership predicate against a ``bloom_bits`` sketch — a pure
+    map-side expression (literal long array + shift/AND per hash), so
+    Catalyst applies it at the scan like any other filter. False
+    positives only: rows passing this still need the exact join; rows
+    failing it are provably absent from the build side."""
+    width = 64 * len(bits)
+    words = F.array(*[F.lit(b) for b in bits])
+    cond = None
+    for i in range(n_hashes):
+        p = F.pmod(F.xxhash64(key_col, F.lit(i)), F.lit(width))
+        word = F.element_at(words, (p / 64).cast("int") + 1)
+        test = word.bitwiseAND(
+            F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
+        ) != 0
+        cond = test if cond is None else cond & test
+    return cond
+
+
 def salted_agg(
     df: DataFrame,
     key: str,

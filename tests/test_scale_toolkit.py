@@ -83,3 +83,27 @@ def test_bucketed_join_has_no_exchange(spark, sf_small):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_customer")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_bloom_prefilter_no_false_negatives_and_prunes(spark, sf_small):
+    """Every true build-side key passes the sketch (no false
+    negatives — guaranteed by construction, pinned here against the
+    implementation), and the prefilter actually prunes the probe
+    side (the sketch is doing work, not passing everything)."""
+    from biodwh2_arcadedb_server_spark.operators.skew import (
+        bloom_bits,
+        bloom_might_contain,
+    )
+
+    o = load_table(spark, sf_small, "orders").where(F.col("o_totalprice") > 350000)
+    keys = o.select("o_orderkey")
+    bits = bloom_bits(keys, "o_orderkey")
+    # no false negatives: every build key satisfies the predicate
+    missed = keys.where(~bloom_might_contain(F.col("o_orderkey"), bits)).count()
+    assert missed == 0
+    # prunes: the probe side shrinks (rare build keys, 1024-bit sketch)
+    li = load_table(spark, sf_small, "lineitem")
+    total = li.count()
+    kept = li.where(bloom_might_contain(F.col("l_orderkey"), bits)).count()
+    true_hits = li.join(keys, li.l_orderkey == keys.o_orderkey, "left_semi").count()
+    assert true_hits <= kept < total
