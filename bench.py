@@ -122,6 +122,7 @@ HEADLINE = [
     "q75_clustering_coefficient",
     "q115_link_prediction",
     "q76_kcore",
+    "q121_ktruss",
     "q80_sssp",
     "q81_scc",
     "q24_pagerank",

@@ -753,6 +753,59 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
 
 
 # --- C6: closeness centrality (multi-source BFS) -----------------------------------------
+def k_truss(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
+    """Edges of the k-truss: the maximal subgraph where every edge
+    participates in ≥ k−2 triangles (undirected, simple) — the
+    edge-cohesion companion to ``k_core``'s node-cohesion (Cohen,
+    2008). Iterative support peeling: removing a weak edge can break
+    its neighbors' triangles, so rounds repeat until stable.
+
+    Each round reuses the degree-ordered ``triangles`` enumeration
+    (wedge join bounded by the orientation even on power-law graphs),
+    explodes every triangle to its three canonical edges, counts
+    support per edge in one map-side-combined aggregate, and
+    left-semi-keeps the edges meeting the threshold. The driver reads
+    one scalar edge count per round for the fixpoint; no row data.
+    Rounds = peeling depth (typically O(10)); each round's surviving
+    edge set is eagerly checkpointed so lineage stays O(1)."""
+    live = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = live.count()
+    min_support = k - 2
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        tri = triangles(live.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+        tri_edges = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+                    ),
+                    F.struct(
+                        F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b")
+                    ),
+                    F.struct(
+                        F.least("y", "z").alias("a"), F.greatest("y", "z").alias("b")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.a", "e.b")
+        support = tri_edges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("_sup"))
+        keep = support.where(F.col("_sup") >= min_support).select("a", "b")
+        nxt = live.join(keep, ["a", "b"], "left_semi").localCheckpoint(eager=True)
+        n_next = nxt.count()
+        live = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return live.select("a", "b")
+
+
 def closeness_centrality(
     edges: DataFrame,
     pivots: DataFrame | None = None,

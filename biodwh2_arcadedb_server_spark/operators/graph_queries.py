@@ -33,6 +33,7 @@ from biodwh2_arcadedb_server_spark.operators.graph import (
     expand,
     hits,
     k_core,
+    k_truss,
     link_prediction,
     label_propagation,
     motif_chain,
@@ -231,6 +232,13 @@ def q80_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("node_id", F.round("dist", 4).alias("dist"))
 
 
+def q121_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the undirected nation graph (support peeling — no
+    SQL oracle; convergence-driven like k-core, pinned by
+    tests/test_graph.py against a pure-Python peeling reference)."""
+    return k_truss(nation_graph(spark, sf_dir, 97), k=4)
+
+
 def q115_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbors / Jaccard / Adamic-Adar over every co-neighbor
     nation pair — the link-prediction feature battery (sparser mod=211
@@ -241,6 +249,7 @@ def q115_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q19_expand_out": q19_expand_out,
     "q115_link_prediction": q115_link_prediction,
+    "q121_ktruss": q121_ktruss,
     "q20_motif_2hop": q20_motif_2hop,
     "q21_bfs_hops": q21_bfs_hops,
     "q22_connected_components": q22_connected_components,

@@ -564,3 +564,47 @@ def test_sampled_betweenness_estimator_rank_agreement(spark):
     top_exact = sorted(exact, key=lambda v: (-exact[v], v))[:10]
     top_est = sorted(est, key=lambda v: (-est[v], v))[:10]
     assert len(set(top_exact) & set(top_est)) >= 4
+
+
+def _py_ktruss(edges, k):
+    """Pure-Python support-peeling reference: surviving canonical
+    undirected edge set where every edge closes >= k-2 triangles."""
+    live = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        adj = {}
+        for a, b in live:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        keep = {
+            (a, b)
+            for a, b in live
+            if len(adj[a] & adj[b]) >= k - 2
+        }
+        if keep == live:
+            return live
+        live = keep
+
+
+def test_ktruss_known_graph(spark):
+    """Two triangles sharing edge (1,2) plus a pendant: the 3-truss is
+    both triangles; the 4-truss is empty (no edge closes 2 triangles
+    except the shared one, whose neighbors don't)."""
+    from biodwh2_arcadedb_server_spark.operators.graph import k_truss
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    got3 = {(r.a, r.b) for r in k_truss(e, 3).collect()}
+    assert got3 == {(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)}
+    assert k_truss(e, 4).collect() == []
+
+
+def test_ktruss_matches_python_reference(spark, sf_small):
+    from biodwh2_arcadedb_server_spark.operators.graph import k_truss
+
+    g = nation_graph(spark, sf_small, 97)
+    edges = [(r.src, r.dst) for r in g.collect()]
+    for k in (3, 4, 6):
+        want = _py_ktruss(edges, k)
+        got = {(r.a, r.b) for r in k_truss(g, k).collect()}
+        assert got == want, f"k={k}"
