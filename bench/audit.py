@@ -29,7 +29,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Structural reasons a probe can't beat DuckDB on micro data no matter
 # the plan; everything else >2x is worth a plan look.
 STREAMING = {"q16", "q56", "q62", "q63", "q69", "q84", "q90"}
-ITERATIVE = {"q21", "q22", "q24", "q25", "q65", "q76", "q80", "q81", "q83", "q85", "q86", "q97", "q77"}
+ITERATIVE = {
+    "q21", "q22", "q24", "q25", "q65", "q76", "q80", "q81", "q83", "q85",
+    "q86", "q97", "q77",
+    # round-2 additions: HITS power iteration, closure dedups (CC rounds
+    # on the pair graph), k-truss support peeling
+    "q108", "q100", "q106", "q121",
+}
 
 
 def annotate(name: str, s: float, d: float | None) -> str:
