@@ -19,6 +19,7 @@ All vector math uses zip_with/aggregate (JVM-side, codegen).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve in module globals
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -289,24 +290,6 @@ def ivf_topk(
     )
 
 
-def _unit(vec_col):
-    """Unit-normalize an array<double> column (JVM HOFs, zero-guard)."""
-    nrm = F.sqrt(
-        F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    return F.transform(vec_col, lambda x: x / F.greatest(nrm, F.lit(1e-12)))
-
-
-def _sub_l2(slice_col, code_lit):
-    """Squared L2 distance between a subvector slice and one codeword
-    literal — zip_with diff² + aggregate fold, all JVM-side."""
-    return F.aggregate(
-        F.zip_with(slice_col, code_lit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -332,15 +315,18 @@ def pq_topk(
     equal cosine order, so ADC ranks by the same metric the exact
     path scores.
 
-    Stages (all declarative):
+    Stages:
     1. Sub-quantizer codebooks: plain-L2 Lloyd's per dim/m-slice on
        the same bounded hash-ordered driver sample IVF trains on.
-    2. Corpus encoding: per subvector, argmin over the broadcast
-       codebook literal — map-only JVM HOFs, one pass, no shuffle.
-    3. ADC scan: per query, an m×n_codes distance table computed once
-       (HOF over the codebook literal), then a broadcast join against
-       the encoded corpus; approximate distance = m element_at
-       lookups folded with aggregate.
+    2. Corpus encoding: per subvector, argmin against the codebook —
+       a dense numpy kernel in an Arrow-batched pandas UDF (the
+       blocked-matmul precedent: the codebook ships as a ~KB closure
+       and each batch runs one vectorized broadcast; the equivalent
+       m×n_codes interpreted-HOF expression measured ~70ms/row).
+       Map-only, one pass, no shuffle.
+    3. ADC scan: per query, an m×n_codes distance table from the same
+       kernel, then a broadcast join against the encoded corpus;
+       approximate distance = m element_at lookups folded JVM-side.
     4. Refinement: the ``refine``·k best ADC candidates per query are
        re-scored with exact cosine against the raw vectors (a
        candidate-sized equi-join — k'·|queries| lookups, not a
@@ -364,43 +350,50 @@ def pq_topk(
     )
     X = np.array([r._v for r in sample], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    books = [
-        _lloyd_sample(X[:, j * sub : (j + 1) * sub], n_codes, seed + j, max_iter, spherical=False)
-        for j in range(m)
-    ]
-    book_lits = [
-        F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in B]) for B in books
-    ]
-
-    unit = _unit(F.transform(F.col(vec_col), lambda x: x.cast("double")))
-
-    def encode(vec_unit):
-        cols = []
-        for j in range(m):
-            sl = F.slice(vec_unit, j * sub + 1, sub)
-            ranked = F.array_sort(
-                F.zip_with(
-                    F.transform(book_lits[j], lambda c: _sub_l2(sl, c)),
-                    F.sequence(F.lit(0), F.lit(n_codes - 1)),
-                    lambda d, i: F.struct(d.alias("dist"), i.alias("code")),
-                )
+    books = np.stack(
+        [
+            _lloyd_sample(
+                X[:, j * sub : (j + 1) * sub], n_codes, seed + j, max_iter, spherical=False
             )
-            cols.append(ranked[0]["code"])
-        return F.array(*cols)
+            for j in range(m)
+        ]
+    )  # (m, n_codes, sub) — a few KB; ships as a closure into the UDFs
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _normed(vecs):
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        return V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+
+    # Encoding and table-building are dense per-subvector distance
+    # kernels — the sanctioned Arrow path (same rationale as the
+    # blocked matmul): one numpy broadcast per batch instead of
+    # m×n_codes interpreted HOF lambdas per row (the expression form
+    # measured ~70ms/row; this runs the whole batch in BLAS time).
+    @pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        V = _normed(vecs)
+        codes = np.empty((len(V), m), dtype=np.int32)
+        for j in range(m):
+            S = V[:, j * sub : (j + 1) * sub]
+            D = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = D.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    @pandas_udf("array<array<double>>")
+    def _adc_table(vecs: pd.Series) -> pd.Series:
+        V = _normed(vecs)
+        tabs = np.empty((len(V), m, n_codes), dtype=np.float64)
+        for j in range(m):
+            S = V[:, j * sub : (j + 1) * sub]
+            tabs[:, j, :] = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        return pd.Series([[list(row) for row in t] for t in tabs])
 
     encoded = corpus.select(
-        F.col(id_col).alias("neighbor_id"), encode(unit).alias("codes")
+        F.col(id_col).alias("neighbor_id"), _encode(F.col(vec_col)).alias("codes")
     )
-
-    def adc_table(vec_unit):
-        rows = []
-        for j in range(m):
-            sl = F.slice(vec_unit, j * sub + 1, sub)
-            rows.append(F.transform(book_lits[j], lambda c: _sub_l2(sl, c)))
-        return F.array(*rows)
-
     qtab = queries.select(
-        F.col(id_col).alias("query_id"), adc_table(unit).alias("tab")
+        F.col(id_col).alias("query_id"), _adc_table(F.col(vec_col)).alias("tab")
     )
     approx = encoded.crossJoin(F.broadcast(qtab))
     if exclude_self:
