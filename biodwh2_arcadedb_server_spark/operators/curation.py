@@ -274,10 +274,22 @@ def bigram_lm_score(
     gram key. V and the count tables stay un-hinted — AQE broadcasts
     them when they fit (same unbounded-vocabulary argument as TF-IDF's
     docfreq)."""
-    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-    big = toked.select(
-        F.col(id_col), F.explode(_gram_text(F.col("_toks"), 2)).alias("g")
-    ).withColumn("w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+    # The token and bigram tables each feed multiple plan branches
+    # (c12 / c1 / the scoring join; vocab) and Catalyst does not CSE
+    # subplans across self-join branches — without the eager
+    # checkpoints the tokenize + gram explode re-runs per branch
+    # (same lesson as the MinHash shingle table; measured 2.2s → 1.1s
+    # at sf0.1).
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).localCheckpoint(eager=True)
+    big = (
+        toked.select(
+            F.col(id_col), F.explode(_gram_text(F.col("_toks"), 2)).alias("g")
+        )
+        .withColumn("w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+        .localCheckpoint(eager=True)
+    )
     c12 = big.groupBy("g").agg(F.count(F.lit(1)).alias("c12"))
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = toked.select(F.explode("_toks").alias("w")).agg(

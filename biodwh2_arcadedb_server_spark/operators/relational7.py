@@ -254,7 +254,8 @@ def q119_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- scale toolkit: Bloom-prefiltered semi-join -------------------------------------
-BLOOM_PRICE_MIN = 350_000.0  # rare-key build side
+BLOOM_PRICE_MIN = 498_000.0  # top ~0.4% of orders — a genuinely rare build side
+BLOOM_LONGS = 64             # 4096 bits ≈ 10 bits/key at sf0.1 → ~2% fp
 
 
 def q120_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,7 +276,7 @@ def q120_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice") > BLOOM_PRICE_MIN
     )
     keys = o.select("o_orderkey")
-    bits = bloom_bits(keys, "o_orderkey")
+    bits = bloom_bits(keys, "o_orderkey", n_longs=BLOOM_LONGS)
     li = load_table(spark, sf_dir, "lineitem")
     prefiltered = li.where(bloom_might_contain(F.col("l_orderkey"), bits))
     return (

@@ -70,24 +70,40 @@ def bloom_bits(
     lets the filter jump ACROSS stages the optimizer won't cross
     (e.g. pruning a scan feeding an expensive Python/UDF stage, or a
     streaming micro-batch prefiltered against a static build side).
-    Size rule: false-positive rate ≈ (1−e^{−kn/m})^k — 1024 bits / 3
-    hashes holds ~1% at n≈100 keys; scale n_longs with the build side
-    (the aggregate's cost is unchanged, it's still one BIT_OR row)."""
-    slots = []
+    Size rule: false-positive rate ≈ (1−e^{−kn/m})^k — pick
+    m ≈ 10·n bits for ~1-2% at k=3; the sketch stays a ≤n_longs-row
+    aggregate whatever the build cardinality.
+
+    Shape: each key explodes to its ``n_hashes`` bit positions (3
+    narrow rows/key, computed once — NOT an n_longs×n_hashes
+    when-battery per row, which re-evaluates the hash per slot and
+    measured 2s where this runs in one map pass), then one map-side
+    combined groupBy(slot).bit_or(mask) over ≤n_longs groups."""
     width = 64 * n_longs
-    for j in range(n_longs):
-        acc = F.lit(0).cast("long")
-        for i in range(n_hashes):
-            p = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(width))
-            acc = acc.bitwiseOR(
-                F.when(
-                    (p / 64).cast("int") == j,
-                    F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")),
-                ).otherwise(F.lit(0).cast("long"))
-            )
-        slots.append(F.bit_or(acc).alias(f"b{j}"))
-    row = build.agg(*slots).collect()[0]
-    return [int(row[f"b{j}"] or 0) for j in range(n_longs)]
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(width))
+                for i in range(n_hashes)
+            ]
+        )
+    )
+    slots = (
+        build.select(pos.alias("_p"))
+        .select(
+            (F.col("_p") / 64).cast("int").alias("_slot"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("_p") % 64).cast("int")
+            ).alias("_mask"),
+        )
+        .groupBy("_slot")
+        .agg(F.bit_or("_mask").alias("_bits"))
+        .collect()
+    )
+    out = [0] * n_longs
+    for r in slots:
+        out[r["_slot"]] = int(r["_bits"])
+    return out
 
 
 def bloom_might_contain(
