@@ -123,6 +123,7 @@ HEADLINE = [
     "q115_link_prediction",
     "q76_kcore",
     "q121_ktruss",
+    "q122_core_decomposition",
     "q80_sssp",
     "q81_scc",
     "q24_pagerank",

@@ -34,7 +34,7 @@ ITERATIVE = {
     "q86", "q97", "q77",
     # round-2 additions: HITS power iteration, closure dedups (CC rounds
     # on the pair graph), k-truss support peeling
-    "q108", "q100", "q106", "q121",
+    "q108", "q100", "q106", "q121", "q122",
 }
 
 

@@ -753,6 +753,67 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
 
 
 # --- C6: closeness centrality (multi-source BFS) -----------------------------------------
+def core_decomposition(edges: DataFrame, max_iter: int = 100) -> DataFrame:
+    """(node_id, core) — the core number of EVERY node (the largest k
+    for which the node survives in the k-core), via the distributed
+    h-index fixpoint (Montresor, De Pellegrini & Miorandi, 2013):
+    start from core = degree and repeatedly set
+
+        core(v) ← min(deg(v), H({core(u) : u ∈ N(v)}))
+
+    where H is the h-index (the largest h with ≥ h neighbors of core
+    ≥ h). Estimates only decrease and converge to the exact core
+    numbers — one call replaces max-degree many ``k_core`` peelings.
+
+    Each round is one join of the symmetric adjacency against the
+    current estimates plus a per-node aggregate; the h-index is
+    computed from the sorted neighbor-core array with a zip/filter
+    fold. The collect_list buffer is bounded by degree — for
+    super-hub nodes the documented scale path replaces it with a
+    (node, core-value) count aggregation + cumulative window (no
+    array materialization), same fixpoint. Convergence is detected
+    from a scalar changed-node count; lineage truncated per round."""
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    ).localCheckpoint(eager=True)
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint(eager=True)
+    core = deg.select("v", F.col("_deg").alias("core"))
+    for _ in range(max_iter):
+        nb = adj.join(core.withColumnRenamed("v", "u"), "u").groupBy("v").agg(
+            F.sort_array(F.collect_list("core"), asc=False).alias("_nc")
+        )
+        h = F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("_nc"),
+                    F.sequence(F.lit(1), F.size("_nc")),
+                    lambda c, i: (c >= i).cast("int"),
+                ),
+                lambda x: x == 1,
+            )
+        )
+        nxt = (
+            deg.join(nb, "v")
+            .select("v", F.least(F.col("_deg"), h).alias("core"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(core.withColumnRenamed("core", "_prev"), "v")
+            .where(F.col("core") != F.col("_prev"))
+            .count()
+        )
+        core = nxt
+        if changed == 0:
+            break
+    return core.select(F.col("v").alias("node_id"), "core")
+
+
 def k_truss(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     """Edges of the k-truss: the maximal subgraph where every edge
     participates in ≥ k−2 triangles (undirected, simple) — the

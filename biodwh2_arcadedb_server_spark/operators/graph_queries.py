@@ -32,6 +32,7 @@ from biodwh2_arcadedb_server_spark.operators.graph import (
     degrees,
     expand,
     hits,
+    core_decomposition,
     k_core,
     k_truss,
     link_prediction,
@@ -232,6 +233,13 @@ def q80_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("node_id", F.round("dist", 4).alias("dist"))
 
 
+def q122_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core number of every nation-graph node via the h-index fixpoint
+    (convergence-driven — no SQL oracle; tests/test_graph.py pins it
+    against increasing-k peeling)."""
+    return core_decomposition(nation_graph(spark, sf_dir, 97))
+
+
 def q121_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss of the undirected nation graph (support peeling — no
     SQL oracle; convergence-driven like k-core, pinned by
@@ -250,6 +258,7 @@ QUERIES = {
     "q19_expand_out": q19_expand_out,
     "q115_link_prediction": q115_link_prediction,
     "q121_ktruss": q121_ktruss,
+    "q122_core_decomposition": q122_core_decomposition,
     "q20_motif_2hop": q20_motif_2hop,
     "q21_bfs_hops": q21_bfs_hops,
     "q22_connected_components": q22_connected_components,

@@ -608,3 +608,38 @@ def test_ktruss_matches_python_reference(spark, sf_small):
         want = _py_ktruss(edges, k)
         got = {(r.a, r.b) for r in k_truss(g, k).collect()}
         assert got == want, f"k={k}"
+
+
+def _py_core_numbers(edges):
+    """Reference core numbers: survivors of the k-core peeling get
+    core >= k, for increasing k."""
+    nodes = {n for e in edges for n in e if e[0] != e[1]}
+    res = {n: 0 for n in nodes}
+    k = 1
+    while True:
+        surv = _py_kcore(edges, k)
+        if not surv:
+            return res
+        for n in surv:
+            res[n] = k
+        k += 1
+
+
+def test_core_decomposition_known_graph(spark):
+    from biodwh2_arcadedb_server_spark.operators.graph import core_decomposition
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    got = {r.node_id: r.core for r in core_decomposition(e).collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 3: 2, 4: 1}
+
+
+def test_core_decomposition_matches_peeling_reference(spark, sf_small):
+    from biodwh2_arcadedb_server_spark.operators.graph import core_decomposition
+
+    g = nation_graph(spark, sf_small, 97)
+    edges = [(r.src, r.dst) for r in g.collect()]
+    want = _py_core_numbers(edges)
+    got = {r.node_id: r.core for r in core_decomposition(g).collect()}
+    assert got == want
