@@ -113,6 +113,7 @@ HEADLINE = [
     "q118_funnel",
     "q119_rolling_time_window",
     "q120_bloom_semi_join",
+    "q123_cooccurrence_pmi",
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q97_shortest_path",

@@ -291,6 +291,48 @@ def q120_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training/feature staple: co-occurrence + PMI -----------------------------------
+def q123_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring
+    in the same user's history — the association-mining /
+    embedding-pretraining staple (PMI matrices seed word/item
+    vectors). Presence is deduplicated per (user, type) first so the
+    measure is over users, not raw event counts; the pair join fans
+    out per-user |types|² — bounded by the type domain here; with a
+    large item catalog cap the per-user basket (top-d by recency)
+    before the join, the standard mitigation."""
+    e = load_table(spark, sf_dir, "events")
+    pres = e.select("user_id", "event_type").distinct()
+    n_users = pres.select("user_id").distinct().count()
+    a = pres.select("user_id", F.col("event_type").alias("type_a"))
+    b = pres.select("user_id", F.col("event_type").alias("type_b"))
+    pair = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    singles = pres.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_s"))
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n_s").alias("_na"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n_s").alias("_nb"))
+    return (
+        pair.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab") * F.lit(float(n_users))
+                    / (F.col("_na") * F.col("_nb"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
 QUERIES = {
     "q111_gap_fill": q111_gap_fill,
     "q112_mode_corr": q112_mode_corr,
@@ -299,6 +341,7 @@ QUERIES = {
     "q118_funnel": q118_funnel,
     "q119_rolling_time_window": q119_rolling_time_window,
     "q120_bloom_semi_join": q120_bloom_semi_join,
+    "q123_cooccurrence_pmi": q123_cooccurrence_pmi,
 }
 
 
@@ -358,6 +401,25 @@ ORACLE = {
         FROM documents
         ORDER BY ws_key DESC, doc_id
         LIMIT {WSAMPLE_K}
+    """,
+    "q123_cooccurrence_pmi": """
+        WITH pres AS (
+            SELECT DISTINCT user_id, event_type FROM events),
+        pair AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_ab
+            FROM pres a JOIN pres b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type),
+        singles AS (
+            SELECT event_type, COUNT(*) AS n_s FROM pres GROUP BY event_type),
+        n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM pres)
+        SELECT p.type_a, p.type_b, p.n_ab,
+               ROUND(ln(p.n_ab * (SELECT n_users * 1.0 FROM n)
+                        / (sa.n_s * sb.n_s)), 4) AS pmi
+        FROM pair p
+        JOIN singles sa ON sa.event_type = p.type_a
+        JOIN singles sb ON sb.event_type = p.type_b
     """,
     # the bloom is pruning-only, so the oracle is the PLAIN semi-join
     "q120_bloom_semi_join": f"""
