@@ -114,6 +114,8 @@ HEADLINE = [
     "q119_rolling_time_window",
     "q120_bloom_semi_join",
     "q123_cooccurrence_pmi",
+    "q124_retention_cohorts",
+    "q125_markov_transitions",
     "q20_motif_2hop",
     "q21_bfs_hops",
     "q97_shortest_path",

@@ -333,6 +333,65 @@ def q123_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- warehouse staple: retention cohort analysis ------------------------------------
+def q124_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by first-activity
+    week; retention(cohort, k) = share of the cohort active k weeks
+    later. Three aggregates sharing the user_id shuffle key: per-user
+    cohort week (min), distinct user-week activity, then the
+    cohort×offset rollup against broadcast cohort sizes."""
+    e = load_table(spark, sf_dir, "events")
+    week = F.to_date(F.date_trunc("week", F.col("ts"))).alias("week")
+    activity = e.select("user_id", week).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    joined = activity.join(cohort, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("int").alias("week_k"),
+    )
+    return (
+        joined.groupBy("cohort_week", "week_k")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_k",
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
+        )
+    )
+
+
+# --- feature staple: first-order Markov transition matrix ---------------------------
+def q125_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical first-order Markov chain over each user's event
+    sequence: P(next=cur | prev) from lag pairs. One window shuffle on
+    user_id for the lag, one hash aggregate for pair counts; the
+    per-prev totals ride a window over the (small) pair table."""
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "user_id",
+            F.lag("event_type").over(wo).alias("prev"),
+            F.col("event_type").alias("cur"),
+        )
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev")
+    return pairs.select(
+        "prev",
+        "cur",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 4).alias("p"),
+    )
+
+
 QUERIES = {
     "q111_gap_fill": q111_gap_fill,
     "q112_mode_corr": q112_mode_corr,
@@ -342,6 +401,8 @@ QUERIES = {
     "q119_rolling_time_window": q119_rolling_time_window,
     "q120_bloom_semi_join": q120_bloom_semi_join,
     "q123_cooccurrence_pmi": q123_cooccurrence_pmi,
+    "q124_retention_cohorts": q124_retention_cohorts,
+    "q125_markov_transitions": q125_markov_transitions,
 }
 
 
@@ -401,6 +462,43 @@ ORACLE = {
         FROM documents
         ORDER BY ws_key DESC, doc_id
         LIMIT {WSAMPLE_K}
+    """,
+    "q124_retention_cohorts": """
+        WITH activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS week
+            FROM events),
+        cohort AS (
+            SELECT user_id, MIN(week) AS cohort_week
+            FROM activity GROUP BY user_id),
+        sizes AS (
+            SELECT cohort_week, COUNT(*) AS cohort_size
+            FROM cohort GROUP BY cohort_week),
+        joined AS (
+            SELECT a.user_id, c.cohort_week,
+                   CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INTEGER)
+                       AS week_k
+            FROM activity a JOIN cohort c ON a.user_id = c.user_id)
+        SELECT j.cohort_week, j.week_k,
+               COUNT(DISTINCT j.user_id) AS n_active,
+               ROUND(COUNT(DISTINCT j.user_id) * 1.0 / s.cohort_size, 4)
+                   AS retention
+        FROM joined j JOIN sizes s ON s.cohort_week = j.cohort_week
+        GROUP BY j.cohort_week, j.week_k, s.cohort_size
+    """,
+    "q125_markov_transitions": """
+        WITH lagged AS (
+            SELECT user_id,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev,
+                   event_type AS cur
+            FROM events),
+        pairs AS (
+            SELECT prev, cur, COUNT(*) AS n
+            FROM lagged WHERE prev IS NOT NULL GROUP BY prev, cur)
+        SELECT prev, cur, n,
+               ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev), 4) AS p
+        FROM pairs
     """,
     "q123_cooccurrence_pmi": """
         WITH pres AS (
