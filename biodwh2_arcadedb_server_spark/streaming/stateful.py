@@ -299,3 +299,73 @@ def run_finite_sessionize(
         )
         q.awaitTermination()
     return spark.table(name).filter(F.col("user_id") != SENTINEL_USER)
+
+
+# --- running stats via the Spark 4 transformWithState API --------------------------
+#
+# ``applyInPandasWithState`` (above) is the 3.x-era extension point:
+# one opaque state tuple per key. ``transformWithStateInPandas`` is
+# its Spark 4 successor — NAMED typed state variables (value / list /
+# map), per-key timers in processing or event time, and state
+# evolution — running on the RocksDB state-store provider (large
+# state lives off-heap/on-disk, not in executor memory: the 100 TB
+# posture for billions of keys). ``running_user_stats_tws`` mirrors
+# ``running_user_stats`` exactly, so the same batch aggregate pins
+# both implementations; the processor shape (init/handleInputRows/
+# close over a StatefulProcessorHandle) is where richer semantics
+# (multiple state vars, timer-driven emission) slot in.
+
+try:  # pragma: no cover - environment-dependent surface
+    # The TWS Python driver worker speaks protobuf to the JVM state
+    # server; without the google.protobuf package the query crashes at
+    # init, so the capability gate requires BOTH the API and protobuf
+    # (absent from this container — the operator is real, the test
+    # skips; any protobuf-equipped deployment runs it unchanged).
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+            prev = self._agg.get() if self._agg.exists() else None
+            n, s, last_ts = prev if prev is not None else (0, 0.0, None)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                mx = pdf["ts"].max()
+                last_ts = mx if last_ts is None else max(last_ts, mx)
+            self._agg.update((n, s, last_ts))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "last_ts": [last_ts],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    HAS_TRANSFORM_WITH_STATE = True
+except ImportError:  # pragma: no cover
+    HAS_TRANSFORM_WITH_STATE = False
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """Per-user running aggregates through ``transformWithStateInPandas``
+    (named ValueState + RocksDB provider). Same contract as
+    ``running_user_stats``; callers must run the query with
+    ``spark.sql.streaming.stateStore.providerClass`` set to the
+    RocksDB provider (transformWithState requires it)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningStatsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -88,3 +88,52 @@ def test_sessionize_matches_batch_session_window(spark, sf_small):
     }
     assert got == batch
     assert emitted(6, "sess_c6") == got
+
+
+def test_running_user_stats_transform_with_state_matches_batch(spark, sf_small):
+    """The Spark 4 transformWithState twin must produce the identical
+    final per-user state as both the batch aggregate and the
+    applyInPandasWithState implementation."""
+    import pytest
+
+    from biodwh2_arcadedb_server_spark.streaming.stateful import (
+        HAS_TRANSFORM_WITH_STATE,
+        running_user_stats_tws,
+    )
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        pytest.skip("transformWithState API not present in this PySpark")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = se.read_events_stream(spark, sf_small).select("user_id", "ts", "value")
+        q = (
+            running_user_stats_tws(stream)
+            .writeStream.format("memory")
+            .queryName("user_stats_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.user_id: (r.n_events, round(r.sum_value, 4), r.last_ts)
+            for r in spark.table("user_stats_tws").collect()
+        }
+    finally:
+        spark.conf.unset(provider_key)
+    want = {
+        r.user_id: (r.n, round(r.s, 4), r.last_ts)
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert got == want
