@@ -9,7 +9,9 @@ for genuinely non-SQL-expressible operators → rows-only check).
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -37,79 +39,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the first ~50 registry entries in insertion
-# order (confirmed by replaying CORRECTNESS_r01 against the r1
-# ordering). PRIORITY front-loads the probes that need a driver row
-# this round — round-1's fixed regressions first, then one-per-family
-# coverage of every operator family that fell outside r1's window
-# (graph B5-B8/C6, near-dup C2, ANN C3, text C4, multimodal C5,
-# curation, and the r1-unreached relational probes). The 48 probes
-# already driver-green in CORRECTNESS_r01.json follow after, still
-# registered and still pytest-gated by tests/test_oracle.py.
-PRIORITY = [
-    # round-1 regressions, now fixed — must re-verify
-    "q45_sessionize",
-    "q56_stateful_running_stats",
-    # graph: traversal + analytics (B5-B8, C6)
-    "q19_expand_out",
-    "q20_motif_2hop",
-    "q21_bfs_hops",
-    "q97_shortest_path",
-    "q22_connected_components",
-    "q23_degrees",
-    "q24_pagerank",
-    "q25_label_propagation",
-    "q65_cc_star",
-    "q74_triangle_count",
-    "q75_clustering_coefficient",
-    "q76_kcore",
-    "q80_sssp",
-    "q81_scc",
-    "q83_personalized_pagerank",
-    "q85_closeness",
-    "q86_betweenness",
-    # near-duplicate dedup (C2)
-    "q26_neardup_jaccard",
-    "q100_neardup_clusters",
-    "q27_minhash_neardup",
-    "q28_simhash_neardup",
-    "q29_cosine_neardup",
-    # similarity search (C3)
-    "q30_knn_topk",
-    "q31_ann_topk",
-    "q77_ivf_topk",
-    # text analysis (C4)
-    "q32_token_stats",
-    "q33_quality_score",
-    "q34_lang_id",
-    "q35_fingerprint",
-    # multimodal (C5)
-    "q36_multimodal_meta",
-    "q37_media_features",
-    "q38_frame_sample",
-    # corpus curation
-    "q91_decontamination",
-    "q92_repetition_stats",
-    "q93_tfidf_topterms",
-    "q94_bm25_search",
-    "q95_pii_scan",
-    "q96_random_projection",
-    # r1-unreached relational / pipeline probes
-    "q72_stratified_sample",
-    "q73_curation_pipeline",
-    "q78_json_roundtrip",
-    "q79_window_ranks",
-    "q82_profile_stats",
-    "q87_unpivot",
-    "q88_scd2_history",
-    "q89_approx_percentiles",
-    "q60_approx_distinct",
-    "q90_stream_sessionize",
-    # q84_stream_neardup intentionally NOT in the window: its driver
-    # check is rows-only (stateful candidate store, pytest-pinned),
-    # the weakest signal — every one of the 50 window slots above
-    # carries an oracled or regression-critical probe instead. It
-    # registers right after the window.
-]
+# order. With 124 registered probes, PRIORITY is COMPUTED from the
+# CORRECTNESS_r*.json history (VERDICT r2 "next" #8) so no probe goes
+# stale: (1) previously-red oracled probes (regressions to re-verify
+# after their fixes), (2) never-driver-checked probes with an oracle,
+# (3) never-checked rows-only probes, (4) everything else, stalest
+# last-checked round first. Ties keep registry insertion order.
+def _compute_priority(pooled_names: list[str], oracled: set[str]) -> list[str]:
+    here = Path(__file__).resolve().parent
+    history: dict[str, tuple[int, bool]] = {}  # probe -> (last round, green)
+    for path in sorted(here.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(path.stem.split("_r")[-1])
+            data = json.loads(path.read_text())
+        except (ValueError, json.JSONDecodeError):
+            continue
+        for name, row in data.items():
+            green = bool(row.get("hash_match")) or (
+                row.get("err") == "no_oracle" and bool(row.get("rows_match"))
+            )
+            history[name] = (rnd, green)
+    order = {n: i for i, n in enumerate(pooled_names)}
+
+    def tier(name: str) -> tuple:
+        rec = history.get(name)
+        if rec is not None and not rec[1] and name in oracled:
+            return (0, order[name])  # red with oracle: regression fix first
+        if rec is None and name in oracled:
+            return (1, order[name])  # never checked, oracled
+        if rec is None:
+            return (2, order[name])  # never checked, rows-only
+        return (3, rec[0], order[name])  # stalest green first
+
+    return sorted(pooled_names, key=tier)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -124,13 +86,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pooled.update(graph_queries.QUERIES)
     pooled.update(pipeline_queries.QUERIES)
     pooled.update(pipeline_queries2.QUERIES)
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in PRIORITY:
-        out[name] = pooled[name]
-    for name, fn in pooled.items():
-        if name not in out:
-            out[name] = fn
-    return out
+    oracled = set(oracle_sql())
+    priority = _compute_priority(list(pooled), oracled)
+    return {name: pooled[name] for name in priority}
 
 
 def oracle_sql() -> dict[str, str]:

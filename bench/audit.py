@@ -47,7 +47,19 @@ def annotate(name: str, s: float, d: float | None) -> str:
     if pre in STREAMING:
         return "floor:micro-batch+state-store cycle (irreducible locally; amortizes on a real stream)"
     if pre in ITERATIVE:
-        return "floor:rounds x job-scheduling on a 25-node graph (plan sound; converges at sf>=1)"
+        # Measured, not just argued (bench/convergence.json): scaling
+        # the fact tables 100x drops the ratio 5-10x (HITS 43->6.3,
+        # PPR 54->8.5, PageRank 45->10.5) with Spark near-flat — the
+        # gap is the per-round scheduling floor amortizing. It does
+        # NOT cross 2x while the graph itself stays 25 nodes: DuckDB's
+        # unrolled CTE does the same rounds in microseconds at that
+        # size. The floor claim is about production graphs (>=1e8
+        # edges), where per-round WORK dwarfs per-round scheduling.
+        return (
+            "floor:rounds x job-scheduling on a 25-node graph (plan sound; "
+            "ratio falls 5-10x at 100x data — bench/convergence.json; "
+            "crossover requires the graph, not just the scan, to grow)"
+        )
     if s < 2.0 and d < 0.3:
         # the absolute gap is a fixed number of stage launches
         # (~0.3-0.5s each), not data-dependent work — it scales away

@@ -42,12 +42,25 @@ from pyspark.sql import functions as F
 
 # --- B5: 1-hop expansion ------------------------------------------------------
 def expand(
-    start: DataFrame, edges: DataFrame, direction: str = "out", id_col: str = "node_id"
+    start: DataFrame,
+    edges: DataFrame,
+    direction: str = "out",
+    id_col: str = "node_id",
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """out()/in()/both() — returns (node_id, neighbor) pairs.
 
-    `start` must carry `id_col`; result column is `neighbor`."""
+    `start` must carry `id_col`; result column is `neighbor`.
+
+    ``broadcast_frontier`` (default on) hints the start set broadcast:
+    the selective-traversal case — a handful of start nodes against a
+    100 TB edge table — must probe the edge scan in place, never
+    shuffle it (measured 1.6× at 60M edges locally; at cluster scale
+    the avoided edge shuffle is the whole cost). Disable when the
+    frontier itself is huge (e.g. expanding from most of the graph)."""
     s = start.select(F.col(id_col).alias("_start"))
+    if broadcast_frontier:
+        s = F.broadcast(s)
     out_e = edges.select(F.col("src").alias("_start"), F.col("dst").alias("neighbor"))
     in_e = edges.select(F.col("dst").alias("_start"), F.col("src").alias("neighbor"))
     if direction == "out":
@@ -60,14 +73,26 @@ def expand(
 
 
 # --- B6: fixed-depth motif as chained joins -----------------------------------
-def motif_chain(start: DataFrame, hops: list[DataFrame], id_col: str = "node_id") -> DataFrame:
+def motif_chain(
+    start: DataFrame,
+    hops: list[DataFrame],
+    id_col: str = "node_id",
+    broadcast_frontier: bool = True,
+) -> DataFrame:
     """Compile a fixed-length path pattern a -e1-> b -e2-> c ... into a
     join chain. ``hops`` is a list of edge DataFrames (src, dst); the
-    result has columns n0..nK (node ids along the path)."""
+    result has columns n0..nK (node ids along the path).
+
+    ``broadcast_frontier`` broadcasts the accumulated path prefix into
+    each hop join: a selective motif (anchored on a filtered label)
+    stays a map-side probe of every edge scan instead of shuffling the
+    full edge tables per hop. Disable for unanchored patterns whose
+    prefix set is edge-table-sized."""
     cur = start.select(F.col(id_col).alias("n0"))
     for i, e in enumerate(hops):
         nxt = e.select(F.col("src").alias(f"n{i}"), F.col("dst").alias(f"n{i+1}"))
-        cur = cur.join(nxt, f"n{i}")
+        lhs = F.broadcast(cur) if broadcast_frontier else cur
+        cur = lhs.join(nxt, f"n{i}")
     return cur
 
 
@@ -837,6 +862,12 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     )
     n_edges = live.count()
     min_support = k - 2
+    if min_support <= 0:
+        # The 2-truss (and below) is the full simple edge set: a zero
+        # triangle threshold removes nothing, but such edges never
+        # appear in the support aggregate, so peeling would wrongly
+        # drop them — return early instead.
+        return live.select("a", "b")
     for _ in range(max_iter):
         if n_edges == 0:
             break

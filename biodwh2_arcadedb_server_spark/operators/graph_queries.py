@@ -609,6 +609,76 @@ def _kcore_oracle(k: int, rounds: int) -> str:
 ORACLE["q76_kcore"] = _kcore_oracle(3, 26)
 
 
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Unrolled support peeling mirroring graph.k_truss: each round
+    counts, per surviving canonical edge (a,b), the common neighbors
+    of a and b in the surviving edge set (= triangles the edge closes)
+    and keeps edges with support >= k-2. Edges with zero support drop
+    out by absence from the aggregate — exactly the Spark operator's
+    left_semi semantics (k > 2; the k <= 2 case is the full edge set
+    and short-circuits before peeling on the Spark side). ``rounds``
+    over-provisions past the fixpoint; extra rounds are no-ops."""
+    parts = [f"WITH e0 AS MATERIALIZED ({_UND_97})"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""n{i} AS MATERIALIZED (
+            SELECT a AS u, b AS v FROM e{p} UNION ALL SELECT b, a FROM e{p}
+        )""")
+        parts.append(f"""e{i} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e{p} e
+            JOIN n{i} x ON x.u = e.a
+            JOIN n{i} y ON y.u = e.b AND y.v = x.v
+            GROUP BY e.a, e.b
+            HAVING COUNT(*) >= {k - 2}
+        )""")
+    return (
+        parts[0] + ",\n" + ",\n".join(parts[1:])
+        + f"\nSELECT a, b FROM e{rounds}"
+    )
+
+
+ORACLE["q121_ktruss"] = _ktruss_oracle(4, 12)
+
+
+def _coredec_oracle(rounds: int) -> str:
+    """Unrolled Montresor h-index fixpoint mirroring
+    graph.core_decomposition: core_0 = degree, then
+    core(v) <- least(deg(v), H({core(u): u in N(v)})) per round, where
+    the h-index H is MAX(LEAST(rank, core)) over the neighbor cores
+    sorted descending — the same prefix-count identity the Spark side
+    computes with a zip_with/filter fold. Estimates only decrease, so
+    over-provisioned rounds are no-ops at the fixpoint."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({_UND_97})",
+        """adj AS MATERIALIZED (
+            SELECT a AS v, b AS u FROM e0 UNION ALL SELECT b, a FROM e0
+        )""",
+        "deg AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM adj GROUP BY v)",
+        "c0 AS MATERIALIZED (SELECT v, d AS core FROM deg)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""c{i} AS MATERIALIZED (
+            SELECT d.v, LEAST(d.d, h.h) AS core
+            FROM deg d JOIN (
+                SELECT v, MAX(LEAST(rn, core)) AS h FROM (
+                    SELECT adj.v, c.core,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY adj.v ORDER BY c.core DESC
+                           ) AS rn
+                    FROM adj JOIN c{p} c ON c.v = adj.u
+                ) GROUP BY v
+            ) h ON h.v = d.v
+        )""")
+    return (
+        parts[0] + ",\n" + ",\n".join(parts[1:])
+        + f"\nSELECT v AS node_id, CAST(core AS BIGINT) AS core FROM c{rounds}"
+    )
+
+
+ORACLE["q122_core_decomposition"] = _coredec_oracle(26)
+
+
 def _lpa_oracle(iterations: int) -> str:
     """Unrolled synchronous label propagation mirroring
     graph.label_propagation: each round a node adopts the most frequent

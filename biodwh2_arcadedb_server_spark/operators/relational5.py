@@ -277,7 +277,12 @@ def q88_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing history from each customer's order
     stream: one validity interval per order, closed by the next
     order's date (lead window), open-ended for the latest. The MERGE
-    INTO-free SCD2 emulation: per-key window, no self-join."""
+    INTO-free SCD2 emulation: per-key window, no self-join.
+
+    The open-interval sentinel is 2261-12-31 (not the conventional
+    9999-12-31): it must survive a round-trip through
+    ``datetime64[ns]`` (max 2262-04-11) in pandas/Arrow comparison
+    harnesses."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 100)
@@ -287,7 +292,7 @@ def q88_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.col("o_orderkey").alias("version_key"),
         F.col("o_orderdate").alias("valid_from"),
-        F.coalesce(nxt, F.lit("9999-12-31").cast("date")).alias("valid_to"),
+        F.coalesce(nxt, F.lit("2261-12-31").cast("date")).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
 
@@ -428,7 +433,7 @@ ORACLE["q79_window_ranks"] = """
 
 ORACLE["q82_profile_stats"] = """
     SELECT COUNT(*) AS n_rows,
-           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_dates,
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_dates,
            ROUND(MIN(o_totalprice), 4) AS min_price,
            ROUND(MAX(o_totalprice), 4) AS max_price,
            ROUND(AVG(o_totalprice), 4) AS avg_price,
@@ -449,7 +454,7 @@ ORACLE["q88_scd2_history"] = """
     SELECT o_custkey,
            o_orderkey AS version_key,
            o_orderdate AS valid_from,
-           COALESCE(LEAD(o_orderdate) OVER w, DATE '9999-12-31') AS valid_to,
+           COALESCE(LEAD(o_orderdate) OVER w, DATE '2261-12-31') AS valid_to,
            (LEAD(o_orderdate) OVER w) IS NULL AS is_current
     FROM orders WHERE o_custkey <= 100
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)

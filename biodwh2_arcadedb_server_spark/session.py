@@ -11,8 +11,17 @@ engines (DuckDB timestamps are UTC-naive).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
+
+# Per-process warehouse under tmp: saveAsTable targets (bucketed
+# layouts, A13/B4) never collide with a location orphaned by an
+# earlier crashed JVM in a shared ./spark-warehouse — the suite is
+# hermetic from a fresh checkout. Overridable for a real deployment.
+_WAREHOUSE_DIR = os.environ.get("SPARK_GRAFT_WAREHOUSE") or tempfile.mkdtemp(
+    prefix="spark-graft-warehouse-"
+)
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -43,6 +52,7 @@ def get_spark(app_name: str = "biodwh2-arcadedb-server-spark", *, shuffle_partit
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", _WAREHOUSE_DIR)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     # Respect an externally-chosen master (cluster deploy); default local.

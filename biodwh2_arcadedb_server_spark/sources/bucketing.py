@@ -17,6 +17,10 @@ bucket spec); `spark.sql.sources.bucketing.enabled` is on by default.
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -26,6 +30,15 @@ def write_bucketed(
     """Persist ``df`` bucketed (and optionally sorted) by ``key``.
     Sorting within buckets additionally enables shuffle-AND-sort-free
     sort-merge joins plus better min/max pruning on the key."""
+    # Overwrite mode can't reclaim a location orphaned by a crashed
+    # JVM (the fresh catalog doesn't know the table, so the existing
+    # directory raises LOCATION_ALREADY_EXISTS) — pre-clear it.
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    stale = Path(urlparse(warehouse).path or warehouse) / table.lower()
+    if stale.exists():
+        shutil.rmtree(stale, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort:
         writer = writer.sortBy(key)

@@ -275,21 +275,26 @@ def run_finite_sessionize(
     gap_ms: int,
     n_chunks: int = 4,
     name: str = "sessionize_out",
+    state_parts: int | None = None,
+    n_cells: int = 16,
 ) -> DataFrame:
     """Drain the chunked events stream through ``sessionize`` to
     completion and return the emitted (final) sessions for real users.
     The sentinel advances the watermark past every real session's
-    end+gap, so the emitted set equals the batch session aggregate."""
-    from biodwh2_arcadedb_server_spark.streaming import state_partitions
+    end+gap, so the emitted set equals the batch session aggregate.
+    ``state_parts`` overrides the session state-partition count (the
+    per-trigger cost is state-store open+commit × partitions; size to
+    active-state volume, see streaming.__init__)."""
+    from biodwh2_arcadedb_server_spark.streaming import STREAM_STATE_PARTITIONS, state_partitions
 
     src = chunked_event_files(sf_dir, n_chunks)
-    with state_partitions(spark):
+    with state_partitions(spark, state_parts or STREAM_STATE_PARTITIONS):
         stream = (
             spark.readStream.schema("user_id long, ts timestamp, value double")
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        out = sessionize(stream, gap_ms)
+        out = sessionize(stream, gap_ms, n_cells=n_cells)
         q = (
             out.writeStream.format("memory")
             .queryName(name)
@@ -363,6 +368,12 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
     ``running_user_stats``; callers must run the query with
     ``spark.sql.streaming.stateStore.providerClass`` set to the
     RocksDB provider (transformWithState requires it)."""
+    if not HAS_TRANSFORM_WITH_STATE:
+        raise RuntimeError(
+            "transformWithState requires pyspark>=4 with google.protobuf "
+            "available to the Python worker; use running_user_stats "
+            "(applyInPandasWithState) instead"
+        )
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_RunningStatsProcessor(),
         outputStructType=OUTPUT_SCHEMA,

@@ -60,7 +60,14 @@ def spark_rows(df: DataFrame) -> list[dict[str, Any]]:
     return [r.asDict(recursive=True) for r in df.collect()]
 
 
-def duckdb_rows(sql: str, sf_dir: str) -> list[dict[str, Any]]:
+def duckdb_rows(sql: str, sf_dir: str) -> tuple[list[dict[str, Any]], dict[str, str]]:
+    """Rows via fetchall (authoritative Python values) plus the Arrow
+    types of the same result — the driver harness materializes through
+    pandas/Arrow, where two artifact classes break its hash even when
+    the Python values match (both observed in CORRECTNESS_r02):
+    HUGEINT aggregates (Arrow decimal128 → float/Decimal vs Spark's
+    bigint) and dates past the datetime64[ns] range. Nullable BIGINT →
+    float64 is NOT flagged: r1 proved the driver handles it (q49)."""
     con = duckdb.connect()
     try:
         for t in TABLES:
@@ -69,17 +76,56 @@ def duckdb_rows(sql: str, sf_dir: str) -> list[dict[str, Any]]:
             )
         res = con.execute(sql)
         cols = [d[0] for d in res.description]
-        return [dict(zip(cols, row)) for row in res.fetchall()]
+        rows = [dict(zip(cols, row)) for row in res.fetchall()]
+        arrow_schema = con.execute(sql).fetch_arrow_table().schema
+        dtypes = {f.name: str(f.type) for f in arrow_schema}
+        return rows, dtypes
     finally:
         con.close()
+
+
+_NS_MIN = _dt.date(1677, 9, 22)
+_NS_MAX = _dt.date(2262, 4, 11)
+
+
+def driver_compat_issues(
+    s_schema: dict[str, str], d_rows: list[dict[str, Any]], d_dtypes: dict[str, str]
+) -> list[str]:
+    """Detect oracle results that hash-match locally but break the
+    driver's pandas-side materialization (observed r2: q82, q88)."""
+    issues: list[str] = []
+    for col, dtype in d_dtypes.items():
+        s_type = s_schema.get(col, "")
+        if dtype.startswith("decimal") and s_type in {
+            "tinyint", "smallint", "int", "bigint", "long", "integer", "short", "byte"
+        }:
+            issues.append(
+                f"{col}: DuckDB emits {dtype} (HUGEINT aggregate) but Spark emits "
+                f"{s_type} (driver hash sees 0.0 != 0) — CAST the oracle aggregate "
+                f"AS BIGINT"
+            )
+    for r in d_rows:
+        for col, v in r.items():
+            if isinstance(v, _dt.date) and not (_NS_MIN <= (v.date() if isinstance(v, _dt.datetime) else v) <= _NS_MAX):
+                issues.append(
+                    f"{col}: value {v} outside datetime64[ns] range — overflows the "
+                    f"driver's pandas harness"
+                )
+                break
+    return issues
 
 
 def compare(
     spark: SparkSession, query_fn, oracle: str, sf_dir: str
 ) -> tuple[bool, str]:
     """Run both engines, canonicalize, compare. Returns (ok, detail)."""
-    s_rows = spark_rows(query_fn(spark, sf_dir))
-    d_rows = duckdb_rows(oracle, sf_dir)
+    s_df = query_fn(spark, sf_dir)
+    s_rows = spark_rows(s_df)
+    d_rows, d_dtypes = duckdb_rows(oracle, sf_dir)
+    s_schema = {f.name: f.dataType.simpleString() for f in s_df.schema.fields}
+    compat = driver_compat_issues(s_schema, d_rows, d_dtypes)
+    if compat:
+        return False, "driver-compat: " + "; ".join(compat)
     s_n, s_cols, s_hash = canonicalize(s_rows)
     d_n, d_cols, d_hash = canonicalize(d_rows)
     if s_n != d_n:

@@ -597,6 +597,10 @@ def test_ktruss_known_graph(spark):
     got3 = {(r.a, r.b) for r in k_truss(e, 3).collect()}
     assert got3 == {(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)}
     assert k_truss(e, 4).collect() == []
+    # k<=2: zero triangle threshold keeps every simple edge, including
+    # the pendant (3,4) that closes no triangle.
+    got2 = {(r.a, r.b) for r in k_truss(e, 2).collect()}
+    assert got2 == {(0, 1), (1, 2), (0, 2), (1, 3), (2, 3), (3, 4)}
 
 
 def test_ktruss_matches_python_reference(spark, sf_small):

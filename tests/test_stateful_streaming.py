@@ -119,10 +119,14 @@ def test_running_user_stats_transform_with_state_matches_batch(spark, sf_small):
             .start()
         )
         q.awaitTermination()
-        got = {
-            r.user_id: (r.n_events, round(r.sum_value, 4), r.last_ts)
-            for r in spark.table("user_stats_tws").collect()
-        }
+        # Update-mode memory sink holds one row per (user, micro-batch)
+        # in no particular order; keep each user's final (max n_events)
+        # row so a multi-batch availableNow split can't flake.
+        got: dict = {}
+        for r in spark.table("user_stats_tws").collect():
+            prev = got.get(r.user_id)
+            if prev is None or r.n_events > prev[0]:
+                got[r.user_id] = (r.n_events, round(r.sum_value, 4), r.last_ts)
     finally:
         spark.conf.unset(provider_key)
     want = {
