@@ -45,8 +45,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # after their fixes), (2) never-driver-checked probes with an oracle,
 # (3) never-checked rows-only probes, (4) everything else, stalest
 # last-checked round first. Ties keep registry insertion order.
-def _compute_priority(pooled_names: list[str], oracled: set[str]) -> list[str]:
-    here = Path(__file__).resolve().parent
+def _compute_priority(
+    pooled_names: list[str], oracled: set[str], history_dir: Path | None = None
+) -> list[str]:
+    here = history_dir or Path(__file__).resolve().parent
     history: dict[str, tuple[int, bool]] = {}  # probe -> (last round, green)
     for path in sorted(here.glob("CORRECTNESS_r*.json")):
         try:

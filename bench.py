@@ -129,6 +129,7 @@ HEADLINE = [
     "q122_core_decomposition",
     "q80_sssp",
     "q81_scc",
+    "q126_sampled_closeness",
     "q24_pagerank",
     "q108_hits",
     "q83_personalized_pagerank",
@@ -158,6 +159,7 @@ HEADLINE = [
 STREAMING = [
     "q56_stateful_running_stats",
     "q62_stream_enrich",
+    "q127_stream_stream_join",
     "q69_stream_ingest",
     "q84_stream_neardup",
     "q90_stream_sessionize",

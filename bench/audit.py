@@ -35,6 +35,8 @@ ITERATIVE = {
     # round-2 additions: HITS power iteration, closure dedups (CC rounds
     # on the pair graph), k-truss support peeling
     "q108", "q100", "q106", "q121", "q122",
+    # round-3: pivot-sampled closeness (depth-many BFS rounds)
+    "q126",
 }
 
 

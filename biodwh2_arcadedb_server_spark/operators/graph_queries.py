@@ -186,6 +186,32 @@ def q85_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closeness_centrality(nation_graph(spark, sf_dir, 97))
 
 
+def q126_sampled_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eppstein-Wang pivot-sampled closeness on a 256-node graph
+    derived from orders (custkey/orderkey mod 256) with 16
+    deterministic pivots (node_id % 16 == 0) — the 100 TB centrality
+    path: K pivots bound the multi-source BFS message volume at
+    K·|V| instead of |V|², and the estimator error falls ~1/sqrt(K).
+    Deterministic pivots make the estimate itself oracle-able (the
+    recursive-CTE twin runs the same 16-source BFS)."""
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            (F.col("o_custkey") % 256).cast("long").alias("src"),
+            (F.col("o_orderkey") % 256).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    pivots = nodes.where(F.col("node_id") % 16 == 0)
+    return closeness_centrality(edges, pivots=pivots, max_depth=8)
+
+
 def q83_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-sensitive PageRank seeded on nations {0, 1} (half the
     teleport mass each) — no SQL oracle; tests/test_graph.py pins it
@@ -259,6 +285,7 @@ QUERIES = {
     "q115_link_prediction": q115_link_prediction,
     "q121_ktruss": q121_ktruss,
     "q122_core_decomposition": q122_core_decomposition,
+    "q126_sampled_closeness": q126_sampled_closeness,
     "q20_motif_2hop": q20_motif_2hop,
     "q21_bfs_hops": q21_bfs_hops,
     "q22_connected_components": q22_connected_components,
@@ -677,6 +704,47 @@ def _coredec_oracle(rounds: int) -> str:
 
 
 ORACLE["q122_core_decomposition"] = _coredec_oracle(26)
+
+# Pivot-sampled closeness: the oracle replays the identical 16-source
+# BFS as a recursive CTE (deterministic pivots → deterministic
+# estimate), min-depth per (pivot, node), distances aggregated
+# excluding the pivot's own depth-0 row.
+ORACLE["q126_sampled_closeness"] = """
+    WITH RECURSIVE ge AS (
+        SELECT DISTINCT CAST(o_custkey % 256 AS BIGINT) AS src,
+                        CAST(o_orderkey % 256 AS BIGINT) AS dst
+        FROM orders WHERE o_custkey % 256 <> o_orderkey % 256
+    ),
+    ue AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM ge UNION ALL SELECT dst, src FROM ge
+        )
+    ),
+    nodes AS (SELECT DISTINCT src AS node_id FROM ue),
+    walk(pv, node_id, depth) AS (
+        SELECT node_id, node_id, 0 FROM nodes WHERE node_id % 16 = 0
+        UNION
+        SELECT w.pv, ue.dst, w.depth + 1
+        FROM walk w JOIN ue ON ue.src = w.node_id
+        WHERE w.depth < 8
+    ),
+    md AS (
+        SELECT pv, node_id, MIN(depth) AS depth FROM walk
+        GROUP BY pv, node_id
+    ),
+    agg AS (
+        SELECT node_id, COUNT(*) AS n_reached,
+               CAST(SUM(depth) AS BIGINT) AS sum_dist
+        FROM md WHERE depth > 0 GROUP BY node_id
+    )
+    SELECT n.node_id,
+           COALESCE(a.n_reached, 0) AS n_reached,
+           COALESCE(a.sum_dist, 0) AS sum_dist,
+           CASE WHEN COALESCE(a.sum_dist, 0) > 0
+                THEN ROUND(a.n_reached / a.sum_dist, 4)
+                ELSE 0.0 END AS closeness
+    FROM nodes n LEFT JOIN agg a ON a.node_id = n.node_id
+"""
 
 
 def _lpa_oracle(iterations: int) -> str:

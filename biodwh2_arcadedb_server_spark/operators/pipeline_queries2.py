@@ -359,7 +359,7 @@ ORACLE["q109_boilerplate_removal"] = f"""
            nseg AS n_segments,
            CAST(len(drop_pos) AS INTEGER) AS n_dropped,
            CAST(len(kept) AS INTEGER) AS n_tokens_kept,
-           md5(array_to_string(kept, ' ')) AS cleaned_md5
+           md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_md5
     FROM rebuilt
 """
 

@@ -188,6 +188,37 @@ def q63_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C7: watermarked stream-stream self-join, drained (oracled) ----------------------
+def q127_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the watermarked stream-stream self-join
+    (streaming/joins.py::follow_within): ordered same-user event pairs
+    within a 30-minute band. INNER stream-stream joins emit on match
+    (no watermark holdback), so the drained set equals the batch
+    self-join — which is the oracle. The watermark still matters at
+    scale: it is what bounds each side's join state to
+    O(rate × band) instead of the whole stream.
+
+    The oracle CASTs ts to µs TIMESTAMP: the parquet is
+    TIMESTAMP(NANOS) and the band inequalities must be evaluated at
+    the same precision on both engines."""
+    from biodwh2_arcadedb_server_spark.streaming import state_partitions
+    from biodwh2_arcadedb_server_spark.streaming.events import read_events_stream
+    from biodwh2_arcadedb_server_spark.streaming.joins import follow_within
+
+    with state_partitions(spark):
+        stream = read_events_stream(spark, sf_dir).where(F.col("user_id") < 50)
+        out = follow_within(stream, within="30 minutes", watermark="10 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("q127_pairs")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("q127_pairs").select("user_id", "l_event_id", "r_event_id")
+
+
 # --- B14 ext.: regex + conditional battery ------------------------------------------
 def q64_regex_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """regexp_extract/replace plus CASE/NULLIF/COALESCE — the scalar
@@ -212,6 +243,7 @@ QUERIES = {
     "q60_approx_distinct": q60_approx_distinct,
     "q61_udtf_sentences": q61_udtf_sentences,
     "q62_stream_enrich": q62_stream_enrich,
+    "q127_stream_stream_join": q127_stream_stream_join,
     "q63_sliding_window": q63_sliding_window,
     "q64_regex_conditionals": q64_regex_conditionals,
 }
@@ -253,6 +285,16 @@ ORACLE = {
             SELECT doc_id, regexp_split_to_array(text, '{SENTENCE_SPLIT_REGEX}') AS arr
             FROM documents WHERE doc_id < 50
         )
+    """,
+    "q127_stream_stream_join": """
+        SELECT l.user_id,
+               l.event_id AS l_event_id,
+               r.event_id AS r_event_id
+        FROM events l JOIN events r
+          ON r.user_id = l.user_id
+         AND CAST(r.ts AS TIMESTAMP) > CAST(l.ts AS TIMESTAMP)
+         AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+        WHERE l.user_id < 50 AND r.user_id < 50
     """,
     "q62_stream_enrich": """
         SELECT c.c_mktsegment, COUNT(*) AS n_events

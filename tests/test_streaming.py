@@ -121,3 +121,26 @@ def test_trigger_cadence_never_changes_results(spark, sf_small, tmp_path):
     fast = run(4, "cadence_fast")  # 1 micro-batch
     want = _rows(q16_tumbling_window(spark, sf_small))
     assert slow == fast == want
+
+    # same contract for OVERLAPPING windows: sliding-window emission
+    # is watermark-driven too, so cadence must not change which of the
+    # two windows each event lands in (ROADMAP r1 #3, sliding half)
+    def run_sliding(max_files, name):
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(src)
+        )
+        agg = se.sliding_agg(stream, "1 hour", "30 minutes", "10 minutes")
+        q = se.run_stream_to_memory(agg, name, output_mode="complete")
+        try:
+            return _rows(spark.table(name))
+        finally:
+            q.stop()
+
+    from biodwh2_arcadedb_server_spark.operators.relational4 import q63_sliding_window
+
+    slow_s = run_sliding(1, "cadence_slide_slow")
+    fast_s = run_sliding(4, "cadence_slide_fast")
+    want_s = _rows(q63_sliding_window(spark, sf_small))
+    assert slow_s == fast_s == want_s and len(slow_s) > 0
