@@ -141,6 +141,7 @@ HEADLINE = [
     "q28_simhash_neardup",
     "q29_cosine_neardup",
     "q30_knn_topk",
+    "q128_rag_retrieval",
     "q77_ivf_topk",
     "q116_pq_topk",
     "q32_token_stats",

@@ -174,6 +174,31 @@ def q106_cosine_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_clusters(e, "vec_id", "embedding", pairs=pairs)
 
 
+# --- C3 end-to-end: retrieval + metadata fetch (RAG shape, oracle-able) -------------
+def q128_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-augmentation join: top-5 cosine neighbors per query
+    vector, then fetch the retrieved documents' metadata + token
+    count. The scale contract is in the JOIN DIRECTION: the shortlist
+    (queries × k rows) is broadcast into the corpus scan — the 100 TB
+    documents table is probed in place, never shuffled, for a
+    retrieval working set that is tiny by construction."""
+    from biodwh2_arcadedb_server_spark.functions import tokens
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    queries = e.where(F.col("vec_id").isin(0, 1, 2))
+    hits = similarity.knn_join(e, queries, k=5)
+    docs = d.select(
+        F.col("doc_id").alias("neighbor_id"),
+        "source",
+        "lang",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    return F.broadcast(hits).join(docs, "neighbor_id").select(
+        "query_id", "rank", "neighbor_id", "sim", "source", "lang", "n_tokens"
+    )
+
+
 # --- C3: exact k-NN for a query set (oracle-able) ----------------------------------
 def q30_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -301,6 +326,7 @@ QUERIES = {
     "q29_cosine_neardup": q29_cosine_neardup,
     "q106_cosine_neardup_clusters": q106_cosine_neardup_clusters,
     "q30_knn_topk": q30_knn_topk,
+    "q128_rag_retrieval": q128_rag_retrieval,
     "q31_ann_topk": q31_ann_topk,
     "q77_ivf_topk": q77_ivf_topk,
     "q116_pq_topk": q116_pq_topk,
@@ -454,6 +480,27 @@ ORACLE = {
             FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
             WHERE a.vec_id IN (0, 1, 2))
         WHERE rank <= 3
+    """,
+    "q128_rag_retrieval": f"""
+        WITH hits AS (
+            SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, rank FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       {_COSINE_PAIR} AS sim_raw,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_COSINE_PAIR} DESC, b.vec_id) AS INTEGER) AS rank
+                FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+                WHERE a.vec_id IN (0, 1, 2))
+            WHERE rank <= 5
+        ),
+        docs AS (
+            SELECT doc_id, source, lang,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS INTEGER) AS n_tokens
+            FROM documents
+        )
+        SELECT h.query_id, h.rank, h.neighbor_id, h.sim,
+               d.source, d.lang, d.n_tokens
+        FROM hits h JOIN docs d ON d.doc_id = h.neighbor_id
     """,
     "q32_token_stats": """
         SELECT doc_id,
