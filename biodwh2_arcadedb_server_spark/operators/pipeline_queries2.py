@@ -157,14 +157,22 @@ _GRAMS3 = f"""
 
 ORACLE = {
     "q91_decontamination": f"""
-        WITH grams AS ({_GRAMS3}),
+        -- distinct over gram HASHES, not gram strings — the exact
+        -- mirror of the Spark side's hash-inside-transform plan
+        WITH gh_lists AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+                       x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS gh
+            FROM ({_TOKS})
+        ),
         train_g AS (
-            SELECT DISTINCT ('0x' || substr(md5(gram), 1, 8))::BIGINT AS gh
-            FROM (SELECT UNNEST(g) AS gram FROM grams WHERE doc_id % 10 < 8)
+            SELECT DISTINCT g AS gh
+            FROM (SELECT UNNEST(gh) AS g FROM gh_lists WHERE doc_id % 10 < 8)
         ),
         eval_g AS (
-            SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS gh
-            FROM (SELECT doc_id, UNNEST(g) AS gram FROM grams WHERE doc_id % 10 >= 8)
+            SELECT doc_id, UNNEST(gh) AS gh FROM gh_lists WHERE doc_id % 10 >= 8
         ),
         per_doc AS (
             SELECT e.doc_id,

@@ -136,3 +136,28 @@ def test_q68_regex_battery_pushes_id_filter(spark, sf_medium):
     pf = " ".join(pushed_filters(df))
     assert "doc_id" in pf
     assert sorted(read_schema_columns(df)[0]) == ["doc_id", "text"]
+
+
+def test_q128_broadcasts_shortlist_not_corpus(spark, sf_medium):
+    """Retrieval fetch: the k-NN shortlist must build the broadcast
+    side of the metadata join — the documents corpus is probed in
+    place, never shuffled for a retrieval working set."""
+    from biodwh2_arcadedb_server_spark.operators import pipeline_queries
+
+    df = pipeline_queries.q128_rag_retrieval(spark, sf_medium)
+    plan = explain_str(df)
+    assert has_broadcast_hash_join(df)
+    # the documents scan feeds no shuffle Exchange before the final join
+    assert "CartesianProduct" not in plan
+
+
+def test_motif_frontier_is_broadcast(spark, sf_medium):
+    """Anchored motif chains broadcast the accumulated prefix into
+    each hop: the full edge tables (orders/lineitem at 100 TB) must
+    never shuffle for a selective pattern."""
+    from biodwh2_arcadedb_server_spark.operators import graph_queries
+
+    df = graph_queries.q20_motif_2hop(spark, sf_medium)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:1200]
