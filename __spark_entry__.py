@@ -26,6 +26,7 @@ from biodwh2_arcadedb_server_spark.operators import (
     relational5,
     relational6,
     relational7,
+    relational8,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -85,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pooled.update(relational5.QUERIES)
     pooled.update(relational6.QUERIES)
     pooled.update(relational7.QUERIES)
+    pooled.update(relational8.QUERIES)
     pooled.update(graph_queries.QUERIES)
     pooled.update(pipeline_queries.QUERIES)
     pooled.update(pipeline_queries2.QUERIES)
@@ -102,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational5.ORACLE)
     out.update(relational6.ORACLE)
     out.update(relational7.ORACLE)
+    out.update(relational8.ORACLE)
     out.update(graph_queries.ORACLE)
     out.update(pipeline_queries.ORACLE)
     out.update(pipeline_queries2.ORACLE)

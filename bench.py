@@ -114,6 +114,13 @@ HEADLINE = [
     "q119_rolling_time_window",
     "q120_bloom_semi_join",
     "q123_cooccurrence_pmi",
+    "q129_schema_evolution_union",
+    "q130_snapshot_diff",
+    "q131_training_order",
+    "q132_token_budget_select",
+    "q133_robust_outliers",
+    "q134_sketch_rollup",
+    "q135_int8_quantization",
     "q124_retention_cohorts",
     "q125_markov_transitions",
     "q20_motif_2hop",
@@ -222,7 +229,31 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
-    print(json.dumps(payload))
+    # Full payload → file; stdout gets a COMPACT final line. The
+    # driver keeps only the last ~2000 chars of stdout and parses the
+    # JSON from that window — r1/r2's verbose single line (~4.5 KB for
+    # 120+ probes) was front-truncated there and recorded as
+    # parsed:null. Query names collapse to their unique qNN prefix
+    # (full names in bench/last_run.json), values to 2 decimals.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench", "last_run.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "sf": sf,
+        "queries": {k.split("_")[0]: round(v, 2) for k, v in times.items()},
+        "streaming": {k.split("_")[0]: round(v, 2) for k, v in stream_times.items()},
+        "streaming_total_sec": payload["streaming_total_sec"],
+    }
+    if errors:
+        compact["n_errors"] = len(errors)
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the driver's tail window
+        compact["queries"] = {k: round(v, 1) for k, v in compact["queries"].items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
