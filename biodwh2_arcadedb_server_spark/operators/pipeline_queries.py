@@ -92,16 +92,23 @@ def q84_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_minhash_candidates,
     )
 
-    # 64 coarse cells + state partitions sized to state volume: the
-    # Python-call count per micro-batch is min(occupied buckets,
-    # bands×64) and each state partition carries meaningful volume
-    # (see streaming.__init__ sizing note). Cell count does not affect
-    # WHICH pairs are emitted — exact bucket-hash matching lives in
-    # the in-state map — only the call granularity.
-    with state_partitions(spark):
+    # Drain tuning, pair-identical at every setting (measured sf0.1:
+    # 64 cells/16 parts 7.1s -> 16 cells/4 parts + spread 32 ~4.8s):
+    # 16 coarse cells + 4 state partitions match THIS drain's state
+    # volume (~200k ids) — the Python-call count per micro-batch is
+    # min(occupied buckets, bands×cells) and each state partition
+    # must carry meaningful volume (see streaming.__init__ sizing
+    # note); spread=32 parallelizes the HOF signature stage that a
+    # one-file test stream would otherwise run on one core. Cell
+    # count does not affect WHICH pairs are emitted — exact
+    # bucket-hash matching lives in the in-state map — only the call
+    # granularity; at production state volumes scale cells/partitions
+    # back up (docstring sizing rule).
+    with state_partitions(spark, 4):
         stream = read_documents_stream(spark, sf_dir)
         out = streaming_minhash_candidates(
-            stream, k=JACCARD_K, num_hashes=32, bands=8, rows=4, coarse_buckets=64
+            stream, k=JACCARD_K, num_hashes=32, bands=8, rows=4,
+            coarse_buckets=16, spread=32,
         )
         q = (
             out.writeStream.format("memory")

@@ -121,6 +121,7 @@ def streaming_minhash_candidates(
     rows: int = 4,
     ttl_ms: int | None = None,
     coarse_buckets: int = 1024,
+    spread: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs over a streaming document source.
     Output (id_a, id_b, band) — distinct pairs may repeat across
@@ -137,7 +138,17 @@ def streaming_minhash_candidates(
     stateful shuffle + state-store I/O, not the calls). Size it so a
     cell's state stays a few KB: ~docs×bands/(bands×cells) ids per
     cell — at 10^9 docs that means 10^6-10^7 cells, still thousands
-    of docs per Python call."""
+    of docs per Python call.
+
+    ``spread``: optional repartition between the source and the
+    signature stage. A single-file test stream scans as ONE task, so
+    the HOF-heavy MinHash stage serializes on one core (measured ~1s
+    of the sf0.1 drain); spreading it first costs a narrow shuffle of
+    raw text but uses every core. A production multi-file/Kafka
+    stream already has scan parallelism — leave None (no-op) there,
+    exactly like the batch `_spread` helper (curation.py)."""
+    if spread:
+        docs = docs.repartition(spread)
     toked = docs.select(F.col("doc_id").alias("_id"), tokens(F.col("text")).alias("_toks"))
     sh = toked.select(
         "_id",
