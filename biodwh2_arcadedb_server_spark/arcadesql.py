@@ -27,13 +27,30 @@ Supported subset (documented contract, tested differentially):
   'strings', true/false/null, [lists].
 - ``TRAVERSE out('E'[, 'F'...]) FROM (SELECT FROM Type [WHERE ...])
   [MAXDEPTH n]`` — reachable node set (ArcadeDB TRAVERSE semantics:
-  the root rows are depth 0 and included).
+  the root rows are depth 0 and included). Each step contributes its
+  own hop leg — ``out('A'), in('B')`` follows out-A and in-B edges
+  only, and an unlabeled step follows every edge type.
+- ``MATCH {type: T, as: a, where: (...)}-E->{...} ... RETURN expr
+  [AS alias], ... [GROUP BY][ORDER BY][SKIP][LIMIT]`` — pattern
+  chains with arrow (``-E->``, ``<-E-``, ``-->``, ``<--``) or method
+  (``.out('E')``/``.in()``/``.both()``) edge steps; compiles to ONE
+  Spark SQL join chain (per-label typed views JOIN edges JOIN ...),
+  so Catalyst sees the whole motif — pushdown into the anchored
+  pattern, broadcast of small legs, AQE join re-planning all apply.
+  Aggregates in RETURN get ArcadeDB-style implicit grouping. (The
+  DataFrame twin for anchored motifs is ``operators.graph.
+  motif_chain``, which force-broadcasts the accumulated prefix.)
+- ``LET $var = <expr | (SELECT ...)>`` context variables in SELECT:
+  bindings inline where ``$var`` is referenced; an uncorrelated
+  ``(SELECT agg ...)`` binding becomes a Spark scalar subquery that
+  Catalyst evaluates once and broadcasts (q67 semantics).
 
-Out of scope (raise a clear error): MATCH pattern blocks, LET,
-UPDATE/INSERT/DELETE (DML goes through the workspace API — the
-reference exposes the database read-only over HTTP by default),
-schema/index DDL, projections mixing expand() with other fields —
-same restriction ArcadeDB itself enforces.
+Out of scope (raise a clear error): UPDATE/INSERT/DELETE (DML goes
+through the workspace API — the reference exposes the database
+read-only over HTTP by default), schema/index DDL, optional/negative
+MATCH patterns, per-record correlated LET subqueries, projections
+mixing expand() with other fields — the last is the same restriction
+ArcadeDB itself enforces.
 
 Scale notes: the compiled SQL references only the per-label views
 (typed, pruned scans) and the unified ``edges`` view (partitioned on
@@ -59,8 +76,10 @@ _TOKEN_RE = re.compile(
   | (?P<number>\d+(?:\.\d+)?)
   | (?P<string>'(?:[^'\\]|\\.)*')
   | (?P<at>@\w+)
+  | (?P<var>\$\w+)
+  | (?P<arrow><-|->)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|\[|\]|,|\.|\*|\+|-|/|%)
+  | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|\[|\]|\{|\}|,|\.|\*|\+|-|/|%|:)
     """,
     re.VERBOSE,
 )
@@ -69,7 +88,7 @@ _KEYWORDS = {
     "select", "from", "where", "group", "order", "by", "asc", "desc",
     "skip", "limit", "and", "or", "not", "in", "between", "is", "null",
     "like", "contains", "as", "true", "false", "traverse", "maxdepth",
-    "distinct",
+    "distinct", "match", "return", "let",
 }
 
 
@@ -103,6 +122,12 @@ class ArcadeSQLError(ValueError):
     """Parse/translate failure with a user-facing message."""
 
 
+def _sql_str(val: str) -> str:
+    """Re-escape a user-supplied string (e.g. an edge label) for safe
+    interpolation as a Spark SQL single-quoted literal."""
+    return val.replace("\\", "\\\\").replace("'", "\\'")
+
+
 # ---------------------------------------------------------------- parser
 @dataclass
 class _Select:
@@ -118,6 +143,7 @@ class _Select:
     limit: int | None
     distinct: bool = False
     uses_graph_projection: bool = False
+    lets: dict = field(default_factory=dict)  # $var -> compiled expr
 
 
 @dataclass
@@ -125,6 +151,17 @@ class _Traverse:
     steps: list[tuple[str, str | None]]  # (direction, edge label or None)
     inner: _Select = None  # type: ignore[assignment]
     maxdepth: int | None = None
+
+
+@dataclass
+class _Match:
+    nodes: list[dict]  # {"type":, "as":, "where": compiled expr | None}
+    steps: list[tuple[str, str | None]]  # (direction, edge label or None)
+    returns: list[tuple[str, str | None]]  # (spark_expr, alias)
+    group_by: list[str] = field(default_factory=list)
+    order_by: list[tuple[str, str]] = field(default_factory=list)
+    skip: int | None = None
+    limit: int | None = None
 
 
 _AGGS = {"count", "sum", "avg", "min", "max", "first", "last"}
@@ -139,6 +176,9 @@ class _Parser:
     def __init__(self, sql: str):
         self.toks = _lex(sql)
         self.i = 0
+        # When set, plain property references compile qualified
+        # (`<qual>.<prop>`) — used for MATCH node-pattern wheres.
+        self.qual: str | None = None
 
     # -- token helpers
     def peek(self, k: int = 0) -> _Tok:
@@ -164,23 +204,165 @@ class _Parser:
             )
         return t
 
+    def _direction(self, ctx: str) -> str:
+        """out/in/both — `in` lexes as a keyword, so accept both kinds."""
+        t = self.next()
+        d = t.text.lower()
+        if t.kind not in ("ident", "kw") or d not in ("out", "in", "both"):
+            raise ArcadeSQLError(f"{ctx} supports out/in/both, got {t.text!r}")
+        return d
+
     # -- entry
-    def parse(self) -> "_Select | _Traverse":
-        if self.peek().kind == "kw" and self.peek().text == "traverse":
-            stmt = self._traverse()
+    def parse(self) -> "_Select | _Traverse | _Match":
+        head = self.peek()
+        if head.kind == "kw" and head.text == "traverse":
+            stmt: _Select | _Traverse | _Match = self._traverse()
+        elif head.kind == "kw" and head.text == "match":
+            stmt = self._match()
         else:
             stmt = self._select()
         self.expect("eof")
         return stmt
+
+    # -- MATCH pattern blocks (ArcadeDB/OrientDB MATCH syntax)
+    def _match(self) -> _Match:
+        self.expect("kw", "match")
+        nodes = [self._node_pattern()]
+        steps: list[tuple[str, str | None]] = []
+        while True:
+            step = self._edge_step()
+            if step is None:
+                break
+            steps.append(step)
+            nodes.append(self._node_pattern())
+        self.expect("kw", "return")
+        dummy = _Select(
+            projections=[], star=False, expand_edge=None, source_type=None,
+            subquery=None, where=None, group_by=[], order_by=[], skip=None,
+            limit=None,
+        )
+        # Assign SQL aliases (user `as:` or generated) and compile the
+        # deferred node-pattern wheres qualified with that alias.
+        for i, pat in enumerate(nodes):
+            pat["alias"] = pat["as"] or f"__m{i}"
+            toks = pat.pop("_where_toks", None)
+            if toks is not None:
+                sub = _Parser.__new__(_Parser)
+                sub.toks = list(toks) + [_Tok("eof", "")]
+                sub.i = 0
+                sub.qual = pat["alias"]
+                pat["where"] = sub._expr(dummy)
+                sub.expect("eof")
+        returns: list[tuple[str, str | None]] = []
+        while True:
+            expr = self._expr(dummy)
+            alias = None
+            if self.accept("kw", "as"):
+                alias = self.expect("ident").text
+            returns.append((expr, alias))
+            if not self.accept("op", ","):
+                break
+        m = _Match(nodes=nodes, steps=steps, returns=returns)
+        if self.accept("kw", "group"):
+            self.expect("kw", "by")
+            while True:
+                m.group_by.append(self._expr(dummy))
+                if not self.accept("op", ","):
+                    break
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            while True:
+                e = self._expr(dummy)
+                direction = "ASC"
+                if self.accept("kw", "desc"):
+                    direction = "DESC"
+                elif self.accept("kw", "asc"):
+                    pass
+                m.order_by.append((e, direction))
+                if not self.accept("op", ","):
+                    break
+        if self.accept("kw", "skip"):
+            m.skip = int(self.expect("number").text)
+        if self.accept("kw", "limit"):
+            m.limit = int(self.expect("number").text)
+        return m
+
+    def _node_pattern(self) -> dict:
+        """``{type: T, as: a, where: (expr)}`` — keys in any order,
+        optional commas. The where expr is captured as a token slice
+        and compiled AFTER the pattern closes, so it can be qualified
+        with the node's alias even when ``as:`` follows ``where:``."""
+        self.expect("op", "{")
+        pat: dict = {"type": None, "as": None, "where": None}
+        where_slice: list[_Tok] | None = None
+        while not self.accept("op", "}"):
+            self.accept("op", ",")
+            if self.peek().kind == "op" and self.peek().text == "}":
+                continue
+            key_t = self.next()
+            key = key_t.text.lower()
+            if key not in ("type", "as", "where"):
+                raise ArcadeSQLError(
+                    f"MATCH node pattern supports type/as/where, got {key!r}"
+                )
+            self.expect("op", ":")
+            if key == "type":
+                pat["type"] = self.expect("ident").text
+            elif key == "as":
+                pat["as"] = self.expect("ident").text
+            else:
+                self.expect("op", "(")
+                depth = 1
+                start = self.i
+                while depth > 0:
+                    t = self.next()
+                    if t.kind == "eof":
+                        raise ArcadeSQLError("unterminated where: ( in MATCH")
+                    if t.kind == "op" and t.text == "(":
+                        depth += 1
+                    elif t.kind == "op" and t.text == ")":
+                        depth -= 1
+                where_slice = self.toks[start : self.i - 1]
+        if where_slice is not None:
+            pat["_where_toks"] = where_slice
+        return pat
+
+    def _edge_step(self) -> tuple[str, str | None] | None:
+        """``-LABEL->`` / ``-->`` (out), ``<-LABEL-`` / ``<--`` (in),
+        or method form ``.out('LABEL')`` / ``.in()`` / ``.both()``."""
+        t = self.peek()
+        if t.kind == "op" and t.text == "-":
+            self.next()
+            if self.peek().kind == "arrow" and self.peek().text == "->":
+                self.next()
+                return ("out", None)  # -->
+            label = self.expect("ident").text
+            self.expect("arrow", "->")
+            return ("out", label)
+        if t.kind == "arrow" and t.text == "<-":
+            self.next()
+            if self.accept("op", "-"):
+                return ("in", None)  # <--
+            label = self.expect("ident").text
+            self.expect("op", "-")
+            return ("in", label)
+        if t.kind == "op" and t.text == ".":
+            self.next()
+            d = self._direction("MATCH edge step")
+            self.expect("op", "(")
+            label = None
+            if self.peek().kind == "string":
+                label = self._string_val(self.next().text)
+            self.expect("op", ")")
+            return (d, label)
+        return None
 
     # -- statements
     def _traverse(self) -> _Traverse:
         self.expect("kw", "traverse")
         steps: list[tuple[str, str | None]] = []
         while True:
-            d = self.expect("ident").text.lower()
-            if d not in ("out", "in", "both"):
-                raise ArcadeSQLError(f"TRAVERSE supports out/in/both, got {d}")
+            d = self._direction("TRAVERSE")
             self.expect("op", "(")
             label = None
             if self.peek().kind == "string":
@@ -218,9 +400,7 @@ class _Parser:
         ):
             self.next()
             self.expect("op", "(")
-            d = self.expect("ident").text.lower()
-            if d not in ("out", "in", "both"):
-                raise ArcadeSQLError("expand() supports out/in/both")
+            d = self._direction("expand()")
             self.expect("op", "(")
             label = None
             if self.peek().kind == "string":
@@ -243,6 +423,18 @@ class _Parser:
             self.expect("op", ")")
         else:
             sel.source_type = self.expect("ident").text
+        # LET $var = <expr | (SELECT ...)> [, ...] — ArcadeDB context
+        # variables. Bindings are inlined where $var is referenced; an
+        # uncorrelated (SELECT agg ...) binding becomes a Spark scalar
+        # subquery, which Catalyst executes once and broadcasts (the
+        # q67 broadcast 1-row-agg semantics).
+        if self.accept("kw", "let"):
+            while True:
+                var = self.expect("var").text[1:]
+                self.expect("op", "=")
+                sel.lets[var] = self._expr(sel)
+                if not self.accept("op", ","):
+                    break
         if self.accept("kw", "where"):
             sel.where = self._expr(sel)
         if self.accept("kw", "group"):
@@ -369,12 +561,19 @@ class _Parser:
         if t.kind == "at":
             at = self.next().text.lower()
             if at == "@rid":
-                return "node_id"
+                return f"{self.qual}.node_id" if self.qual else "node_id"
             if at == "@type":
-                return "label"
+                return f"{self.qual}.label" if self.qual else "label"
             raise ArcadeSQLError(f"unsupported attribute {at}")
+        if t.kind == "var":
+            # $var — resolved against the LET bindings at compile time
+            return f"__LET_{self.next().text[1:]}__"
         if t.kind == "op" and t.text == "(":
             self.next()
+            if self.peek().kind == "kw" and self.peek().text == "select":
+                sub = self._select()
+                self.expect("op", ")")
+                return f"({_compile_select(sub)})"  # scalar subquery
             inner = self._expr(sel)
             self.expect("op", ")")
             return f"({inner})"
@@ -388,7 +587,10 @@ class _Parser:
                         break
                 self.expect("op", "]")
             return f"array({', '.join(items)})"
-        if t.kind == "ident":
+        if t.kind == "ident" or (
+            t.kind == "kw" and t.text == "in" and self.peek(1).text == "("
+        ):
+            # (a leading in('E') graph projection lexes `in` as keyword)
             name = self.next().text
             low = name.lower()
             if low in ("out", "in", "both") and self.peek().text == "(":
@@ -412,7 +614,10 @@ class _Parser:
             if self.peek().text == "(":  # function call
                 self.next()
                 star = False
+                prefix = ""
                 args = []
+                if low in _AGGS and self.accept("kw", "distinct"):
+                    prefix = "DISTINCT "
                 if self.accept("op", "*"):
                     star = True
                 elif not (self.peek().kind == "op" and self.peek().text == ")"):
@@ -424,9 +629,20 @@ class _Parser:
                 if low == "count" and star:
                     return "count(*)"
                 if low in _AGGS or low in _PASSTHROUGH_FNS:
-                    return f"{low}({', '.join(args)})"
+                    return f"{low}({prefix}{', '.join(args)})"
                 raise ArcadeSQLError(f"unsupported function {name}()")
-            return name  # plain property reference
+            # alias-qualified reference (a.prop) — used by MATCH RETURN
+            if (
+                self.peek().kind == "op"
+                and self.peek().text == "."
+                and self.peek(1).kind == "ident"
+                and self.peek(2).text != "("
+            ):
+                self.next()
+                prop = self.next().text
+                return f"{name}.{prop}"
+            # plain property reference (qualified inside MATCH wheres)
+            return f"{self.qual}.{name}" if self.qual else name
         raise ArcadeSQLError(f"unexpected token {t.text or t.kind!r}")
 
     def _graph_projection(self, sel: _Select, direction: str, label: str | None) -> str:
@@ -436,7 +652,7 @@ class _Parser:
         sel.uses_graph_projection = True
         cond = {"out": "e.src = __self.node_id", "in": "e.dst = __self.node_id"}
         pick = {"out": "e.dst", "in": "e.src"}
-        lbl = f" AND e.label = '{label}'" if label else ""
+        lbl = f" AND e.label = '{_sql_str(label)}'" if label else ""
         if direction == "both":
             return (
                 "(SELECT sort_array(collect_list(x)) FROM (SELECT e.dst AS x "
@@ -459,7 +675,7 @@ def _compile_select(sel: _Select) -> str:
 
     if sel.expand_edge is not None:
         d, label = sel.expand_edge
-        lbl = f" AND e.label = '{label}'" if label else ""
+        lbl = f" AND e.label = '{_sql_str(label)}'" if label else ""
         inner = f"SELECT node_id FROM {source}"
         if sel.where:
             inner += f" WHERE {sel.where}"
@@ -497,25 +713,110 @@ def _compile_select(sel: _Select) -> str:
         sql += f" LIMIT {sel.limit}"
     if sel.skip:
         sql += f" OFFSET {sel.skip}"
+    if sel.lets:
+        # Inline LET bindings (in definition order, so later bindings
+        # may reference earlier $vars). An uncorrelated (SELECT agg)
+        # binding inlines as a scalar subquery — Catalyst evaluates it
+        # once and broadcasts the 1-row result.
+        resolved: dict[str, str] = {}
+        for name, binding in sel.lets.items():
+            for prev, val in resolved.items():
+                binding = binding.replace(f"__LET_{prev}__", f"({val})")
+            resolved[name] = binding
+        for name, val in resolved.items():
+            sql = sql.replace(f"__LET_{name}__", f"({val})")
+    if "__LET_" in sql:
+        unbound = re.search(r"__LET_(\w+)__", sql)
+        raise ArcadeSQLError(
+            f"unbound context variable ${unbound.group(1)} (no LET binding)"
+        )
+    return sql
+
+
+_AGG_RE = re.compile(r"\b(count|sum|avg|min|max|first|last)\s*\(", re.I)
+
+
+def _compile_match(m: _Match) -> str:
+    """MATCH pattern chain → ONE Spark SQL join chain over the
+    per-label views and the unified ``edges`` view: each edge step is
+    an equi-join on the edge key (shuffle on src/dst — or a broadcast
+    probe when the anchored side is small, AQE's call), each node
+    pattern a join back to its typed view. Aggregates in RETURN get
+    ArcadeDB-style implicit grouping by the non-aggregate items."""
+    froms: list[str] = []
+    wheres: list[str] = []
+    first = m.nodes[0]
+    a0 = first["alias"]
+    froms.append(
+        f"n_{first['type']} {a0}" if first["type"] else f"nodes {a0}"
+    )
+    for i, (d, label) in enumerate(m.steps):
+        e = f"__e{i}"
+        a, b = m.nodes[i]["alias"], m.nodes[i + 1]["alias"]
+        lbl = f" AND {e}.label = '{_sql_str(label)}'" if label else ""
+        if d == "out":
+            cond = f"{e}.src = {a}.node_id{lbl}"
+            nxt = f"{b}.node_id = {e}.dst"
+        elif d == "in":
+            cond = f"{e}.dst = {a}.node_id{lbl}"
+            nxt = f"{b}.node_id = {e}.src"
+        else:  # both
+            cond = f"({e}.src = {a}.node_id OR {e}.dst = {a}.node_id){lbl}"
+            nxt = (
+                f"{b}.node_id = CASE WHEN {e}.src = {a}.node_id "
+                f"THEN {e}.dst ELSE {e}.src END"
+            )
+        froms.append(f"JOIN edges {e} ON {cond}")
+        nt = m.nodes[i + 1]
+        src = f"n_{nt['type']} {b}" if nt["type"] else f"nodes {b}"
+        froms.append(f"JOIN {src} ON {nxt}")
+    for pat in m.nodes:
+        if pat.get("where"):
+            wheres.append(pat["where"])
+    parts = []
+    plain: list[str] = []
+    has_agg = False
+    for expr, alias in m.returns:
+        parts.append(f"{expr} AS {alias}" if alias else expr)
+        if _AGG_RE.search(expr):
+            has_agg = True
+        else:
+            plain.append(expr)
+    sql = f"SELECT {', '.join(parts)} FROM {' '.join(froms)}"
+    if wheres:
+        sql += " WHERE " + " AND ".join(wheres)
+    group = m.group_by or (plain if has_agg else [])
+    if group:
+        sql += " GROUP BY " + ", ".join(group)
+    if m.order_by:
+        sql += " ORDER BY " + ", ".join(f"{e} {d}" for e, d in m.order_by)
+    if m.limit is not None:
+        sql += f" LIMIT {m.limit}"
+    if m.skip:
+        sql += f" OFFSET {m.skip}"
     return sql
 
 
 def translate(sql: str) -> str:
-    """ArcadeDB-dialect SELECT → one Spark SQL string over the
-    workspace views (``n_<Label>``, unified ``nodes``/``edges``).
+    """ArcadeDB-dialect SELECT or MATCH → one Spark SQL string over
+    the workspace views (``n_<Label>``, unified ``nodes``/``edges``).
     TRAVERSE statements are plan-level (use :func:`execute`)."""
     stmt = _Parser(sql).parse()
     if isinstance(stmt, _Traverse):
         raise ArcadeSQLError("TRAVERSE is executed, not translated — use execute()")
+    if isinstance(stmt, _Match):
+        return _compile_match(stmt)
     return _compile_select(stmt)
 
 
 def execute(spark: SparkSession, sql: str) -> DataFrame:
     """Run an ArcadeDB-dialect statement against the registered
-    workspace views. SELECT → ``spark.sql(translate(...))``;
+    workspace views. SELECT/MATCH → ``spark.sql(translate(...))``;
     TRAVERSE → the iterative BFS operator (roots at depth 0 included,
     ArcadeDB semantics), returning unified node rows + depth."""
     stmt = _Parser(sql).parse()
+    if isinstance(stmt, _Match):
+        return spark.sql(_compile_match(stmt))
     if isinstance(stmt, _Select):
         return spark.sql(_compile_select(stmt))
     # TRAVERSE
@@ -523,19 +824,27 @@ def execute(spark: SparkSession, sql: str) -> DataFrame:
 
     roots = spark.sql(_compile_select(stmt.inner)).select("node_id")
     edges = spark.table("edges")
-    labels = [lbl for _, lbl in stmt.steps if lbl]
-    if labels:
-        edges = edges.where(F.col("label").isin(labels))
-    dirs = {d for d, _ in stmt.steps}
+    # Build the hop relation PER STEP: each step's label (or lack of one)
+    # and direction apply only to that step's leg — TRAVERSE out('A'),
+    # in('B') follows out-A edges and in-B edges, never in-A or out-B,
+    # and an unlabeled out() leg follows every edge type.
     legs = []
-    if dirs & {"out", "both"}:
-        legs.append(edges.select("src", "dst"))
-    if dirs & {"in", "both"}:
-        legs.append(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    hop = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+    for d, lbl in stmt.steps:
+        e = edges.where(F.col("label") == F.lit(lbl)) if lbl else edges
+        if d in ("out", "both"):
+            legs.append(e.select("src", "dst"))
+        if d in ("in", "both"):
+            legs.append(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+    hop = legs[0]
+    for leg in legs[1:]:
+        hop = hop.unionByName(leg)
     depth = stmt.maxdepth if stmt.maxdepth is not None else 2**31 - 1
-    reach = bfs(hop, roots.withColumnRenamed("node_id", "id"), max_depth=depth)
+    reach = bfs(hop, roots, max_depth=depth)  # (node_id, depth)
     nodes = spark.table("nodes")
-    return reach.join(nodes, reach["id"] == nodes["node_id"]).select(
-        "node_id", "label", "natural_key", "props", "depth"
+    return reach.alias("r").join(
+        nodes.alias("n"), F.col("r.node_id") == F.col("n.node_id")
+    ).select(
+        F.col("n.node_id"), "n.label", "n.natural_key", "n.props", "r.depth"
     )

@@ -11,10 +11,11 @@ testdata star schema:
   (`l_orderkey % k = 0` keeps it sparse and deterministic); 25 nodes,
   directed. BFS/CC oracles are DuckDB recursive CTEs.
 
-PageRank and label propagation have no practical single-query SQL
-equivalent → exposed without an oracle (driver records the weaker
-rows-only check); they are pinned instead by pytest against a pure
-numpy power-iteration reference (tests/test_graph.py).
+Iterative algorithms (PageRank, HITS, PPR, label propagation) are
+oracled via *generated* unrolled SQL — `_pagerank_oracle()` et al.
+emit one CTE per power iteration so DuckDB replays the exact fixed
+round count (see `ORACLE["q24_pagerank"]` below) — and additionally
+pinned by pytest against pure-numpy references (tests/test_graph.py).
 """
 
 from __future__ import annotations
@@ -385,8 +386,9 @@ ORACLE = {
                COALESCE(in_degree, 0) + COALESCE(out_degree, 0) AS degree
         FROM outd FULL OUTER JOIN ind ON outd.node_id = ind.node_id
     """,
-    # q24_pagerank / q25_label_propagation: no SQL oracle (iterative);
-    # pinned by tests/test_graph.py against numpy power iteration.
+    # q24_pagerank / q25_label_propagation: generated unrolled-CTE oracles
+    # appended below (ORACLE["q24_pagerank"] = _pagerank_oracle(...),
+    # ORACLE["q25_label_propagation"] = _lpa_oracle(...)).
     "q97_shortest_path": f"""
         WITH RECURSIVE g AS ({_G211}),
         walk(node_id, depth, path) AS (

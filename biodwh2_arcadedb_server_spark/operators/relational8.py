@@ -292,7 +292,10 @@ def q135_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.round("_scale", 4).alias("scale"),
-            F.slice("_codes", 1, 4).alias("head_codes"),
+            F.concat_ws(
+                ",",
+                F.transform(F.slice("_codes", 1, 4), lambda c: c.cast("string")),
+            ).alias("head_codes"),
             F.round(recon_err, 6).alias("max_err"),
         )
     )
@@ -435,7 +438,7 @@ ORACLE = {
         )
         SELECT vec_id,
                ROUND(scale, 4) AS scale,
-               codes[1:4] AS head_codes,
+               array_to_string(codes[1:4], ',') AS head_codes,
                ROUND(list_max(list_transform(
                    list_zip(vec, codes),
                    p -> ABS(p[1] - CAST(p[2] AS DOUBLE) / scale))), 6) AS max_err
