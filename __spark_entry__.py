@@ -16,6 +16,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 from biodwh2_arcadedb_server_spark.operators import (
+    dialect_queries,
     graph_queries,
     pipeline_queries,
     pipeline_queries2,
@@ -90,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pooled.update(graph_queries.QUERIES)
     pooled.update(pipeline_queries.QUERIES)
     pooled.update(pipeline_queries2.QUERIES)
+    pooled.update(dialect_queries.QUERIES)
     oracled = set(oracle_sql())
     priority = _compute_priority(list(pooled), oracled)
     return {name: pooled[name] for name in priority}
@@ -108,4 +110,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(graph_queries.ORACLE)
     out.update(pipeline_queries.ORACLE)
     out.update(pipeline_queries2.ORACLE)
+    out.update(dialect_queries.ORACLE)
     return out

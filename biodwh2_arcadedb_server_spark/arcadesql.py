@@ -94,8 +94,13 @@ _KEYWORDS = {
 
 @dataclass
 class _Tok:
-    kind: str  # number | string | ident | kw | op | at
+    kind: str  # number | string | ident | kw | op | at | var | arrow
     text: str
+    raw: str = ""  # original spelling (keywords lowercase `text`)
+
+    def __post_init__(self) -> None:
+        if not self.raw:
+            self.raw = self.text
 
 
 def _lex(sql: str) -> list[_Tok]:
@@ -111,7 +116,7 @@ def _lex(sql: str) -> list[_Tok]:
             continue
         text = m.group()
         if kind == "ident" and text.lower() in _KEYWORDS:
-            toks.append(_Tok("kw", text.lower()))
+            toks.append(_Tok("kw", text.lower(), text))
         else:
             toks.append(_Tok(kind, text))
     toks.append(_Tok("eof", ""))
@@ -203,6 +208,16 @@ class _Parser:
                 f"expected {text or kind}, got {got.text or got.kind!r}"
             )
         return t
+
+    def _name(self, what: str) -> str:
+        """A type or edge-label name — may collide with a keyword
+        (e.g. the ArcadeDB-typical labels ``Order``, ``CONTAINS``).
+        Returns the original spelling: edge labels are data compared
+        case-sensitively against the label column."""
+        t = self.next()
+        if t.kind not in ("ident", "kw"):
+            raise ArcadeSQLError(f"expected {what}, got {t.text or t.kind!r}")
+        return t.raw
 
     def _direction(self, ctx: str) -> str:
         """out/in/both — `in` lexes as a keyword, so accept both kinds."""
@@ -307,7 +322,7 @@ class _Parser:
                 )
             self.expect("op", ":")
             if key == "type":
-                pat["type"] = self.expect("ident").text
+                pat["type"] = self._name("type name")
             elif key == "as":
                 pat["as"] = self.expect("ident").text
             else:
@@ -336,14 +351,14 @@ class _Parser:
             if self.peek().kind == "arrow" and self.peek().text == "->":
                 self.next()
                 return ("out", None)  # -->
-            label = self.expect("ident").text
+            label = self._name("edge label")
             self.expect("arrow", "->")
             return ("out", label)
         if t.kind == "arrow" and t.text == "<-":
             self.next()
             if self.accept("op", "-"):
                 return ("in", None)  # <--
-            label = self.expect("ident").text
+            label = self._name("edge label")
             self.expect("op", "-")
             return ("in", label)
         if t.kind == "op" and t.text == ".":
@@ -422,7 +437,7 @@ class _Parser:
             sel.subquery = self._select()
             self.expect("op", ")")
         else:
-            sel.source_type = self.expect("ident").text
+            sel.source_type = self._name("type name")
         # LET $var = <expr | (SELECT ...)> [, ...] — ArcadeDB context
         # variables. Bindings are inlined where $var is referenced; an
         # uncorrelated (SELECT agg ...) binding becomes a Spark scalar

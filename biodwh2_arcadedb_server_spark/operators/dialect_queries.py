@@ -1,0 +1,180 @@
+"""Driver-contract probes for the ArcadeDB SQL dialect (B6/B7 +
+LET) — user-typed MATCH / TRAVERSE / LET statements fed through
+``arcadesql.execute`` against a workspace derived deterministically
+from the testdata star schema, oracled by plain DuckDB join SQL.
+
+The reference's users type these statements into Studio
+(`ArcadeDBService.java:81-105` passes command strings through); a
+green hash-match here means the whole path — lexer, parser, compiled
+Spark SQL / BFS plan — reproduces the join semantics, not just the
+underlying operators.
+
+Mini-workspace (disjoint node-id ranges so one unified ``edges``
+view serves all labels):
+
+- ``n_Customer``: node_id = c_custkey*3
+- ``n_Order``:    node_id = o_orderkey*3+1
+- ``n_Part``:     node_id = p_partkey*3+2
+- ``edges``: PLACED (customer→order, from orders) and CONTAINS
+  (order→part, one edge per lineitem row — ArcadeDB materializes an
+  edge per source record, duplicates included).
+
+Scale: the MATCH probe compiles to one Catalyst plan (typed-view
+scans JOIN edges), so pushdown of the anchored where, broadcast of
+the small customer leg, and AQE re-planning all apply; TRAVERSE runs
+the frontier-join BFS with localCheckpoint truncation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodwh2_arcadedb_server_spark import arcadesql
+from biodwh2_arcadedb_server_spark.sources.registry import load_table
+
+
+def _register_star_workspace(spark: SparkSession, sf_dir: str) -> None:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+
+    n_customer = c.select(
+        (F.col("c_custkey") * 3).cast("long").alias("node_id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_custkey").cast("string").alias("natural_key"),
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment",
+    )
+    n_order = o.select(
+        (F.col("o_orderkey") * 3 + 1).cast("long").alias("node_id"),
+        F.lit("Order").alias("label"),
+        F.col("o_orderkey").cast("string").alias("natural_key"),
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+    )
+    n_part = (
+        l.select("l_partkey")
+        .distinct()
+        .select(
+            (F.col("l_partkey") * 3 + 2).cast("long").alias("node_id"),
+            F.lit("Part").alias("label"),
+            F.col("l_partkey").cast("string").alias("natural_key"),
+            F.col("l_partkey").alias("p_partkey"),
+        )
+    )
+    n_customer.createOrReplaceTempView("n_Customer")
+    n_order.createOrReplaceTempView("n_Order")
+    n_part.createOrReplaceTempView("n_Part")
+
+    placed = o.select(
+        (F.col("o_custkey") * 3).cast("long").alias("src"),
+        (F.col("o_orderkey") * 3 + 1).cast("long").alias("dst"),
+        F.lit("PLACED").alias("label"),
+    )
+    contains = l.select(
+        (F.col("l_orderkey") * 3 + 1).cast("long").alias("src"),
+        (F.col("l_partkey") * 3 + 2).cast("long").alias("dst"),
+        F.lit("CONTAINS").alias("label"),
+    )
+    placed.unionByName(contains).createOrReplaceTempView("edges")
+
+    nodes = (
+        n_customer.select("node_id", "label", "natural_key")
+        .unionByName(n_order.select("node_id", "label", "natural_key"))
+        .unionByName(n_part.select("node_id", "label", "natural_key"))
+        .withColumn("props", F.create_map())
+    )
+    nodes.createOrReplaceTempView("nodes")
+
+
+# --- B6: MATCH pattern chain through the dialect ---------------------------------
+def q136_match_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-facing MATCH text → one Spark SQL join chain."""
+    _register_star_workspace(spark, sf_dir)
+    return arcadesql.execute(
+        spark,
+        "MATCH {type: Customer, as: c, where: (c_custkey <= 50)}"
+        "-PLACED->{type: Order, as: o, where: (o_orderstatus = 'F')}"
+        "-CONTAINS->{type: Part, as: p} "
+        "RETURN c.c_custkey AS c_custkey, "
+        "count(distinct p.node_id) AS n_parts, "
+        "count(*) AS n_paths",
+    )
+
+
+# --- B7: TRAVERSE through the dialect --------------------------------------------
+def q137_traverse_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-facing TRAVERSE text → frontier-join BFS; roots depth 0."""
+    _register_star_workspace(spark, sf_dir)
+    out = arcadesql.execute(
+        spark,
+        "TRAVERSE out('PLACED'), out('CONTAINS') FROM "
+        "(SELECT FROM Customer WHERE c_custkey <= 3) MAXDEPTH 2",
+    )
+    # props is a map column — driver canonicalizer needs scalars only
+    return out.select("node_id", "label", "natural_key", "depth")
+
+
+# --- LET context variables through the dialect -----------------------------------
+def q138_let_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LET $top = (SELECT max ...) — broadcast scalar subquery."""
+    _register_star_workspace(spark, sf_dir)
+    return arcadesql.execute(
+        spark,
+        "SELECT c_custkey, c_acctbal, $top AS top_bal FROM Customer "
+        "LET $top = (SELECT max(c_acctbal) FROM Customer) "
+        "WHERE c_acctbal >= $top - 1000",
+    )
+
+
+QUERIES = {
+    "q136_match_dialect": q136_match_dialect,
+    "q137_traverse_dialect": q137_traverse_dialect,
+    "q138_let_dialect": q138_let_dialect,
+}
+
+ORACLE = {
+    "q136_match_dialect": """
+        SELECT c.c_custkey AS c_custkey,
+               CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
+               CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_custkey <= 50 AND o.o_orderstatus = 'F'
+        GROUP BY c.c_custkey
+    """,
+    "q137_traverse_dialect": """
+        WITH roots AS (
+            SELECT CAST(c_custkey * 3 AS BIGINT) AS node_id,
+                   'Customer' AS label,
+                   CAST(c_custkey AS VARCHAR) AS natural_key,
+                   0 AS depth
+            FROM customer WHERE c_custkey <= 3
+        ), d1 AS (
+            SELECT DISTINCT CAST(o.o_orderkey * 3 + 1 AS BIGINT) AS node_id,
+                   'Order' AS label,
+                   CAST(o.o_orderkey AS VARCHAR) AS natural_key,
+                   1 AS depth
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey <= 3
+        ), d2 AS (
+            SELECT DISTINCT CAST(l.l_partkey * 3 + 2 AS BIGINT) AS node_id,
+                   'Part' AS label,
+                   CAST(l.l_partkey AS VARCHAR) AS natural_key,
+                   2 AS depth
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey <= 3
+        )
+        SELECT * FROM roots
+        UNION ALL SELECT * FROM d1
+        UNION ALL SELECT * FROM d2
+    """,
+    "q138_let_dialect": """
+        SELECT c_custkey, c_acctbal,
+               (SELECT MAX(c_acctbal) FROM customer) AS top_bal
+        FROM customer
+        WHERE c_acctbal >= (SELECT MAX(c_acctbal) FROM customer) - 1000
+    """,
+}
