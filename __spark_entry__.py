@@ -62,7 +62,8 @@ def _compute_priority(
             green = bool(row.get("hash_match")) or (
                 row.get("err") == "no_oracle" and bool(row.get("rows_match"))
             )
-            history[name] = (rnd, green)
+            hash_checked = row.get("hash_match") is not None
+            history[name] = (rnd, green, hash_checked)
     order = {n: i for i, n in enumerate(pooled_names)}
 
     def tier(name: str) -> tuple:
@@ -71,6 +72,10 @@ def _compute_priority(
             return (0, order[name])  # red with oracle: regression fix first
         if rec is None and name in oracled:
             return (1, order[name])  # never checked, oracled
+        if rec is not None and name in oracled and not rec[2]:
+            # oracled NOW but only ever rows-only-checked (a converted
+            # tolerance-contract probe): hash-verify it like new
+            return (1, order[name])
         if rec is None:
             return (2, order[name])  # never checked, rows-only
         return (3, rec[0], order[name])  # stalest green first

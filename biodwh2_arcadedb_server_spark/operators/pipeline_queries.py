@@ -1,11 +1,19 @@
 """Driver-contract queries for the LLM-pipeline operators (C1-C5).
 
-Oracle-able probes get DuckDB SQL twins; operators built on xxhash64
-(MinHash, SimHash, fingerprints, hyperplane LSH) cannot be reproduced
-in DuckDB (different hash function) → exposed rows-only and pinned by
-pytest against exact references (tests/test_pipeline.py):
-MinHash-vs-exact-Jaccard equality, ANN recall vs brute force, SimHash
-self-consistency.
+Oracle-able probes get DuckDB SQL twins. Operators built on xxhash64
+(MinHash, SimHash, hyperplane LSH, IVF, PQ) cannot be value-matched
+in DuckDB (different hash function), so their probes emit a
+TOLERANCE CONTRACT the driver CAN hash-match: the approximate and
+exact paths run in ONE Spark plan and the output carries (a) rows
+whose values ARE deterministic and DuckDB-computable (exact pair
+sets, per-query exact-neighbor counts) and (b) boolean columns
+asserting the approximate path met its recall/equality bound — the
+oracle emits the same rows with TRUE. Candidate sets stay
+collision-dependent; the contract is what the driver checks, and the
+pytest pins (tests/test_pipeline.py) still assert the stronger
+set-level properties at small SF. Bounds are set from measured
+recall at sf0.01 AND sf0.1 with margin (see each probe). Only
+q84 (streaming candidate order) remains rows-only by declaration.
 """
 
 from __future__ import annotations
@@ -27,7 +35,7 @@ def q26_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", JACCARD_K, JACCARD_THRESHOLD)
 
 
-# --- C2: MinHash+LSH near-dups (rows-only; pytest-pinned vs q26) ---------------
+# --- C2: MinHash+LSH near-dups (tolerance-contract oracle) ---------------------
 def q27_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32 hashes / 8 bands × 4 rows: half the signature compute and
     banding fan-out of the classic 64/16/4 at near-identical recall in
@@ -36,12 +44,36 @@ def q27_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted j≈0.99 (pinned vs exact by tests/test_pipeline.py).
     32-bit gram hashes halve the verification join's shuffle width
     (the approximate path tolerates ~1e-5 collision noise; the exact
-    q26 reference stays on 64-bit)."""
+    q26 reference stays on 64-bit).
+
+    Contract: the exact pair set (deterministic, DuckDB-computable)
+    with two aggregate booleans — MinHash recall over those pairs
+    >= 0.95 (measured 1.0 at sf0.01 and sf0.1; the weakest pair at
+    sf0.1 is j=0.8 with a 1.5% per-pair banding miss chance, so the
+    bound tolerates a couple of misses) and zero LSH pairs outside
+    the exact set (a false positive needs a 32-bit collision landing
+    exact-j within 1e-5 of the threshold)."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_near_dups(
+    exact = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", JACCARD_K, JACCARD_THRESHOLD
+    ).select("id_a", "id_b", "jaccard")
+    approx = dedup.minhash_near_dups(
         d, "doc_id", "text", k=JACCARD_K, num_hashes=32, bands=8, rows=4,
         threshold=JACCARD_THRESHOLD, hash_bits=32,
+    ).select("id_a", "id_b")
+    exact = exact.localCheckpoint(eager=False)
+    hits = exact.join(approx, ["id_a", "id_b"], "left_semi")
+    extras = approx.join(exact, ["id_a", "id_b"], "left_anti")
+    flags = (
+        hits.agg(F.count("*").alias("_nh"))
+        .crossJoin(exact.agg(F.count("*").alias("_nt")))
+        .crossJoin(extras.agg(F.count("*").alias("_nx")))
+        .select(
+            (F.col("_nh") / F.greatest("_nt", F.lit(1)) >= 0.95).alias("recall_ok"),
+            (F.col("_nx") == 0).alias("no_false_pos"),
+        )
     )
+    return exact.crossJoin(F.broadcast(flags))
 
 
 # --- C2: end-to-end fuzzy dedup — pair graph → clusters → canonical keep (oracle-able)
@@ -154,13 +186,31 @@ def q90_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- C2: SimHash near-dups (rows-only) ------------------------------------------
+# --- C2: SimHash near-dups (tolerance-contract oracle) ---------------------------
 def q28_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole block-LSH (production path: equi-join on fingerprint
+    blocks, one shuffle) audited in-plan against the quadratic exact
+    Hamming join. Pigeonhole recall is a GUARANTEE, not an estimate,
+    so the contract is strict set equality — the only non-oracle-able
+    part (xxhash64 fingerprints) cancels out because both sides hash
+    identically. The quadratic reference is the audit harness, not
+    the production path: at driver SFs it is 12.5M bit_count pairs;
+    at 100 TB only the blocked path runs (pytest pins equality at
+    small SF). Output: per-language document counts (deterministic,
+    DuckDB-computable) + the equality boolean."""
     d = load_table(spark, sf_dir, "documents")
-    fps = dedup.simhash(d, "doc_id", "text")
-    # pigeonhole block-LSH: equi-join on fingerprint blocks, not the
-    # quadratic cross join (pytest-pinned equal to the exact variant)
-    return dedup.simhash_near_dups_blocked(fps, max_hamming=3)
+    fps = dedup.simhash(d, "doc_id", "text").localCheckpoint(eager=False)
+    blocked = dedup.simhash_near_dups_blocked(fps, max_hamming=3).select("id_a", "id_b")
+    exact = dedup.simhash_near_dups(fps, max_hamming=3).select("id_a", "id_b")
+    missed = exact.join(blocked, ["id_a", "id_b"], "left_anti")
+    extra = blocked.join(exact, ["id_a", "id_b"], "left_anti")
+    flag = (
+        missed.agg(F.count("*").alias("_nm"))
+        .crossJoin(extra.agg(F.count("*").alias("_nx")))
+        .select(((F.col("_nm") == 0) & (F.col("_nx") == 0)).alias("blocked_matches_exact"))
+    )
+    per_lang = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return per_lang.crossJoin(F.broadcast(flag))
 
 
 # --- C2/C3: embedding-cosine near-dup pairs (oracle-able) -------------------------
@@ -213,34 +263,73 @@ def q30_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_join(e, queries, k=3)
 
 
-# --- C3: LSH-bucketed ANN (rows-only; pytest recall gate) ----------------------------
+ANN_K = 3
+ANN_N_QUERIES = 10  # vec_id < 10: 30 exact pairs — enough to damp
+# single-query recall variance (per-query recall on near-random
+# synthetic embeddings legitimately hits 0/3 for one query)
+
+
+def _ann_recall_contract(
+    exact: DataFrame, approx: DataFrame, bound: float
+) -> DataFrame:
+    """Tolerance contract for approximate k-NN: one row per query
+    with its exact-neighbor count (deterministic, DuckDB-computable)
+    and an aggregate boolean asserting recall over ALL queries >=
+    bound. Exact and approximate run in the same plan; the 1-row
+    flag broadcasts onto the per-query rows."""
+    ex = exact.select("query_id", "neighbor_id").localCheckpoint(eager=False)
+    ap = approx.select("query_id", "neighbor_id")
+    hits = ex.join(ap, ["query_id", "neighbor_id"], "left_semi")
+    flag = (
+        hits.agg(F.count("*").alias("_nh"))
+        .crossJoin(ex.agg(F.count("*").alias("_nt")))
+        .select(
+            (F.col("_nh") / F.greatest("_nt", F.lit(1)) >= bound).alias("recall_ok")
+        )
+    )
+    per_query = ex.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return per_query.crossJoin(F.broadcast(flag))
+
+
+# --- C3: LSH-bucketed ANN (tolerance-contract oracle) --------------------------------
 def q31_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN vs brute force, recall >= 0.4 over 10
+    queries (measured 0.53 sf0.01 / 0.87 sf0.1 — near-random
+    synthetic embeddings are LSH's worst case; pytest gates 0.5 at
+    sf0.001 with 10 queries x k=5)."""
     e = load_table(spark, sf_dir, "embeddings")
-    queries = e.where(F.col("vec_id").isin(0, 1, 2))
-    return similarity.ann_topk(e, queries, k=3, dim=64, n_planes=4, n_tables=8)
+    queries = e.where(F.col("vec_id") < ANN_N_QUERIES)
+    exact = similarity.knn_join(e, queries, k=ANN_K)
+    approx = similarity.ann_topk(e, queries, k=ANN_K, dim=64, n_planes=4, n_tables=8)
+    return _ann_recall_contract(exact, approx, bound=0.4)
 
 
-# --- C3: IVF (KMeans inverted-file) ANN (rows-only; pytest recall gate) --------------
+# --- C3: IVF (KMeans inverted-file) ANN (tolerance-contract oracle) ------------------
 def q77_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: spherical-KMeans cells, probe the 4 nearest of 8 —
-    the data-adaptive counterpart to q31's hyperplane LSH."""
+    """IVF ANN (spherical-KMeans cells, probe 4 of 8) vs brute force,
+    recall >= 0.6 over 10 queries (measured 0.77 sf0.01 / 0.83
+    sf0.1). The data-adaptive counterpart to q31's hyperplane LSH."""
     e = load_table(spark, sf_dir, "embeddings")
-    queries = e.where(F.col("vec_id").isin(0, 1, 2))
-    return similarity.ivf_topk(e, queries, k=3, n_clusters=8, n_probe=4)
+    queries = e.where(F.col("vec_id") < ANN_N_QUERIES)
+    exact = similarity.knn_join(e, queries, k=ANN_K)
+    approx = similarity.ivf_topk(e, queries, k=ANN_K, n_clusters=8, n_probe=4)
+    return _ann_recall_contract(exact, approx, bound=0.6)
 
 
-# --- C3: product-quantization ANN (rows-only; pytest recall gate) --------------------
+# --- C3: product-quantization ANN (tolerance-contract oracle) ------------------------
 def q116_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-ADC ANN with exact re-rank: 16×16 sub-quantizer codes (16
-    bytes/vector, 16× compression of a 64-dim float corpus),
-    asymmetric-distance shortlist, exact cosine on the refine·k
-    survivors — the compression counterpart to q77's IVF pruning.
-    m=16 because the synthetic embeddings are near-random (the PQ
-    worst case — no cluster structure to absorb quantization error);
-    real corpora run coarser m at equal recall."""
+    """PQ-ADC ANN with exact re-rank (16×16 sub-quantizer codes, 16
+    bytes/vector, asymmetric-distance shortlist, exact cosine on the
+    refine·k survivors) vs brute force, recall >= 0.55 over 10
+    queries (measured 0.77 sf0.01 / 0.70 sf0.1). m=16 because the
+    synthetic embeddings are near-random (the PQ worst case — no
+    cluster structure to absorb quantization error); real corpora run
+    coarser m at equal recall."""
     e = load_table(spark, sf_dir, "embeddings")
-    queries = e.where(F.col("vec_id").isin(0, 1, 2))
-    return similarity.pq_topk(e, queries, k=3, m=16, n_codes=16, refine=8)
+    queries = e.where(F.col("vec_id") < ANN_N_QUERIES)
+    exact = similarity.knn_join(e, queries, k=ANN_K)
+    approx = similarity.pq_topk(e, queries, k=ANN_K, m=16, n_codes=16, refine=8)
+    return _ann_recall_contract(exact, approx, bound=0.55)
 
 
 # --- C4: token stats (oracle-able) -----------------------------------------------------
@@ -396,6 +485,41 @@ ORACLE = {
         SELECT id_a, id_b,
                ROUND(inter * 1.0 / (sa + sb - inter), 4) AS jaccard
         FROM pairs WHERE inter * 1.0 / (sa + sb - inter) >= {JACCARD_THRESHOLD}
+    """,
+    # tolerance contract: exact pair set + booleans the Spark side
+    # must have proven (recall >= bound, no false positives)
+    "q27_minhash_neardup": f"""
+        WITH sh AS ({_SHINGLES}),
+        inv AS (SELECT doc_id, len(g) AS sz, UNNEST(g) AS gram FROM sh),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+                   COUNT(*) AS inter
+            FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b,
+               ROUND(inter * 1.0 / (sa + sb - inter), 4) AS jaccard,
+               TRUE AS recall_ok, TRUE AS no_false_pos
+        FROM pairs WHERE inter * 1.0 / (sa + sb - inter) >= {JACCARD_THRESHOLD}
+    """,
+    "q28_simhash_neardup": """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               TRUE AS blocked_matches_exact
+        FROM documents GROUP BY lang
+    """,
+    "q31_ann_topk": """
+        SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_exact,
+               TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 10
+    """,
+    "q77_ivf_topk": """
+        SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_exact,
+               TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 10
+    """,
+    "q116_pq_topk": """
+        SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_exact,
+               TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 10
     """,
     "q100_neardup_clusters": f"""
         WITH RECURSIVE sh AS ({_SHINGLES}),
