@@ -19,8 +19,10 @@ Spark-first re-expression (and the 100 TB design decisions):
   deterministically, so edge endpoint ids are computed *locally from
   the foreign key with zero shuffle*; no id-assignment pass, no
   broadcast. (64-bit collisions become a concern past ~10^9 nodes;
-  the manifest records the scheme so a 128-bit variant can be swapped
-  in.)
+  every build that touches a node label runs ``validate_node_ids`` —
+  a groupBy(node_id) HAVING count>1 audit across all labels — and
+  fails loudly on a hit; the manifest records the scheme so a 128-bit
+  variant can be swapped in.)
 - **Dangling-edge semantics preserved** via ``left_semi`` joins
   against the node sets (the reference skips edges whose endpoint is
   missing, :241-243). The semi-join carries only (node_id) — at scale
@@ -152,6 +154,41 @@ def build_edges(spark: SparkSession, src_dir: str, spec: EdgeSpec, nodes: dict[s
     return e.withColumn("label", F.lit(spec.label))
 
 
+def validate_node_ids(node_frames: dict[str, DataFrame]) -> None:
+    """Collision audit for the hash-derived id scheme (the q17 unique-
+    validation pattern applied to the ETL's own output): xxhash64 ids
+    must be unique ACROSS labels — edges reference the global id, so a
+    cross-label collision silently rewires the graph. Cost is one
+    shuffle of a 1-column table, the cheapest insurance the 100 TB
+    posture can buy (the docstring's "collisions become a concern past
+    ~10^9 nodes" admission is now enforced, not assumed).
+
+    Raises ``ValueError`` naming the colliding labels so the operator
+    can switch the manifest's id_scheme to a 128-bit variant."""
+    ids = None
+    for label, nf in node_frames.items():
+        part = nf.select("node_id", F.lit(label).alias("_lbl"))
+        ids = part if ids is None else ids.unionByName(part)
+    if ids is None:
+        return
+    clashes = (
+        ids.groupBy("node_id")
+        .agg(F.count("*").alias("n"), F.collect_set("_lbl").alias("labels"))
+        .where(F.col("n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if clashes:
+        detail = ", ".join(
+            f"node_id={r['node_id']} labels={sorted(r['labels'])}" for r in clashes
+        )
+        raise ValueError(
+            f"node_id collision(s) detected — xxhash64(label,key) is not "
+            f"injective over this input ({detail}); rebuild with a wider "
+            f"id scheme"
+        )
+
+
 def build_workspace(
     spark: SparkSession, src_dir: str, ws_dir: str, *, force: bool = False
 ) -> dict:
@@ -222,6 +259,9 @@ def build_workspace(
             "schema": node_frames[spec.label].schema.jsonValue(),
             "count": node_frames[spec.label].count(),
         }
+    if any(r.startswith("n:") for r in rebuilt):
+        validate_node_ids(node_frames)
+
     for spec in EDGE_SPECS:
         if spec.src_label not in node_frames or spec.dst_label not in node_frames:
             continue

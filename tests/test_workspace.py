@@ -240,3 +240,31 @@ def test_load_workspace_views(spark, sf_small, tmp_path):
         "SELECT COUNT(*) AS n FROM n_Customer WHERE c_mktsegment = 'BUILDING'"
     ).collect()[0].n
     assert seg == direct > 0
+
+
+def test_validate_node_ids_forged_collision(spark):
+    """The collision audit must fail loudly on a duplicate global id
+    (forged here — xxhash64 collisions are not constructible — by
+    handing the validator two labels sharing an id) and pass on
+    disjoint ids."""
+    import pytest as _pytest
+
+    from biodwh2_arcadedb_server_spark.workspace import validate_node_ids
+
+    a = spark.createDataFrame([(1,), (2,)], "node_id long")
+    b = spark.createDataFrame([(2,), (3,)], "node_id long")
+    with _pytest.raises(ValueError, match="collision"):
+        validate_node_ids({"A": a, "B": b})
+    c = spark.createDataFrame([(4,), (5,)], "node_id long")
+    validate_node_ids({"A": a, "C": c})  # disjoint: no raise
+
+
+def test_build_workspace_runs_collision_audit(spark, sf_small, tmp_path, monkeypatch):
+    """build_workspace must invoke the audit when node labels rebuild."""
+    from biodwh2_arcadedb_server_spark import workspace as ws
+
+    calls = []
+    real = ws.validate_node_ids
+    monkeypatch.setattr(ws, "validate_node_ids", lambda nf: calls.append(len(nf)) or real(nf))
+    ws.build_workspace(spark, sf_small, str(tmp_path / "ws_audit"), force=True)
+    assert calls, "validate_node_ids was not called on a fresh build"
