@@ -156,6 +156,9 @@ HEADLINE = [
     "q36_multimodal_meta",
     "q37_media_features",
     "q73_curation_pipeline",
+    "q136_match_dialect",
+    "q137_traverse_dialect",
+    "q138_let_dialect",
 ]
 
 # Streaming micro-batch drains, timed and reported separately: their

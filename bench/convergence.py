@@ -128,6 +128,92 @@ def time_duckdb(sql: str, sf_dir: str, runs: int = 2) -> float:
         con.close()
 
 
+# --- graph scaling (VERDICT r3 #6): scale the GRAPH, not the facts ------------
+# The fact-scaling runs above hold the 25-node nation graph constant,
+# so the iterative probes' ratio can only fall as far as DuckDB's scan
+# growth pushes it. Here the graph itself is replicated (disjoint
+# copies with id offsets + one bridge edge per replica so it stays one
+# weak component): nodes 25*m, edges ~360*m. Both engines read the
+# same edge parquet; DuckDB runs the SAME generated unrolled-CTE
+# oracles (graph_sql override), so per-round arithmetic is identical.
+GRAPH_MULTS = (1, 100, 10_000)
+GRAPH_MULTS_PR_ONLY = (100_000,)  # ~36M edges / 2.5M nodes: pagerank only
+_NODE_STRIDE = 32  # > 25 nation nodes, keeps replica ids disjoint
+
+
+def build_scaled_graph(spark, mult: int) -> str:
+    out = os.path.join(tempfile.gettempdir(), f"sfconv_graph_x{mult}.parquet")
+    if os.path.exists(out):
+        return out
+    import numpy as np
+
+    from biodwh2_arcadedb_server_spark.operators.graph_queries import nation_graph
+
+    base = nation_graph(spark, BASE_SF, 97).toPandas()
+    src = np.tile(base["src"].to_numpy(np.int64), mult)
+    dst = np.tile(base["dst"].to_numpy(np.int64), mult)
+    offs = np.repeat(np.arange(mult, dtype=np.int64) * _NODE_STRIDE, len(base))
+    src = src + offs
+    dst = dst + offs
+    if mult > 1:
+        bridge_dst = np.arange(1, mult, dtype=np.int64) * _NODE_STRIDE
+        src = np.concatenate([src, bridge_dst - _NODE_STRIDE])
+        dst = np.concatenate([dst, bridge_dst])
+    pq.write_table(pa.table({"src": src, "dst": dst}), out)
+    return out
+
+
+def run_graph_scaling(spark, results: dict) -> None:
+    from biodwh2_arcadedb_server_spark.operators.graph import hits, pagerank
+    from biodwh2_arcadedb_server_spark.operators.graph_queries import (
+        _hits_oracle,
+        _pagerank_oracle,
+    )
+
+    reset = spark.createDataFrame([(0, 0.5), (1, 0.5)], "node_id long, reset double")
+    for mult in GRAPH_MULTS + GRAPH_MULTS_PR_ONLY:
+        path = build_scaled_graph(spark, mult)
+        gsql = f"SELECT src, dst FROM read_parquet('{path}')"
+        edges = spark.read.parquet(path)
+        probes = {
+            "graph_pagerank": (
+                lambda e=edges: pagerank(e, iterations=10, damping=0.85),
+                _pagerank_oracle(10, 0.85, None, graph_sql=gsql),
+            ),
+        }
+        if mult not in GRAPH_MULTS_PR_ONLY:
+            probes["graph_hits"] = (
+                lambda e=edges: hits(e, iterations=10),
+                _hits_oracle(10, graph_sql=gsql),
+            )
+            probes["graph_ppr"] = (
+                lambda e=edges, r=reset: pagerank(
+                    e, iterations=10, damping=0.85, reset=r
+                ),
+                _pagerank_oracle(10, 0.85, {0: 0.5, 1: 0.5}, graph_sql=gsql),
+            )
+        for name, (fn, sql) in probes.items():
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            s = round(best, 3)
+            d = time_duckdb(sql, BASE_SF)
+            entry = results.setdefault(name, {})
+            entry[f"gx{mult}"] = {
+                "nodes": 25 * mult,
+                "edges_approx": 360 * mult,
+                "spark_sec": s,
+                "duckdb_sec": d,
+                "ratio": round(s / d, 2) if d > 0 else None,
+            }
+            print(
+                f"gx{mult} {name}: spark={s}s duckdb={d}s ratio={s/max(d,1e-9):.2f}",
+                flush=True,
+            )
+
+
 def main() -> None:
     spark = get_spark("convergence")
     queries = entry_mod.queries()

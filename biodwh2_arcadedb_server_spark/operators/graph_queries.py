@@ -478,9 +478,17 @@ _NODES_97 = f"""
 """
 
 
-def _pagerank_oracle(iterations: int, damping: float, reset_rows: dict[int, float] | None) -> str:
+def _pagerank_oracle(
+    iterations: int,
+    damping: float,
+    reset_rows: dict[int, float] | None,
+    graph_sql: str | None = None,
+    nodes_sql: str | None = None,
+) -> str:
     """Unrolled power iteration mirroring graph.pagerank round-for-round:
-    contribs → dangling-by-conservation → blend with the reset vector."""
+    contribs → dangling-by-conservation → blend with the reset vector.
+    ``graph_sql``/``nodes_sql`` override the default nation graph —
+    bench/convergence.py reuses the generator on scaled graphs."""
     if reset_rows is None:
         reset_expr = "1.0 / (SELECT COUNT(*) FROM nodes)"
         reset_join = ""
@@ -489,8 +497,8 @@ def _pagerank_oracle(iterations: int, damping: float, reset_rows: dict[int, floa
         reset_expr = "COALESCE(rv.reset, 0.0)"
         reset_join = f"LEFT JOIN (VALUES {vals}) rv(node_id, reset) ON rv.node_id = n.node_id"
     parts = [
-        f"WITH g AS MATERIALIZED ({_G97})",
-        f"nodes AS MATERIALIZED ({_NODES_97})",
+        f"WITH g AS MATERIALIZED ({graph_sql or _G97})",
+        f"nodes AS MATERIALIZED ({nodes_sql or _NODES_97})",
         f"""deg AS MATERIALIZED (
             SELECT n.node_id, COALESCE(o.odeg, 0) AS odeg, {reset_expr} AS reset
             FROM nodes n
@@ -523,17 +531,23 @@ ORACLE["q24_pagerank"] = _pagerank_oracle(10, 0.85, None)
 ORACLE["q83_personalized_pagerank"] = _pagerank_oracle(10, 0.85, {0: 0.5, 1: 0.5})
 
 
-def _hits_oracle(iterations: int, checkpoint_every: int = 3) -> str:
+def _hits_oracle(
+    iterations: int,
+    checkpoint_every: int = 3,
+    graph_sql: str | None = None,
+    nodes_sql: str | None = None,
+) -> str:
     """Unrolled HITS mirroring graph.hits round-for-round: raw auth
     pull / raw hub pull each round, with L1 normalization applied only
     at checkpoint rounds (i % checkpoint_every == 0) and at the end —
     the same deferred-normalization cadence the Spark operator runs,
     so both engines execute identical arithmetic. Round-6 output
     absorbs cross-engine summation-order noise (same contract as
-    q24)."""
+    q24). ``graph_sql``/``nodes_sql`` override the default nation
+    graph for bench/convergence.py's scaled-graph runs."""
     parts = [
-        f"WITH g AS MATERIALIZED ({_G97})",
-        f"nodes AS MATERIALIZED ({_NODES_97})",
+        f"WITH g AS MATERIALIZED ({graph_sql or _G97})",
+        f"nodes AS MATERIALIZED ({nodes_sql or _NODES_97})",
         "s0 AS MATERIALIZED (SELECT node_id, 1.0 AS auth, 1.0 AS hub FROM nodes)",
     ]
     for i in range(1, iterations + 1):
