@@ -219,12 +219,17 @@ class _Parser:
             raise ArcadeSQLError(f"expected {what}, got {t.text or t.kind!r}")
         return t.raw
 
-    def _direction(self, ctx: str) -> str:
-        """out/in/both — `in` lexes as a keyword, so accept both kinds."""
+    def _direction(self, ctx: str, edges_ok: bool = False) -> str:
+        """out/in/both (— `in` lexes as a keyword, so accept both
+        kinds). With ``edges_ok``, also the edge-returning variants
+        outE/inE/bothE (returned with the E suffix preserved)."""
         t = self.next()
         d = t.text.lower()
-        if t.kind not in ("ident", "kw") or d not in ("out", "in", "both"):
-            raise ArcadeSQLError(f"{ctx} supports out/in/both, got {t.text!r}")
+        allowed = ("out", "in", "both") + (
+            ("oute", "ine", "bothe") if edges_ok else ()
+        )
+        if t.kind not in ("ident", "kw") or d not in allowed:
+            raise ArcadeSQLError(f"{ctx} supports {'/'.join(allowed)}, got {t.text!r}")
         return d
 
     # -- entry
@@ -415,7 +420,7 @@ class _Parser:
         ):
             self.next()
             self.expect("op", "(")
-            d = self._direction("expand()")
+            d = self._direction("expand()", edges_ok=True)
             self.expect("op", "(")
             label = None
             if self.peek().kind == "string":
@@ -608,6 +613,12 @@ class _Parser:
             # (a leading in('E') graph projection lexes `in` as keyword)
             name = self.next().text
             low = name.lower()
+            if low in ("oute", "ine", "bothe") and self.peek().text == "(":
+                # scalar-position outE/inE/bothE: identical multiset
+                # cardinality to out/in/both in this encoding (the
+                # neighbor-id projection keeps duplicate edges), so
+                # .size() degree shorthand maps directly
+                low = {"oute": "out", "ine": "in", "bothe": "both"}[low]
             if low in ("out", "in", "both") and self.peek().text == "(":
                 self.next()
                 label = None
@@ -694,6 +705,31 @@ def _compile_select(sel: _Select) -> str:
         inner = f"SELECT node_id FROM {source}"
         if sel.where:
             inner += f" WHERE {sel.where}"
+        if d in ("oute", "ine", "bothe"):
+            # edge-returning expand: outE()/inE()/bothE() — edge rows,
+            # not neighbor nodes (ArcadeDB returns edge records; our
+            # edge identity is the (src, dst, label) triple)
+            elegs = []
+            if d in ("oute", "bothe"):
+                elegs.append(
+                    f"SELECT e.src, e.dst, e.label FROM edges e "
+                    f"WHERE e.src IN ({inner}){lbl}"
+                )
+            if d in ("ine", "bothe"):
+                elegs.append(
+                    f"SELECT e.src, e.dst, e.label FROM edges e "
+                    f"WHERE e.dst IN ({inner}){lbl}"
+                )
+            sql = " UNION ALL ".join(elegs)
+            if sel.order_by:
+                sql += " ORDER BY " + ", ".join(
+                    f"{e} {dd}" for e, dd in sel.order_by
+                )
+            if sel.limit is not None:
+                sql += f" LIMIT {sel.limit}"
+            if sel.skip:
+                sql += f" OFFSET {sel.skip}"
+            return sql
         legs = []
         if d in ("out", "both"):
             legs.append(

@@ -94,6 +94,30 @@ def test_expand(graph_ws):
     assert _ids(df) == [10]  # p1 and p2 both live in ams
 
 
+def test_expand_oute_returns_edge_rows(graph_ws):
+    df = execute(
+        graph_ws, "SELECT expand(outE('KNOWS')) FROM Person WHERE age = 10"
+    )
+    assert sorted((r.src, r.dst, r.label) for r in df.collect()) == [
+        (1, 2, "KNOWS"), (1, 3, "KNOWS"),
+    ]
+
+
+def test_expand_bothe(graph_ws):
+    df = execute(
+        graph_ws, "SELECT expand(bothE('KNOWS')) FROM Person WHERE age = 30"
+    )
+    # p3: in-edges 2->3, 1->3; out-edge 3->4
+    assert sorted((r.src, r.dst) for r in df.collect()) == [(1, 3), (2, 3), (3, 4)]
+
+
+def test_oute_size_degree(graph_ws):
+    df = execute(
+        graph_ws, "SELECT name, outE('KNOWS').size() AS deg FROM Person WHERE age = 10"
+    )
+    assert [(r.name, r.deg) for r in df.collect()] == [("p1", 2)]
+
+
 # ---------------------------------------------------------------- TRAVERSE
 def test_traverse_runs_and_depths(graph_ws):
     df = execute(
