@@ -1,0 +1,124 @@
+"""One real sf1 data point (VERDICT r3 stretch #10): time headline
+probes end-to-end at 10x the sf0.1 fact volume so the scale argument
+stops extrapolating. Reuses convergence.py's build_scaled(10)
+(orders/lineitem/events/documents replicated with key offsets, dims
+shared) and additionally replicates embeddings 10x with a
+deterministic per-replica perturbation (pure scaling would leave
+cosine invariant and every replica an exact dup — perturbation keeps
+the near-dup pair structure realistic).
+
+Probes: q03 (join-agg), q29 (blocked-matmul cosine pairs), q104
+(leakage-safe split over the near-dup closure; Spark side only — the
+DuckDB recursive-CTE closure at this pair volume is the known q106
+pathology and would measure DuckDB's CTE executor, not our plan).
+
+Writes bench/sf1.json. Run: python bench/sf1_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+from biodwh2_arcadedb_server_spark.session import get_spark  # noqa: E402
+from biodwh2_arcadedb_server_spark.sources.registry import table_path  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.join(HERE, "sf1.json")
+MULT = 10
+VEC_OFFSET = 10_000_000
+
+
+def build_sf1_embeddings(sf_dir: str) -> None:
+    """Replicate embeddings MULT-x with id offsets + deterministic
+    per-replica perturbation (~1% of one dimension per replica)."""
+    dst = table_path(sf_dir, "embeddings")
+    src = table_path("/root/testdata/sf0.1", "embeddings")
+    base = pq.read_table(src)
+    if pq.read_metadata(dst).num_rows > base.num_rows:
+        return  # already built
+    ids = base.column("vec_id").to_numpy()
+    vecs = np.array(base.column("embedding").to_pylist(), dtype=np.float32)
+    parts = []
+    for r in range(MULT):
+        v = vecs.copy()
+        if r:
+            # nudge dimension (r mod dim) by 1% — breaks exact-dup
+            # cosine=1.0 ties while keeping replicas near-duplicates
+            v[:, r % v.shape[1]] += 0.01 * r
+        parts.append(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids + r * VEC_OFFSET, type=base.schema.field("vec_id").type),
+                    "embedding": pa.array(list(v), type=base.schema.field("embedding").type),
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(parts), dst)
+
+
+def main() -> None:
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "conv", os.path.join(HERE, "convergence.py")
+    )
+    conv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(conv)
+
+    sf_dir = conv.build_scaled(MULT)
+    build_sf1_embeddings(sf_dir)
+
+    spark = get_spark("sf1probe")
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    results: dict[str, dict] = {}
+
+    def record(name: str, spark_sec, duck_sec=None):
+        results[name] = {
+            "spark_sec": spark_sec,
+            "duckdb_sec": duck_sec,
+            "ratio": round(spark_sec / duck_sec, 2) if duck_sec else None,
+        }
+        with open(OUT, "w") as f:
+            json.dump(
+                {
+                    "note": (
+                        "sf1 = sf0.1 facts replicated 10x with key offsets "
+                        "(convergence.py build_scaled) + embeddings replicated "
+                        "with deterministic perturbation; min of 2 runs, "
+                        "fresh-session warmup at sf0.001"
+                    ),
+                    "probes": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"sf1 {name}: spark={spark_sec}s duckdb={duck_sec}s", flush=True)
+
+    for name, both_sides in (("q03_two_hop", True), ("q29_cosine_neardup", True),
+                             ("q104_leakage_safe_split", False)):
+        fn = queries[name]
+        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        d = conv.time_duckdb(oracles[name], sf_dir) if both_sides else None
+        record(name, round(best, 3), d)
+
+
+if __name__ == "__main__":
+    main()
