@@ -159,6 +159,8 @@ HEADLINE = [
     "q136_match_dialect",
     "q137_traverse_dialect",
     "q138_let_dialect",
+    "q139_degree_dialect",
+    "q140_expand_dialect",
 ]
 
 # Streaming micro-batch drains, timed and reported separately: their

@@ -84,13 +84,18 @@ def main() -> None:
     oracles = entry_mod.oracle_sql()
 
     results: dict[str, dict] = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            results = json.load(f).get("probes", {})
 
-    def record(name: str, spark_sec, duck_sec=None):
+    def record(name: str, spark_sec, duck_sec=None, duck_note=None):
         results[name] = {
             "spark_sec": spark_sec,
             "duckdb_sec": duck_sec,
             "ratio": round(spark_sec / duck_sec, 2) if duck_sec else None,
         }
+        if duck_note:
+            results[name]["duckdb_note"] = duck_note
         with open(OUT, "w") as f:
             json.dump(
                 {
@@ -105,10 +110,31 @@ def main() -> None:
                 f,
                 indent=1,
             )
-        print(f"sf1 {name}: spark={spark_sec}s duckdb={duck_sec}s", flush=True)
+        print(f"sf1 {name}: spark={spark_sec}s duckdb={duck_sec}s {duck_note or ''}",
+              flush=True)
 
-    for name, both_sides in (("q03_two_hop", True), ("q29_cosine_neardup", True),
-                             ("q104_leakage_safe_split", False)):
+    def duckdb_bounded(sql: str, budget_sec: int = 240):
+        """DuckDB timing in a child process with a hard budget — at
+        sf1 the quadratic all-pairs oracles are the side that stops
+        scaling, and an unbounded run would eat the whole session."""
+        import multiprocessing as mp
+
+        def worker(q):
+            q.put(conv.time_duckdb(sql, sf_dir, runs=1))
+
+        q = mp.Queue()
+        p = mp.Process(target=worker, args=(q,))
+        p.start()
+        p.join(budget_sec)
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            return None, f"killed at {budget_sec}s (quadratic oracle)"
+        return q.get(), None
+
+    for name in ("q03_two_hop", "q29_cosine_neardup", "q104_leakage_safe_split"):
+        if name in results and results[name].get("spark_sec"):
+            continue  # already measured in an earlier (partial) run
         fn = queries[name]
         fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
         best = float("inf")
@@ -116,8 +142,14 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-        d = conv.time_duckdb(oracles[name], sf_dir) if both_sides else None
-        record(name, round(best, 3), d)
+        record(name, round(best, 3))  # Spark lands first, never lost
+        if name != "q104_leakage_safe_split":
+            d, note = duckdb_bounded(oracles[name])
+            record(name, round(best, 3), d, note)
+        else:
+            record(name, round(best, 3), None,
+                   "skipped: recursive-CTE closure at sf1 pair volume "
+                   "(known q106-class pathology)")
 
 
 if __name__ == "__main__":

@@ -126,10 +126,38 @@ def q138_let_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B5 scalar: graph-projection degree through the dialect ----------------------
+def q139_degree_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out('PLACED').size() — the correlated-aggregate graph
+    projection, which Catalyst decorrelates into a left join +
+    partial aggregate (one shuffle on the edge key)."""
+    _register_star_workspace(spark, sf_dir)
+    return arcadesql.execute(
+        spark,
+        "SELECT c_custkey, out('PLACED').size() AS n_orders "
+        "FROM Customer WHERE c_custkey <= 100",
+    )
+
+
+# --- B5: expand() through the dialect --------------------------------------------
+def q140_expand_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expand(out('PLACED')) — neighbor node rows from the unified
+    nodes view (IN-subquery semi-join, no row multiplication)."""
+    _register_star_workspace(spark, sf_dir)
+    out = arcadesql.execute(
+        spark,
+        "SELECT expand(out('PLACED')) FROM Customer WHERE c_custkey <= 10",
+    )
+    # props is a map column — driver canonicalizer needs scalars only
+    return out.select("node_id", "label", "natural_key")
+
+
 QUERIES = {
     "q136_match_dialect": q136_match_dialect,
     "q137_traverse_dialect": q137_traverse_dialect,
     "q138_let_dialect": q138_let_dialect,
+    "q139_degree_dialect": q139_degree_dialect,
+    "q140_expand_dialect": q140_expand_dialect,
 }
 
 ORACLE = {
@@ -176,5 +204,19 @@ ORACLE = {
                (SELECT MAX(c_acctbal) FROM customer) AS top_bal
         FROM customer
         WHERE c_acctbal >= (SELECT MAX(c_acctbal) FROM customer) - 1000
+    """,
+    "q139_degree_dialect": """
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS INTEGER) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey <= 100
+        GROUP BY c.c_custkey
+    """,
+    "q140_expand_dialect": """
+        SELECT DISTINCT CAST(o.o_orderkey * 3 + 1 AS BIGINT) AS node_id,
+               'Order' AS label,
+               CAST(o.o_orderkey AS VARCHAR) AS natural_key
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey <= 10
     """,
 }
