@@ -24,6 +24,7 @@ seeded LCG at import time — deterministic across runs and executors.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -225,16 +226,13 @@ def ngram_jaccard_pairs(
 
 
 # --- C2: MinHash + LSH ------------------------------------------------------------
-def minhash_signatures_from_shingles(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
-    """(_id, sig: array<bigint>) from a ``shingle_table`` — num_hashes
-    minima of universal hashes over the hashed shingle set.
-
-    Computed entirely with higher-order functions on the per-doc
-    array: ``sig_i = array_min(transform(_sh, g → (a_i·h(g)+b_i) mod
-    p))``. ZERO shuffle — the old explode + 64-column groupBy moved
-    |grams|×64 rows through an exchange; this evaluates the same
-    codegen'd expressions where each doc's array already sits.
-    Docs with no shingles carry no signature (explode parity)."""
+def _minhash_signatures_hof(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """Pure-JVM-expression twin of ``minhash_signatures_from_shingles``
+    (``sig_i = array_min(transform(_sh, g → (a_i·h(g)+b_i) mod p))``).
+    Kept as the parity reference: HOF lambdas evaluate interpreted
+    per element, which made this the dominant cost of the streaming
+    drain (measured ~6.9s of q84's sf0.1 drain) — the Arrow kernel
+    below computes bit-identical signatures vectorized."""
     params = _lcg_params(num_hashes)
     # cast to bigint first: a 32-bit shingle_table yields int grams,
     # and int·int universal-hash products overflow under ANSI — the
@@ -252,6 +250,62 @@ def minhash_signatures_from_shingles(sh: DataFrame, num_hashes: int = 64) -> Dat
     return hashed.select("_id", *mins).select(
         "_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
     )
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame, num_hashes: int = 64, drop_empty: bool = True
+) -> DataFrame:
+    """(_id, sig: array<bigint>) from a ``shingle_table`` — num_hashes
+    minima of universal hashes over the hashed shingle set.
+
+    Arrow-vectorized numpy kernel (the PQ-encode pattern): per Arrow
+    batch, ``sig_i = min_g ((a_i·(g mod p) + b_i) mod p)`` as one
+    (num_hashes × |grams|) int64 matrix op per doc. Bit-identical to
+    the JVM-HOF twin ``_minhash_signatures_hof`` — both sides run
+    two's-complement 64-bit wrap-around multiply then a non-negative
+    mod (Java long overflow ≡ numpy int64 overflow; Spark ``pmod`` ≡
+    numpy ``%`` for positive modulus) — pinned by
+    tests/test_pipeline.py::test_minhash_kernel_matches_hof. ZERO
+    shuffle either way; stateless, so the same code serves batch and
+    the streaming drain (where the interpreted HOFs were ~70% of the
+    wall time).
+
+    Empty-shingle docs are dropped AFTER the kernel via a null sig —
+    a ``where(size(_sh) > 0)`` BEFORE it pushes the predicate into
+    the shingle lineage and re-evaluates the whole HOF pipeline per
+    row (measured +4s of 5s at sf0.1 batch); filtering on the
+    kernel's output is free on batch's checkpointed shingle table.
+    ``drop_empty=False`` skips even that: in a STREAMING micro-batch
+    plan (no checkpoint possible, different physical planning) ANY
+    filter interleaved with this stage re-triggers the pathology
+    (measured 1.2s -> 5.8s), and the guard is row-wise a no-op
+    anyway — ``shingles_from_tokens`` emits >=1 gram for every doc
+    (short docs degrade to one truncated gram), so a null sig cannot
+    occur; the kernel's None branch is defense-in-depth for
+    pathological inputs, and the streaming caller relies on the same
+    invariant."""
+    import numpy as np
+
+    params = _lcg_params(num_hashes)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    @F.pandas_udf("array<bigint>")
+    def _sig(shingle_col: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for arr in shingle_col:
+                h = np.asarray(arr, dtype=np.int64)
+                if h.size == 0:
+                    out.append(None)
+                    continue
+                h = h % MERSENNE_P
+                v = (A * h[None, :] + B) % MERSENNE_P  # int64 wrap == Java
+                out.append(v.min(axis=1))
+        return pd.Series(out)
+
+    out = sh.select("_id", _sig("_sh").alias("sig"))
+    return out.where(F.col("sig").isNotNull()) if drop_empty else out
 
 
 def minhash_signatures(

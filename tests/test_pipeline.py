@@ -294,3 +294,19 @@ def test_jaccard_prefix_orders_agree(spark, sf_small):
         for r in dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.8, prefix_order="df").collect()
     }
     assert hash_o and hash_o == df_o
+
+
+def test_minhash_kernel_matches_hof(spark, sf_small):
+    """The Arrow-vectorized signature kernel must be bit-identical to
+    the JVM-HOF twin at both gram-hash widths (two's-complement wrap
+    + pmod parity)."""
+    d = load_table(spark, sf_small, "documents")
+    for bits in (64, 32):
+        sh = dedup.shingle_table(d, "doc_id", "text", 3, bits).localCheckpoint(
+            eager=True
+        )
+        a = {r._id: list(r.sig)
+             for r in dedup.minhash_signatures_from_shingles(sh, 32).collect()}
+        b = {r._id: list(r.sig)
+             for r in dedup._minhash_signatures_hof(sh, 32).collect()}
+        assert a == b
