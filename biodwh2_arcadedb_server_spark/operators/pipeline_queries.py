@@ -125,17 +125,20 @@ def q84_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Drain tuning, pair-identical at every setting (measured sf0.1:
-    # 64 cells/16 parts 7.1s -> 16 cells/4 parts + spread 32 ~4.8s):
+    # 64 cells/16 parts 7.1s -> 16 cells/4 parts + spread 32 ~4.8s
+    # -> 2.1s once the signature stage went Arrow-kernel +
+    # filter-free, see dedup.minhash_signatures_from_shingles):
     # 16 coarse cells + 4 state partitions match THIS drain's state
     # volume (~200k ids) — the Python-call count per micro-batch is
     # min(occupied buckets, bands×cells) and each state partition
     # must carry meaningful volume (see streaming.__init__ sizing
-    # note); spread=32 parallelizes the HOF signature stage that a
+    # note); spread=32 parallelizes the signature stage that a
     # one-file test stream would otherwise run on one core. Cell
     # count does not affect WHICH pairs are emitted — exact
     # bucket-hash matching lives in the in-state map — only the call
     # granularity; at production state volumes scale cells/partitions
-    # back up (docstring sizing rule).
+    # back up (docstring sizing rule). RocksDB state store measured
+    # and rejected at this volume (6.7s vs 5.4s pre-kernel).
     with state_partitions(spark, 4):
         stream = read_documents_stream(spark, sf_dir)
         out = streaming_minhash_candidates(
