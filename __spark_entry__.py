@@ -20,6 +20,7 @@ from biodwh2_arcadedb_server_spark.operators import (
     graph_queries,
     pipeline_queries,
     pipeline_queries2,
+    pipeline_queries3,
     relational,
     relational2,
     relational3,
@@ -96,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pooled.update(graph_queries.QUERIES)
     pooled.update(pipeline_queries.QUERIES)
     pooled.update(pipeline_queries2.QUERIES)
+    pooled.update(pipeline_queries3.QUERIES)
     pooled.update(dialect_queries.QUERIES)
     oracled = set(oracle_sql())
     priority = _compute_priority(list(pooled), oracled)
@@ -115,5 +117,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(graph_queries.ORACLE)
     out.update(pipeline_queries.ORACLE)
     out.update(pipeline_queries2.ORACLE)
+    out.update(pipeline_queries3.ORACLE)
     out.update(dialect_queries.ORACLE)
     return out

@@ -560,3 +560,82 @@ def near_dup_clusters(
             (F.coalesce("component", "node_id") == F.col("node_id")).alias("is_canonical"),
         )
     )
+
+
+# --- C2 adjacent: entity resolution — same-length typo pairs ----------------------
+def same_length_typo_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_col: str | None = None,
+    max_edits: int = 1,
+) -> DataFrame:
+    """Entity-resolution candidate pairs for SAME-LENGTH strings
+    within ``max_edits=1`` substitutions (typo detection — the
+    record-linkage staple for codes/names of fixed format), verified
+    with exact ``levenshtein``.
+
+    Scale plan = the Manku pigeonhole applied to strings: two
+    same-length strings within 1 substitution agree EXACTLY on the
+    first half OR the second half, so bucketing each string twice —
+    on (block, len, 'L', first half) and (block, len, 'R', second
+    half) — turns the quadratic compare into an equi-join whose
+    buckets are tiny under any real name distribution. Recall is a
+    guarantee (pigeonhole), not an estimate; candidates are verified
+    with ``levenshtein <= max_edits`` before leaving the bucket, so
+    precision is exact too. Insert/delete variants (length ±1) are
+    out of scope by declaration — that shape belongs to the n-gram
+    Jaccard path (``ngram_jaccard_pairs``).
+
+    An optional ``block_col`` (e.g. nation key) pre-partitions the
+    space — standard blocking, multiplies selectivity. One shuffle of
+    2×n fixed-width rows; pairs emitted bucket-locally.
+    """
+    n = F.length(name_col)
+    half = (n / 2).cast("int")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_name"),
+        (F.col(block_col).cast("string") if block_col else F.lit("")).alias("_blk"),
+        n.alias("_len"),
+        half.alias("_half"),
+    )
+    sides = base.select(
+        "_id", "_name", "_blk", "_len",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("L").alias("side"),
+                    F.col("_name").substr(F.lit(1), F.col("_half")).alias("key"),
+                ),
+                F.struct(
+                    F.lit("R").alias("side"),
+                    F.col("_name").substr(F.col("_half") + 1, F.col("_len")).alias("key"),
+                ),
+            )
+        ).alias("b"),
+    ).select("_id", "_name", "_blk", "_len", "b.side", "b.key")
+    a = sides.alias("a")
+    b = sides.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._len") == F.col("b._len"))
+            & (F.col("a.side") == F.col("b.side"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._name").alias("name_a"),
+            F.col("b._name").alias("name_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("edits", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edits") <= max_edits)
+        .select("id_a", "id_b", "edits")
+    )

@@ -152,8 +152,22 @@ def q140_expand_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node_id", "label", "natural_key")
 
 
+# --- B9/B11 through the dialect: GROUP BY + aggregates + ORDER/LIMIT -------------
+def q141_agg_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-typed aggregate SELECT: the dialect's GROUP BY / ORDER BY
+    / LIMIT path, compiled to one Spark SQL string."""
+    _register_star_workspace(spark, sf_dir)
+    return arcadesql.execute(
+        spark,
+        "SELECT o_orderstatus, count(*) AS n, "
+        "round(min(o_totalprice), 4) AS min_price "
+        "FROM Order GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    )
+
+
 QUERIES = {
     "q136_match_dialect": q136_match_dialect,
+    "q141_agg_dialect": q141_agg_dialect,
     "q137_traverse_dialect": q137_traverse_dialect,
     "q138_let_dialect": q138_let_dialect,
     "q139_degree_dialect": q139_degree_dialect,
@@ -161,6 +175,11 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q141_agg_dialect": """
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MIN(o_totalprice), 4) AS min_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "q136_match_dialect": """
         SELECT c.c_custkey AS c_custkey,
                CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
