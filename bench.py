@@ -161,6 +161,10 @@ HEADLINE = [
     "q138_let_dialect",
     "q139_degree_dialect",
     "q140_expand_dialect",
+    "q141_agg_dialect",
+    "q142_typo_pairs",
+    "q143_dataset_card",
+    "q144_minhash_estimate",
 ]
 
 # Streaming micro-batch drains, timed and reported separately: their
