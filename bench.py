@@ -165,6 +165,7 @@ HEADLINE = [
     "q142_typo_pairs",
     "q143_dataset_card",
     "q144_minhash_estimate",
+    "q145_graphql",
 ]
 
 # Streaming micro-batch drains, timed and reported separately: their

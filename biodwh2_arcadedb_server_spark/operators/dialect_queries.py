@@ -75,6 +75,8 @@ def _register_star_workspace(spark: SparkSession, sf_dir: str) -> None:
         (F.col("l_partkey") * 3 + 2).cast("long").alias("dst"),
         F.lit("CONTAINS").alias("label"),
     )
+    placed.createOrReplaceTempView("e_PLACED")
+    contains.createOrReplaceTempView("e_CONTAINS")
     placed.unionByName(contains).createOrReplaceTempView("edges")
 
     nodes = (
@@ -165,9 +167,42 @@ def q141_agg_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B20: GraphQL read surface, driver-checkable ---------------------------------
+def q145_graphql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-typed GraphQL document through graphql.execute — root
+    scan + argument pushdown + one nested edge join aggregated to a
+    sorted array<struct>, compiled to ONE DataFrame plan. The nested
+    array is stringified for the driver canonicalizer (struct sort
+    is by field order; o_orderkey leads and is unique)."""
+    from biodwh2_arcadedb_server_spark import graphql
+
+    _register_star_workspace(spark, sf_dir)
+    out = graphql.execute(
+        spark,
+        "{ Customer { c_custkey c_acctbal "
+        "placed { o_orderkey o_orderstatus } } }",
+    )
+    return out.where(F.col("c_custkey") <= 40).select(
+        "c_custkey",
+        F.round("c_acctbal", 4).alias("c_acctbal"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                "placed",
+                lambda s: F.concat_ws(
+                    ":",
+                    s["o_orderkey"].cast("string"),
+                    s["o_orderstatus"],
+                ),
+            ),
+        ).alias("orders_repr"),
+    )
+
+
 QUERIES = {
     "q136_match_dialect": q136_match_dialect,
     "q141_agg_dialect": q141_agg_dialect,
+    "q145_graphql": q145_graphql,
     "q137_traverse_dialect": q137_traverse_dialect,
     "q138_let_dialect": q138_let_dialect,
     "q139_degree_dialect": q139_degree_dialect,
@@ -179,6 +214,17 @@ ORACLE = {
         SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
                ROUND(MIN(o_totalprice), 4) AS min_price
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "q145_graphql": """
+        SELECT c.c_custkey,
+               ROUND(c.c_acctbal, 4) AS c_acctbal,
+               COALESCE(string_agg(
+                   CAST(o.o_orderkey AS VARCHAR) || ':' || o.o_orderstatus,
+                   ';' ORDER BY o.o_orderkey), '') AS orders_repr
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey <= 40
+        GROUP BY c.c_custkey, c.c_acctbal
     """,
     "q136_match_dialect": """
         SELECT c.c_custkey AS c_custkey,
