@@ -161,6 +161,25 @@ def test_traverse_mixed_labels_stay_per_step(graph_ws):
     assert _ids(df) == [4, 5, 12]
 
 
+def test_traverse_both_direction(graph_ws):
+    # both('KNOWS') from p3 at depth 1: out 3->4, in {1,2}->3
+    df = execute(
+        graph_ws,
+        "TRAVERSE both('KNOWS') FROM (SELECT FROM Person WHERE age = 30) MAXDEPTH 1",
+    )
+    assert _ids(df) == [1, 2, 3, 4]
+
+
+def test_match_both_step(graph_ws):
+    # .both('KNOWS') from p3 matches neighbors in either direction
+    df = execute(
+        graph_ws,
+        "MATCH {type: Person, as: p, where: (age = 30)}.both('KNOWS')"
+        "{type: Person, as: q} RETURN q.name AS name ORDER BY name",
+    )
+    assert [r.name for r in df.collect()] == ["p1", "p2", "p4"]
+
+
 def test_traverse_unlabeled_step_follows_all_edges(graph_ws):
     # unlabeled out() from p4 follows BOTH edge types
     df = execute(
