@@ -209,6 +209,13 @@ class _Parser:
             )
         return t
 
+    def _int(self, what: str) -> int:
+        t = self.expect("number")
+        try:
+            return int(t.text)
+        except ValueError as exc:
+            raise ArcadeSQLError(f"{what} must be an integer, got {t.text}") from exc
+
     def _name(self, what: str) -> str:
         """A type or edge-label name — may collide with a keyword
         (e.g. the ArcadeDB-typical labels ``Order``, ``CONTAINS``).
@@ -302,9 +309,9 @@ class _Parser:
                 if not self.accept("op", ","):
                     break
         if self.accept("kw", "skip"):
-            m.skip = int(self.expect("number").text)
+            m.skip = self._int("SKIP")
         if self.accept("kw", "limit"):
-            m.limit = int(self.expect("number").text)
+            m.limit = self._int("LIMIT")
         return m
 
     def _node_pattern(self) -> dict:
@@ -397,7 +404,7 @@ class _Parser:
         self.expect("op", ")")
         maxdepth = None
         if self.accept("kw", "maxdepth"):
-            maxdepth = int(self.expect("number").text)
+            maxdepth = self._int("MAXDEPTH")
         return _Traverse(steps=steps, inner=inner, maxdepth=maxdepth)
 
     def _select(self) -> _Select:
@@ -476,12 +483,12 @@ class _Parser:
                 if not self.accept("op", ","):
                     break
         if self.accept("kw", "skip"):
-            sel.skip = int(self.expect("number").text)
+            sel.skip = self._int("SKIP")
         if self.accept("kw", "limit"):
-            sel.limit = int(self.expect("number").text)
+            sel.limit = self._int("LIMIT")
         # ArcadeDB also allows LIMIT before SKIP; accept a trailing SKIP
         if sel.skip is None and self.accept("kw", "skip"):
-            sel.skip = int(self.expect("number").text)
+            sel.skip = self._int("SKIP")
         return sel
 
     # -- expressions (precedence: OR < AND < NOT < cmp < add < mul < unary)

@@ -291,3 +291,39 @@ def test_dml_rejected():
 def test_unsupported_function_rejected():
     with pytest.raises(ArcadeSQLError, match="unsupported function"):
         translate("SELECT sketchy(name) FROM Person")
+
+
+# ---------------------------------------------------------------- totality
+def test_parser_total_on_arbitrary_input():
+    """Any input must either translate or raise ArcadeSQLError — never
+    a raw IndexError/ValueError/RecursionError leaking from the
+    parser (the server surfaces these messages to HTTP clients)."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        import pytest as _pytest
+
+        _pytest.skip("hypothesis not installed")
+
+    fragments = st.sampled_from(
+        ["SELECT", "FROM", "WHERE", "MATCH", "TRAVERSE", "LET", "RETURN",
+         "out", "in", "both", "(", ")", "{", "}", "-", "->", "<-", "'x'",
+         "1", "1.5", "$v", "@rid", "*", ",", "name", "Person", "AND",
+         "LIMIT", "SKIP", "GROUP", "ORDER", "BY", "=", "AS", ":", "."]
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(fragments, min_size=1, max_size=12).map(" ".join))
+    def run(sql):
+        try:
+            translate(sql)
+        except ArcadeSQLError:
+            pass
+
+    run()
+
+
+def test_limit_float_is_clean_error():
+    with pytest.raises(ArcadeSQLError, match="integer"):
+        translate("SELECT name FROM Person LIMIT 1.5")
