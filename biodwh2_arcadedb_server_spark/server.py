@@ -122,7 +122,25 @@ class QueryServer:
 
                         df = execute(server.spark, req["query"]).limit(limit)
                     else:
-                        df = server.spark.sql(req["sql"]).limit(limit)
+                        # The reference's endpoint speaks the ArcadeDB
+                        # dialect (ArcadeDBService.java:81-105).
+                        # `language: "arcadedb"` routes straight to the
+                        # dialect; default is Spark SQL with a dialect
+                        # FALLBACK on parse failure, so Studio-style
+                        # statements (`SELECT FROM Type`, TRAVERSE,
+                        # MATCH) work out of the box without breaking
+                        # Spark SQL clients.
+                        from biodwh2_arcadedb_server_spark import arcadesql
+
+                        lang = req.get("language", "sql")
+                        if lang == "arcadedb":
+                            df = arcadesql.execute(server.spark, req["sql"])
+                        else:
+                            try:
+                                df = server.spark.sql(req["sql"])
+                            except Exception:
+                                df = arcadesql.execute(server.spark, req["sql"])
+                        df = df.limit(limit)
                     rows = [[None if v is None else str(v) for v in r] for r in df.collect()]
                     self._reply(200, {"columns": df.columns, "rows": rows})
                 except Exception as exc:  # bad queries must not kill the server

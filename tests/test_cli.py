@@ -109,3 +109,60 @@ def test_concurrent_two_client_serving(spark, sf_small):
         assert post("SELECT 1 AS one")["rows"] == [["1"]]
     finally:
         srv.stop()
+
+
+def test_server_speaks_arcadedb_dialect(spark, sf_small):
+    """Reference parity (ArcadeDBService.java:81-105): the /query
+    endpoint accepts ArcadeDB-dialect statements — explicitly via
+    language=arcadedb, and via the parse-failure fallback for
+    Studio-style text Spark SQL cannot parse (SELECT FROM Type,
+    TRAVERSE)."""
+    import base64
+    import json
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from biodwh2_arcadedb_server_spark.server import QueryServer
+
+    persons = spark.createDataFrame(
+        [(1, "Person", "1", "pa", 10), (2, "Person", "2", "pb", 20)],
+        "node_id long, label string, natural_key string, name string, age long",
+    )
+    persons.createOrReplaceTempView("n_Person")
+    spark.createDataFrame(
+        [(1, 2, "KNOWS")], "src long, dst long, label string"
+    ).createOrReplaceTempView("edges")
+    persons.select(
+        "node_id", "label", "natural_key", F.create_map().alias("props")
+    ).createOrReplaceTempView("nodes")
+
+    srv = QueryServer(spark)
+    port = srv.start()
+    auth = base64.b64encode(f"{srv.username}:{srv.password}".encode()).decode()
+
+    def post(payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query",
+            data=json.dumps(payload).encode(),
+            headers={"Authorization": f"Basic {auth}"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+
+    try:
+        # explicit dialect routing
+        out = post({"sql": "SELECT name FROM Person WHERE age = 20",
+                    "language": "arcadedb"})
+        assert out["rows"] == [["pb"]]
+        # fallback: ArcadeDB shorthand Spark SQL cannot parse
+        out = post({"sql": "SELECT FROM Person WHERE age = 10"})
+        assert out["columns"][:2] == ["node_id", "label"] and len(out["rows"]) == 1
+        # fallback covers TRAVERSE too
+        out = post({"sql": "TRAVERSE out('KNOWS') FROM (SELECT FROM Person WHERE age = 10)"})
+        assert sorted(r[0] for r in out["rows"]) == ["1", "2"]
+        # plain Spark SQL still first-class
+        assert post({"sql": "SELECT 2 AS two"})["rows"] == [["2"]]
+    finally:
+        srv.stop()
