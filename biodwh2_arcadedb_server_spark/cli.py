@@ -116,15 +116,27 @@ def main(argv: list[str] | None = None) -> int:
             if not sql:
                 break
             try:
-                spark.sql(sql).show(50, truncate=False)
+                _run_sql(spark, sql).show(50, truncate=False)
             except Exception as exc:  # keep the loop alive on bad SQL
                 print(f"error: {exc}", file=sys.stderr)
         if srv is not None:
             srv.stop()
     if args.cmd == "query":
         load_workspace(spark, args.workspace)
-        spark.sql(args.sql).show(100, truncate=False)
+        _run_sql(spark, args.sql).show(100, truncate=False)
     return 0
+
+
+def _run_sql(spark, sql: str):
+    """Spark SQL first, ArcadeDB dialect on parse failure — the same
+    routing the embedded server uses, so the REPL and `query` accept
+    Studio-style statements (SELECT FROM Type, TRAVERSE, MATCH)."""
+    try:
+        return spark.sql(sql)
+    except Exception:
+        from biodwh2_arcadedb_server_spark import arcadesql
+
+        return arcadesql.execute(spark, sql)
 
 
 if __name__ == "__main__":
