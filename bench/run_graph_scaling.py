@@ -63,6 +63,15 @@ def main() -> None:
                 _pagerank_oracle(10, 0.85, None, graph_sql=gsql),
             ),
         }
+        if mult >= 100_000 and os.environ.get("GS_INCLUDE_HITS"):
+            # HITS-only pass at the top scale (pagerank already has
+            # its gx100000 point; one probe fits the run budget)
+            probes = {
+                "graph_hits": (
+                    lambda e=edges: hits(e, iterations=10),
+                    _hits_oracle(10, graph_sql=gsql),
+                )
+            }
         if mult < 100_000:
             probes["graph_hits"] = (
                 lambda e=edges: hits(e, iterations=10),
