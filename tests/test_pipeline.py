@@ -310,3 +310,39 @@ def test_minhash_kernel_matches_hof(spark, sf_small):
         b = {r._id: list(r.sig)
              for r in dedup._minhash_signatures_hof(sh, 32).collect()}
         assert a == b
+
+
+def test_typo_pairs_pigeonhole_semantics(spark):
+    """same_length_typo_pairs: finds 1-substitution pairs whether the
+    edit falls on an even or odd position, excludes 2-edit pairs and
+    cross-block pairs, and never pairs different lengths."""
+    df = spark.createDataFrame(
+        [
+            (1, "widget-a", 0),   # pairs with 2 (odd-pos edit) and 3 (even-pos edit)
+            (2, "widget-b", 0),
+            (3, "wadget-a", 0),
+            (4, "wodget-b", 0),   # 2 edits from 1; 1 edit from 2 and 3? w-o-d...
+            (5, "widget-a", 1),   # same name, different block: excluded
+            (6, "widget", 0),     # different length: excluded
+        ],
+        "id long, name string, blk int",
+    )
+    got = {
+        (r.id_a, r.id_b): r.edits
+        for r in dedup.same_length_typo_pairs(df, "id", "name", "blk").collect()
+    }
+    # exact expectation from levenshtein within block 0, same length:
+    import itertools
+
+    def lev_ok(a, b):
+        return sum(x != y for x, y in zip(a, b)) <= 1  # same length => substitutions
+
+    names = {1: "widget-a", 2: "widget-b", 3: "wadget-a", 4: "wodget-b"}
+    expect = {
+        (a, b): sum(x != y for x, y in zip(names[a], names[b]))
+        for a, b in itertools.combinations(sorted(names), 2)
+        if lev_ok(names[a], names[b])
+    }
+    assert got == expect
+    assert all(e <= 1 for e in got.values())
+    assert not any(5 in p or 6 in p for p in got)
