@@ -515,6 +515,16 @@ class _Parser:
     def _cmp(self, sel: _Select) -> str:
         left = self._add(sel)
         t = self.peek()
+        if t.kind == "arrow":
+            # `<-`/`->` lex as MATCH arrows everywhere; in expression
+            # context re-split into operator chars so `age<-1` parses
+            # as `age < -1` (valid ArcadeDB SQL — ADVICE r4). MATCH
+            # edge steps consume arrow tokens before reaching here.
+            self.toks[self.i : self.i + 1] = [
+                _Tok("op", t.text[0]),
+                _Tok("op", t.text[1]),
+            ]
+            t = self.peek()
         if t.kind == "op" and t.text in ("=", "<>", "!=", "<", "<=", ">", ">="):
             op = self.next().text
             if op == "!=":
@@ -533,7 +543,20 @@ class _Parser:
             rhs = self._add(sel)
             if rhs.startswith("array("):
                 return f"({left} IN ({rhs[len('array('):-1]}))"
-            return f"array_contains({rhs}, {left})"
+            if rhs.startswith("(SELECT"):
+                # IN-subquery (ArcadeDB supports it; previously this
+                # miscompiled to array_contains(<scalar subquery>, x)
+                # — VERDICT r4). `rhs` carries exactly one paren layer
+                # from _primary, so this emits `x IN (SELECT ...)`.
+                return f"({left} IN {rhs})"
+            if rhs.startswith("__LET_"):
+                # $var bound to a [list] — the documented collection
+                # membership path; shape is checked after inlining.
+                return f"array_contains({rhs}, {left})"
+            raise ArcadeSQLError(
+                "IN requires a [list], a (SELECT ...) subquery, or a "
+                f"$var list binding; got expression {rhs!r}"
+            )
         if t.kind == "kw" and t.text == "between":
             self.next()
             lo = self._add(sel)
@@ -620,6 +643,10 @@ class _Parser:
             # (a leading in('E') graph projection lexes `in` as keyword)
             name = self.next().text
             low = name.lower()
+            if re.fullmatch(r"__LET_\w+__", name):
+                # reserved: the LET-inlining sentinel (hardening —
+                # a property with this name would be rewritten)
+                raise ArcadeSQLError(f"reserved identifier {name}")
             if low in ("oute", "ine", "bothe") and self.peek().text == "(":
                 # scalar-position outE/inE/bothE: identical multiset
                 # cardinality to out/in/both in this encoding (the
@@ -700,6 +727,44 @@ class _Parser:
 
 
 # ---------------------------------------------------------------- compiler
+_STRING_SPAN_RE = re.compile(r"('(?:[^'\\]|\\.)*')")
+
+
+def _replace_outside_strings(sql: str, needle: str, repl: str) -> str:
+    """Replace ``needle`` only OUTSIDE single-quoted SQL literals, so
+    a user string containing the LET sentinel pattern is never
+    rewritten (ADVICE r4: the old whole-string replace was textual)."""
+    parts = _STRING_SPAN_RE.split(sql)
+    return "".join(
+        p if i % 2 else p.replace(needle, repl) for i, p in enumerate(parts)
+    )
+
+
+def _finalize_lets(sql: str, sel: _Select) -> str:
+    """Inline LET bindings (in definition order, so later bindings may
+    reference earlier $vars) and reject any unbound $var. Applied to
+    EVERY return path of _compile_select — the outE/inE/bothE expand
+    branch used to return early and skip it (ADVICE r4). Substitution
+    and the unbound check both skip string-literal spans."""
+    if sel.lets:
+        resolved: dict[str, str] = {}
+        for name, binding in sel.lets.items():
+            for prev, val in resolved.items():
+                binding = _replace_outside_strings(
+                    binding, f"__LET_{prev}__", f"({val})"
+                )
+            resolved[name] = binding
+        for name, val in resolved.items():
+            sql = _replace_outside_strings(sql, f"__LET_{name}__", f"({val})")
+    bare = _STRING_SPAN_RE.sub("''", sql)
+    if "__LET_" in bare:
+        unbound = re.search(r"__LET_(\w+)__", bare)
+        raise ArcadeSQLError(
+            f"unbound context variable ${unbound.group(1)} (no LET binding)"
+        )
+    return sql
+
+
 def _compile_select(sel: _Select) -> str:
     if sel.subquery is not None:
         source = f"({_compile_select(sel.subquery)}) __self"
@@ -736,7 +801,7 @@ def _compile_select(sel: _Select) -> str:
                 sql += f" LIMIT {sel.limit}"
             if sel.skip:
                 sql += f" OFFSET {sel.skip}"
-            return sql
+            return _finalize_lets(sql, sel)
         legs = []
         if d in ("out", "both"):
             legs.append(
@@ -771,24 +836,10 @@ def _compile_select(sel: _Select) -> str:
         sql += f" LIMIT {sel.limit}"
     if sel.skip:
         sql += f" OFFSET {sel.skip}"
-    if sel.lets:
-        # Inline LET bindings (in definition order, so later bindings
-        # may reference earlier $vars). An uncorrelated (SELECT agg)
-        # binding inlines as a scalar subquery — Catalyst evaluates it
-        # once and broadcasts the 1-row result.
-        resolved: dict[str, str] = {}
-        for name, binding in sel.lets.items():
-            for prev, val in resolved.items():
-                binding = binding.replace(f"__LET_{prev}__", f"({val})")
-            resolved[name] = binding
-        for name, val in resolved.items():
-            sql = sql.replace(f"__LET_{name}__", f"({val})")
-    if "__LET_" in sql:
-        unbound = re.search(r"__LET_(\w+)__", sql)
-        raise ArcadeSQLError(
-            f"unbound context variable ${unbound.group(1)} (no LET binding)"
-        )
-    return sql
+    # An uncorrelated (SELECT agg) LET binding inlines as a scalar
+    # subquery — Catalyst evaluates it once and broadcasts the 1-row
+    # result.
+    return _finalize_lets(sql, sel)
 
 
 _AGG_RE = re.compile(r"\b(count|sum|avg|min|max|first|last)\s*\(", re.I)

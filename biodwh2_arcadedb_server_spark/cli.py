@@ -128,15 +128,26 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _run_sql(spark, sql: str):
-    """Spark SQL first, ArcadeDB dialect on parse failure — the same
-    routing the embedded server uses, so the REPL and `query` accept
-    Studio-style statements (SELECT FROM Type, TRAVERSE, MATCH)."""
+    """Spark SQL first, ArcadeDB dialect on PARSE failure only — the
+    same routing the embedded server uses, so the REPL and `query`
+    accept Studio-style statements (SELECT FROM Type, TRAVERSE,
+    MATCH). A query that parses as Spark SQL but fails (a misspelled
+    column, say) still tries the dialect — `SELECT out('E') FROM
+    Customer` parses as Spark SQL yet only analyzes through the
+    dialect — but when the dialect path ALSO fails, the user sees the
+    REAL Spark error, not an unrelated dialect parse error
+    (ADVICE r4)."""
+    from pyspark.errors import AnalysisException, ParseException
+
     try:
         return spark.sql(sql)
-    except Exception:
+    except (ParseException, AnalysisException) as orig:
         from biodwh2_arcadedb_server_spark import arcadesql
 
-        return arcadesql.execute(spark, sql)
+        try:
+            return arcadesql.execute(spark, sql)
+        except Exception:
+            raise orig
 
 
 if __name__ == "__main__":

@@ -571,31 +571,40 @@ def same_length_typo_pairs(
     max_edits: int = 1,
 ) -> DataFrame:
     """Entity-resolution candidate pairs for SAME-LENGTH strings
-    within ``max_edits=1`` substitutions (typo detection — the
+    within ``max_edits`` substitutions (typo detection — the
     record-linkage staple for codes/names of fixed format), verified
     with exact ``levenshtein``.
 
     Scale plan = the Manku pigeonhole applied to strings: partition
-    the character POSITIONS into two classes — one substitution
-    changes exactly one position, so the pair agrees EXACTLY on the
-    other class. The classes are the even- and odd-parity positions
-    (interleaved), NOT the first/last halves: real identifier
-    distributions share long prefixes ("Customer#00…"), which makes
-    a contiguous-half key degenerate into one giant bucket (measured
-    6.4s at sf0.1), while interleaving spreads the discriminating
-    suffix digits across BOTH keys (measured bucket sizes drop from
-    ~600 to ~10s). Bucketing each string twice on (block, len,
-    parity, key) turns the quadratic compare into an equi-join of
-    2×n fixed-width rows. Recall is a guarantee (pigeonhole), not an
-    estimate; candidates are verified with ``levenshtein <=
-    max_edits`` before leaving the bucket, so precision is exact
-    too. Insert/delete variants (length ±1) are out of scope by
+    the character POSITIONS into ``max_edits + 1`` round-robin
+    classes — ``d`` substitutions touch at most ``d`` positions, so
+    by pigeonhole the pair agrees EXACTLY on at least one untouched
+    class. The classes interleave (positions ``c+1, c+1+m, …`` for
+    class ``c``, ``m = max_edits + 1``), NOT contiguous chunks: real
+    identifier distributions share long prefixes ("Customer#00…"),
+    which makes a contiguous-chunk key degenerate into one giant
+    bucket (measured 6.4s at sf0.1), while interleaving spreads the
+    discriminating suffix digits across ALL keys (measured bucket
+    sizes drop from ~600 to ~10s). For ``max_edits=1`` this is
+    exactly the even/odd-parity split. Bucketing each string ``m``
+    times on (block, len, class, key) turns the quadratic compare
+    into an equi-join of ``m×n`` fixed-width rows. Recall is a
+    guarantee (pigeonhole), not an estimate; candidates are verified
+    with ``levenshtein <= max_edits`` before leaving the bucket, so
+    precision is exact too. Strings shorter than a class's first
+    position get an empty key for that class — they still bucket
+    together (empty==empty), so short names keep the recall
+    guarantee rather than crashing the sequence bounds.
+    Insert/delete variants (length ±1) are out of scope by
     declaration — that shape belongs to the n-gram Jaccard path
     (``ngram_jaccard_pairs``).
 
     An optional ``block_col`` (e.g. nation key) pre-partitions the
     space — standard blocking, multiplies selectivity.
     """
+    if max_edits < 1:
+        raise ValueError(f"max_edits must be >= 1, got {max_edits}")
+    m = max_edits + 1
     n = F.length(name_col)
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -604,22 +613,29 @@ def same_length_typo_pairs(
         n.alias("_len"),
     )
 
-    def _parity_key(start: int):
-        # chars at positions start, start+2, ... (1-based)
-        return F.concat_ws(
+    def _class_key(c: int):
+        # chars at 1-based positions c+1, c+1+m, …; empty when the
+        # string never reaches the first position (sequence() would
+        # throw on descending bounds, and empty keys still bucket).
+        key = F.concat_ws(
             "",
             F.transform(
-                F.sequence(F.lit(start), F.col("_len"), F.lit(2)),
+                F.sequence(F.lit(c + 1), F.col("_len"), F.lit(m)),
                 lambda i: F.col("_name").substr(i, F.lit(1)),
             ),
         )
+        return F.when(F.col("_len") >= c + 1, key).otherwise(F.lit(""))
 
     sides = base.select(
         "_id", "_name", "_blk", "_len",
         F.explode(
             F.array(
-                F.struct(F.lit("E").alias("side"), _parity_key(1).alias("key")),
-                F.struct(F.lit("O").alias("side"), _parity_key(2).alias("key")),
+                *[
+                    F.struct(
+                        F.lit(str(c)).alias("side"), _class_key(c).alias("key")
+                    )
+                    for c in range(m)
+                ]
             )
         ).alias("b"),
     ).select("_id", "_name", "_blk", "_len", "b.side", "b.key")

@@ -132,14 +132,28 @@ class QueryServer:
                         # Spark SQL clients.
                         from biodwh2_arcadedb_server_spark import arcadesql
 
+                        from pyspark.errors import (
+                            AnalysisException,
+                            ParseException,
+                        )
+
                         lang = req.get("language", "sql")
                         if lang == "arcadedb":
                             df = arcadesql.execute(server.spark, req["sql"])
                         else:
                             try:
                                 df = server.spark.sql(req["sql"])
-                            except Exception:
-                                df = arcadesql.execute(server.spark, req["sql"])
+                            except (ParseException, AnalysisException) as orig:
+                                # try the dialect, but when IT fails
+                                # too surface the REAL Spark error
+                                # (e.g. 'column not found'), not an
+                                # unrelated dialect parse error
+                                try:
+                                    df = arcadesql.execute(
+                                        server.spark, req["sql"]
+                                    )
+                                except Exception:
+                                    raise orig
                         df = df.limit(limit)
                     rows = [[None if v is None else str(v) for v in r] for r in df.collect()]
                     self._reply(200, {"columns": df.columns, "rows": rows})

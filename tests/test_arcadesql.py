@@ -310,7 +310,8 @@ def test_parser_total_on_arbitrary_input():
         ["SELECT", "FROM", "WHERE", "MATCH", "TRAVERSE", "LET", "RETURN",
          "out", "in", "both", "(", ")", "{", "}", "-", "->", "<-", "'x'",
          "1", "1.5", "$v", "@rid", "*", ",", "name", "Person", "AND",
-         "LIMIT", "SKIP", "GROUP", "ORDER", "BY", "=", "AS", ":", "."]
+         "LIMIT", "SKIP", "GROUP", "ORDER", "BY", "=", "AS", ":", ".",
+         "IN", "<", "-1", "expand", "outE", "shortestPath"]
     )
 
     @settings(max_examples=300, deadline=None)
@@ -327,3 +328,66 @@ def test_parser_total_on_arbitrary_input():
 def test_limit_float_is_clean_error():
     with pytest.raises(ArcadeSQLError, match="integer"):
         translate("SELECT name FROM Person LIMIT 1.5")
+
+
+# ---------------------------------------------------------------- r5 fixes
+def test_unspaced_negative_literal_not_arrow(graph_ws):
+    """`x<-1` is a comparison with a negative literal, not a MATCH
+    in-arrow (ADVICE r4 regression)."""
+    df = execute(graph_ws, "SELECT name FROM Person WHERE 0-age<-25")
+    assert sorted(r.name for r in df.collect()) == ["p3", "p4", "p5"]
+    # the plain spaced form still works identically
+    df2 = execute(graph_ws, "SELECT name FROM Person WHERE 0 - age < -25")
+    assert sorted(r.name for r in df2.collect()) == ["p3", "p4", "p5"]
+
+
+def test_in_subquery(graph_ws):
+    """IN (SELECT ...) compiles to a real SQL IN-subquery (VERDICT r4:
+    it used to miscompile to array_contains(<scalar subquery>, x))."""
+    sql = "SELECT name FROM Person WHERE @rid IN (SELECT @rid FROM Person WHERE age >= 30)"
+    assert "IN (SELECT" in translate(sql)
+    df = execute(graph_ws, sql)
+    assert sorted(r.name for r in df.collect()) == ["p3", "p4", "p5"]
+
+
+def test_in_scalar_rhs_raises(graph_ws):
+    """parser-totality: a non-list, non-subquery IN RHS is a clean
+    ArcadeSQLError, never a silently-miscompiled array_contains."""
+    with pytest.raises(ArcadeSQLError, match="IN requires"):
+        translate("SELECT name FROM Person WHERE age IN 5")
+    with pytest.raises(ArcadeSQLError, match="IN requires"):
+        translate("SELECT name FROM Person WHERE age IN name")
+
+
+def test_expand_with_let_binding(graph_ws):
+    """The outE expand branch must run LET inlining too (ADVICE r4:
+    it returned early and leaked the __LET__ sentinel)."""
+    df = execute(
+        graph_ws,
+        "SELECT expand(outE('KNOWS')) FROM Person LET $a = 30 WHERE age >= $a",
+    )
+    assert sorted((r.src, r.dst) for r in df.collect()) == [(3, 4), (4, 5)]
+
+
+def test_expand_with_unbound_let_raises(graph_ws):
+    with pytest.raises(ArcadeSQLError, match="unbound context variable"):
+        translate("SELECT expand(outE('KNOWS')) FROM Person WHERE age > $nope")
+
+
+def test_let_sentinel_in_string_literal_untouched(graph_ws):
+    """LET substitution is string-literal-aware: a user literal that
+    happens to contain the sentinel pattern is not rewritten."""
+    df = execute(
+        graph_ws,
+        "SELECT name FROM Person LET $v = 10 "
+        "WHERE name <> '__LET_v__' AND age > 30 + $v",
+    )
+    assert sorted(r.name for r in df.collect()) == ["p5"]
+    # and a sentinel-looking literal alone must not trip the unbound check
+    out = translate("SELECT name FROM Person WHERE name = '__LET_x__'")
+    assert "'__LET_x__'" in out
+
+
+def test_let_sentinel_identifier_rejected():
+    with pytest.raises(ArcadeSQLError, match="reserved"):
+        translate("SELECT __LET_v__ FROM Person")

@@ -346,3 +346,55 @@ def test_typo_pairs_pigeonhole_semantics(spark):
     assert got == expect
     assert all(e <= 1 for e in got.values())
     assert not any(5 in p or 6 in p for p in got)
+
+
+def test_typo_pairs_short_strings_and_empty(spark):
+    """Names of length 0 and 1 must not crash the sequence bounds
+    (ADVICE r4): they fall into the empty-key bucket for classes
+    their length cannot reach and still pair correctly."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, ""), (4, ""), (5, "ab"), (6, "cb")],
+        "id long, name string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.edits
+        for r in dedup.same_length_typo_pairs(df, "id", "name").collect()
+    }
+    # len-1 pair (1,2): 1 substitution. Empty pair (3,4): 0 edits.
+    # len-2 pair (5,6): 1 substitution at position 1.
+    assert got == {(1, 2): 1, (3, 4): 0, (5, 6): 1}
+
+
+def test_typo_pairs_max_edits_2_pigeonhole(spark):
+    """max_edits=2 uses 3 round-robin classes, so a pair whose two
+    edits land in DIFFERENT parity classes is still recalled
+    (ADVICE r4: the old even/odd split silently dropped these)."""
+    # "abcdef" vs "Xbcdef" with edits at positions 1 and 2 (adjacent
+    # => different parity classes under the old 2-class split).
+    df = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "XYcdefgh"), (3, "abcdefgh"), (4, "aXcdeYgh")],
+        "id long, name string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.edits
+        for r in dedup.same_length_typo_pairs(df, "id", "name",
+                                              max_edits=2).collect()
+    }
+    # (1,2): edits at pos 1,2 (adjacent). (3,4): edits at pos 2,6.
+    # (1,3): identical = 0 edits. (1,4)/(2,3)/(3,2)... check exact:
+    import itertools
+    names = {1: "abcdefgh", 2: "XYcdefgh", 3: "abcdefgh", 4: "aXcdeYgh"}
+    expect = {
+        (a, b): sum(x != y for x, y in zip(names[a], names[b]))
+        for a, b in itertools.combinations(sorted(names), 2)
+        if sum(x != y for x, y in zip(names[a], names[b])) <= 2
+    }
+    assert got == expect
+    assert (1, 2) in got  # the adjacent-edit pair the old split missed
+
+
+def test_typo_pairs_max_edits_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup.same_length_typo_pairs(df, "id", "name", max_edits=0)
