@@ -12,8 +12,10 @@ oracle emits the same rows with TRUE. Candidate sets stay
 collision-dependent; the contract is what the driver checks, and the
 pytest pins (tests/test_pipeline.py) still assert the stronger
 set-level properties at small SF. Bounds are set from measured
-recall at sf0.01 AND sf0.1 with margin (see each probe). Only
-q84 (streaming candidate order) remains rows-only by declaration.
+recall at sf0.01 AND sf0.1 with margin (see each probe). q84 — the
+registry's last rows-only probe through r4 — now carries the same
+contract shape (exact pair rows + batch-parity/recall booleans), so
+every registered probe is driver-oracled.
 """
 
 from __future__ import annotations
@@ -110,12 +112,25 @@ def q104_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- C2 × C7: streaming MinHash near-dup candidates (rows-only) -------------------
+# --- C2 × C7: streaming MinHash near-dup candidates (tolerance-contract oracle) ---
 def q84_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the documents stream through the stateful band-bucket
-    store (streaming/neardup.py) and return the distinct candidate
-    pairs — pinned equal to the batch LSH join by
-    tests/test_streaming_neardup.py."""
+    store (streaming/neardup.py), then emit the driver-checkable
+    CONTRACT (the r4 ANN pattern, closing the registry's last
+    rows-only hole): rows are the exact n-gram-Jaccard pair set
+    (deterministic, DuckDB-computable — q26's truth) and two
+    aggregate booleans the oracle asserts TRUE —
+
+    - ``batch_parity``: the streamed candidate set is EXACTLY the
+      batch LSH join's candidate set at the same (k=3, 32 hashes,
+      8×4 banding) parameters — the tests/test_streaming_neardup.py
+      pin, now driver-visible (state carried across micro-batches
+      loses and invents nothing);
+    - ``recall_ok``: streamed candidates cover >= 0.95 of the exact
+      pairs (measured 1.0 at sf0.01 and sf0.1 — candidates are the
+      pre-verification superset, so recall here is >= q27's verified
+      recall, same P(miss) ≈ (1-j^4)^8 analysis).
+    """
     import tempfile
 
     from biodwh2_arcadedb_server_spark.streaming import state_partitions
@@ -154,7 +169,32 @@ def q84_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.table("q84_pairs").select("id_a", "id_b").dropDuplicates()
+    stream_pairs = (
+        spark.table("q84_pairs").select("id_a", "id_b").dropDuplicates()
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = (
+        dedup.ngram_jaccard_pairs(d, "doc_id", "text", JACCARD_K, JACCARD_THRESHOLD)
+        .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=False)
+    )
+    sigs = dedup.minhash_signatures(d, "doc_id", "text", JACCARD_K, 32)
+    batch_pairs = dedup.lsh_candidate_pairs(sigs, bands=8, rows=4)
+    only_stream = stream_pairs.join(batch_pairs, ["id_a", "id_b"], "left_anti")
+    only_batch = batch_pairs.join(stream_pairs, ["id_a", "id_b"], "left_anti")
+    hits = exact.join(stream_pairs, ["id_a", "id_b"], "left_semi")
+    flags = (
+        only_stream.agg(F.count("*").alias("_os"))
+        .crossJoin(only_batch.agg(F.count("*").alias("_ob")))
+        .crossJoin(hits.agg(F.count("*").alias("_nh")))
+        .crossJoin(exact.agg(F.count("*").alias("_nt")))
+        .select(
+            ((F.col("_os") == 0) & (F.col("_ob") == 0)).alias("batch_parity"),
+            (F.col("_nh") / F.greatest("_nt", F.lit(1)) >= 0.95).alias("recall_ok"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(flags))
 
 
 # --- C7: custom stateful session windows, drained end-to-end (oracled) -----------
@@ -487,6 +527,21 @@ ORACLE = {
             GROUP BY 1, 2, 3, 4)
         SELECT id_a, id_b,
                ROUND(inter * 1.0 / (sa + sb - inter), 4) AS jaccard
+        FROM pairs WHERE inter * 1.0 / (sa + sb - inter) >= {JACCARD_THRESHOLD}
+    """,
+    # tolerance contract: exact pair set + booleans the Spark side
+    # must have proven (streaming==batch candidate parity, recall)
+    "q84_stream_neardup": f"""
+        WITH sh AS ({_SHINGLES}),
+        inv AS (SELECT doc_id, len(g) AS sz, UNNEST(g) AS gram FROM sh),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+                   COUNT(*) AS inter
+            FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b,
+               ROUND(inter * 1.0 / (sa + sb - inter), 4) AS jaccard,
+               TRUE AS batch_parity, TRUE AS recall_ok
         FROM pairs WHERE inter * 1.0 / (sa + sb - inter) >= {JACCARD_THRESHOLD}
     """,
     # tolerance contract: exact pair set + booleans the Spark side
