@@ -9,7 +9,9 @@ for genuinely non-SQL-expressible operators → rows-only check).
 
 from __future__ import annotations
 
+import functools
 import json
+import subprocess
 from collections.abc import Callable
 from pathlib import Path
 
@@ -46,12 +48,93 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json history (VERDICT r2 "next" #8) so no probe goes
 # stale: (1) previously-red oracled probes (regressions to re-verify
 # after their fixes), (2) never-driver-checked probes with an oracle,
-# (3) never-checked rows-only probes, (4) everything else, stalest
-# last-checked round first. Ties keep registry insertion order.
+# (3) never-checked rows-only probes, (4) CHURNED greens — probes
+# whose implementing module changed in git since the round of their
+# last green (VERDICT r4 "next" #6: staleness alone is blind to code
+# churn; a regression could otherwise hide for the full ~3-round
+# re-check horizon), (5) everything else, stalest last-checked round
+# first. Ties keep registry insertion order.
+
+# Probe-module → implementing-operator files (repo-relative; a
+# trailing "/" matches the whole directory). The probe module itself
+# is always a dependency; these add the operator modules its
+# callables actually exercise.
+_PKG = "biodwh2_arcadedb_server_spark"
+_MODULE_DEPS: dict[str, list[str]] = {
+    "dialect_queries": [f"{_PKG}/arcadesql.py", f"{_PKG}/graphql.py"],
+    "graph_queries": [f"{_PKG}/operators/graph.py"],
+    "pipeline_queries": [
+        f"{_PKG}/operators/dedup.py",
+        f"{_PKG}/operators/similarity.py",
+        f"{_PKG}/streaming/",
+    ],
+    "pipeline_queries2": [
+        f"{_PKG}/operators/text.py",
+        f"{_PKG}/operators/curation.py",
+        f"{_PKG}/operators/multimodal.py",
+    ],
+    "pipeline_queries3": [
+        f"{_PKG}/operators/dedup.py",
+        f"{_PKG}/operators/text.py",
+    ],
+    "relational8": [f"{_PKG}/workspace.py"],
+}
+
+
+@functools.lru_cache(maxsize=None)
+def _round_commit(rnd: int, repo: str) -> str | None:
+    """Commit that first added CORRECTNESS_r{rnd}.json (the driver
+    writes it at round close — the code state the round's greens
+    certify)."""
+    try:
+        out = subprocess.run(
+            ["git", "log", "--diff-filter=A", "--format=%H", "--",
+             f"CORRECTNESS_r{rnd:02d}.json"],
+            cwd=repo, capture_output=True, text=True, timeout=10,
+        )
+        lines = out.stdout.split()
+        return lines[-1] if lines else None
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+@functools.lru_cache(maxsize=None)
+def _changed_since(rnd: int, repo: str) -> frozenset[str] | None:
+    """Repo-relative paths changed between round ``rnd``'s close and
+    HEAD (including uncommitted edits). None = unknowable (no git)."""
+    commit = _round_commit(rnd, repo)
+    if commit is None:
+        return None
+    try:
+        out = subprocess.run(
+            ["git", "diff", "--name-only", commit],
+            cwd=repo, capture_output=True, text=True, timeout=10,
+        )
+        if out.returncode != 0:
+            return None
+        return frozenset(out.stdout.split())
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def _deps_for(module: str) -> list[str]:
+    """Watched paths for a probe's defining module: its own file plus
+    the operator files its callables exercise."""
+    own = module.replace(".", "/") + ".py"
+    return [own, *_MODULE_DEPS.get(module.rsplit(".", 1)[-1], [])]
+
+
 def _compute_priority(
-    pooled_names: list[str], oracled: set[str], history_dir: Path | None = None
+    pooled_names: list[str],
+    oracled: set[str],
+    history_dir: Path | None = None,
+    module_of: dict[str, str] | None = None,
+    changed_since: Callable[[int], frozenset[str] | None] | None = None,
 ) -> list[str]:
     here = history_dir or Path(__file__).resolve().parent
+    if changed_since is None:
+        repo = str(Path(__file__).resolve().parent)
+        changed_since = lambda rnd: _changed_since(rnd, repo)  # noqa: E731
     history: dict[str, tuple[int, bool]] = {}  # probe -> (last round, green)
     for path in sorted(here.glob("CORRECTNESS_r*.json")):
         try:
@@ -67,19 +150,36 @@ def _compute_priority(
             history[name] = (rnd, green, hash_checked)
     order = {n: i for i, n in enumerate(pooled_names)}
 
+    def churned(name: str, rnd: int) -> bool:
+        if module_of is None:
+            return False
+        deps = _deps_for(module_of.get(name, ""))
+        changed = changed_since(rnd)
+        if changed is None:
+            return False
+        return any(
+            f == dep or (dep.endswith("/") and f.startswith(dep))
+            for f in changed
+            for dep in deps
+        )
+
     def tier(name: str) -> tuple:
         rec = history.get(name)
         if rec is not None and not rec[1] and name in oracled:
-            return (0, order[name])  # red with oracle: regression fix first
+            return (0, 0, order[name])  # red with oracle: regression fix first
         if rec is None and name in oracled:
-            return (1, order[name])  # never checked, oracled
+            return (1, 0, order[name])  # never checked, oracled
         if rec is not None and name in oracled and not rec[2]:
             # oracled NOW but only ever rows-only-checked (a converted
             # tolerance-contract probe): hash-verify it like new
-            return (1, order[name])
+            return (1, 0, order[name])
         if rec is None:
-            return (2, order[name])  # never checked, rows-only
-        return (3, rec[0], order[name])  # stalest green first
+            return (2, 0, order[name])  # never checked, rows-only
+        if churned(name, rec[0]):
+            # green, but its implementing module changed since that
+            # green was earned: re-verify before untouched staler rows
+            return (3, rec[0], order[name])
+        return (4, rec[0], order[name])  # stalest untouched green first
 
     return sorted(pooled_names, key=tier)
 
@@ -100,7 +200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pooled.update(pipeline_queries3.QUERIES)
     pooled.update(dialect_queries.QUERIES)
     oracled = set(oracle_sql())
-    priority = _compute_priority(list(pooled), oracled)
+    module_of = {name: fn.__module__ for name, fn in pooled.items()}
+    priority = _compute_priority(list(pooled), oracled, module_of=module_of)
     return {name: pooled[name] for name in priority}
 
 

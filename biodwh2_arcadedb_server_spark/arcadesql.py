@@ -44,6 +44,17 @@ Supported subset (documented contract, tested differentially):
   bindings inline where ``$var`` is referenced; an uncorrelated
   ``(SELECT agg ...)`` binding becomes a Spark scalar subquery that
   Catalyst evaluates once and broadcasts (q67 semantics).
+- ``shortestPath(<src-id>, <dst-expr> [, 'OUT'|'IN'|'BOTH'
+  [, 'EdgeLabel' [, maxDepth]]])`` — ArcadeDB's path function
+  (default direction BOTH, like ArcadeDB). The source must be a
+  literal node id: ONE BFS tree is computed from it
+  (operators.graph.shortest_path_tree — frontier joins, min-pred
+  deterministic paths) and registered as a temp view; the call site
+  compiles to a correlated scalar subquery against that view, which
+  Catalyst decorrelates into a left join — per-row destinations cost
+  one join, not one BFS per row. ``.size()`` after the call gives
+  path length. NULL for unreachable destinations. Plan-level like
+  TRAVERSE: use ``execute()``, not ``translate()``.
 
 Out of scope (raise a clear error): UPDATE/INSERT/DELETE (DML goes
 through the workspace API — the reference exposes the database
@@ -184,6 +195,10 @@ class _Parser:
         # When set, plain property references compile qualified
         # (`<qual>.<prop>`) — used for MATCH node-pattern wheres.
         self.qual: str | None = None
+        # shortestPath() call specs collected during parsing — each
+        # becomes a BFS-tree temp view registered by execute() before
+        # the compiled SQL runs (plan-level, like TRAVERSE).
+        self.shortest_paths: list[dict] = []
 
     # -- token helpers
     def peek(self, k: int = 0) -> _Tok:
@@ -278,6 +293,7 @@ class _Parser:
                 sub.toks = list(toks) + [_Tok("eof", "")]
                 sub.i = 0
                 sub.qual = pat["alias"]
+                sub.shortest_paths = self.shortest_paths
                 pat["where"] = sub._expr(dummy)
                 sub.expect("eof")
         returns: list[tuple[str, str | None]] = []
@@ -671,6 +687,8 @@ class _Parser:
                     self.expect("op", ")")
                     return f"size({expr})"
                 return expr
+            if low == "shortestpath" and self.peek().text == "(":
+                return self._shortest_path_call(sel)
             if self.peek().text == "(":  # function call
                 self.next()
                 star = False
@@ -704,6 +722,80 @@ class _Parser:
             # plain property reference (qualified inside MATCH wheres)
             return f"{self.qual}.{name}" if self.qual else name
         raise ArcadeSQLError(f"unexpected token {t.text or t.kind!r}")
+
+    def _shortest_path_call(self, sel: _Select) -> str:
+        """``shortestPath(src, dstExpr [, dir [, label [, maxDepth]]])``
+        → a correlated scalar subquery against a BFS-tree temp view
+        (one tree per distinct spec, registered by ``execute()``).
+        The source must be a LITERAL node id: that is what makes the
+        compilation scale — one frontier-join BFS amortized over every
+        row, instead of a per-row traversal."""
+        self.expect("op", "(")
+        src_tok = self.peek()
+        if src_tok.kind != "number" or "." in src_tok.text:
+            raise ArcadeSQLError(
+                "shortestPath() source must be a literal node id — a "
+                "per-row source would require one BFS per row; anchor "
+                "the query on the source instead"
+            )
+        source = int(self.next().text)
+        self.expect("op", ",")
+        dst = self._expr(sel)
+        direction = "both"  # ArcadeDB's documented default
+        label: str | None = None
+        maxdepth = 10
+        pos = 0
+        while self.accept("op", ","):
+            t = self.next()
+            if t.kind == "string" and pos == 0:
+                val = self._string_val(t.text).lower()
+                if val not in ("out", "in", "both"):
+                    raise ArcadeSQLError(
+                        f"shortestPath() direction must be OUT/IN/BOTH, got {t.text}"
+                    )
+                direction = val
+            elif t.kind == "string" and pos == 1:
+                label = self._string_val(t.text)
+            elif t.kind == "number" and pos in (1, 2) and "." not in t.text:
+                maxdepth = int(t.text)
+                self.expect("op", ")")
+                pos = -1  # consumed closing paren
+                break
+            else:
+                raise ArcadeSQLError(
+                    f"unexpected shortestPath() argument {t.text!r}"
+                )
+            pos += 1
+        if pos >= 0:
+            self.expect("op", ")")
+        spec_key = (source, direction, label, maxdepth)
+        for existing in self.shortest_paths:
+            if existing["key"] == spec_key:
+                view = existing["view"]
+                break
+        else:
+            view = f"__arcade_sp{len(self.shortest_paths)}"
+            self.shortest_paths.append(
+                {
+                    "key": spec_key,
+                    "view": view,
+                    "source": source,
+                    "direction": direction,
+                    "label": label,
+                    "maxdepth": maxdepth,
+                }
+            )
+        expr = f"(SELECT __p.path FROM {view} __p WHERE __p.dst = ({dst}))"
+        if self.accept("op", "."):
+            fn = self.expect("ident").text.lower()
+            if fn != "size":
+                raise ArcadeSQLError(
+                    f"only .size() is supported after shortestPath(), got .{fn}"
+                )
+            self.expect("op", "(")
+            self.expect("op", ")")
+            return f"size({expr})"
+        return expr
 
     def _graph_projection(self, sel: _Select, direction: str, label: str | None) -> str:
         """out('E') → array of neighbor ids, as a correlated aggregate
@@ -910,12 +1002,44 @@ def translate(sql: str) -> str:
     """ArcadeDB-dialect SELECT or MATCH → one Spark SQL string over
     the workspace views (``n_<Label>``, unified ``nodes``/``edges``).
     TRAVERSE statements are plan-level (use :func:`execute`)."""
-    stmt = _Parser(sql).parse()
+    p = _Parser(sql)
+    stmt = p.parse()
     if isinstance(stmt, _Traverse):
         raise ArcadeSQLError("TRAVERSE is executed, not translated — use execute()")
+    if p.shortest_paths:
+        raise ArcadeSQLError(
+            "shortestPath() is plan-level (registers a BFS-tree view) "
+            "— use execute()"
+        )
     if isinstance(stmt, _Match):
         return _compile_match(stmt)
     return _compile_select(stmt)
+
+
+def _register_shortest_path_views(spark: SparkSession, specs: list[dict]) -> None:
+    """Materialize each ``shortestPath()`` spec as a BFS-tree temp
+    view (dst, hops, path) over the unified ``edges`` view. One
+    frontier-join BFS per DISTINCT spec (the parser dedups), amortized
+    across every call-site row via the correlated-subquery-turned-join
+    the compiled SQL contains."""
+    if not specs:
+        return
+    from biodwh2_arcadedb_server_spark.operators.graph import shortest_path_tree
+
+    edges = spark.table("edges")
+    for spec in specs:
+        e = edges
+        if spec["label"]:
+            e = e.where(F.col("label") == F.lit(spec["label"]))
+        if spec["direction"] == "in":
+            e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        tree = shortest_path_tree(
+            e.select("src", "dst"),
+            source=spec["source"],
+            max_depth=spec["maxdepth"],
+            directed=spec["direction"] != "both",
+        )
+        tree.createOrReplaceTempView(spec["view"])
 
 
 def execute(spark: SparkSession, sql: str) -> DataFrame:
@@ -923,7 +1047,9 @@ def execute(spark: SparkSession, sql: str) -> DataFrame:
     workspace views. SELECT/MATCH → ``spark.sql(translate(...))``;
     TRAVERSE → the iterative BFS operator (roots at depth 0 included,
     ArcadeDB semantics), returning unified node rows + depth."""
-    stmt = _Parser(sql).parse()
+    p = _Parser(sql)
+    stmt = p.parse()
+    _register_shortest_path_views(spark, p.shortest_paths)
     if isinstance(stmt, _Match):
         return spark.sql(_compile_match(stmt))
     if isinstance(stmt, _Select):

@@ -167,6 +167,34 @@ def q141_agg_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B8 through the dialect: shortestPath() --------------------------------------
+def q146_shortestpath_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-typed ``shortestPath(3, node_id, 'OUT')`` (ArcadeDB's
+    path function; source = customer 1's node) through
+    arcadesql.execute: ONE frontier-join BFS tree from the literal
+    source, then the call site's correlated scalar subquery is
+    decorrelated by Catalyst into a left join against the tree — a
+    per-row path lookup that costs one join at any destination count,
+    never one BFS per row. Deterministic among equal-hop paths via
+    min-pred backtrack (graph.shortest_path_tree), the property the
+    DuckDB recursive-CTE oracle reproduces with ORDER BY depth,
+    list_reverse(path). Unreachable parts: path '' / length -1."""
+    _register_star_workspace(spark, sf_dir)
+    out = arcadesql.execute(
+        spark,
+        "SELECT node_id, natural_key, "
+        "shortestPath(3, node_id, 'OUT') AS path, "
+        "shortestPath(3, node_id, 'OUT').size() AS path_len "
+        "FROM Part",
+    )
+    return out.select(
+        "node_id",
+        "natural_key",
+        F.concat_ws(",", F.col("path").cast("array<string>")).alias("path_repr"),
+        F.coalesce(F.col("path_len"), F.lit(-1)).cast("int").alias("path_len"),
+    )
+
+
 # --- B20: GraphQL read surface, driver-checkable ---------------------------------
 def q145_graphql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-typed GraphQL document through graphql.execute — root
@@ -207,6 +235,7 @@ QUERIES = {
     "q138_let_dialect": q138_let_dialect,
     "q139_degree_dialect": q139_degree_dialect,
     "q140_expand_dialect": q140_expand_dialect,
+    "q146_shortestpath_dialect": q146_shortestpath_dialect,
 }
 
 ORACLE = {
@@ -283,5 +312,39 @@ ORACLE = {
                CAST(o.o_orderkey AS VARCHAR) AS natural_key
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE c.c_custkey <= 10
+    """,
+    "q146_shortestpath_dialect": """
+        WITH RECURSIVE g AS (
+          SELECT DISTINCT CAST(o_custkey*3 AS BIGINT) AS src,
+                 CAST(o_orderkey*3+1 AS BIGINT) AS dst FROM orders
+          UNION
+          SELECT DISTINCT CAST(l_orderkey*3+1 AS BIGINT),
+                 CAST(l_partkey*3+2 AS BIGINT) FROM lineitem
+        ),
+        walk(node_id, depth, path) AS (
+          SELECT CAST(3 AS BIGINT), 0, [CAST(3 AS BIGINT)]
+          UNION ALL
+          SELECT g.dst, walk.depth+1, list_append(walk.path, g.dst)
+          FROM walk JOIN g ON g.src = walk.node_id
+          WHERE walk.depth < 10 AND NOT list_contains(walk.path, g.dst)
+        ),
+        best AS (
+          SELECT node_id, path,
+            ROW_NUMBER() OVER (
+                PARTITION BY node_id
+                ORDER BY depth, list_reverse(path)
+            ) AS rn
+          FROM walk
+        ),
+        parts AS (
+          SELECT DISTINCT CAST(l_partkey*3+2 AS BIGINT) AS node_id,
+                 CAST(l_partkey AS VARCHAR) AS natural_key
+          FROM lineitem
+        )
+        SELECT p.node_id, p.natural_key,
+               COALESCE(array_to_string(b.path, ','), '') AS path_repr,
+               COALESCE(CAST(len(b.path) AS INT), -1) AS path_len
+        FROM parts p
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.node_id = p.node_id
     """,
 }

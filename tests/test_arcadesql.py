@@ -391,3 +391,75 @@ def test_let_sentinel_in_string_literal_untouched(graph_ws):
 def test_let_sentinel_identifier_rejected():
     with pytest.raises(ArcadeSQLError, match="reserved"):
         translate("SELECT __LET_v__ FROM Person")
+
+
+# ---------------------------------------------------------------- shortestPath
+def test_shortest_path_out(graph_ws):
+    """shortestPath(1, node_id, 'OUT'): min-pred deterministic paths
+    on the KNOWS graph (1->2, 2->3, 3->4, 1->3, 4->5)."""
+    df = execute(
+        graph_ws,
+        "SELECT node_id, shortestPath(1, node_id, 'OUT', 'KNOWS') AS p, "
+        "shortestPath(1, node_id, 'OUT', 'KNOWS').size() AS n "
+        "FROM Person",
+    )
+    rows = {r.node_id: (list(r.p) if r.p is not None else None, r.n) for r in df.collect()}
+    assert rows[1] == ([1], 1)
+    assert rows[2] == ([1, 2], 2)
+    assert rows[3] == ([1, 3], 2)  # direct edge beats 1->2->3
+    assert rows[4] == ([1, 3, 4], 3)
+    assert rows[5] == ([1, 3, 4, 5], 4)
+
+
+def test_shortest_path_default_both_and_in(graph_ws):
+    """Default direction is BOTH (ArcadeDB's documented default);
+    'IN' walks reversed edges."""
+    df = execute(graph_ws, "SELECT node_id, shortestPath(5, node_id) AS p FROM Person")
+    both = {r.node_id: list(r.p) if r.p is not None else None for r in df.collect()}
+    # undirected: 5-4-3 reaches 3 in 2 hops
+    assert both[4] == [5, 4] and both[3] == [5, 4, 3]
+    df = execute(
+        graph_ws,
+        "SELECT node_id, shortestPath(5, node_id, 'IN', 'KNOWS') AS p FROM Person",
+    )
+    rin = {r.node_id: list(r.p) if r.p is not None else None for r in df.collect()}
+    assert rin[4] == [5, 4] and rin[1] == [5, 4, 3, 1]
+
+
+def test_shortest_path_maxdepth_and_unreachable(graph_ws):
+    df = execute(
+        graph_ws,
+        "SELECT node_id, shortestPath(1, node_id, 'OUT', 'KNOWS', 2) AS p FROM Person",
+    )
+    rows = {r.node_id: r.p for r in df.collect()}
+    assert rows[5] is None  # needs 3 hops, maxdepth 2
+    assert list(rows[4]) == [1, 3, 4]
+
+
+def test_shortest_path_dedups_identical_specs(graph_ws):
+    """Two identical calls share ONE BFS-tree view."""
+    from biodwh2_arcadedb_server_spark.arcadesql import _Parser
+
+    p = _Parser(
+        "SELECT shortestPath(1, node_id, 'OUT'), "
+        "shortestPath(1, node_id, 'OUT').size() FROM Person"
+    )
+    p.parse()
+    assert len(p.shortest_paths) == 1
+    p = _Parser(
+        "SELECT shortestPath(1, node_id, 'OUT'), "
+        "shortestPath(2, node_id, 'OUT') FROM Person"
+    )
+    p.parse()
+    assert len(p.shortest_paths) == 2
+
+
+def test_shortest_path_requires_literal_source_and_translate_raises():
+    with pytest.raises(ArcadeSQLError, match="literal node id"):
+        translate("SELECT shortestPath(node_id, 3) FROM Person")
+    with pytest.raises(ArcadeSQLError, match="use execute"):
+        translate("SELECT shortestPath(1, node_id) FROM Person")
+    with pytest.raises(ArcadeSQLError, match="direction"):
+        translate("SELECT shortestPath(1, node_id, 'SIDEWAYS') FROM Person")
+    with pytest.raises(ArcadeSQLError, match="only .size"):
+        translate("SELECT shortestPath(1, node_id).length() FROM Person")

@@ -77,3 +77,84 @@ def test_priority_orders_regressions_and_unchecked_first():
             Path(td, fname).write_text(json.dumps(data))
         got = entry_mod._compute_priority(names, oracled, history_dir=Path(td))
     assert got == ["a", "c", "e", "b", "d"]
+
+
+def test_priority_bumps_churned_modules():
+    """VERDICT r4 #6: a green probe whose implementing module changed
+    since its last green round outranks untouched staler greens (but
+    never outranks reds / never-checked)."""
+    import json
+    import tempfile
+    from pathlib import Path
+
+    pkg = "biodwh2_arcadedb_server_spark"
+    names = ["g_old", "g_churned", "g_new", "never"]
+    oracled = set(names)
+    hist = {
+        "CORRECTNESS_r01.json": {"g_old": {"hash_match": True}},
+        "CORRECTNESS_r02.json": {
+            "g_churned": {"hash_match": True},
+            "g_new": {"hash_match": True},
+        },
+    }
+    module_of = {
+        "g_old": f"{pkg}.operators.relational",
+        "g_churned": f"{pkg}.operators.graph_queries",
+        "g_new": f"{pkg}.operators.relational",
+        "never": f"{pkg}.operators.relational",
+    }
+    # graph.py (a graph_queries dep) changed since round 2
+    changed = {2: frozenset({f"{pkg}/operators/graph.py"}), 1: frozenset()}
+    with tempfile.TemporaryDirectory() as td:
+        for fname, data in hist.items():
+            Path(td, fname).write_text(json.dumps(data))
+        got = entry_mod._compute_priority(
+            names, oracled, history_dir=Path(td),
+            module_of=module_of, changed_since=lambda r: changed.get(r),
+        )
+    # never-checked first, then the churned green, then stale greens
+    assert got == ["never", "g_churned", "g_old", "g_new"]
+
+
+def test_priority_churn_directory_prefix_and_unknown_git():
+    """Directory deps (trailing '/') match any file under them; an
+    unknowable git state (changed_since -> None) degrades to the old
+    staleness-only ordering instead of erroring."""
+    import json
+    import tempfile
+    from pathlib import Path
+
+    pkg = "biodwh2_arcadedb_server_spark"
+    names = ["p_stream", "p_plain"]
+    hist = {
+        "CORRECTNESS_r01.json": {
+            "p_stream": {"hash_match": True},
+            "p_plain": {"hash_match": True},
+        }
+    }
+    module_of = {
+        "p_stream": f"{pkg}.operators.pipeline_queries",
+        "p_plain": f"{pkg}.operators.relational",
+    }
+    with tempfile.TemporaryDirectory() as td:
+        for fname, data in hist.items():
+            Path(td, fname).write_text(json.dumps(data))
+        got = entry_mod._compute_priority(
+            names, set(names), history_dir=Path(td), module_of=module_of,
+            changed_since=lambda r: frozenset({f"{pkg}/streaming/neardup.py"}),
+        )
+        assert got == ["p_stream", "p_plain"]
+        # git unavailable: insertion-order staleness ordering preserved
+        got = entry_mod._compute_priority(
+            names, set(names), history_dir=Path(td), module_of=module_of,
+            changed_since=lambda r: None,
+        )
+        assert got == ["p_stream", "p_plain"]  # same round, insertion order
+
+
+def test_priority_live_registry_runs_git_path():
+    """The real queries() call exercises the git-backed changed_since
+    without raising, and returns every pooled probe exactly once."""
+    q = entry_mod.queries()
+    assert len(q) == len(set(q))
+    assert "q146_shortestpath_dialect" in q
