@@ -61,7 +61,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # callables actually exercise.
 _PKG = "biodwh2_arcadedb_server_spark"
 _MODULE_DEPS: dict[str, list[str]] = {
-    "dialect_queries": [f"{_PKG}/arcadesql.py", f"{_PKG}/graphql.py"],
+    "dialect_queries": [
+        f"{_PKG}/arcadesql.py",
+        f"{_PKG}/graphql.py",
+        # TRAVERSE / shortestPath() execute operators.graph BFS, and
+        # every dialect probe runs over workspace-built views — churn
+        # in either must re-prioritize the dialect probes.
+        f"{_PKG}/operators/graph.py",
+        f"{_PKG}/workspace.py",
+    ],
     "graph_queries": [f"{_PKG}/operators/graph.py"],
     "pipeline_queries": [
         f"{_PKG}/operators/dedup.py",

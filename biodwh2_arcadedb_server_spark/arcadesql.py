@@ -56,12 +56,18 @@ Supported subset (documented contract, tested differentially):
   path length. NULL for unreachable destinations. Plan-level like
   TRAVERSE: use ``execute()``, not ``translate()``.
 
-Out of scope (raise a clear error): UPDATE/INSERT/DELETE (DML goes
-through the workspace API — the reference exposes the database
-read-only over HTTP by default), schema/index DDL, optional/negative
-MATCH patterns, per-record correlated LET subqueries, projections
-mixing expand() with other fields — the last is the same restriction
-ArcadeDB itself enforces.
+- ``UPDATE <T> SET k = <expr>[, ...] [WHERE ...]``, ``INSERT INTO
+  <T> SET ... | (cols) VALUES (...)[, ...]``, ``CREATE VERTEX <T>
+  [SET ...]``, ``DELETE [VERTEX | FROM] <T> [WHERE ...]`` — routed
+  to the workspace batch-recompute DML API (insert/update/
+  delete_nodes; DELETE cascades to connected edges, ArcadeDB
+  semantics) but ONLY behind ``execute(..., allow_writes=True,
+  workspace_dir=...)``. Default OFF raises a clear error — the
+  reference serves the database read-only over HTTP.
+
+Out of scope (raise a clear error): schema/index DDL, per-record
+correlated LET subqueries, projections mixing expand() with other
+fields — the last is the same restriction ArcadeDB itself enforces.
 
 Scale notes: the compiled SQL references only the per-label views
 (typed, pruned scans) and the unified ``edges`` view (partitioned on
@@ -180,6 +186,27 @@ class _Match:
     limit: int | None = None
 
 
+@dataclass
+class _DML:
+    """UPDATE / INSERT / DELETE / CREATE VERTEX statement (B19).
+
+    ArcadeDB accepts these through the same SQL endpoint the reference
+    serves (`pom.xml:104-108` [B]); the engine routes them to the
+    workspace batch-recompute DML API (`workspace.py` insert/update/
+    delete_nodes) behind an explicit ``allow_writes`` opt-in —
+    default off preserves the reference's read-only-over-HTTP posture.
+
+    ``rows``: for insert — one dict of column → compiled Spark-SQL
+    expression per inserted record (SET form yields one row; the
+    VALUES form yields one per tuple)."""
+
+    kind: str  # "update" | "insert" | "delete"
+    label: str
+    assignments: list[tuple[str, str]] = field(default_factory=list)
+    where: str | None = None
+    rows: list[dict] = field(default_factory=list)
+
+
 _AGGS = {"count", "sum", "avg", "min", "max", "first", "last"}
 # scalar functions whose ArcadeDB name is directly Spark-compatible
 _PASSTHROUGH_FNS = {
@@ -255,16 +282,121 @@ class _Parser:
         return d
 
     # -- entry
-    def parse(self) -> "_Select | _Traverse | _Match":
+    def parse(self) -> "_Select | _Traverse | _Match | _DML":
         head = self.peek()
         if head.kind == "kw" and head.text == "traverse":
-            stmt: _Select | _Traverse | _Match = self._traverse()
+            stmt: _Select | _Traverse | _Match | _DML = self._traverse()
         elif head.kind == "kw" and head.text == "match":
             stmt = self._match()
+        elif head.kind == "ident" and head.text.lower() in (
+            "update", "insert", "delete", "create",
+        ):
+            stmt = self._dml()
         else:
             stmt = self._select()
         self.expect("eof")
         return stmt
+
+    # -- DML (B19: UPDATE / INSERT / DELETE / CREATE VERTEX)
+    def _accept_word(self, word: str) -> bool:
+        """Case-insensitive soft keyword (SET/INTO/VALUES/VERTEX…) —
+        these lex as plain idents so adding DML cannot change how any
+        existing SELECT expression parses."""
+        t = self.peek()
+        if t.kind == "ident" and t.text.lower() == word:
+            self.next()
+            return True
+        return False
+
+    def _expect_word(self, word: str) -> None:
+        if not self._accept_word(word):
+            got = self.peek()
+            raise ArcadeSQLError(
+                f"expected {word.upper()}, got {got.text or got.kind!r}"
+            )
+
+    def _dml_assignments(self, dml: _DML) -> None:
+        """``SET col = <expr> [, ...]`` — values are full dialect
+        expressions compiled to Spark SQL strings."""
+        dummy = _Select(
+            projections=[], star=False, expand_edge=None, source_type=None,
+            subquery=None, where=None, group_by=[], order_by=[], skip=None,
+            limit=None,
+        )
+        while True:
+            col = self._name("property name")
+            self.expect("op", "=")
+            dml.assignments.append((col, self._expr(dummy)))
+            if not self.accept("op", ","):
+                break
+
+    def _dml(self) -> _DML:
+        head = self.next().text.lower()
+        dummy = _Select(
+            projections=[], star=False, expand_edge=None, source_type=None,
+            subquery=None, where=None, group_by=[], order_by=[], skip=None,
+            limit=None,
+        )
+        if head == "update":
+            dml = _DML(kind="update", label="")
+            dml.label = self._name("type name")
+            self._expect_word("set")
+            self._dml_assignments(dml)
+            if self.accept("kw", "where"):
+                dml.where = self._expr(dummy)
+            return dml
+        if head == "delete":
+            # DELETE VERTEX <T> [WHERE] and DELETE FROM <T> [WHERE]
+            if not self._accept_word("vertex"):
+                self.expect("kw", "from")
+            dml = _DML(kind="delete", label=self._name("type name"))
+            if self.accept("kw", "where"):
+                dml.where = self._expr(dummy)
+            return dml
+        if head == "create":
+            # CREATE VERTEX <T> [SET ...] — insert-one alias
+            self._expect_word("vertex")
+            dml = _DML(kind="insert", label=self._name("type name"))
+            row: dict = {}
+            if self._accept_word("set"):
+                self._dml_assignments(dml)
+                row = dict(dml.assignments)
+                dml.assignments = []
+            dml.rows = [row]
+            return dml
+        # INSERT INTO <T> SET ...  |  INSERT INTO <T> (cols) VALUES (...)[, (...)]
+        self._expect_word("into")
+        dml = _DML(kind="insert", label=self._name("type name"))
+        if self._accept_word("set"):
+            self._dml_assignments(dml)
+            dml.rows = [dict(dml.assignments)]
+            dml.assignments = []
+            return dml
+        self.expect("op", "(")
+        cols: list[str] = []
+        while True:
+            cols.append(self._name("column name"))
+            if not self.accept("op", ","):
+                break
+        self.expect("op", ")")
+        self._expect_word("values")
+        while True:
+            self.expect("op", "(")
+            vals: list[str] = []
+            while True:
+                vals.append(self._expr(dummy))
+                if not self.accept("op", ","):
+                    break
+            self.expect("op", ")")
+            if len(vals) != len(cols):
+                raise ArcadeSQLError(
+                    f"INSERT arity mismatch: {len(cols)} columns, "
+                    f"{len(vals)} values"
+                )
+            dml.rows.append(dict(zip(cols, vals)))
+            if not self.accept("op", ","):
+                break
+        return dml
 
     # -- MATCH pattern blocks (ArcadeDB/OrientDB MATCH syntax)
     def _match(self) -> _Match:
@@ -774,7 +906,16 @@ class _Parser:
                 view = existing["view"]
                 break
         else:
-            view = f"__arcade_sp{len(self.shortest_paths)}"
+            # View name is derived from the spec itself (not a
+            # per-statement counter): the query server is a
+            # ThreadingHTTPServer, so concurrent execute() calls with
+            # DIFFERENT specs must never share a temp-view name, and
+            # identical specs registering the identical BFS tree under
+            # the identical name is harmlessly idempotent.
+            import hashlib
+
+            digest = hashlib.md5(repr(spec_key).encode()).hexdigest()[:12]
+            view = f"__arcade_sp_{digest}"
             self.shortest_paths.append(
                 {
                     "key": spec_key,
@@ -785,7 +926,11 @@ class _Parser:
                     "maxdepth": maxdepth,
                 }
             )
-        expr = f"(SELECT __p.path FROM {view} __p WHERE __p.dst = ({dst}))"
+        # View columns are sentinel-prefixed (__sp_dst/__sp_hops/
+        # __sp_path) so an outer column named dst/hops/path inside the
+        # destination expression resolves against the OUTER relation,
+        # never silently against the BFS view.
+        expr = f"(SELECT __p.__sp_path FROM {view} __p WHERE __p.__sp_dst = ({dst}))"
         if self.accept("op", "."):
             fn = self.expect("ident").text.lower()
             if fn != "size":
@@ -1006,6 +1151,11 @@ def translate(sql: str) -> str:
     stmt = p.parse()
     if isinstance(stmt, _Traverse):
         raise ArcadeSQLError("TRAVERSE is executed, not translated — use execute()")
+    if isinstance(stmt, _DML):
+        raise ArcadeSQLError(
+            "DML statements mutate the workspace — use execute(spark, sql, "
+            "workspace_dir=..., allow_writes=True)"
+        )
     if p.shortest_paths:
         raise ArcadeSQLError(
             "shortestPath() is plan-level (registers a BFS-tree view) "
@@ -1039,16 +1189,108 @@ def _register_shortest_path_views(spark: SparkSession, specs: list[dict]) -> Non
             max_depth=spec["maxdepth"],
             directed=spec["direction"] != "both",
         )
+        tree = tree.select(
+            F.col("dst").alias("__sp_dst"),
+            F.col("hops").alias("__sp_hops"),
+            F.col("path").alias("__sp_path"),
+        )
         tree.createOrReplaceTempView(spec["view"])
 
 
-def execute(spark: SparkSession, sql: str) -> DataFrame:
+def _execute_dml(
+    spark: SparkSession,
+    stmt: _DML,
+    workspace_dir: str | None,
+    allow_writes: bool,
+) -> DataFrame:
+    """Route a dialect DML statement to the workspace batch-recompute
+    API (B19). Gated: ``allow_writes`` defaults OFF everywhere —
+    matching the reference's posture of serving the database read-only
+    over HTTP — so enabling writes is an explicit operator decision.
+    After a successful mutation the workspace views are re-registered,
+    so the next dialect SELECT in the same session reads the new data.
+
+    Returns a 1-row DataFrame ``(operation, label, count)`` — the
+    rows-affected result shape ArcadeDB's SQL endpoint reports."""
+    if not allow_writes:
+        raise ArcadeSQLError(
+            f"{stmt.kind.upper()} is disabled: the endpoint is read-only "
+            "by default (reference posture). Pass allow_writes=True and "
+            "workspace_dir=<ws> to execute() to enable dialect DML."
+        )
+    if workspace_dir is None:
+        raise ArcadeSQLError(
+            "DML requires workspace_dir=<workspace path> so the mutation "
+            "can rewrite the label dataset"
+        )
+    import os
+
+    from biodwh2_arcadedb_server_spark import workspace as ws
+
+    pred = F.expr(stmt.where) if stmt.where else F.lit(True)
+    if stmt.kind == "update":
+        n = ws.update_nodes(
+            spark, workspace_dir, stmt.label, pred,
+            {col: F.expr(expr) for col, expr in stmt.assignments},
+        )
+    elif stmt.kind == "delete":
+        n = ws.delete_nodes(spark, workspace_dir, stmt.label, pred)
+    else:  # insert
+        path = os.path.join(workspace_dir, "nodes", stmt.label)
+        cur_schema = spark.read.parquet(path).schema
+        writable = [f for f in cur_schema.fields if f.name not in ("node_id", "label")]
+        frames = []
+        for row in stmt.rows:
+            if "natural_key" not in row:
+                raise ArcadeSQLError(
+                    "INSERT must assign natural_key — node ids are derived "
+                    "from it (xxhash64(label, natural_key))"
+                )
+            unknown = set(row) - {f.name for f in writable}
+            if unknown:
+                raise ArcadeSQLError(
+                    f"unknown propert{'ies' if len(unknown) > 1 else 'y'} "
+                    f"for {stmt.label}: {sorted(unknown)}"
+                )
+            cols = [
+                (F.expr(row[f.name]) if f.name in row else F.lit(None))
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in writable
+            ]
+            frames.append(spark.range(1).select(*cols))
+        rows_df = frames[0]
+        for fr in frames[1:]:
+            rows_df = rows_df.unionByName(fr)
+        with open(os.path.join(workspace_dir, "manifest.json")) as mh:
+            import json as _json
+
+            before = _json.load(mh)["nodes"][stmt.label]["count"]
+        n = ws.insert_nodes(spark, workspace_dir, stmt.label, rows_df) - before
+    ws.load_workspace(spark, workspace_dir)
+    return spark.createDataFrame(
+        [(stmt.kind, stmt.label, n)], "operation string, label string, count long"
+    )
+
+
+def execute(
+    spark: SparkSession,
+    sql: str,
+    *,
+    workspace_dir: str | None = None,
+    allow_writes: bool = False,
+) -> DataFrame:
     """Run an ArcadeDB-dialect statement against the registered
     workspace views. SELECT/MATCH → ``spark.sql(translate(...))``;
     TRAVERSE → the iterative BFS operator (roots at depth 0 included,
-    ArcadeDB semantics), returning unified node rows + depth."""
+    ArcadeDB semantics), returning unified node rows + depth;
+    UPDATE/INSERT/DELETE/CREATE VERTEX → the workspace DML API, but
+    ONLY when ``allow_writes=True`` (read-only by default, like the
+    reference's HTTP endpoint)."""
     p = _Parser(sql)
     stmt = p.parse()
+    if isinstance(stmt, _DML):
+        return _execute_dml(spark, stmt, workspace_dir, allow_writes)
     _register_shortest_path_views(spark, p.shortest_paths)
     if isinstance(stmt, _Match):
         return spark.sql(_compile_match(stmt))

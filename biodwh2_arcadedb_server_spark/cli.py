@@ -54,14 +54,23 @@ def port_candidates(spec: str) -> list[int]:
     return [int(spec)]
 
 
-def start_server(spark, port_spec: str, password: str | None = None):
+def start_server(
+    spark,
+    port_spec: str,
+    password: str | None = None,
+    workspace_dir: str | None = None,
+    allow_writes: bool = False,
+):
     """Start the embedded HTTP query server on the first free port of
     the validated spec. Returns the running QueryServer."""
     from biodwh2_arcadedb_server_spark.server import QueryServer
 
     last_err: Exception | None = None
     for port in port_candidates(validate_port(port_spec)):
-        srv = QueryServer(spark, port=port, password=password)
+        srv = QueryServer(
+            spark, port=port, password=password,
+            workspace_dir=workspace_dir, allow_writes=allow_writes,
+        )
         try:
             srv.start()
             return srv
@@ -86,6 +95,13 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--force", action="store_true", help="rebuild even if checksum matches")
         if name == "query":
             sp.add_argument("--sql", required=True)
+        if name in ("start", "create-start", "query"):
+            # Dialect DML (UPDATE/INSERT/DELETE) is OFF by default —
+            # the reference serves the database read-only over HTTP.
+            sp.add_argument(
+                "--allow-writes", action="store_true",
+                help="enable dialect DML against the workspace",
+            )
         if name in ("start", "create-start"):
             sp.add_argument("--port", default="2480-2489", help="HTTP port or range")
             sp.add_argument("--no-server", action="store_true", help="console only")
@@ -105,7 +121,11 @@ def main(argv: list[str] | None = None) -> int:
         load_workspace(spark, args.workspace)
         srv = None
         if not getattr(args, "no_server", False):
-            srv = start_server(spark, args.port)
+            srv = start_server(
+                spark, args.port,
+                workspace_dir=args.workspace,
+                allow_writes=args.allow_writes,
+            )
             print(
                 f"query server on http://127.0.0.1:{srv.port} "
                 f"(user {srv.username}, password {srv.password})"
@@ -116,18 +136,24 @@ def main(argv: list[str] | None = None) -> int:
             if not sql:
                 break
             try:
-                _run_sql(spark, sql).show(50, truncate=False)
+                _run_sql(
+                    spark, sql, workspace=args.workspace,
+                    allow_writes=args.allow_writes,
+                ).show(50, truncate=False)
             except Exception as exc:  # keep the loop alive on bad SQL
                 print(f"error: {exc}", file=sys.stderr)
         if srv is not None:
             srv.stop()
     if args.cmd == "query":
         load_workspace(spark, args.workspace)
-        _run_sql(spark, args.sql).show(100, truncate=False)
+        _run_sql(
+            spark, args.sql, workspace=args.workspace,
+            allow_writes=args.allow_writes,
+        ).show(100, truncate=False)
     return 0
 
 
-def _run_sql(spark, sql: str):
+def _run_sql(spark, sql: str, workspace: str | None = None, allow_writes: bool = False):
     """Spark SQL first, ArcadeDB dialect on PARSE failure only — the
     same routing the embedded server uses, so the REPL and `query`
     accept Studio-style statements (SELECT FROM Type, TRAVERSE,
@@ -136,16 +162,31 @@ def _run_sql(spark, sql: str):
     Customer` parses as Spark SQL yet only analyzes through the
     dialect — but when the dialect path ALSO fails, the user sees the
     REAL Spark error, not an unrelated dialect parse error
-    (ADVICE r4)."""
-    from pyspark.errors import AnalysisException, ParseException
+    (ADVICE r4). Catches the broad PySparkException base (not just
+    Parse/Analysis) because some dialect-only statements surface from
+    spark.sql as Py4J-wrapped runtime errors, and the fallback must
+    still attempt the dialect for those (ADVICE r5)."""
+    from pyspark.errors import PySparkException
 
+    head = sql.lstrip().split(None, 1)[0].lower() if sql.strip() else ""
+    if head in ("update", "insert", "delete", "create"):
+        # DML is never valid Spark SQL over the workspace temp views —
+        # route straight to the dialect so the user sees ITS error
+        # (e.g. the clear writes-disabled message), not Spark's.
+        from biodwh2_arcadedb_server_spark import arcadesql
+
+        return arcadesql.execute(
+            spark, sql, workspace_dir=workspace, allow_writes=allow_writes
+        )
     try:
         return spark.sql(sql)
-    except (ParseException, AnalysisException) as orig:
+    except PySparkException as orig:
         from biodwh2_arcadedb_server_spark import arcadesql
 
         try:
-            return arcadesql.execute(spark, sql)
+            return arcadesql.execute(
+                spark, sql, workspace_dir=workspace, allow_writes=allow_writes
+            )
         except Exception:
             raise orig
 

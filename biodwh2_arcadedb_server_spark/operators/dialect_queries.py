@@ -227,8 +227,58 @@ def q145_graphql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B19 through the dialect: UPDATE / INSERT / DELETE --------------------------
+def q147_dml_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-typed DML (the ArcadeDB SQL surface Studio users get,
+    `pom.xml:104-108` [B]) through ``arcadesql.execute`` behind the
+    explicit ``allow_writes`` gate: force-build a small Nation/Region/
+    Customer workspace from the source tables, INSERT two vertices
+    (VALUES form), UPDATE a predicate slice, DELETE VERTEX with edge
+    cascade, then read back name + ``both().size()`` degree per
+    nation through a dialect SELECT. Every mutation is a partition-
+    parallel dataset recompute + atomic swap (the Spark-native
+    mutation model — no in-place record edits at 100 TB), and the
+    readback proves the cascade: the deleted nation is gone AND no
+    dangling edges contribute to any surviving node's degree.
+    Deterministic: the workspace is force-rebuilt from source every
+    run, so the oracle can recompute the end state from the raw
+    tables."""
+    import hashlib
+    import os
+
+    from biodwh2_arcadedb_server_spark import workspace as ws
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    wdir = os.path.join("/tmp", f"biodwh2_dml_probe_{tag}")
+    node_specs = [
+        s for s in ws.NODE_SPECS if s.label in ("Region", "Nation", "Customer")
+    ]
+    edge_specs = [
+        s for s in ws.EDGE_SPECS if s.label in ("IN_REGION", "CUST_IN_NATION")
+    ]
+    ws.build_workspace(
+        spark, sf_dir, wdir, force=True,
+        node_specs=node_specs, edge_specs=edge_specs,
+    )
+    ws.load_workspace(spark, wdir)
+    for stmt in (
+        "INSERT INTO Nation (natural_key, n_name) "
+        "VALUES (990, 'ATLANTIS'), (991, 'MU')",
+        "UPDATE Nation SET n_name = lower(n_name) WHERE natural_key < 5",
+        "DELETE VERTEX Nation WHERE natural_key = 7",
+    ):
+        arcadesql.execute(spark, stmt, workspace_dir=wdir, allow_writes=True)
+    out = arcadesql.execute(
+        spark,
+        "SELECT natural_key, n_name, both().size() AS degree "
+        "FROM Nation ORDER BY natural_key",
+    )
+    return out.withColumn("degree", F.col("degree").cast("int"))
+
+
 QUERIES = {
     "q136_match_dialect": q136_match_dialect,
+    "q147_dml_readback": q147_dml_readback,
     "q141_agg_dialect": q141_agg_dialect,
     "q145_graphql": q145_graphql,
     "q137_traverse_dialect": q137_traverse_dialect,
@@ -239,6 +289,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q147_dml_readback": """
+        SELECT CAST(n.n_nationkey AS BIGINT) AS natural_key,
+               CASE WHEN n.n_nationkey < 5 THEN lower(n.n_name)
+                    ELSE n.n_name END AS n_name,
+               CAST(1 + (SELECT COUNT(*) FROM customer c
+                         WHERE c.c_nationkey = n.n_nationkey) AS INT) AS degree
+        FROM nation n WHERE n.n_nationkey <> 7
+        UNION ALL SELECT 990, 'ATLANTIS', 0
+        UNION ALL SELECT 991, 'MU', 0
+        ORDER BY natural_key
+    """,
     "q141_agg_dialect": """
         SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
                ROUND(MIN(o_totalprice), 4) AS min_price

@@ -53,11 +53,17 @@ class QueryServer:
         port: int = 0,
         username: str = DEFAULT_USER,
         password: str | None = None,
+        workspace_dir: str | None = None,
+        allow_writes: bool = False,
     ) -> None:
         self.spark = spark
         self.host = host
         self.port = port
         self.username = username
+        # Dialect DML gate: OFF by default — the reference serves the
+        # database read-only over HTTP (B19 posture).
+        self.workspace_dir = workspace_dir
+        self.allow_writes = allow_writes
         # generated-per-start secret, like the reference's root
         # password bootstrap (ArcadeDBService.java:81-92)
         self.password = password or secrets.token_urlsafe(16)
@@ -132,18 +138,28 @@ class QueryServer:
                         # Spark SQL clients.
                         from biodwh2_arcadedb_server_spark import arcadesql
 
-                        from pyspark.errors import (
-                            AnalysisException,
-                            ParseException,
-                        )
+                        from pyspark.errors import PySparkException
 
                         lang = req.get("language", "sql")
-                        if lang == "arcadedb":
-                            df = arcadesql.execute(server.spark, req["sql"])
+                        head = req["sql"].lstrip().split(None, 1)
+                        head = head[0].lower() if head else ""
+                        if lang == "arcadedb" or head in (
+                            "update", "insert", "delete", "create",
+                        ):
+                            # DML is never valid Spark SQL over the
+                            # workspace views — route straight to the
+                            # dialect so its clear writes-disabled
+                            # error (or the gated mutation) surfaces.
+                            df = arcadesql.execute(
+                                server.spark,
+                                req["sql"],
+                                workspace_dir=server.workspace_dir,
+                                allow_writes=server.allow_writes,
+                            )
                         else:
                             try:
                                 df = server.spark.sql(req["sql"])
-                            except (ParseException, AnalysisException) as orig:
+                            except PySparkException as orig:
                                 # try the dialect, but when IT fails
                                 # too surface the REAL Spark error
                                 # (e.g. 'column not found'), not an

@@ -190,7 +190,13 @@ def validate_node_ids(node_frames: dict[str, DataFrame]) -> None:
 
 
 def build_workspace(
-    spark: SparkSession, src_dir: str, ws_dir: str, *, force: bool = False
+    spark: SparkSession,
+    src_dir: str,
+    ws_dir: str,
+    *,
+    force: bool = False,
+    node_specs: list[NodeSpec] | None = None,
+    edge_specs: list[EdgeSpec] | None = None,
 ) -> dict:
     """E1 lifecycle (`--create`): build the LPG workspace incrementally.
 
@@ -208,8 +214,10 @@ def build_workspace(
 
     At 100 TB this is the difference between re-ETLing the whole lake
     and re-ETLing one updated feed. ``force`` restores the reference's
-    destructive full overwrite (A14). Returns the manifest, with the
-    labels rebuilt this run under ``"rebuilt"`` (not persisted).
+    destructive full overwrite (A14). ``node_specs``/``edge_specs``
+    select a subset of the schema to ETL (default: the full spec
+    lists). Returns the manifest, with the labels rebuilt this run
+    under ``"rebuilt"`` (not persisted).
     """
     checksum_file = os.path.join(ws_dir, "checksum.txt")
     manifest_file = os.path.join(ws_dir, "manifest.json")
@@ -238,7 +246,7 @@ def build_workspace(
     manifest: dict = {"version": 2, "id_scheme": "xxhash64(label,key)", "nodes": {}, "edges": {}}
     rebuilt: list[str] = []
     node_frames: dict[str, DataFrame] = {}
-    for spec in NODE_SPECS:
+    for spec in (node_specs if node_specs is not None else NODE_SPECS):
         if not os.path.exists(os.path.join(src_dir, f"{spec.table}.parquet")):
             continue
         out = os.path.join(ws_dir, "nodes", spec.label)
@@ -262,7 +270,7 @@ def build_workspace(
     if any(r.startswith("n:") for r in rebuilt):
         validate_node_ids(node_frames)
 
-    for spec in EDGE_SPECS:
+    for spec in (edge_specs if edge_specs is not None else EDGE_SPECS):
         if spec.src_label not in node_frames or spec.dst_label not in node_frames:
             continue
         out = os.path.join(ws_dir, "edges", spec.label)

@@ -1,0 +1,147 @@
+"""Dialect DML round-trip (B19): user-typed UPDATE / INSERT / DELETE /
+CREATE VERTEX statements routed through ``arcadesql.execute`` to the
+workspace batch-recompute API, behind the explicit ``allow_writes``
+gate (default OFF — the reference serves the database read-only over
+HTTP, ArcadeDBService.java:81-105 posture)."""
+
+from __future__ import annotations
+
+import pytest
+
+from biodwh2_arcadedb_server_spark.arcadesql import ArcadeSQLError, execute
+from biodwh2_arcadedb_server_spark.workspace import build_workspace, load_workspace
+
+
+@pytest.fixture(scope="module")
+def dml_ws(spark, sf_small, tmp_path_factory):
+    # ONE workspace for the module — the mutations below are written
+    # to touch disjoint rows (inserts use keys ≥990, update touches
+    # keys <5, delete removes key 7) so order doesn't matter.
+    ws = str(tmp_path_factory.mktemp("dialect_dml") / "ws")
+    build_workspace(spark, sf_small, ws, force=True)
+    load_workspace(spark, ws)
+    return ws
+
+
+def _nation_count(spark):
+    return execute(spark, "SELECT count(*) AS n FROM Nation").collect()[0].n
+
+
+def test_writes_disabled_by_default(spark, dml_ws):
+    with pytest.raises(ArcadeSQLError, match="read-only"):
+        execute(spark, "UPDATE Nation SET n_name = 'X'")
+    with pytest.raises(ArcadeSQLError, match="read-only"):
+        execute(spark, "DELETE FROM Nation", workspace_dir=dml_ws)
+    # enabling writes without a workspace is also a clear error
+    with pytest.raises(ArcadeSQLError, match="workspace_dir"):
+        execute(spark, "DELETE FROM Nation", allow_writes=True)
+
+
+def test_insert_select_roundtrip(spark, dml_ws):
+    before = _nation_count(spark)
+    res = execute(
+        spark,
+        "INSERT INTO Nation SET natural_key = 990, n_name = 'ATLANTIS'",
+        workspace_dir=dml_ws,
+        allow_writes=True,
+    ).collect()[0]
+    assert (res.operation, res.label, res["count"]) == ("insert", "Nation", 1)
+    # the same session's dialect SELECT sees the new row
+    rows = execute(
+        spark, "SELECT n_name FROM Nation WHERE natural_key = 990"
+    ).collect()
+    assert [r.n_name for r in rows] == ["ATLANTIS"]
+    assert _nation_count(spark) == before + 1
+    # duplicate natural_key is silently skipped (error-tolerant, A9)
+    res2 = execute(
+        spark,
+        "CREATE VERTEX Nation SET natural_key = 990, n_name = 'DUP'",
+        workspace_dir=dml_ws,
+        allow_writes=True,
+    ).collect()[0]
+    assert res2["count"] == 0
+    assert _nation_count(spark) == before + 1
+
+
+def test_insert_values_form_multirow(spark, dml_ws):
+    res = execute(
+        spark,
+        "INSERT INTO Nation (natural_key, n_name) VALUES (991, 'MU'), (992, 'LEMURIA')",
+        workspace_dir=dml_ws,
+        allow_writes=True,
+    ).collect()[0]
+    assert res["count"] == 2
+    rows = execute(
+        spark,
+        "SELECT n_name FROM Nation WHERE natural_key IN [991, 992] ORDER BY n_name",
+    ).collect()
+    assert [r.n_name for r in rows] == ["LEMURIA", "MU"]
+
+
+def test_insert_requires_natural_key_and_known_columns(spark, dml_ws):
+    with pytest.raises(ArcadeSQLError, match="natural_key"):
+        execute(
+            spark,
+            "INSERT INTO Nation SET n_name = 'NOWHERE'",
+            workspace_dir=dml_ws,
+            allow_writes=True,
+        )
+    with pytest.raises(ArcadeSQLError, match="unknown propert"):
+        execute(
+            spark,
+            "INSERT INTO Nation SET natural_key = 993, bogus = 1",
+            workspace_dir=dml_ws,
+            allow_writes=True,
+        )
+
+
+def test_update_where(spark, dml_ws):
+    res = execute(
+        spark,
+        "UPDATE Nation SET n_name = lower(n_name) WHERE natural_key < 5",
+        workspace_dir=dml_ws,
+        allow_writes=True,
+    ).collect()[0]
+    assert (res.operation, res["count"]) == ("update", 5)
+    rows = execute(
+        spark,
+        "SELECT natural_key, n_name FROM Nation WHERE natural_key < 6 ORDER BY natural_key",
+    ).collect()
+    assert all(r.n_name == r.n_name.lower() for r in rows[:5])
+    assert rows[5].n_name == rows[5].n_name.upper()
+
+
+def test_delete_cascades_edges(spark, dml_ws):
+    doomed = execute(
+        spark, "SELECT node_id FROM Nation WHERE natural_key = 7"
+    ).collect()[0].node_id
+    touching_before = spark.sql(
+        f"SELECT count(*) AS n FROM edges WHERE src = {doomed} OR dst = {doomed}"
+    ).collect()[0].n
+    assert touching_before > 0  # IN_REGION + CUST/SUPP_IN_NATION edges
+    res = execute(
+        spark,
+        "DELETE VERTEX Nation WHERE natural_key = 7",
+        workspace_dir=dml_ws,
+        allow_writes=True,
+    ).collect()[0]
+    assert (res.operation, res["count"]) == ("delete", 1)
+    assert execute(
+        spark, "SELECT count(*) AS n FROM Nation WHERE natural_key = 7"
+    ).collect()[0].n == 0
+    left = spark.sql(
+        f"SELECT count(*) AS n FROM edges WHERE src = {doomed} OR dst = {doomed}"
+    ).collect()[0].n
+    assert left == 0
+
+
+def test_dml_parse_errors_are_clean(spark):
+    with pytest.raises(ArcadeSQLError, match="arity"):
+        execute(
+            spark,
+            "INSERT INTO Nation (a, b) VALUES (1)",
+            workspace_dir="/tmp/x",
+            allow_writes=True,
+        )
+    with pytest.raises(ArcadeSQLError, match="expected SET"):
+        execute(spark, "UPDATE Nation n_name = 'X'", allow_writes=True)
