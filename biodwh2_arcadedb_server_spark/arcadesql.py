@@ -177,13 +177,17 @@ class _Traverse:
 
 @dataclass
 class _Match:
-    nodes: list[dict]  # {"type":, "as":, "where": compiled expr | None}
+    nodes: list[dict]  # {"type":, "as":, "where": compiled expr | None, "optional": bool}
     steps: list[tuple[str, str | None]]  # (direction, edge label or None)
     returns: list[tuple[str, str | None]]  # (spark_expr, alias)
     group_by: list[str] = field(default_factory=list)
     order_by: list[tuple[str, str]] = field(default_factory=list)
     skip: int | None = None
     limit: int | None = None
+    # comma-separated additional pattern chains sharing aliases with
+    # the first; each {"negated": bool, "nodes": [...], "steps": [...]}.
+    # A negated chain compiles to a NOT EXISTS anti-join leg.
+    extra: list[dict] = field(default_factory=list)
 
 
 @dataclass
@@ -226,6 +230,10 @@ class _Parser:
         # becomes a BFS-tree temp view registered by execute() before
         # the compiled SQL runs (plan-level, like TRAVERSE).
         self.shortest_paths: list[dict] = []
+        # set when a $matched.<alias>.<prop> reference was compiled —
+        # used to reject cross-alias predicates on optional patterns
+        # (they cannot correlate out of the optional-leg subquery).
+        self.matched_used = False
 
     # -- token helpers
     def peek(self, k: int = 0) -> _Tok:
@@ -399,8 +407,7 @@ class _Parser:
         return dml
 
     # -- MATCH pattern blocks (ArcadeDB/OrientDB MATCH syntax)
-    def _match(self) -> _Match:
-        self.expect("kw", "match")
+    def _match_chain(self) -> tuple[list[dict], list[tuple[str, str | None]]]:
         nodes = [self._node_pattern()]
         steps: list[tuple[str, str | None]] = []
         while True:
@@ -409,16 +416,60 @@ class _Parser:
                 break
             steps.append(step)
             nodes.append(self._node_pattern())
+        return nodes, steps
+
+    def _match(self) -> _Match:
+        self.expect("kw", "match")
+        nodes, steps = self._match_chain()
+        extra: list[dict] = []
+        # comma-separated additional chains (ArcadeDB multi-pattern
+        # MATCH); `NOT { ... }` chains are negative patterns.
+        while self.accept("op", ","):
+            negated = bool(self.accept("kw", "not"))
+            c_nodes, c_steps = self._match_chain()
+            if not c_steps:
+                raise ArcadeSQLError(
+                    "an additional MATCH pattern must contain at least "
+                    "one edge step"
+                )
+            extra.append({"negated": negated, "nodes": c_nodes, "steps": c_steps})
         self.expect("kw", "return")
         dummy = _Select(
             projections=[], star=False, expand_edge=None, source_type=None,
             subquery=None, where=None, group_by=[], order_by=[], skip=None,
             limit=None,
         )
-        # Assign SQL aliases (user `as:` or generated) and compile the
+        # Assign SQL aliases (user `as:` or generated) across ALL
+        # chains — a pattern whose `as:` names an already-seen alias
+        # BINDS to it (shared node, no new join) — then compile the
         # deferred node-pattern wheres qualified with that alias.
-        for i, pat in enumerate(nodes):
-            pat["alias"] = pat["as"] or f"__m{i}"
+        bound: dict[str, dict] = {}
+        counter = 0
+
+        def assign(pat: dict, inner_prefix: str | None = None) -> None:
+            nonlocal counter
+            if pat["as"] and pat["as"] in bound:
+                pat["alias"] = pat["as"]
+                pat["bound"] = True
+                prev = bound[pat["as"]]
+                if pat["type"] and not prev.get("type"):
+                    raise ArcadeSQLError(
+                        f"alias {pat['as']!r} was first bound untyped — "
+                        "declare the type at its first occurrence"
+                    )
+            elif inner_prefix is not None:
+                # fresh node inside a NOT pattern: scoped to the
+                # NOT EXISTS subquery — never visible to RETURN, so
+                # it is not registered as a shared alias.
+                pat["alias"] = f"{inner_prefix}_{counter}"
+                counter += 1
+                pat["bound"] = False
+            else:
+                pat["alias"] = pat["as"] or f"__m{counter}"
+                counter += 1
+                pat["bound"] = False
+                if pat["as"]:
+                    bound[pat["as"]] = pat
             toks = pat.pop("_where_toks", None)
             if toks is not None:
                 sub = _Parser.__new__(_Parser)
@@ -426,8 +477,29 @@ class _Parser:
                 sub.i = 0
                 sub.qual = pat["alias"]
                 sub.shortest_paths = self.shortest_paths
+                sub.matched_used = False
                 pat["where"] = sub._expr(dummy)
                 sub.expect("eof")
+                pat["matched_used"] = sub.matched_used
+
+        for pat in nodes:
+            assign(pat)
+        for k, chain in enumerate(extra):
+            first = chain["nodes"][0]
+            if not (first["as"] and first["as"] in bound):
+                raise ArcadeSQLError(
+                    "an additional MATCH pattern must start at an "
+                    "already-bound alias (connected patterns only — a "
+                    "disconnected pattern would be a cartesian product)"
+                )
+            prefix = f"__neg{k}" if chain["negated"] else None
+            for pat in chain["nodes"]:
+                if chain["negated"] and pat.get("optional"):
+                    raise ArcadeSQLError(
+                        "optional: true inside a NOT pattern is "
+                        "contradictory"
+                    )
+                assign(pat, inner_prefix=prefix)
         returns: list[tuple[str, str | None]] = []
         while True:
             expr = self._expr(dummy)
@@ -437,7 +509,7 @@ class _Parser:
             returns.append((expr, alias))
             if not self.accept("op", ","):
                 break
-        m = _Match(nodes=nodes, steps=steps, returns=returns)
+        m = _Match(nodes=nodes, steps=steps, returns=returns, extra=extra)
         if self.accept("kw", "group"):
             self.expect("kw", "by")
             while True:
@@ -468,7 +540,7 @@ class _Parser:
         and compiled AFTER the pattern closes, so it can be qualified
         with the node's alias even when ``as:`` follows ``where:``."""
         self.expect("op", "{")
-        pat: dict = {"type": None, "as": None, "where": None}
+        pat: dict = {"type": None, "as": None, "where": None, "optional": False}
         where_slice: list[_Tok] | None = None
         while not self.accept("op", "}"):
             self.accept("op", ",")
@@ -476,15 +548,23 @@ class _Parser:
                 continue
             key_t = self.next()
             key = key_t.text.lower()
-            if key not in ("type", "as", "where"):
+            if key not in ("type", "as", "where", "optional"):
                 raise ArcadeSQLError(
-                    f"MATCH node pattern supports type/as/where, got {key!r}"
+                    "MATCH node pattern supports type/as/where/optional, "
+                    f"got {key!r}"
                 )
             self.expect("op", ":")
             if key == "type":
                 pat["type"] = self._name("type name")
             elif key == "as":
                 pat["as"] = self.expect("ident").text
+            elif key == "optional":
+                t = self.next()
+                if t.kind != "kw" or t.text not in ("true", "false"):
+                    raise ArcadeSQLError(
+                        f"optional: expects true/false, got {t.text!r}"
+                    )
+                pat["optional"] = t.text == "true"
             else:
                 self.expect("op", "(")
                 depth = 1
@@ -764,8 +844,20 @@ class _Parser:
                 return f"{self.qual}.label" if self.qual else "label"
             raise ArcadeSQLError(f"unsupported attribute {at}")
         if t.kind == "var":
+            v = self.next().text
+            if v.lower() == "$matched":
+                # $matched.<alias>.<prop> — ArcadeDB's cross-alias
+                # pattern-variable reference inside a node where:.
+                # Compiles to the plain qualified column, which lands
+                # in the global WHERE of the single join-chain SQL.
+                self.expect("op", ".")
+                alias = self.expect("ident").text
+                self.expect("op", ".")
+                prop = self._name("property name")
+                self.matched_used = True
+                return f"{alias}.{prop}"
             # $var — resolved against the LET bindings at compile time
-            return f"__LET_{self.next().text[1:]}__"
+            return f"__LET_{v[1:]}__"
         if t.kind == "op" and t.text == "(":
             self.next()
             if self.peek().kind == "kw" and self.peek().text == "select":
@@ -1082,13 +1174,140 @@ def _compile_select(sel: _Select) -> str:
 _AGG_RE = re.compile(r"\b(count|sum|avg|min|max|first|last)\s*\(", re.I)
 
 
+def _match_leg(
+    e: str, a: str, b: str, d: str, label: str | None
+) -> tuple[str, str]:
+    """Join conditions for one edge step: (edge-join cond anchored at
+    ``a``, node-join cond binding ``b``)."""
+    lbl = f" AND {e}.label = '{_sql_str(label)}'" if label else ""
+    if d == "out":
+        return f"{e}.src = {a}.node_id{lbl}", f"{b}.node_id = {e}.dst"
+    if d == "in":
+        return f"{e}.dst = {a}.node_id{lbl}", f"{b}.node_id = {e}.src"
+    return (
+        f"({e}.src = {a}.node_id OR {e}.dst = {a}.node_id){lbl}",
+        f"{b}.node_id = CASE WHEN {e}.src = {a}.node_id "
+        f"THEN {e}.dst ELSE {e}.src END",
+    )
+
+
+def _compile_chain(
+    nodes: list[dict],
+    steps: list[tuple[str, str | None]],
+    froms: list[str],
+    wheres: list[str],
+    tag: str,
+) -> None:
+    """Append one pattern chain's joins to ``froms``/``wheres``.
+    The chain's first node must already be in scope (``bound`` or
+    emitted by the caller). Non-optional steps are inner equi-joins;
+    an ``optional: true`` node turns its step — and every later step
+    in the chain — into a LEFT JOIN of a derived leg subquery
+    (edge ⋈ typed view, the node's own ``where:`` folded inside), so
+    per anchor row the leg yields its matches or ONE all-null row,
+    exactly ArcadeDB's optional-pattern semantics. Catalyst still
+    sees one join chain: pushdown and broadcast apply per leg."""
+    optional = False
+    for i, (d, label) in enumerate(steps):
+        e = f"__e{tag}{i}"
+        a = nodes[i]["alias"]
+        nt = nodes[i + 1]
+        b = nt["alias"]
+        optional = optional or nt.get("optional", False)
+        if not optional:
+            cond, nxt = _match_leg(e, a, b, d, label)
+            froms.append(f"JOIN edges {e} ON {cond}")
+            if nt.get("bound"):
+                # cycle-closing step: the target alias is already in
+                # scope — constrain it instead of re-joining its view
+                wheres.append(nxt)
+                if nt.get("where"):
+                    wheres.append(nt["where"])
+            else:
+                src = f"n_{nt['type']} {b}" if nt["type"] else f"nodes {b}"
+                froms.append(f"JOIN {src} ON {nxt}")
+                if nt.get("where"):
+                    wheres.append(nt["where"])
+            continue
+        # optional leg: LEFT JOIN (edge ⋈ node view) keyed on a
+        # sentinel anchor column, so a failed `where:` inside the leg
+        # nulls the whole leg instead of leaking a half-matched row.
+        if nt.get("bound"):
+            raise ArcadeSQLError(
+                "optional: true cannot close a cycle onto an "
+                "already-bound alias"
+            )
+        if nt.get("matched_used"):
+            raise ArcadeSQLError(
+                "$matched references inside an optional pattern's "
+                "where: cannot correlate out of the optional leg"
+            )
+        view = f"n_{nt['type']}" if nt["type"] else "nodes"
+        inner_t = f"__t{tag}{i}"
+        inner_where = ""
+        if nt.get("where"):
+            # the deferred where was compiled qualified with the
+            # node's public alias; requalify onto the inner table
+            inner_where = " AND " + nt["where"].replace(f"{b}.", f"{inner_t}.")
+        lbl = f" AND {e}.label = '{_sql_str(label)}'" if label else ""
+        anchor = f"__anchor{tag}{i}"
+        if d == "both":
+            leg = (
+                f"(SELECT {e}.src AS {anchor}, {inner_t}.* FROM edges {e} "
+                f"JOIN {view} {inner_t} ON {inner_t}.node_id = {e}.dst"
+                f"{lbl}{inner_where} UNION ALL "
+                f"SELECT {e}.dst AS {anchor}, {inner_t}.* FROM edges {e} "
+                f"JOIN {view} {inner_t} ON {inner_t}.node_id = {e}.src"
+                f"{lbl}{inner_where})"
+            )
+        else:
+            key, other = ("src", "dst") if d == "out" else ("dst", "src")
+            leg = (
+                f"(SELECT {e}.{key} AS {anchor}, {inner_t}.* FROM edges {e} "
+                f"JOIN {view} {inner_t} ON {inner_t}.node_id = {e}.{other}"
+                f"{lbl}{inner_where})"
+            )
+        froms.append(f"LEFT JOIN {leg} {b} ON {b}.{anchor} = {a}.node_id")
+
+
+def _compile_neg_chain(chain: dict, idx: int) -> str:
+    """NOT { … } pattern → a NOT EXISTS anti-join leg correlated on
+    the chain's bound anchor alias(es). Catalyst plans this as a
+    LeftAnti join on the edge key — one shuffle, no cartesian."""
+    nodes, steps = chain["nodes"], chain["steps"]
+    froms: list[str] = []
+    conds: list[str] = []
+    for i, (d, label) in enumerate(steps):
+        e = f"__ne{idx}_{i}"
+        a = nodes[i]["alias"]
+        nt = nodes[i + 1]
+        b = nt["alias"]
+        cond, nxt = _match_leg(e, a, b, d, label)
+        froms.append(f"edges {e}")
+        conds.append(cond)
+        if nt.get("bound"):
+            conds.append(nxt)
+        else:
+            froms.append(f"n_{nt['type']} {b}" if nt["type"] else f"nodes {b}")
+            conds.append(nxt)
+            if nt.get("where"):
+                conds.append(nt["where"])
+    return (
+        f"NOT EXISTS (SELECT 1 FROM {', '.join(froms)} "
+        f"WHERE {' AND '.join(conds)})"
+    )
+
+
 def _compile_match(m: _Match) -> str:
-    """MATCH pattern chain → ONE Spark SQL join chain over the
+    """MATCH pattern chains → ONE Spark SQL join chain over the
     per-label views and the unified ``edges`` view: each edge step is
     an equi-join on the edge key (shuffle on src/dst — or a broadcast
     probe when the anchored side is small, AQE's call), each node
-    pattern a join back to its typed view. Aggregates in RETURN get
-    ArcadeDB-style implicit grouping by the non-aggregate items."""
+    pattern a join back to its typed view; ``optional: true`` legs
+    are LEFT JOINs of derived leg subqueries, additional comma chains
+    extend the same join chain, and ``NOT { … }`` chains become
+    NOT EXISTS anti-join legs. Aggregates in RETURN get ArcadeDB-style
+    implicit grouping by the non-aggregate items."""
     froms: list[str] = []
     wheres: list[str] = []
     first = m.nodes[0]
@@ -1096,29 +1315,19 @@ def _compile_match(m: _Match) -> str:
     froms.append(
         f"n_{first['type']} {a0}" if first["type"] else f"nodes {a0}"
     )
-    for i, (d, label) in enumerate(m.steps):
-        e = f"__e{i}"
-        a, b = m.nodes[i]["alias"], m.nodes[i + 1]["alias"]
-        lbl = f" AND {e}.label = '{_sql_str(label)}'" if label else ""
-        if d == "out":
-            cond = f"{e}.src = {a}.node_id{lbl}"
-            nxt = f"{b}.node_id = {e}.dst"
-        elif d == "in":
-            cond = f"{e}.dst = {a}.node_id{lbl}"
-            nxt = f"{b}.node_id = {e}.src"
-        else:  # both
-            cond = f"({e}.src = {a}.node_id OR {e}.dst = {a}.node_id){lbl}"
-            nxt = (
-                f"{b}.node_id = CASE WHEN {e}.src = {a}.node_id "
-                f"THEN {e}.dst ELSE {e}.src END"
+    if first.get("where"):
+        wheres.append(first["where"])
+    _compile_chain(m.nodes, m.steps, froms, wheres, tag="")
+    for k, chain in enumerate(m.extra):
+        if chain["negated"]:
+            wheres.append(_compile_neg_chain(chain, k))
+        else:
+            anchor0 = chain["nodes"][0]
+            if anchor0.get("where"):
+                wheres.append(anchor0["where"])
+            _compile_chain(
+                chain["nodes"], chain["steps"], froms, wheres, tag=f"x{k}_"
             )
-        froms.append(f"JOIN edges {e} ON {cond}")
-        nt = m.nodes[i + 1]
-        src = f"n_{nt['type']} {b}" if nt["type"] else f"nodes {b}"
-        froms.append(f"JOIN {src} ON {nxt}")
-    for pat in m.nodes:
-        if pat.get("where"):
-            wheres.append(pat["where"])
     parts = []
     plain: list[str] = []
     has_agg = False

@@ -227,6 +227,39 @@ def q145_graphql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B6 extensions: optional / negative MATCH patterns --------------------------
+def q148_match_optional_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-typed ``optional: true`` MATCH pattern: per-customer count
+    of finished orders INCLUDING customers with none (the rows an
+    inner pattern would drop). Compiles to a LEFT JOIN of a derived
+    leg subquery with the leg's own ``where:`` folded inside — per
+    anchor row the leg yields its matches or one all-null row, so
+    COUNT(o_orderkey) is 0 for order-less customers, never absent."""
+    _register_star_workspace(spark, sf_dir)
+    return arcadesql.execute(
+        spark,
+        "MATCH {type: Customer, as: c, where: (c_custkey <= 60)}"
+        "-PLACED->{type: Order, as: o, optional: true, "
+        "where: (o_orderstatus = 'F')} "
+        "RETURN c.c_custkey AS c_custkey, count(o.o_orderkey) AS n_f_orders "
+        "ORDER BY c_custkey",
+    )
+
+
+def q149_match_not_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-typed negative pattern (``, NOT { … }``) plus a
+    cross-alias ``$matched`` predicate: customers ≤ 100 with NO open
+    order, whose negative leg is a NOT EXISTS the optimizer plans as
+    a left-anti join on the edge key — one shuffle, no cartesian."""
+    _register_star_workspace(spark, sf_dir)
+    return arcadesql.execute(
+        spark,
+        "MATCH {type: Customer, as: c, where: (c_custkey <= 100)}, "
+        "NOT {as: c}-PLACED->{type: Order, where: (o_orderstatus = 'O')} "
+        "RETURN c.c_custkey AS c_custkey ORDER BY c_custkey",
+    )
+
+
 # --- B19 through the dialect: UPDATE / INSERT / DELETE --------------------------
 def q147_dml_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-typed DML (the ArcadeDB SQL surface Studio users get,
@@ -279,6 +312,8 @@ def q147_dml_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q136_match_dialect": q136_match_dialect,
     "q147_dml_readback": q147_dml_readback,
+    "q148_match_optional_dialect": q148_match_optional_dialect,
+    "q149_match_not_dialect": q149_match_not_dialect,
     "q141_agg_dialect": q141_agg_dialect,
     "q145_graphql": q145_graphql,
     "q137_traverse_dialect": q137_traverse_dialect,
@@ -289,6 +324,25 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q148_match_optional_dialect": """
+        SELECT c.c_custkey AS c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_f_orders
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        WHERE c.c_custkey <= 60
+        GROUP BY c.c_custkey
+        ORDER BY c_custkey
+    """,
+    "q149_match_not_dialect": """
+        SELECT c.c_custkey AS c_custkey
+        FROM customer c
+        WHERE c.c_custkey <= 100
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'O')
+        ORDER BY c_custkey
+    """,
     "q147_dml_readback": """
         SELECT CAST(n.n_nationkey AS BIGINT) AS natural_key,
                CASE WHEN n.n_nationkey < 5 THEN lower(n.n_name)

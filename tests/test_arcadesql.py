@@ -463,3 +463,134 @@ def test_shortest_path_requires_literal_source_and_translate_raises():
         translate("SELECT shortestPath(1, node_id, 'SIDEWAYS') FROM Person")
     with pytest.raises(ArcadeSQLError, match="only .size"):
         translate("SELECT shortestPath(1, node_id).length() FROM Person")
+
+
+# ---------------------------------------------------------------- MATCH optional / NOT / $matched
+def test_match_optional_left_join(graph_ws):
+    """Person 5 knows nobody — optional keeps the row with null b."""
+    df = execute(
+        graph_ws,
+        "MATCH {type: Person, as: a}-KNOWS->{type: Person, as: b, optional: true} "
+        "RETURN a.node_id AS src, b.node_id AS dst "
+        "ORDER BY src, dst",
+    )
+    rows = [(r.src, r.dst) for r in df.collect()]
+    assert (5, None) in rows
+    assert (1, 2) in rows and (1, 3) in rows
+    # exactly one null row for person 5, none for the others
+    assert sum(1 for s, d in rows if d is None) == 1
+
+
+def test_match_optional_where_stays_inside_leg(graph_ws):
+    """The optional node's where: filters the LEG, not the outer row —
+    a person whose only friends fail the filter still appears (null),
+    never drops."""
+    df = execute(
+        graph_ws,
+        "MATCH {type: Person, as: a}-KNOWS->"
+        "{type: Person, as: b, where: (age >= 40), optional: true} "
+        "RETURN a.node_id AS src, b.node_id AS dst",
+    )
+    rows = sorted((r.src, r.dst) for r in df.collect())
+    # only persons 4 (age 40) and 5 (age 50) pass the leg filter;
+    # 3->4 and 4->5 survive; 1, 2, 5 get single null rows; 1 and 3
+    # each know someone but none aged >= 40 except 3->4
+    assert rows == [(1, None), (2, None), (3, 4), (4, 5), (5, None)]
+
+
+def test_match_optional_chained_propagates(graph_ws):
+    """A step after an optional node is also left — null anchors
+    propagate instead of dropping rows."""
+    df = execute(
+        graph_ws,
+        "MATCH {type: Person, as: a, where: (node_id = 5)}"
+        "-KNOWS->{type: Person, as: b, optional: true}"
+        "-LIVES_IN->{type: City, as: c} "
+        "RETURN a.node_id AS pa, b.node_id AS pb, c.node_id AS pc",
+    )
+    assert [(r.pa, r.pb, r.pc) for r in df.collect()] == [(5, None, None)]
+
+
+def test_match_not_pattern_anti_join(graph_ws):
+    """NOT {as: a}-KNOWS->{} keeps only persons with no out-KNOWS."""
+    df = execute(
+        graph_ws,
+        "MATCH {type: Person, as: a}, NOT {as: a}-KNOWS->{type: Person} "
+        "RETURN a.node_id AS src ORDER BY src",
+    )
+    assert [r.src for r in df.collect()] == [5]
+
+
+def test_match_not_pattern_with_inner_where(graph_ws):
+    """Persons who know NOBODY aged >= 30: 2 knows 3 (30) -> excluded;
+    1 knows 2 (20) and 3 (30) -> excluded; 3 knows 4 (40) -> excluded;
+    4 knows 5 (50) -> excluded; 5 knows nobody -> kept."""
+    df = execute(
+        graph_ws,
+        "MATCH {type: Person, as: a}, "
+        "NOT {as: a}-KNOWS->{type: Person, where: (age >= 30)} "
+        "RETURN a.node_id AS src ORDER BY src",
+    )
+    assert [r.src for r in df.collect()] == [5]
+    # and the complement filter (>= 60: nobody qualifies, all kept)
+    df2 = execute(
+        graph_ws,
+        "MATCH {type: Person, as: a}, "
+        "NOT {as: a}-KNOWS->{type: Person, where: (age >= 60)} "
+        "RETURN a.node_id AS src ORDER BY src",
+    )
+    assert [r.src for r in df2.collect()] == [1, 2, 3, 4, 5]
+
+
+def test_match_extra_positive_chain_shares_alias(graph_ws):
+    """Second chain anchored at a bound alias extends the join: pairs
+    (a knows b) where both live in the same city — via a comma chain
+    closing the cycle on c."""
+    df = execute(
+        graph_ws,
+        "MATCH {type: Person, as: a}-KNOWS->{type: Person, as: b}"
+        "-LIVES_IN->{type: City, as: c}, "
+        "{as: a}-LIVES_IN->{as: c} "
+        "RETURN a.node_id AS pa, b.node_id AS pb",
+    )
+    # KNOWS pairs: (1,2),(2,3),(3,4),(1,3),(4,5); same city only 1-2 (ams)
+    # and 4-5 (cdg)
+    assert sorted((r.pa, r.pb) for r in df.collect()) == [(1, 2), (4, 5)]
+
+
+def test_match_matched_cross_alias_where(graph_ws):
+    """$matched.<alias>.<prop> in a later pattern's where: — older
+    friends only."""
+    df = execute(
+        graph_ws,
+        "MATCH {type: Person, as: a}-KNOWS->"
+        "{type: Person, as: b, where: (age > $matched.a.age + 10)} "
+        "RETURN a.node_id AS pa, b.node_id AS pb",
+    )
+    # pairs where age(b) > age(a) + 10: (1,3): 30>20 yes; (1,2): 20>20 no;
+    # (2,3): 30>30 no; (3,4): 40>40 no; (4,5): 50>50 no
+    assert sorted((r.pa, r.pb) for r in df.collect()) == [(1, 3)]
+
+
+def test_match_optional_rejects_matched_and_cycle(graph_ws):
+    with pytest.raises(ArcadeSQLError, match="cannot correlate"):
+        translate(
+            "MATCH {type: Person, as: a}-KNOWS->"
+            "{type: Person, as: b, optional: true, "
+            "where: (age > $matched.a.age)} RETURN a.node_id"
+        )
+    with pytest.raises(ArcadeSQLError, match="close a cycle"):
+        translate(
+            "MATCH {type: Person, as: a}-KNOWS->{type: Person, as: b}, "
+            "{as: b}-KNOWS->{as: a, optional: true} RETURN a.node_id"
+        )
+    with pytest.raises(ArcadeSQLError, match="already-bound alias"):
+        translate(
+            "MATCH {type: Person, as: a}, {type: City, as: z}-KNOWS->"
+            "{type: Person} RETURN a.node_id"
+        )
+    with pytest.raises(ArcadeSQLError, match="contradictory"):
+        translate(
+            "MATCH {type: Person, as: a}, NOT {as: a}-KNOWS->"
+            "{type: Person, optional: true} RETURN a.node_id"
+        )
