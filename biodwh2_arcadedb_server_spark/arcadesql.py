@@ -166,6 +166,7 @@ class _Select:
     distinct: bool = False
     uses_graph_projection: bool = False
     lets: dict = field(default_factory=dict)  # $var -> compiled expr
+    unwind: list[str] = field(default_factory=list)  # result fields to explode
 
 
 @dataclass
@@ -698,6 +699,18 @@ class _Parser:
                 sel.group_by.append(self._expr(sel))
                 if not self.accept("op", ","):
                     break
+        # UNWIND <field>[, ...] — flatten a projected collection field
+        # into one row per element (ArcadeDB/OrientDB UNWIND clause).
+        # Grammar places it after ORDER BY, but users type both
+        # orders; accept it on either side.
+        def _unwind_clause() -> None:
+            if self._accept_word("unwind"):
+                while True:
+                    sel.unwind.append(self._name("UNWIND field"))
+                    if not self.accept("op", ","):
+                        break
+
+        _unwind_clause()
         if self.accept("kw", "order"):
             self.expect("kw", "by")
             while True:
@@ -710,6 +723,7 @@ class _Parser:
                 sel.order_by.append((e, direction))
                 if not self.accept("op", ","):
                     break
+        _unwind_clause()
         if self.accept("kw", "skip"):
             sel.skip = self._int("SKIP")
         if self.accept("kw", "limit"):
@@ -1094,6 +1108,61 @@ def _finalize_lets(sql: str, sel: _Select) -> str:
     return sql
 
 
+_IDENT_RE = re.compile(r"[A-Za-z_]\w*$")
+
+
+def _apply_unwind(sql: str, sel: _Select) -> str:
+    """``UNWIND f[, g]`` → wrap the compiled SELECT in LATERAL VIEW
+    OUTER explode legs, one row per collection element (several
+    UNWIND fields multiply per-row, like ArcadeDB). OUTER keeps a
+    record whose collection is empty/null as ONE row with a null
+    element — the record is never dropped. ORDER BY / SKIP / LIMIT
+    apply to the unwound rows (they follow UNWIND in the grammar) and
+    therefore resolve against the projected column names.
+
+    Scale: explode is a whole-stage-codegen Generate node — map-side
+    row expansion, no shuffle; filters above it on non-generated
+    columns still push through to the scan."""
+    if sel.star:
+        raise ArcadeSQLError(
+            "UNWIND requires explicit projections (it unwinds a "
+            "projected result field)"
+        )
+    names: list[str] = []
+    for expr, alias in sel.projections:
+        if alias:
+            names.append(alias)
+        elif _IDENT_RE.fullmatch(expr):
+            names.append(expr)
+        else:
+            raise ArcadeSQLError(
+                "UNWIND requires every projection to carry a result "
+                f"name — add AS to {expr!r}"
+            )
+    unknown = [u for u in sel.unwind if u not in names]
+    if unknown:
+        raise ArcadeSQLError(
+            f"UNWIND field(s) {unknown} not found among the projected "
+            f"result fields {[n for n in names if n]}"
+        )
+    laterals = []
+    out_cols = []
+    for name in names:
+        if name in sel.unwind:
+            j = sel.unwind.index(name)
+            laterals.append(
+                f"LATERAL VIEW OUTER explode(__unw.{name}) "
+                f"__lv{j} AS __unw_val{j}"
+            )
+            out_cols.append(f"__unw_val{j} AS {name}")
+        else:
+            out_cols.append(f"__unw.{name}")
+    return (
+        f"SELECT {', '.join(out_cols)} FROM ({sql}) __unw "
+        + " ".join(laterals)
+    )
+
+
 def _compile_select(sel: _Select) -> str:
     if sel.subquery is not None:
         source = f"({_compile_select(sel.subquery)}) __self"
@@ -1159,6 +1228,10 @@ def _compile_select(sel: _Select) -> str:
             sql += f" WHERE {sel.where}"
         if sel.group_by:
             sql += " GROUP BY " + ", ".join(sel.group_by)
+        if sel.unwind:
+            sql = _apply_unwind(sql, sel)
+    if sel.unwind and sel.expand_edge is not None:
+        raise ArcadeSQLError("UNWIND cannot combine with expand()")
     if sel.order_by:
         sql += " ORDER BY " + ", ".join(f"{e} {d}" for e, d in sel.order_by)
     if sel.limit is not None:

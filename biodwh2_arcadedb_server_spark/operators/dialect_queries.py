@@ -260,6 +260,22 @@ def q149_match_not_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B17 through the dialect: UNWIND ---------------------------------------------
+def q150_unwind_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-typed ``UNWIND`` over a graph-projection collection:
+    one row per (customer, placed-order) pair, customers with no
+    orders kept as a single null row (LATERAL VIEW OUTER explode —
+    the record is never dropped, ArcadeDB semantics). Explode is a
+    map-side Generate node: no shuffle beyond the projection's own
+    decorrelated join."""
+    _register_star_workspace(spark, sf_dir)
+    return arcadesql.execute(
+        spark,
+        "SELECT c_custkey, out('PLACED') AS ord_node FROM Customer "
+        "WHERE c_custkey <= 30 UNWIND ord_node",
+    )
+
+
 # --- B19 through the dialect: UPDATE / INSERT / DELETE --------------------------
 def q147_dml_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-typed DML (the ArcadeDB SQL surface Studio users get,
@@ -313,6 +329,7 @@ QUERIES = {
     "q136_match_dialect": q136_match_dialect,
     "q147_dml_readback": q147_dml_readback,
     "q148_match_optional_dialect": q148_match_optional_dialect,
+    "q150_unwind_dialect": q150_unwind_dialect,
     "q149_match_not_dialect": q149_match_not_dialect,
     "q141_agg_dialect": q141_agg_dialect,
     "q145_graphql": q145_graphql,
@@ -324,6 +341,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q150_unwind_dialect": """
+        SELECT c.c_custkey AS c_custkey,
+               CAST(o.o_orderkey * 3 + 1 AS BIGINT) AS ord_node
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey <= 30
+    """,
     "q148_match_optional_dialect": """
         SELECT c.c_custkey AS c_custkey,
                CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_f_orders

@@ -594,3 +594,47 @@ def test_match_optional_rejects_matched_and_cycle(graph_ws):
             "MATCH {type: Person, as: a}, NOT {as: a}-KNOWS->"
             "{type: Person, optional: true} RETURN a.node_id"
         )
+
+
+# ---------------------------------------------------------------- UNWIND
+def test_unwind_graph_projection(graph_ws):
+    df = execute(
+        graph_ws,
+        "SELECT name, out('KNOWS') AS friend FROM Person UNWIND friend",
+    )
+    rows = sorted((r.name, r.friend) for r in df.collect())
+    # 1->{2,3}, 2->3, 3->4, 4->5, 5->{} (kept as null)
+    assert rows == [
+        ("p1", 2), ("p1", 3), ("p2", 3), ("p3", 4), ("p4", 5), ("p5", None),
+    ]
+
+
+def test_unwind_list_literal_with_order_limit(graph_ws):
+    df = execute(
+        graph_ws,
+        "SELECT node_id AS nid, [1, 2, 3] AS xs FROM Person "
+        "WHERE node_id <= 2 UNWIND xs ORDER BY nid, xs LIMIT 4",
+    )
+    assert [(r.nid, r.xs) for r in df.collect()] == [
+        (1, 1), (1, 2), (1, 3), (2, 1),
+    ]
+
+
+def test_unwind_multiple_fields_cartesian(graph_ws):
+    df = execute(
+        graph_ws,
+        "SELECT node_id AS nid, [1, 2] AS xs, [3, 4] AS ys FROM Person "
+        "WHERE node_id = 1 UNWIND xs, ys",
+    )
+    assert sorted((r.xs, r.ys) for r in df.collect()) == [
+        (1, 3), (1, 4), (2, 3), (2, 4),
+    ]
+
+
+def test_unwind_errors(graph_ws):
+    with pytest.raises(ArcadeSQLError, match="not found"):
+        translate("SELECT name FROM Person UNWIND friends")
+    with pytest.raises(ArcadeSQLError, match="explicit projections"):
+        translate("SELECT * FROM Person UNWIND friends")
+    with pytest.raises(ArcadeSQLError, match="carry a result name"):
+        translate("SELECT name, out('KNOWS') FROM Person UNWIND name")
