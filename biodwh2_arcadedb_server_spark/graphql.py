@@ -31,8 +31,11 @@ Supported subset (the read path the reference's plugin serves):
   Nested fields accept the same equality arguments.
 - Nested results are `sort_array`-ed for deterministic output.
 
-Mutations, variables, fragments, and introspection are out of scope —
-the reference plugin's read-query surface is what the server answers.
+Variables are supported (``query($seg: String!, $lim: Int = 5)`` +
+a ``variables`` dict — values substitute at parse time, so the
+compiled plan pushes them down exactly like literals). Mutations,
+fragments, and introspection remain out of scope — the reference
+plugin's read-query surface is what the server answers.
 
 Scale notes: the compiled plan is join + groupBy(collect_list) per
 nesting level, shuffling on node ids only after per-label column
@@ -87,9 +90,10 @@ def default_relationships() -> dict[str, dict[str, Rel]]:
 
 _TOKEN = re.compile(
     r"""\s*(?:
-        (?P<punct>[{}():,])
+        (?P<punct>[{}():,\[\]!=])
       | (?P<string>"(?:[^"\\]|\\.)*")
       | (?P<number>-?\d+(?:\.\d+)?)
+      | (?P<variable>\$[_A-Za-z][_0-9A-Za-z]*)
       | (?P<name>[_A-Za-z][_0-9A-Za-z]*)
     )""",
     re.VERBOSE,
@@ -111,7 +115,7 @@ def _tokenize(doc: str) -> list[tuple[str, str]]:
                 break
             raise GraphQLError(f"unexpected character at: {rest[:20]!r}")
         pos = m.end()
-        for kind in ("punct", "string", "number", "name"):
+        for kind in ("punct", "string", "number", "variable", "name"):
             v = m.group(kind)
             if v is not None:
                 out.append((kind, v))
@@ -120,9 +124,13 @@ def _tokenize(doc: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]]):
+    def __init__(self, tokens: list[tuple[str, str]], variables: dict | None = None):
         self.toks = tokens
         self.i = 0
+        # caller-supplied variable values; declaration defaults are
+        # merged UNDER these while parsing the operation definition
+        self.variables = dict(variables or {})
+        self.declared: set[str] = set()
 
     def _peek(self) -> tuple[str, str] | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -140,19 +148,60 @@ class _Parser:
             raise GraphQLError(f"expected {value!r}, got {v!r}")
 
     def parse_document(self) -> Field:
-        # optional leading `query` / operation name
+        # optional leading `query` / operation name / variable defs
         t = self._peek()
         if t and t[0] == "name" and t[1] == "query":
             self._next()
             t = self._peek()
             if t and t[0] == "name":
                 self._next()
+                t = self._peek()
+            if t and t[1] == "(":
+                self._parse_variable_defs()
         self._expect("{")
         root = self._parse_field()
         self._expect("}")
         if self._peek() is not None:
             raise GraphQLError("one root field per document")
         return root
+
+    def _parse_variable_defs(self) -> None:
+        """``($seg: String!, $lim: Int = 5)`` — declarations with
+        optional defaults. Types are validated structurally (name with
+        optional ``!`` / list wrappers) but not enforced against a
+        schema — the compiled filter casts at the Spark level, the
+        same place literal arguments are coerced."""
+        self._expect("(")
+        while True:
+            kind, v = self._next()
+            if kind != "variable":
+                raise GraphQLError(f"expected $variable, got {v!r}")
+            name = v[1:]
+            self.declared.add(name)
+            self._expect(":")
+            self._parse_type()
+            t = self._peek()
+            if t and t[1] == "=":
+                self._next()
+                default = self._parse_value()
+                if name not in self.variables:
+                    self.variables[name] = default
+            kind, v = self._next()
+            if v == ")":
+                break
+            if v != ",":
+                raise GraphQLError(f"expected ',' or ')', got {v!r}")
+
+    def _parse_type(self) -> None:
+        kind, v = self._next()
+        if v == "[":
+            self._parse_type()
+            self._expect("]")
+        elif kind != "name":
+            raise GraphQLError(f"expected a type name, got {v!r}")
+        t = self._peek()
+        if t and t[1] == "!":
+            self._next()
 
     def _parse_field(self) -> Field:
         kind, name = self._next()
@@ -188,6 +237,16 @@ class _Parser:
 
     def _parse_value(self):
         kind, v = self._next()
+        if kind == "variable":
+            name = v[1:]
+            if self.declared and name not in self.declared:
+                raise GraphQLError(f"variable ${name} is not declared")
+            if name not in self.variables:
+                raise GraphQLError(
+                    f"variable ${name} has no value (pass it in the "
+                    "`variables` dict or declare a default)"
+                )
+            return self.variables[name]
         if kind == "string":
             return v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
         if kind == "number":
@@ -199,12 +258,12 @@ class _Parser:
                 return False
             if v == "null":
                 return None
-            raise GraphQLError(f"unsupported enum/variable value: {v!r}")
+            raise GraphQLError(f"unsupported enum value: {v!r}")
         raise GraphQLError(f"expected a value, got {v!r}")
 
 
-def parse(doc: str) -> Field:
-    return _Parser(_tokenize(doc)).parse_document()
+def parse(doc: str, variables: dict | None = None) -> Field:
+    return _Parser(_tokenize(doc), variables).parse_document()
 
 
 # --- execution --------------------------------------------------------------------
@@ -282,12 +341,16 @@ def execute(
     spark: SparkSession,
     document: str,
     relationships: dict[str, dict[str, Rel]] | None = None,
+    variables: dict | None = None,
 ) -> DataFrame:
     """Compile a GraphQL executable document into a DataFrame over the
     loaded workspace views. The root field name is the node label;
     returns one row per matched root entity with nested selections as
-    sorted `array<struct>` columns."""
-    root = parse(document)
+    sorted `array<struct>` columns. ``variables`` supplies values for
+    ``query($x: …)`` declarations — the standard client pattern —
+    substituted at parse time so the compiled plan pushes them down
+    exactly like literal arguments."""
+    root = parse(document, variables)
     rels = default_relationships() if relationships is None else relationships
     df = _build(spark, root.name, root, rels, keep_node_id=True)
     return df.drop("node_id")

@@ -325,7 +325,35 @@ def q147_dml_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("degree", F.col("degree").cast("int"))
 
 
+# --- B20: GraphQL variables ------------------------------------------------------
+def q151_graphql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``query ($seg: String!) { … }`` + a ``variables`` dict — the
+    standard GraphQL client pattern (the reference bundles the full
+    arcadedb-graphql plugin, pom.xml:109-113). Values substitute at
+    parse time, so the compiled plan pushes the variable filter down
+    to the parquet scan exactly like a literal argument; the nested
+    selection stays one join + collect_list aggregation."""
+    from biodwh2_arcadedb_server_spark import graphql
+
+    _register_star_workspace(spark, sf_dir)
+    out = graphql.execute(
+        spark,
+        "query ($seg: String!, $lim: Int = 1000000) "
+        "{ Customer(c_mktsegment: $seg, limit: $lim) "
+        "{ c_custkey placed { o_orderkey } } }",
+        variables={"seg": "BUILDING"},
+    )
+    return out.where(F.col("c_custkey") <= 120).select(
+        "c_custkey",
+        F.concat_ws(
+            ";",
+            F.transform("placed", lambda s: s["o_orderkey"].cast("string")),
+        ).alias("orders_repr"),
+    )
+
+
 QUERIES = {
+    "q151_graphql_variables": q151_graphql_variables,
     "q136_match_dialect": q136_match_dialect,
     "q147_dml_readback": q147_dml_readback,
     "q148_match_optional_dialect": q148_match_optional_dialect,
@@ -341,6 +369,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q151_graphql_variables": """
+        SELECT c.c_custkey,
+               COALESCE(string_agg(
+                   CAST(o.o_orderkey AS VARCHAR),
+                   ';' ORDER BY o.o_orderkey), '') AS orders_repr
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey <= 120
+        GROUP BY c.c_custkey
+    """,
     "q150_unwind_dialect": """
         SELECT c.c_custkey AS c_custkey,
                CAST(o.o_orderkey * 3 + 1 AS BIGINT) AS ord_node

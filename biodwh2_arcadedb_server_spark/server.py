@@ -126,7 +126,11 @@ class QueryServer:
                         # the bundled arcadedb-graphql plugin
                         from biodwh2_arcadedb_server_spark.graphql import execute
 
-                        df = execute(server.spark, req["query"]).limit(limit)
+                        df = execute(
+                            server.spark,
+                            req["query"],
+                            variables=req.get("variables"),
+                        ).limit(limit)
                     else:
                         # The reference's endpoint speaks the ArcadeDB
                         # dialect (ArcadeDBService.java:81-105).

@@ -124,3 +124,47 @@ def test_errors(spark, ws, doc, msg):
 def test_parse_values():
     f = graphql.parse('{ T(a: "s", b: 2, c: 2.5, d: true, e: null) { x } }')
     assert f.args == {"a": "s", "b": 2, "c": 2.5, "d": True, "e": None}
+
+
+def test_variables_substitute_and_push_down(spark, ws):
+    df = graphql.execute(
+        spark,
+        "query Q($seg: String!) { Customer(c_mktsegment: $seg) { c_name } }",
+        variables={"seg": "BUILDING"},
+    )
+    expect = spark.sql(
+        "SELECT c_name FROM n_Customer WHERE c_mktsegment = 'BUILDING'"
+    )
+    assert sorted(r.c_name for r in df.collect()) == sorted(
+        r.c_name for r in expect.collect()
+    )
+
+
+def test_variable_defaults_and_override(spark, ws):
+    doc = "query ($lim: Int = 5) { Customer(limit: $lim) { c_name } }"
+    assert graphql.execute(spark, doc).count() == 5
+    assert graphql.execute(spark, doc, variables={"lim": 3}).count() == 3
+
+
+def test_variable_list_type_and_nested_use(spark, ws):
+    df = graphql.execute(
+        spark,
+        "query ($k: Int!, $st: [String!]) "
+        "{ Nation(natural_key: $k) { n_name in_region { r_name } } }",
+        variables={"k": 3, "st": ["x"]},
+    )
+    assert df.count() == 1
+
+
+def test_variable_errors():
+    with pytest.raises(graphql.GraphQLError, match="no value"):
+        graphql.parse("query ($x: String) { T(a: $x) { y } }")
+    with pytest.raises(graphql.GraphQLError, match="not declared"):
+        graphql.parse(
+            "query ($x: String) { T(a: $other) { y } }", {"x": "v", "other": "w"}
+        )
+    # undeclared-but-provided is fine when no declarations exist at all
+    f = graphql.parse("{ T(a: $x) { y } }", {"x": "v"})
+    assert f.args == {"a": "v"}
+    with pytest.raises(graphql.GraphQLError, match="expected a type name"):
+        graphql.parse("query ($x: 5) { T { y } }")

@@ -51,3 +51,28 @@ def test_graphql_endpoint(spark, ws):
         assert out2["rows"] == [["1"]]
     finally:
         srv.stop()
+
+
+def test_graphql_endpoint_variables(spark, ws):
+    srv = QueryServer(spark)
+    port = srv.start()
+    auth = base64.b64encode(f"{srv.username}:{srv.password}".encode()).decode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/graphql",
+        data=json.dumps(
+            {
+                "query": "query ($k: Int!) { Nation(natural_key: $k) "
+                "{ n_name in_region { r_name } } }",
+                "variables": {"k": 3},
+            }
+        ).encode(),
+        headers={"Authorization": f"Basic {auth}"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            out = json.loads(resp.read())
+        assert out["columns"] == ["n_name", "in_region"]
+        assert len(out["rows"]) == 1
+    finally:
+        srv.stop()
