@@ -145,7 +145,11 @@ def _merge_user_sessions(
 
 
 def _sessionize_cell(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState, gap_ms: int
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_ms: int,
+    eos_flush: bool = False,
 ) -> Iterable[pd.DataFrame]:
     """One vectorized interval-islands pass per cell: the carried open
     sessions (intervals) and this batch's events (zero-length
@@ -175,9 +179,20 @@ def _sessionize_cell(
                 }
             )
         )
+    flush = False
     if not state.hasTimedOut:
         for pdf in pdfs:
             if len(pdf):
+                if (pdf["user_id"] < 0).any():
+                    # end-of-stream punctuation (negative user ids,
+                    # one per cell — Flink's bounded-input
+                    # MAX_WATERMARK analog): every real event
+                    # precedes it by construction, so close the
+                    # cell's remaining open sessions this batch.
+                    flush = True
+                    pdf = pdf[pdf["user_id"] >= 0]
+                    if not len(pdf):
+                        continue
                 frames.append(
                     pd.DataFrame(
                         {
@@ -212,12 +227,22 @@ def _sessionize_cell(
     finals = agg[~open_mask]
     opens = agg[open_mask]
 
-    # close every open session the watermark has already finalized
-    # (covers both the timeout wake-up and in-batch closures)
-    wm = state.getCurrentWatermarkMs()
-    expired = (opens["end"].astype("datetime64[ns]").astype("int64") // 1_000_000 + gap_ms) <= wm
-    emitted = pd.concat([finals, opens[expired]], ignore_index=True)
-    still_open = opens[~expired]
+    if flush:
+        # punctuation drains the cell: everything is final
+        emitted = pd.concat([finals, opens], ignore_index=True)
+        still_open = opens.iloc[0:0]
+    elif eos_flush:
+        # bounded-input mode, no watermark: only in-batch island
+        # closes emit; open sessions wait for the punctuation
+        emitted = finals
+        still_open = opens
+    else:
+        # close every open session the watermark has already finalized
+        # (covers both the timeout wake-up and in-batch closures)
+        wm = state.getCurrentWatermarkMs()
+        expired = (opens["end"].astype("datetime64[ns]").astype("int64") // 1_000_000 + gap_ms) <= wm
+        emitted = pd.concat([finals, opens[expired]], ignore_index=True)
+        still_open = opens[~expired]
     if len(still_open):
         state.update(
             (
@@ -229,9 +254,12 @@ def _sessionize_cell(
             )
         )
         # re-arm on the EARLIEST possible close among the cell's users
-        state.setTimeoutTimestamp(
-            int(still_open["end"].astype("int64").min() // 1_000_000) + gap_ms
-        )
+        # (skipped in eos_flush mode: NoTimeout forbids timers — the
+        # punctuation drains the state instead)
+        if not eos_flush:
+            state.setTimeoutTimestamp(
+                int(still_open["end"].astype("int64").min() // 1_000_000) + gap_ms
+            )
     else:
         state.remove()
     if not len(emitted):
@@ -251,7 +279,11 @@ def _sessionize_cell(
 
 
 def sessionize(
-    events: DataFrame, gap_ms: int, watermark: str = "1 minute", n_cells: int = 16
+    events: DataFrame,
+    gap_ms: int,
+    watermark: str = "1 minute",
+    n_cells: int = 16,
+    eos_flush: bool = False,
 ) -> DataFrame:
     """Custom session windows over (user_id, ts, value) with
     exactly-once final-session emission (append semantics).
@@ -270,33 +302,61 @@ def sessionize(
     cell per micro-batch. Size n_cells so a cell holds thousands of
     users (state bytes/cell in the KBs) — at 10^8 active users that
     means 10^4-10^5 cells, exactly the neardup bucket-store sizing
-    rule (streaming/neardup.py)."""
-    return (
-        events.withColumn("_cell", F.pmod(F.col("user_id"), F.lit(n_cells)))
-        .withWatermark("ts", watermark)
-        .groupBy("_cell")
-        .applyInPandasWithState(
-            functools.partial(_sessionize_cell, gap_ms=gap_ms),
-            outputStructType=SESSION_OUTPUT_SCHEMA,
-            stateStructType=SESSION_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
+    rule (streaming/neardup.py).
+
+    ``eos_flush=True`` selects the BOUNDED-INPUT execution mode
+    (Flink's MAX_WATERMARK-on-end-of-input analog): no watermark, no
+    event-time timers — mid-stream sessions still close in-batch via
+    the island logic (time-ordered input means a closed island can
+    never reopen), and the remaining open sessions drain when the
+    per-cell end-of-stream punctuation rows (negative user ids)
+    arrive. This removes the watermark's one-batch lag and the
+    trailing no-data flush batch — a finite drain runs in exactly
+    (data batches + 1) triggers. Unbounded production streams keep
+    the default event-time mode; both modes emit the identical
+    session set on the same input (pinned by
+    tests/test_stateful_streaming.py)."""
+    grouped = events.withColumn(
+        "_cell", F.pmod(F.col("user_id"), F.lit(n_cells))
+    )
+    if not eos_flush:
+        grouped = grouped.withWatermark("ts", watermark)
+    return grouped.groupBy("_cell").applyInPandasWithState(
+        functools.partial(_sessionize_cell, gap_ms=gap_ms, eos_flush=eos_flush),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if eos_flush
+            else GroupStateTimeout.EventTimeTimeout
+        ),
     )
 
 
 SENTINEL_USER = -1
 
 
-def chunked_event_files(sf_dir: str, n_chunks: int = 4, out_dir: str | None = None) -> str:
+def chunked_event_files(
+    sf_dir: str,
+    n_chunks: int = 4,
+    out_dir: str | None = None,
+    sentinel_cells: int = 1,
+) -> str:
     """Write the events table as ``n_chunks`` time-ordered parquet
-    chunks plus a far-future sentinel row, mtimes ascending, so a
+    chunks plus a far-future sentinel file, mtimes ascending, so a
     maxFilesPerTrigger=1 file stream replays them as an ordered
     sequence of micro-batches and the final watermark closes every
     real session. This is the finite-run harness ONLY — a production
     deployment reads Kafka and sessions close continuously as the
     watermark advances; the sentinel plays the role time itself plays
-    on an unbounded stream."""
+    on an unbounded stream.
+
+    ``sentinel_cells``: how many sentinel rows the final file carries
+    — ids ``-1..-n`` so ``pmod(id, n)`` covers every state cell. The
+    default single ``-1`` row is enough to advance the watermark
+    (event-time mode); ``eos_flush`` drains need one punctuation per
+    cell (``sentinel_cells=n_cells``)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -315,7 +375,11 @@ def chunked_event_files(sf_dir: str, n_chunks: int = 4, out_dir: str | None = No
     out = out_dir or tempfile.mkdtemp(prefix="sessionize_chunks_")
     bounds = [round(i * len(df) / n_chunks) for i in range(n_chunks + 1)]
     sentinel = pd.DataFrame(
-        {"user_id": [SENTINEL_USER], "ts": [df["ts"].max() + pd.Timedelta(days=365)], "value": [0.0]}
+        {
+            "user_id": [-(i + 1) for i in range(sentinel_cells)],
+            "ts": [df["ts"].max() + pd.Timedelta(days=365)] * sentinel_cells,
+            "value": [0.0] * sentinel_cells,
+        }
     )
     chunks = [df.iloc[bounds[i] : bounds[i + 1]] for i in range(n_chunks)] + [sentinel]
     for i, chunk in enumerate(chunks):
@@ -335,33 +399,47 @@ def run_finite_sessionize(
     name: str = "sessionize_out",
     state_parts: int | None = None,
     n_cells: int = 16,
+    eos_flush: bool = False,
 ) -> DataFrame:
     """Drain the chunked events stream through ``sessionize`` to
     completion and return the emitted (final) sessions for real users.
-    The sentinel advances the watermark past every real session's
-    end+gap, so the emitted set equals the batch session aggregate.
-    ``state_parts`` overrides the session state-partition count (the
-    per-trigger cost is state-store open+commit × partitions; size to
-    active-state volume, see streaming.__init__)."""
+    In event-time mode the sentinel advances the watermark past every
+    real session's end+gap; in ``eos_flush`` mode the sentinel file
+    carries one punctuation row per cell and the drain finishes in
+    (data batches + 1) triggers — no watermark lag, no trailing
+    no-data batch. ``state_parts`` overrides the session
+    state-partition count (the per-trigger cost is state-store
+    open+commit × partitions; size to active-state volume, see
+    streaming.__init__). The streaming checkpoint goes on tmpfs when
+    available — the finite drain's WAL/state IO is scratch, not
+    durability (a production deployment points it at durable
+    storage)."""
     from biodwh2_arcadedb_server_spark.streaming import STREAM_STATE_PARTITIONS, state_partitions
 
-    src = chunked_event_files(sf_dir, n_chunks)
+    src = chunked_event_files(
+        sf_dir, n_chunks, sentinel_cells=n_cells if eos_flush else 1
+    )
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     with state_partitions(spark, state_parts or STREAM_STATE_PARTITIONS):
         stream = (
             spark.readStream.schema("user_id long, ts timestamp, value double")
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        out = sessionize(stream, gap_ms, n_cells=n_cells)
+        out = sessionize(stream, gap_ms, n_cells=n_cells, eos_flush=eos_flush)
         q = (
             out.writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="sessionize_ckpt_", dir=ckpt_base),
+            )
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    return spark.table(name).filter(F.col("user_id") != SENTINEL_USER)
+    return spark.table(name).filter(F.col("user_id") >= 0)
 
 
 # --- running stats via the Spark 4 transformWithState API --------------------------

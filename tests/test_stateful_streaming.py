@@ -88,6 +88,22 @@ def test_sessionize_matches_batch_session_window(spark, sf_small):
     }
     assert got == batch
     assert emitted(6, "sess_c6") == got
+    # eos_flush (bounded-input punctuation) mode: identical session
+    # set with no watermark and no trailing no-data batch — at both a
+    # 1-chunk and a multi-chunk cadence (mid-stream closes still
+    # happen in-batch via the island logic)
+    def emitted_flush(n_chunks, name):
+        rows = run_finite_sessionize(
+            spark, sf_small, GAP_MS, n_chunks=n_chunks, name=name,
+            eos_flush=True,
+        ).collect()
+        return {
+            (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 4))
+            for r in rows
+        }
+
+    assert emitted_flush(1, "sess_f1") == batch
+    assert emitted_flush(3, "sess_f3") == batch
 
 
 def test_running_user_stats_transform_with_state_matches_batch(spark, sf_small):
