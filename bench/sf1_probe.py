@@ -132,6 +132,60 @@ def main() -> None:
             return None, f"killed at {budget_sec}s (quadratic oracle)"
         return q.get(), None
 
+    # --- two-sided sf1 ratios for the relational headliners (VERDICT
+    # r5 #1: the 2x gate's named scale factor, measured, not argued
+    # from sf0.1 floors). Each probe is timed on BOTH engines at BOTH
+    # sf0.1 and sf1, so the ratio TREND (scheduling floor amortizing
+    # into the scan as data grows 10x) is in the published record.
+    RELATIONAL = [
+        "q04_tpch_q1",
+        "q43_tpch_q3_shape",
+        "q44_tpch_q5_shape",
+        "q03_two_hop",
+        "q48_window_analytics",
+        "q14_token_counts",
+    ]
+    for name in RELATIONAL:
+        fn = queries[name]
+        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        s_base = conv.time_spark(spark, fn, conv.BASE_SF, runs=2)
+        s_sf1 = conv.time_spark(spark, fn, sf_dir, runs=2)
+        d_base = conv.time_duckdb(oracles[name], conv.BASE_SF, runs=2)
+        d_sf1, note = duckdb_bounded(oracles[name])
+        results[name] = {
+            "spark_sec": s_sf1,
+            "duckdb_sec": d_sf1,
+            "ratio": round(s_sf1 / d_sf1, 2) if d_sf1 else None,
+            "sf0.1": {
+                "spark_sec": s_base,
+                "duckdb_sec": d_base,
+                "ratio": round(s_base / d_base, 2) if d_base else None,
+            },
+        }
+        if note:
+            results[name]["duckdb_note"] = note
+        with open(OUT, "w") as f:
+            json.dump(
+                {
+                    "note": (
+                        "sf1 = sf0.1 facts replicated 10x with key offsets "
+                        "(convergence.py build_scaled) + embeddings replicated "
+                        "with deterministic perturbation; min of 2 runs, "
+                        "fresh-session warmup at sf0.001; relational probes "
+                        "carry a nested sf0.1 block so the ratio trend is "
+                        "measured, not argued"
+                    ),
+                    "probes": results,
+                },
+                f,
+                indent=1,
+            )
+        print(
+            f"sf1 {name}: spark {s_base}->{s_sf1}s duckdb {d_base}->{d_sf1}s "
+            f"ratio {results[name]['sf0.1']['ratio']}->{results[name]['ratio']}",
+            flush=True,
+        )
+
     for name in ("q03_two_hop", "q29_cosine_neardup", "q104_leakage_safe_split"):
         if name in results and results[name].get("spark_sec"):
             continue  # already measured in an earlier (partial) run

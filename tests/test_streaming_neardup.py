@@ -59,3 +59,27 @@ def test_streaming_candidates_match_batch(spark, sf_small, tmp_path):
         assert len(q.recentProgress) >= 2
     finally:
         q.stop()
+
+
+def test_streaming_plan_is_filter_free(spark, sf_small):
+    """Pin the r4 lesson (ROADMAP #5): a Filter interleaved with the
+    HOF shingle lineage in a micro-batch plan re-evaluates the whole
+    interpreted pipeline per row (measured +4s at sf0.1). Batch paths
+    sit on checkpoints; a stream cannot — so the streaming near-dup
+    plan must contain ZERO Filter nodes between source and the
+    stateful op (drop_empty=False invariant, empty signatures handled
+    inside the bucket kernel)."""
+    import re
+
+    from biodwh2_arcadedb_server_spark.streaming.neardup import (
+        read_documents_stream,
+        streaming_minhash_candidates,
+    )
+
+    stream = read_documents_stream(spark, sf_small)
+    out = streaming_minhash_candidates(
+        stream, k=3, num_hashes=32, bands=8, rows=4,
+        coarse_buckets=16, spread=32,
+    )
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert len(re.findall(r"^\s*(?:\+-|:-)?\s*~?Filter", plan, re.M)) == 0, plan
