@@ -475,19 +475,49 @@ def q36_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.metadata_only_scan(multimodal.to_media_table(d))
 
 
-# --- C5: binary feature extraction via mapInPandas (rows-only; pytest-pinned) -------------------
+# --- C5: REAL image decode via mapInPandas (oracle-able) -----------------------------------------
 def q37_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_stub=False: the payload is a genuine P6 PPM and the
+    operator PARSES it (magic + header + pixel extraction) before
+    computing features over the decoded pixel bytes — the C5 decode
+    seam closed for a self-describing format, with the oracle
+    recomputing the expected pixel stats from the source text the
+    encoder drew them from."""
     d = load_table(spark, sf_dir, "documents")
-    return multimodal.extract_features(multimodal.to_media_table(d)).select(
+    return multimodal.extract_features(
+        multimodal.to_media_table(d), decode_stub=False
+    ).select(
         "doc_id", "n_bytes", F.round("byte_mean", 4).alias("byte_mean"),
         F.round("byte_entropy_proxy", 4).alias("byte_entropy_proxy"),
     )
 
 
-# --- C5: frame sampling fan-out (oracle-able) ----------------------------------------------------
+# --- C5: REAL frame decode fan-out (oracle-able) -------------------------------------------------
 def q38_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_stub=False: one frame per decoded pixel ROW with its
+    true pixel mean — actual decoded content through the 1→N
+    mapInPandas fan-out, not byte offsets."""
     d = load_table(spark, sf_dir, "documents")
-    return multimodal.sample_frames(multimodal.to_media_table(d), every_n_bytes=256)
+    return multimodal.sample_frames(
+        multimodal.to_media_table(d), decode_stub=False
+    ).select(
+        "doc_id", "frame_idx", "frame_bytes",
+        F.round("frame_mean", 4).alias("frame_mean"),
+    )
+
+
+# --- C5: REAL WAV audio decode (oracle-able) -----------------------------------------------------
+def q152_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine 16-bit mono PCM WAV payloads (stdlib wave encoder)
+    parsed back through the RIFF container: sample rate + frame count
+    from the header, RMS/peak from the decoded samples. The audio leg
+    of the C5 seam, closed for uncompressed PCM; compressed codecs
+    remain behind the documented NotImplementedError plug point."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_features(multimodal.to_audio_table(d)).select(
+        "doc_id", "sample_rate", "n_samples",
+        F.round("rms", 4).alias("rms"), F.round("peak", 4).alias("peak"),
+    )
 
 
 # --- C1+C4 composition: end-to-end curation pipeline ---------------------------------
@@ -544,6 +574,7 @@ QUERIES = {
     "q36_multimodal_meta": q36_multimodal_meta,
     "q37_media_features": q37_media_features,
     "q38_frame_sample": q38_frame_sample,
+    "q152_wav_decode": q152_wav_decode,
 }
 
 _SHINGLES = """
@@ -829,42 +860,54 @@ ORACLE = {
         FROM g
     """,
     "q36_multimodal_meta": """
-        SELECT doc_id, 'image/fake' AS media_type,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        SELECT doc_id, 'image/ppm' AS media_type,
+               CAST(11 + 192 AS BIGINT) AS n_bytes
         FROM documents
     """,
-    # the mapInPandas stub's byte statistics recomputed from ASCII
-    # codepoints (the corpus is pure ASCII, so ord == byte)
+    # the DECODED pixel statistics recomputed from the source text the
+    # PPM encoder drew the pixels from (ASCII corpus: ord == byte;
+    # pixels = first 192 chars padded with 'x')
     "q37_media_features": """
         WITH codes AS (
-            SELECT doc_id, length(text) AS n,
-                   list_transform(range(1, length(text) + 1), i -> ord(text[i])) AS cs
+            SELECT doc_id,
+                   list_transform(range(1, 193),
+                                  i -> ord(rpad(substr(text, 1, 192), 192, 'x')[i])) AS cs
             FROM documents
         )
         SELECT doc_id,
-               CAST(n AS BIGINT) AS n_bytes,
-               ROUND(COALESCE(list_sum(cs), 0) * 1.0 / greatest(n, 1), 4) AS byte_mean,
-               ROUND(CASE WHEN n = 0 THEN 0.0
-                          ELSE len(list_distinct(cs)) / 256.0 END, 4) AS byte_entropy_proxy
+               CAST(192 AS BIGINT) AS n_bytes,
+               ROUND(list_sum(cs) * 1.0 / 192, 4) AS byte_mean,
+               ROUND(len(list_distinct(cs)) / 256.0, 4) AS byte_entropy_proxy
         FROM codes
     """,
-    "q38_frame_sample": """
+    "q152_wav_decode": """
+        WITH s AS (
+            SELECT doc_id,
+                   list_transform(range(1, 65),
+                                  i -> (ord(rpad(substr(text, 1, 64), 64, 'x')[i]) - 97) * 256) AS ss
+            FROM documents
+        )
         SELECT doc_id,
-               CAST(UNNEST(range(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT))) AS INTEGER) AS frame_idx,
-               0 AS frame_bytes_placeholder
-        FROM documents
+               CAST(8000 AS INTEGER) AS sample_rate,
+               CAST(64 AS BIGINT) AS n_samples,
+               ROUND(sqrt(list_sum(list_transform(ss, x -> x * x * 1.0)) / 64), 4) AS rms,
+               ROUND(list_max(list_transform(ss, x -> CAST(abs(x) AS DOUBLE))), 4) AS peak
+        FROM s
     """,
 }
 
-# q38's oracle needs frame_bytes = least(256, n - idx*256); rewrite with a
-# derived table so the UNNEST result is referenceable.
+# q38 (real decode): one frame per 8-pixel row (24 bytes), mean of
+# the row's decoded pixel bytes.
 ORACLE["q38_frame_sample"] = """
-    WITH f AS (
-        SELECT doc_id, octet_length(encode(text)) AS n,
-               UNNEST(range(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT))) AS idx
-        FROM documents)
-    SELECT doc_id, CAST(idx AS INTEGER) AS frame_idx,
-           CAST(least(256, n - idx * 256) AS BIGINT) AS frame_bytes
+    WITH codes AS (
+        SELECT doc_id,
+               list_transform(range(1, 193),
+                              i -> ord(rpad(substr(text, 1, 192), 192, 'x')[i])) AS cs
+        FROM documents),
+    f AS (SELECT doc_id, cs, UNNEST(range(0, 8)) AS r FROM codes)
+    SELECT doc_id, CAST(r AS INTEGER) AS frame_idx,
+           CAST(24 AS BIGINT) AS frame_bytes,
+           ROUND(list_sum(list_slice(cs, r * 24 + 1, (r + 1) * 24)) * 1.0 / 24, 4) AS frame_mean
     FROM f
 """
 

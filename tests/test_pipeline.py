@@ -217,22 +217,86 @@ def test_fingerprint_deterministic_and_dup_sensitive(spark):
     assert f1[1] != f1[3]
 
 
+def _ppm_pixels(text: str) -> bytes:
+    n = multimodal.PPM_W * multimodal.PPM_H * 3
+    return (text[:n] + "x" * n)[:n].encode()
+
+
 def test_media_features_match_python(spark, sf_small):
     d = load_table(spark, sf_small, "documents").limit(5)
     media = multimodal.to_media_table(d)
+    # stub path: byte stats over the WHOLE payload (header + pixels)
     got = {r.doc_id: r for r in multimodal.extract_features(media).collect()}
+    header = f"P6\n{multimodal.PPM_W} {multimodal.PPM_H}\n255\n".encode()
     for row in d.select("doc_id", "text").collect():
-        b = row.text.encode()
+        b = header + _ppm_pixels(row.text)
         assert got[row.doc_id].n_bytes == len(b)
         assert got[row.doc_id].byte_mean == pytest.approx(sum(b) / len(b))
         assert got[row.doc_id].byte_entropy_proxy == pytest.approx(len(set(b)) / 256.0)
 
 
-def test_media_decode_stub_raises(spark, sf_small):
-    d = load_table(spark, sf_small, "documents").limit(1)
+def test_media_real_decode_pixel_stats(spark, sf_small):
+    """decode_stub=False actually PARSES the PPM (magic, header,
+    pixel extraction) — features computed over decoded pixel bytes,
+    not the raw payload."""
+    d = load_table(spark, sf_small, "documents").limit(5)
     media = multimodal.to_media_table(d)
-    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
-        multimodal.extract_features(media, decode_stub=False).collect()
+    got = {
+        r.doc_id: r
+        for r in multimodal.extract_features(media, decode_stub=False).collect()
+    }
+    for row in d.select("doc_id", "text").collect():
+        px = _ppm_pixels(row.text)
+        assert got[row.doc_id].n_bytes == len(px) == 192
+        assert got[row.doc_id].byte_mean == pytest.approx(sum(px) / len(px))
+        assert got[row.doc_id].byte_entropy_proxy == pytest.approx(len(set(px)) / 256.0)
+
+
+def test_media_frame_decode_rows(spark, sf_small):
+    """Real frame sampling: one frame per decoded pixel ROW with the
+    row's true pixel mean."""
+    d = load_table(spark, sf_small, "documents").limit(3)
+    media = multimodal.to_media_table(d)
+    frames = multimodal.sample_frames(media, decode_stub=False).collect()
+    by_doc: dict = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for row in d.select("doc_id", "text").collect():
+        px = _ppm_pixels(row.text)
+        fs = sorted(by_doc[row.doc_id], key=lambda r: r.frame_idx)
+        assert len(fs) == multimodal.PPM_H
+        stride = multimodal.PPM_W * 3
+        for i, fr in enumerate(fs):
+            chunk = px[i * stride : (i + 1) * stride]
+            assert fr.frame_bytes == stride
+            assert fr.frame_mean == pytest.approx(sum(chunk) / len(chunk))
+
+
+def test_wav_roundtrip_decode(spark, sf_small):
+    """Real WAV: stdlib-encoded PCM payloads parse back through the
+    RIFF container with the exact sample stats."""
+    d = load_table(spark, sf_small, "documents").limit(4)
+    audio = multimodal.to_audio_table(d, sample_rate=8000, n_samples=64)
+    got = {r.doc_id: r for r in multimodal.audio_features(audio).collect()}
+    for row in d.select("doc_id", "text").collect():
+        raw = (row.text[:64] + "x" * 64)[:64].encode()[:64]
+        samples = [(b - 97) * 256 for b in raw]
+        rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
+        g = got[row.doc_id]
+        assert (g.sample_rate, g.n_samples) == (8000, 64)
+        assert g.rms == pytest.approx(rms)
+        assert g.peak == pytest.approx(max(abs(s) for s in samples))
+
+
+def test_media_decode_seam_raises_for_unknown_type(spark, sf_small):
+    """The compressed-codec seam is still explicit: a non-PPM type
+    through the real path names the NotImplementedError plug point."""
+    d = load_table(spark, sf_small, "documents").limit(1)
+    audio = multimodal.to_audio_table(d)
+    with pytest.raises(Exception):  # NotImplementedError inside the worker
+        multimodal.extract_features(audio, decode_stub=False).collect()
+    with pytest.raises(ValueError, match="not a P6"):
+        multimodal._decode_ppm(b"JFIF....")
 
 
 def test_metadata_scan_prunes_payload(spark, sf_small, tmp_path):
