@@ -40,6 +40,15 @@ Supported subset (documented contract, tested differentially):
   Aggregates in RETURN get ArcadeDB-style implicit grouping. (The
   DataFrame twin for anchored motifs is ``operators.graph.
   motif_chain``, which force-broadcasts the accumulated prefix.)
+  Extensions: ``optional: true`` node patterns (LEFT JOIN of a
+  derived leg subquery, the node's ``where:`` folded inside);
+  comma-separated additional chains anchored at bound aliases
+  (including cycle closes); ``NOT { … }`` negative chains
+  (NOT EXISTS → left-anti plan); ``$matched.<alias>.<prop>``
+  cross-alias predicates inside node ``where:``.
+- ``UNWIND <field>[, ...]`` after a SELECT — flattens projected
+  collection fields one row per element (LATERAL VIEW OUTER explode;
+  empty/null collections keep the record with a null element).
 - ``LET $var = <expr | (SELECT ...)>`` context variables in SELECT:
   bindings inline where ``$var`` is referenced; an uncorrelated
   ``(SELECT agg ...)`` binding becomes a Spark scalar subquery that
@@ -205,11 +214,15 @@ class _DML:
     expression per inserted record (SET form yields one row; the
     VALUES form yields one per tuple)."""
 
-    kind: str  # "update" | "insert" | "delete"
+    kind: str  # "update" | "insert" | "delete" | "insert_edge" | "delete_edge"
     label: str
     assignments: list[tuple[str, str]] = field(default_factory=list)
     where: str | None = None
     rows: list[dict] = field(default_factory=list)
+    # CREATE EDGE endpoints — compiled expressions yielding the
+    # src/dst NATURAL KEYS (node ids derive as xxhash64(label, key))
+    edge_from: str | None = None
+    edge_to: str | None = None
 
 
 _AGGS = {"count", "sum", "avg", "min", "max", "first", "last"}
@@ -355,7 +368,12 @@ class _Parser:
                 dml.where = self._expr(dummy)
             return dml
         if head == "delete":
-            # DELETE VERTEX <T> [WHERE] and DELETE FROM <T> [WHERE]
+            # DELETE VERTEX <T> | DELETE EDGE <T> | DELETE FROM <T>
+            if self._accept_word("edge"):
+                dml = _DML(kind="delete_edge", label=self._name("edge type"))
+                if self.accept("kw", "where"):
+                    dml.where = self._expr(dummy)
+                return dml
             if not self._accept_word("vertex"):
                 self.expect("kw", "from")
             dml = _DML(kind="delete", label=self._name("type name"))
@@ -363,10 +381,25 @@ class _Parser:
                 dml.where = self._expr(dummy)
             return dml
         if head == "create":
-            # CREATE VERTEX <T> [SET ...] — insert-one alias
+            # CREATE VERTEX <T> [SET ...] — insert-one alias — or
+            # CREATE EDGE <T> FROM <key> TO <key> [SET ...] (keys are
+            # the endpoint NATURAL KEYS; node ids derive from them)
+            if self._accept_word("edge"):
+                dml = _DML(kind="insert_edge", label=self._name("edge type"))
+                self.expect("kw", "from")
+                dml.edge_from = self._expr(dummy)
+                self._expect_word("to")
+                dml.edge_to = self._expr(dummy)
+                row: dict = {}
+                if self._accept_word("set"):
+                    self._dml_assignments(dml)
+                    row = dict(dml.assignments)
+                    dml.assignments = []
+                dml.rows = [row]
+                return dml
             self._expect_word("vertex")
             dml = _DML(kind="insert", label=self._name("type name"))
-            row: dict = {}
+            row = {}
             if self._accept_word("set"):
                 self._dml_assignments(dml)
                 row = dict(dml.assignments)
@@ -1517,6 +1550,44 @@ def _execute_dml(
         )
     elif stmt.kind == "delete":
         n = ws.delete_nodes(spark, workspace_dir, stmt.label, pred)
+    elif stmt.kind == "delete_edge":
+        n = ws.delete_edges(spark, workspace_dir, stmt.label, pred)
+    elif stmt.kind == "insert_edge":
+        import json as _json
+
+        with open(os.path.join(workspace_dir, "manifest.json")) as mh:
+            manifest = _json.load(mh)
+        if stmt.label not in manifest["edges"]:
+            raise ArcadeSQLError(
+                f"unknown edge type {stmt.label!r} "
+                f"(known: {sorted(manifest['edges'])})"
+            )
+        info = manifest["edges"][stmt.label]
+        e_schema = spark.read.parquet(info["path"]).schema
+        props = stmt.rows[0]
+        unknown = set(props) - {
+            f.name for f in e_schema.fields if f.name not in ("src", "dst", "label")
+        }
+        if unknown:
+            raise ArcadeSQLError(
+                f"unknown edge propert{'ies' if len(unknown) > 1 else 'y'} "
+                f"for {stmt.label}: {sorted(unknown)}"
+            )
+        cols = [
+            ws.node_id(info["src_label"], F.expr(stmt.edge_from)).alias("src"),
+            ws.node_id(info["dst_label"], F.expr(stmt.edge_to)).alias("dst"),
+        ]
+        for f in e_schema.fields:
+            if f.name in ("src", "dst", "label"):
+                continue
+            cols.append(
+                (F.expr(props[f.name]) if f.name in props else F.lit(None))
+                .cast(f.dataType)
+                .alias(f.name)
+            )
+        n = ws.insert_edges(
+            spark, workspace_dir, stmt.label, spark.range(1).select(*cols)
+        )
     else:  # insert
         path = os.path.join(workspace_dir, "nodes", stmt.label)
         cur_schema = spark.read.parquet(path).schema

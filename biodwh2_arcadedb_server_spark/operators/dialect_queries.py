@@ -283,7 +283,9 @@ def q147_dml_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit ``allow_writes`` gate: force-build a small Nation/Region/
     Customer workspace from the source tables, INSERT two vertices
     (VALUES form), UPDATE a predicate slice, DELETE VERTEX with edge
-    cascade, then read back name + ``both().size()`` degree per
+    cascade, CREATE EDGE (one valid append + one dangling endpoint
+    silently skipped, the reference's A11 posture), then read back
+    name + ``both().size()`` degree per
     nation through a dialect SELECT. Every mutation is a partition-
     parallel dataset recompute + atomic swap (the Spark-native
     mutation model — no in-place record edits at 100 TB), and the
@@ -315,6 +317,10 @@ def q147_dml_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "VALUES (990, 'ATLANTIS'), (991, 'MU')",
         "UPDATE Nation SET n_name = lower(n_name) WHERE natural_key < 5",
         "DELETE VERTEX Nation WHERE natural_key = 7",
+        # edge DML: a second region edge for nation 0 (+1 degree) and
+        # a dangling one that must be silently skipped (A11 posture)
+        "CREATE EDGE IN_REGION FROM 0 TO 1",
+        "CREATE EDGE IN_REGION FROM 9999 TO 1",
     ):
         arcadesql.execute(spark, stmt, workspace_dir=wdir, allow_writes=True)
     out = arcadesql.execute(
@@ -409,8 +415,9 @@ ORACLE = {
         SELECT CAST(n.n_nationkey AS BIGINT) AS natural_key,
                CASE WHEN n.n_nationkey < 5 THEN lower(n.n_name)
                     ELSE n.n_name END AS n_name,
-               CAST(1 + (SELECT COUNT(*) FROM customer c
-                         WHERE c.c_nationkey = n.n_nationkey) AS INT) AS degree
+               CAST(1 + CASE WHEN n.n_nationkey = 0 THEN 1 ELSE 0 END
+                    + (SELECT COUNT(*) FROM customer c
+                       WHERE c.c_nationkey = n.n_nationkey) AS INT) AS degree
         FROM nation n WHERE n.n_nationkey <> 7
         UNION ALL SELECT 990, 'ATLANTIS', 0
         UNION ALL SELECT 991, 'MU', 0

@@ -398,6 +398,45 @@ def delete_nodes(spark: SparkSession, ws_dir: str, label: str, predicate: F.Colu
     return n_del
 
 
+def insert_edges(spark: SparkSession, ws_dir: str, label: str, rows: DataFrame) -> int:
+    """CREATE EDGE: append edge rows (``src``/``dst`` node ids +
+    declared props). Endpoint existence is validated with left_semi
+    joins against the endpoint node sets — dangling edges are
+    silently skipped, the reference's `fromNode != null && toNode !=
+    null` posture (ArcadeDBService.java:241-243). Duplicates are NOT
+    collapsed: ArcadeDB materializes one edge per statement. Returns
+    edges appended."""
+    with open(os.path.join(ws_dir, "manifest.json")) as mh:
+        manifest = json.load(mh)
+    info = manifest["edges"][label]
+    path = info["path"]
+    cur = spark.read.parquet(path)
+    new = rows.withColumn("label", F.lit(label)).select(*cur.columns)
+    src_ids = spark.read.parquet(manifest["nodes"][info["src_label"]]["path"]).select("node_id")
+    dst_ids = spark.read.parquet(manifest["nodes"][info["dst_label"]]["path"]).select("node_id")
+    new = new.join(src_ids, new.src == src_ids.node_id, "left_semi")
+    new = new.join(dst_ids, new.dst == dst_ids.node_id, "left_semi")
+    n_new = new.count()
+    if n_new:
+        _rewrite_dataset(cur.unionByName(new), path)
+        _update_manifest_count(ws_dir, "edges", label, spark.read.parquet(path).count())
+    return n_new
+
+
+def delete_edges(spark: SparkSession, ws_dir: str, label: str, predicate: F.Column) -> int:
+    """DELETE EDGE ... WHERE: drop matching edge rows (no cascade —
+    edges have no dependents). Returns edges deleted."""
+    with open(os.path.join(ws_dir, "manifest.json")) as mh:
+        manifest = json.load(mh)
+    path = manifest["edges"][label]["path"]
+    cur = spark.read.parquet(path)
+    doomed = cur.where(predicate).count()
+    if doomed:
+        _rewrite_dataset(cur.where(~predicate), path)
+        _update_manifest_count(ws_dir, "edges", label, spark.read.parquet(path).count())
+    return doomed
+
+
 def is_stale(src_dir: str, ws_dir: str) -> bool:
     """E2 staleness check (ArcadeDBServer.java:105-119) — warn-only."""
     checksum_file = os.path.join(ws_dir, "checksum.txt")

@@ -145,3 +145,57 @@ def test_dml_parse_errors_are_clean(spark):
         )
     with pytest.raises(ArcadeSQLError, match="expected SET"):
         execute(spark, "UPDATE Nation n_name = 'X'", allow_writes=True)
+
+
+def test_create_and_delete_edge(spark, dml_ws):
+    """CREATE EDGE FROM <key> TO <key> appends a validated edge;
+    dangling endpoints are silently skipped (reference posture);
+    DELETE EDGE removes matching rows."""
+    # nation 10 -> region 0 (both exist): appended
+    res = execute(
+        spark,
+        "CREATE EDGE IN_REGION FROM 10 TO 0",
+        workspace_dir=dml_ws,
+        allow_writes=True,
+    ).collect()[0]
+    assert (res.operation, res.label, res["count"]) == ("insert_edge", "IN_REGION", 1)
+    deg = execute(
+        spark, "SELECT out('IN_REGION').size() AS d FROM Nation WHERE natural_key = 10"
+    ).collect()[0].d
+    assert deg == 2  # original region edge + the new one
+    # dangling: nation 9999 does not exist -> skipped
+    res2 = execute(
+        spark,
+        "CREATE EDGE IN_REGION FROM 9999 TO 0",
+        workspace_dir=dml_ws,
+        allow_writes=True,
+    ).collect()[0]
+    assert res2["count"] == 0
+    # delete the duplicate pair (both rows nation10->region0 go)
+    from biodwh2_arcadedb_server_spark.workspace import node_id
+    from pyspark.sql import functions as F
+
+    src_id = spark.range(1).select(node_id("Nation", F.lit(10)).alias("i")).collect()[0].i
+    res3 = execute(
+        spark,
+        f"DELETE EDGE IN_REGION WHERE src = {src_id}",
+        workspace_dir=dml_ws,
+        allow_writes=True,
+    ).collect()[0]
+    assert (res3.operation, res3["count"]) == ("delete_edge", 2)
+    assert execute(
+        spark, "SELECT out('IN_REGION').size() AS d FROM Nation WHERE natural_key = 10"
+    ).collect()[0].d == 0
+
+
+def test_create_edge_unknown_type_and_prop(spark, dml_ws):
+    with pytest.raises(ArcadeSQLError, match="unknown edge type"):
+        execute(
+            spark, "CREATE EDGE BOGUS FROM 1 TO 2",
+            workspace_dir=dml_ws, allow_writes=True,
+        )
+    with pytest.raises(ArcadeSQLError, match="unknown edge propert"):
+        execute(
+            spark, "CREATE EDGE IN_REGION FROM 1 TO 0 SET nope = 1",
+            workspace_dir=dml_ws, allow_writes=True,
+        )
