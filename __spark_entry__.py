@@ -74,6 +74,8 @@ _MODULE_DEPS: dict[str, list[str]] = {
     "pipeline_queries": [
         f"{_PKG}/operators/dedup.py",
         f"{_PKG}/operators/similarity.py",
+        f"{_PKG}/operators/multimodal.py",
+        f"{_PKG}/operators/text.py",
         f"{_PKG}/streaming/",
     ],
     "pipeline_queries2": [

@@ -166,6 +166,14 @@ HEADLINE = [
     "q143_dataset_card",
     "q144_minhash_estimate",
     "q145_graphql",
+    "q146_shortestpath_dialect",
+    "q147_dml_readback",
+    "q148_match_optional_dialect",
+    "q149_match_not_dialect",
+    "q150_unwind_dialect",
+    "q151_graphql_variables",
+    "q38_frame_sample",
+    "q152_wav_decode",
 ]
 
 # Streaming micro-batch drains, timed and reported separately: their

@@ -161,3 +161,42 @@ def test_motif_frontier_is_broadcast(spark, sf_medium):
     plan = explain_str(df)
     assert plan.count("BroadcastHashJoin") >= 2, plan[:1200]
     assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+def test_match_not_compiles_to_anti_or_semi_free_plan(spark, sf_medium):
+    """The NOT { … } negative pattern must plan as a hash anti-join
+    on the edge key — never a cartesian/nested-loop filter."""
+    from biodwh2_arcadedb_server_spark.operators.dialect_queries import (
+        q149_match_not_dialect,
+    )
+
+    df = q149_match_not_dialect(spark, sf_medium)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_match_optional_is_left_outer_not_cartesian(spark, sf_medium):
+    from biodwh2_arcadedb_server_spark.operators.dialect_queries import (
+        q148_match_optional_dialect,
+    )
+
+    df = q148_match_optional_dialect(spark, sf_medium)
+    plan = explain_str(df)
+    assert "LeftOuter" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unwind_explode_no_shuffle_beyond_projection(spark, sf_medium):
+    """UNWIND compiles to a Generate (explode) node — map-side row
+    expansion, no extra Exchange beyond what the graph projection's
+    decorrelated join already needs."""
+    from biodwh2_arcadedb_server_spark.operators.dialect_queries import (
+        q150_unwind_dialect,
+    )
+
+    df = q150_unwind_dialect(spark, sf_medium)
+    plan = explain_str(df)
+    assert "Generate explode" in plan or "Generate" in plan, plan
+    assert "CartesianProduct" not in plan
