@@ -574,7 +574,10 @@ class _Parser:
         and compiled AFTER the pattern closes, so it can be qualified
         with the node's alias even when ``as:`` follows ``where:``."""
         self.expect("op", "{")
-        pat: dict = {"type": None, "as": None, "where": None, "optional": False}
+        pat: dict = {
+            "type": None, "as": None, "where": None, "optional": False,
+            "vl": None,  # (min_depth, max_depth) for variable-length steps
+        }
         where_slice: list[_Tok] | None = None
         while not self.accept("op", "}"):
             self.accept("op", ",")
@@ -582,10 +585,10 @@ class _Parser:
                 continue
             key_t = self.next()
             key = key_t.text.lower()
-            if key not in ("type", "as", "where", "optional"):
+            if key not in ("type", "as", "where", "optional", "maxdepth", "while"):
                 raise ArcadeSQLError(
-                    "MATCH node pattern supports type/as/where/optional, "
-                    f"got {key!r}"
+                    "MATCH node pattern supports type/as/where/optional/"
+                    f"maxDepth/while, got {key!r}"
                 )
             self.expect("op", ":")
             if key == "type":
@@ -599,6 +602,32 @@ class _Parser:
                         f"optional: expects true/false, got {t.text!r}"
                     )
                 pat["optional"] = t.text == "true"
+            elif key == "maxdepth":
+                n = self._int("maxDepth")
+                lo = pat["vl"][0] if pat["vl"] else 1
+                pat["vl"] = (lo, n)
+            elif key == "while":
+                # the documented ArcadeDB/OrientDB repeat form is a
+                # depth bound: while: ($depth < N) / ($depth <= N).
+                # Depth 0 (the anchor itself) is part of the result
+                # set, per the OrientDB MATCH contract.
+                self.expect("op", "(")
+                v = self.expect("var")
+                if v.text.lower() != "$depth":
+                    raise ArcadeSQLError(
+                        f"while: supports only $depth bounds, got {v.text}"
+                    )
+                op_t = self.expect("op")
+                if op_t.text not in ("<", "<="):
+                    raise ArcadeSQLError(
+                        f"while: supports $depth < N / <= N, got {op_t.text}"
+                    )
+                n = self._int("while depth bound")
+                self.expect("op", ")")
+                # the condition gates STEPPING from depth d, so
+                # $depth < N reaches depth N and $depth <= N reaches
+                # N+1; depth 0 (the anchor) is always in the set
+                pat["vl"] = (0, n if op_t.text == "<" else n + 1)
             else:
                 self.expect("op", "(")
                 depth = 1
@@ -1320,6 +1349,63 @@ def _compile_chain(
         nt = nodes[i + 1]
         b = nt["alias"]
         optional = optional or nt.get("optional", False)
+        vl = nt.get("vl")
+        if vl is not None:
+            # variable-length step (while: ($depth < N) / maxDepth: N)
+            # → bounded unroll: UNION ALL of the L-fold edge
+            # self-joins for L in [lo..hi], DISTINCT endpoint pairs
+            # (MATCH binds only the endpoints, so distinct variable
+            # assignments collapse multiple paths — the OrientDB
+            # result contract), joined once onto the chain. Bounded by
+            # construction: each L is a hash-join chain Catalyst
+            # plans normally; unbounded reachability is TRAVERSE's
+            # job (frontier BFS), and the depth cap enforces that
+            # boundary.
+            lo, hi = vl
+            if hi > 10:
+                raise ArcadeSQLError(
+                    f"variable-length MATCH is capped at depth 10 "
+                    f"(got {hi}) — use TRAVERSE for deep reachability"
+                )
+            if optional or nt.get("bound"):
+                raise ArcadeSQLError(
+                    "variable-length steps cannot be optional or close "
+                    "a cycle"
+                )
+            lbl_w = f" WHERE label = '{_sql_str(label)}'" if label else ""
+            legs = []
+            if d in ("out", "both"):
+                legs.append(f"SELECT src AS s, dst AS t FROM edges{lbl_w}")
+            if d in ("in", "both"):
+                legs.append(f"SELECT dst AS s, src AS t FROM edges{lbl_w}")
+            leg = "(" + " UNION ALL ".join(legs) + ")"
+            view = f"n_{nt['type']}" if nt["type"] else "nodes"
+            unions = []
+            if lo == 0:
+                unions.append(
+                    f"SELECT node_id AS __vsrc, node_id AS __vdst FROM {view}"
+                )
+            for L in range(max(lo, 1), hi + 1):
+                hop_from = f"{leg} __h0"
+                for j in range(1, L):
+                    hop_from += f" JOIN {leg} __h{j} ON __h{j}.s = __h{j-1}.t"
+                unions.append(
+                    f"SELECT __h0.s AS __vsrc, __h{L-1}.t AS __vdst "
+                    f"FROM {hop_from}"
+                )
+            vl_name = f"__vl{tag}{i}"
+            vl_sub = (
+                "(SELECT DISTINCT __vsrc, __vdst FROM ("
+                + " UNION ALL ".join(unions)
+                + f") {vl_name}_u)"
+            )
+            froms.append(
+                f"JOIN {vl_sub} {vl_name} ON {vl_name}.__vsrc = {a}.node_id"
+            )
+            froms.append(f"JOIN {view} {b} ON {b}.node_id = {vl_name}.__vdst")
+            if nt.get("where"):
+                wheres.append(nt["where"])
+            continue
         if not optional:
             cond, nxt = _match_leg(e, a, b, d, label)
             froms.append(f"JOIN edges {e} ON {cond}")

@@ -276,6 +276,25 @@ def q150_unwind_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B6 extension: variable-length MATCH steps -----------------------------------
+def q153_match_vl_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``maxDepth: 2`` variable-length step from each customer across
+    the unlabeled edge set: per-customer count of distinct nodes
+    reachable in 1-2 hops (orders + parts). Compiles to a bounded
+    unroll — UNION ALL of the 1-hop and 2-hop edge self-joins,
+    DISTINCT endpoint pairs, ONE join onto the chain — so Catalyst
+    plans plain hash joins; unbounded reachability stays TRAVERSE's
+    frontier BFS."""
+    _register_star_workspace(spark, sf_dir)
+    return arcadesql.execute(
+        spark,
+        "MATCH {type: Customer, as: c, where: (c_custkey <= 20)}"
+        "-->{as: x, maxDepth: 2} "
+        "RETURN c.c_custkey AS c_custkey, count(*) AS n_reach "
+        "ORDER BY c_custkey",
+    )
+
+
 # --- B19 through the dialect: UPDATE / INSERT / DELETE --------------------------
 def q147_dml_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-typed DML (the ArcadeDB SQL surface Studio users get,
@@ -364,6 +383,7 @@ QUERIES = {
     "q147_dml_readback": q147_dml_readback,
     "q148_match_optional_dialect": q148_match_optional_dialect,
     "q150_unwind_dialect": q150_unwind_dialect,
+    "q153_match_vl_dialect": q153_match_vl_dialect,
     "q149_match_not_dialect": q149_match_not_dialect,
     "q141_agg_dialect": q141_agg_dialect,
     "q145_graphql": q145_graphql,
@@ -384,6 +404,21 @@ ORACLE = {
         LEFT JOIN orders o ON o.o_custkey = c.c_custkey
         WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey <= 120
         GROUP BY c.c_custkey
+    """,
+    "q153_match_vl_dialect": """
+        WITH reach AS (
+            SELECT DISTINCT c.c_custkey, o.o_orderkey * 3 + 1 AS nid
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey <= 20
+            UNION
+            SELECT DISTINCT c.c_custkey, l.l_partkey * 3 + 2 AS nid
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_custkey <= 20
+        )
+        SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_reach
+        FROM reach GROUP BY c_custkey ORDER BY c_custkey
     """,
     "q150_unwind_dialect": """
         SELECT c.c_custkey AS c_custkey,

@@ -638,3 +638,61 @@ def test_unwind_errors(graph_ws):
         translate("SELECT * FROM Person UNWIND friends")
     with pytest.raises(ArcadeSQLError, match="carry a result name"):
         translate("SELECT name, out('KNOWS') FROM Person UNWIND name")
+
+
+# ---------------------------------------------------------------- variable-length MATCH
+def test_match_variable_length_maxdepth(graph_ws):
+    """maxDepth: N → depths 1..N, distinct endpoint pairs."""
+    df = execute(
+        graph_ws,
+        "MATCH {type: Person, as: a, where: (node_id = 1)}"
+        "-KNOWS->{type: Person, as: b, maxDepth: 2} "
+        "RETURN b.node_id AS nid",
+    )
+    # from 1: depth1 {2,3}, depth2 {3,4} -> distinct {2,3,4}
+    assert sorted(r.nid for r in df.collect()) == [2, 3, 4]
+
+
+def test_match_variable_length_while_includes_depth0(graph_ws):
+    """while: ($depth < 2) → depths 0..2 (anchor included, OrientDB
+    contract)."""
+    df = execute(
+        graph_ws,
+        "MATCH {type: Person, as: a, where: (node_id = 1)}"
+        "-KNOWS->{type: Person, as: b, while: ($depth < 2)} "
+        "RETURN b.node_id AS nid",
+    )
+    assert sorted(r.nid for r in df.collect()) == [1, 2, 3, 4]
+
+
+def test_match_variable_length_chain_continues(graph_ws):
+    """A fixed step after the variable-length one keeps joining."""
+    df = execute(
+        graph_ws,
+        "MATCH {type: Person, as: a, where: (node_id = 1)}"
+        "-KNOWS->{type: Person, as: b, maxDepth: 3}"
+        "-LIVES_IN->{type: City, as: c} "
+        "RETURN b.node_id AS nid, c.name AS city",
+    )
+    rows = sorted((r.nid, r.city) for r in df.collect())
+    # reach {2,3,4,5} in <=3 hops; cities: 2->ams, 3->ber, 4->cdg, 5->cdg
+    assert rows == [(2, "ams"), (3, "ber"), (4, "cdg"), (5, "cdg")]
+
+
+def test_match_variable_length_errors(graph_ws):
+    with pytest.raises(ArcadeSQLError, match="capped at depth 10"):
+        translate(
+            "MATCH {type: Person, as: a}-KNOWS->"
+            "{type: Person, as: b, maxDepth: 50} RETURN b.node_id"
+        )
+    with pytest.raises(ArcadeSQLError, match="cannot be optional"):
+        translate(
+            "MATCH {type: Person, as: a}-KNOWS->"
+            "{type: Person, as: b, maxDepth: 2, optional: true} "
+            "RETURN b.node_id"
+        )
+    with pytest.raises(ArcadeSQLError, match="supports only .depth"):
+        translate(
+            "MATCH {type: Person, as: a}-KNOWS->"
+            "{type: Person, as: b, while: ($foo < 2)} RETURN b.node_id"
+        )
