@@ -214,7 +214,7 @@ class _DML:
     expression per inserted record (SET form yields one row; the
     VALUES form yields one per tuple)."""
 
-    kind: str  # "update" | "insert" | "delete" | "insert_edge" | "delete_edge"
+    kind: str  # update | insert | delete | insert_edge | update_edge | delete_edge
     label: str
     assignments: list[tuple[str, str]] = field(default_factory=list)
     where: str | None = None
@@ -360,8 +360,8 @@ class _Parser:
             limit=None,
         )
         if head == "update":
-            dml = _DML(kind="update", label="")
-            dml.label = self._name("type name")
+            kind = "update_edge" if self._accept_word("edge") else "update"
+            dml = _DML(kind=kind, label=self._name("type name"))
             self._expect_word("set")
             self._dml_assignments(dml)
             if self.accept("kw", "where"):
@@ -1636,6 +1636,11 @@ def _execute_dml(
         )
     elif stmt.kind == "delete":
         n = ws.delete_nodes(spark, workspace_dir, stmt.label, pred)
+    elif stmt.kind == "update_edge":
+        n = ws.update_edges(
+            spark, workspace_dir, stmt.label, pred,
+            {col: F.expr(expr) for col, expr in stmt.assignments},
+        )
     elif stmt.kind == "delete_edge":
         n = ws.delete_edges(spark, workspace_dir, stmt.label, pred)
     elif stmt.kind == "insert_edge":

@@ -423,6 +423,23 @@ def insert_edges(spark: SparkSession, ws_dir: str, label: str, rows: DataFrame) 
     return n_new
 
 
+def update_edges(
+    spark: SparkSession, ws_dir: str, label: str, predicate: F.Column, assignments: dict[str, F.Column]
+) -> int:
+    """UPDATE EDGE ... SET ... WHERE: rewrite the edge dataset with
+    the assignments applied to matching rows. Returns rows touched."""
+    with open(os.path.join(ws_dir, "manifest.json")) as mh:
+        manifest = json.load(mh)
+    path = manifest["edges"][label]["path"]
+    cur = spark.read.parquet(path)
+    touched = cur.where(predicate).count()
+    out = cur
+    for col_name, expr in assignments.items():
+        out = out.withColumn(col_name, F.when(predicate, expr).otherwise(F.col(col_name)))
+    _rewrite_dataset(out, path)
+    return touched
+
+
 def delete_edges(spark: SparkSession, ws_dir: str, label: str, predicate: F.Column) -> int:
     """DELETE EDGE ... WHERE: drop matching edge rows (no cascade —
     edges have no dependents). Returns edges deleted."""

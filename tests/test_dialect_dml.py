@@ -199,3 +199,19 @@ def test_create_edge_unknown_type_and_prop(spark, dml_ws):
             spark, "CREATE EDGE IN_REGION FROM 1 TO 0 SET nope = 1",
             workspace_dir=dml_ws, allow_writes=True,
         )
+
+
+def test_update_edge_props(spark, dml_ws):
+    """UPDATE EDGE rewrites matching edge rows' properties (CONTAINS
+    carries lineitem props)."""
+    res = execute(
+        spark,
+        "UPDATE EDGE CONTAINS SET l_discount = 0.0 WHERE l_discount > 0.05",
+        workspace_dir=dml_ws,
+        allow_writes=True,
+    ).collect()[0]
+    assert res.operation == "update_edge" and res["count"] > 0
+    left = spark.sql(
+        "SELECT count(*) AS n FROM e_CONTAINS WHERE l_discount > 0.05"
+    ).collect()[0].n
+    assert left == 0
