@@ -337,18 +337,28 @@ def _update_manifest_count(ws_dir: str, kind: str, label: str, count: int) -> No
 def insert_nodes(spark: SparkSession, ws_dir: str, label: str, rows: DataFrame) -> int:
     """CREATE VERTEX: append rows (node_id derived from natural_key;
     existing ids are rejected rows — duplicates silently skipped, the
-    reference's error-tolerant ingest posture, A9). Returns new count."""
+    reference's error-tolerant ingest posture, A9). Returns new count.
+
+    Scale: inserts are mode("append") — new parquet files land next
+    to the dataset, O(inserted) IO with no rewrite of existing data
+    (at 100 TB an insert must never touch the other 100 TB). The
+    anti-join against existing ids shuffles only the 8-byte id
+    column."""
     path = os.path.join(ws_dir, "nodes", label)
     cur = spark.read.parquet(path)
     new = rows.withColumn("node_id", node_id(label, F.col("natural_key"))).withColumn(
         "label", F.lit(label)
     )
-    new = new.select(*cur.columns).join(
-        cur.select("node_id"), "node_id", "left_anti"
+    new = (
+        new.select(*cur.columns)
+        .join(cur.select("node_id"), "node_id", "left_anti")
+        .localCheckpoint(eager=True)
     )
-    merged = cur.unionByName(new)
-    _rewrite_dataset(merged, path)
-    n = spark.read.parquet(path).count()
+    n_ins = new.count()
+    if n_ins:
+        new.write.mode("append").parquet(path)
+    with open(os.path.join(ws_dir, "manifest.json")) as mh:
+        n = json.load(mh)["nodes"][label]["count"] + n_ins
     _update_manifest_count(ws_dir, "nodes", label, n)
     return n
 
@@ -416,10 +426,12 @@ def insert_edges(spark: SparkSession, ws_dir: str, label: str, rows: DataFrame) 
     dst_ids = spark.read.parquet(manifest["nodes"][info["dst_label"]]["path"]).select("node_id")
     new = new.join(src_ids, new.src == src_ids.node_id, "left_semi")
     new = new.join(dst_ids, new.dst == dst_ids.node_id, "left_semi")
+    new = new.localCheckpoint(eager=True)
     n_new = new.count()
     if n_new:
-        _rewrite_dataset(cur.unionByName(new), path)
-        _update_manifest_count(ws_dir, "edges", label, spark.read.parquet(path).count())
+        # append, not rewrite: O(inserted) IO (100 TB posture)
+        new.write.mode("append").parquet(path)
+        _update_manifest_count(ws_dir, "edges", label, info["count"] + n_new)
     return n_new
 
 
