@@ -33,9 +33,16 @@ Supported subset (the read path the reference's plugin serves):
 
 Variables are supported (``query($seg: String!, $lim: Int = 5)`` +
 a ``variables`` dict — values substitute at parse time, so the
-compiled plan pushes them down exactly like literals). Mutations,
-fragments, and introspection remain out of scope — the reference
-plugin's read-query surface is what the server answers.
+compiled plan pushes them down exactly like literals), as are named
+fragments (``fragment F on T { … }`` + ``...F`` spreads, inlined
+post-parse so declaration order is free; a spread into the wrong
+type surfaces as the build-time unknown-field error) and a minimal
+``{ __schema { types } }`` introspection answering from the
+registered workspace views (one row per type: name + field list —
+enough for clients to discover the schema; the full spec-shaped
+introspection tree is out of scope). Mutations remain out of scope —
+the reference plugin's read-query surface is what the server
+answers.
 
 Scale notes: the compiled plan is join + groupBy(collect_list) per
 nesting level, shuffling on node ids only after per-label column
@@ -90,7 +97,8 @@ def default_relationships() -> dict[str, dict[str, Rel]]:
 
 _TOKEN = re.compile(
     r"""\s*(?:
-        (?P<punct>[{}():,\[\]!=])
+        (?P<spread>\.\.\.)
+      | (?P<punct>[{}():,\[\]!=])
       | (?P<string>"(?:[^"\\]|\\.)*")
       | (?P<number>-?\d+(?:\.\d+)?)
       | (?P<variable>\$[_A-Za-z][_0-9A-Za-z]*)
@@ -115,7 +123,7 @@ def _tokenize(doc: str) -> list[tuple[str, str]]:
                 break
             raise GraphQLError(f"unexpected character at: {rest[:20]!r}")
         pos = m.end()
-        for kind in ("punct", "string", "number", "variable", "name"):
+        for kind in ("spread", "punct", "string", "number", "variable", "name"):
             v = m.group(kind)
             if v is not None:
                 out.append((kind, v))
@@ -131,6 +139,10 @@ class _Parser:
         # merged UNDER these while parsing the operation definition
         self.variables = dict(variables or {})
         self.declared: set[str] = set()
+        # fragment name -> (on_type, selection list); spreads resolve
+        # after the whole document is parsed (fragments may be
+        # declared after the operation that uses them)
+        self.fragments: dict[str, tuple[str, list]] = {}
 
     def _peek(self) -> tuple[str, str] | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -148,22 +160,89 @@ class _Parser:
             raise GraphQLError(f"expected {value!r}, got {v!r}")
 
     def parse_document(self) -> Field:
-        # optional leading `query` / operation name / variable defs
-        t = self._peek()
-        if t and t[0] == "name" and t[1] == "query":
-            self._next()
+        root: Field | None = None
+        while self._peek() is not None:
             t = self._peek()
-            if t and t[0] == "name":
+            if t[0] == "name" and t[1] == "fragment":
+                self._parse_fragment_def()
+                continue
+            if root is not None:
+                raise GraphQLError("one root field per document")
+            # optional leading `query` / operation name / variable defs
+            if t[0] == "name" and t[1] == "query":
                 self._next()
                 t = self._peek()
-            if t and t[1] == "(":
-                self._parse_variable_defs()
-        self._expect("{")
-        root = self._parse_field()
-        self._expect("}")
-        if self._peek() is not None:
-            raise GraphQLError("one root field per document")
+                if t and t[0] == "name":
+                    self._next()
+                    t = self._peek()
+                if t and t[1] == "(":
+                    self._parse_variable_defs()
+            self._expect("{")
+            root = self._parse_field()
+            self._expect("}")
+        if root is None:
+            raise GraphQLError("document has no operation")
+        self._resolve_spreads(root, ())
         return root
+
+    def _parse_fragment_def(self) -> None:
+        """``fragment Name on Type { ... }`` — reusable selection
+        sets, the standard client pattern for shared field lists."""
+        self._next()  # 'fragment'
+        kind, name = self._next()
+        if kind != "name" or name == "on":
+            raise GraphQLError(f"expected fragment name, got {name!r}")
+        kind, on = self._next()
+        if (kind, on) != ("name", "on"):
+            raise GraphQLError(f"expected 'on', got {on!r}")
+        kind, typ = self._next()
+        if kind != "name":
+            raise GraphQLError(f"expected a type condition, got {typ!r}")
+        holder = Field(name)
+        self._expect("{")
+        self._parse_selection_items(holder)
+        self.fragments[name] = (typ, holder.selection)
+
+    def _parse_selection_items(self, f: "Field") -> None:
+        """Shared selection-set body: fields and ...spreads, up to
+        the closing brace."""
+        while True:
+            t = self._peek()
+            if t is None:
+                raise GraphQLError("unterminated selection set")
+            if t[1] == "}":
+                self._next()
+                break
+            if t[0] == "spread":
+                self._next()
+                kind, fname = self._next()
+                if kind != "name":
+                    raise GraphQLError(
+                        f"expected fragment name after '...', got {fname!r}"
+                    )
+                f.selection.append(Field("..." + fname))
+                continue
+            f.selection.append(self._parse_field())
+
+    def _resolve_spreads(self, fld: Field, seen: tuple) -> None:
+        """Inline ``...Name`` spreads (post-parse, so declaration
+        order doesn't matter); cycles are a clear error."""
+        out: list[Field] = []
+        for sub in fld.selection:
+            if sub.name.startswith("..."):
+                fname = sub.name[3:]
+                if fname in seen:
+                    raise GraphQLError(f"fragment cycle through {fname!r}")
+                if fname not in self.fragments:
+                    raise GraphQLError(f"unknown fragment {fname!r}")
+                _, sel = self.fragments[fname]
+                holder = Field(fname, selection=list(sel))
+                self._resolve_spreads(holder, seen + (fname,))
+                out.extend(holder.selection)
+            else:
+                self._resolve_spreads(sub, seen)
+                out.append(sub)
+        fld.selection = out
 
     def _parse_variable_defs(self) -> None:
         """``($seg: String!, $lim: Int = 5)`` — declarations with
@@ -225,14 +304,7 @@ class _Parser:
             t = self._peek()
         if t and t[1] == "{":
             self._next()
-            while True:
-                t = self._peek()
-                if t is None:
-                    raise GraphQLError("unterminated selection set")
-                if t[1] == "}":
-                    self._next()
-                    break
-                f.selection.append(self._parse_field())
+            self._parse_selection_items(f)
         return f
 
     def _parse_value(self):
@@ -352,5 +424,32 @@ def execute(
     exactly like literal arguments."""
     root = parse(document, variables)
     rels = default_relationships() if relationships is None else relationships
+    if root.name == "__schema":
+        return _introspect(spark, rels)
     df = _build(spark, root.name, root, rels, keep_node_id=True)
     return df.drop("node_id")
+
+
+def _introspect(spark: SparkSession, rels: dict[str, dict[str, Rel]]) -> DataFrame:
+    """Minimal ``{ __schema { types } }``: one row per registered
+    node type (the ``n_<Label>`` temp views) with its scalar fields
+    and relationship fields — enough for a client to discover the
+    queryable surface. Catalog metadata only; no table scans."""
+    # catalog stores temp-view names lowercased; restore the label's
+    # declared casing from the relationship map (falling back to the
+    # raw name for relationship-less types)
+    case = {k.lower(): k for k in rels}
+    rows = []
+    for tbl in spark.catalog.listTables():
+        if not tbl.name.startswith("n_"):
+            continue
+        label = case.get(tbl.name[2:], tbl.name[2:])
+        fields = [f.name for f in spark.table(tbl.name).schema.fields]
+        rel_fields = sorted(rels.get(label, {}))
+        rows.append((label, fields, rel_fields))
+    if not rows:
+        raise GraphQLError("no workspace views registered (n_<Label>)")
+    return spark.createDataFrame(
+        sorted(rows),
+        "name string, fields array<string>, relationships array<string>",
+    )

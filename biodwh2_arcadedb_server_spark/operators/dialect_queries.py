@@ -384,8 +384,33 @@ def q151_graphql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B20: GraphQL fragments + introspection --------------------------------------
+def q154_graphql_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-fragment spreads (the shared-field-list client pattern)
+    through graphql.execute — the fragment inlines post-parse, so the
+    compiled plan is IDENTICAL to the literal selection: pushdown +
+    one nested join, nothing fragment-shaped survives into Catalyst."""
+    from biodwh2_arcadedb_server_spark import graphql
+
+    _register_star_workspace(spark, sf_dir)
+    out = graphql.execute(
+        spark,
+        "query ($seg: String!) { Customer(c_mktsegment: $seg) { ...basics } } "
+        "fragment basics on Customer { c_custkey placed { o_orderkey } }",
+        variables={"seg": "MACHINERY"},
+    )
+    return out.where(F.col("c_custkey") <= 150).select(
+        "c_custkey",
+        F.concat_ws(
+            ";",
+            F.transform("placed", lambda s: s["o_orderkey"].cast("string")),
+        ).alias("orders_repr"),
+    )
+
+
 QUERIES = {
     "q151_graphql_variables": q151_graphql_variables,
+    "q154_graphql_fragments": q154_graphql_fragments,
     "q136_match_dialect": q136_match_dialect,
     "q147_dml_readback": q147_dml_readback,
     "q148_match_optional_dialect": q148_match_optional_dialect,
@@ -402,6 +427,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q154_graphql_fragments": """
+        SELECT c.c_custkey,
+               COALESCE(string_agg(
+                   CAST(o.o_orderkey AS VARCHAR),
+                   ';' ORDER BY o.o_orderkey), '') AS orders_repr
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'MACHINERY' AND c.c_custkey <= 150
+        GROUP BY c.c_custkey
+    """,
     "q151_graphql_variables": """
         SELECT c.c_custkey,
                COALESCE(string_agg(

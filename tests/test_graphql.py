@@ -168,3 +168,51 @@ def test_variable_errors():
     assert f.args == {"a": "v"}
     with pytest.raises(graphql.GraphQLError, match="expected a type name"):
         graphql.parse("query ($x: 5) { T { y } }")
+
+
+def test_fragment_spread(spark, ws):
+    df = graphql.execute(
+        spark,
+        "query { Customer(limit: 5) { ...basics } } "
+        "fragment basics on Customer { c_name c_acctbal }",
+    )
+    assert df.columns == ["c_name", "c_acctbal"]
+    assert df.count() == 5
+
+
+def test_fragment_with_nested_and_order_free(spark, ws):
+    """Fragment declared BEFORE the operation, containing a nested
+    relationship selection."""
+    df = graphql.execute(
+        spark,
+        "fragment natinfo on Nation { n_name in_region { r_name } } "
+        "{ Nation(natural_key: 3) { ...natinfo } }",
+    )
+    assert df.columns == ["n_name", "in_region"]
+    assert df.count() == 1
+
+
+def test_fragment_errors(spark, ws):
+    with pytest.raises(graphql.GraphQLError, match="unknown fragment"):
+        graphql.execute(spark, "{ Customer { ...nope } }")
+    with pytest.raises(graphql.GraphQLError, match="fragment cycle"):
+        graphql.execute(
+            spark,
+            "{ Customer { ...a } } "
+            "fragment a on Customer { ...b } fragment b on Customer { ...a }",
+        )
+    # wrong-type spread surfaces as the build-time unknown-field error
+    with pytest.raises(graphql.GraphQLError, match="unknown field"):
+        graphql.execute(
+            spark,
+            "{ Customer { ...o } } fragment o on Order { o_totalprice }",
+        )
+
+
+def test_introspection_types(spark, ws):
+    df = graphql.execute(spark, "{ __schema { types } }")
+    rows = {r.name: r for r in df.collect()}
+    assert "Customer" in rows and "Nation" in rows
+    assert "c_acctbal" in rows["Customer"].fields
+    assert "placed" in rows["Customer"].relationships
+    assert "in_region" in rows["Nation"].relationships
