@@ -172,6 +172,8 @@ HEADLINE = [
     "q149_match_not_dialect",
     "q150_unwind_dialect",
     "q151_graphql_variables",
+    "q153_match_vl_dialect",
+    "q154_graphql_fragments",
     "q38_frame_sample",
     "q152_wav_decode",
 ]
