@@ -1598,6 +1598,14 @@ def _register_shortest_path_views(spark: SparkSession, specs: list[dict]) -> Non
         tree.createOrReplaceTempView(spec["view"])
 
 
+# Dialect DML mutates on-disk datasets via rewrite-and-swap; the query
+# server is a ThreadingHTTPServer, so two concurrent write statements
+# could interleave rmtree/os.replace on the same dataset. One process-
+# wide lock serializes them (reads stay lock-free — they only see
+# either the old or the new swapped dataset, never a partial one).
+_DML_LOCK = __import__("threading").Lock()
+
+
 def _execute_dml(
     spark: SparkSession,
     stmt: _DML,
@@ -1629,6 +1637,11 @@ def _execute_dml(
     from biodwh2_arcadedb_server_spark import workspace as ws
 
     pred = F.expr(stmt.where) if stmt.where else F.lit(True)
+    with _DML_LOCK:
+        return _execute_dml_locked(spark, stmt, workspace_dir, pred, ws, os)
+
+
+def _execute_dml_locked(spark, stmt, workspace_dir, pred, ws, os):
     if stmt.kind == "update":
         n = ws.update_nodes(
             spark, workspace_dir, stmt.label, pred,

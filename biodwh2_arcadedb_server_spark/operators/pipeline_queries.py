@@ -78,6 +78,18 @@ def _exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-matmul cosine pair set, cached like the lexical tables
+    (q29 and q106 both consume it — one computation per session)."""
+    return _cached_ckpt(
+        spark,
+        ("cosine_pairs", sf_dir, COSINE_THRESHOLD),
+        lambda: similarity.cosine_near_dup_pairs(
+            load_table(spark, sf_dir, "embeddings"), COSINE_THRESHOLD
+        ),
+    )
+
+
 # --- C2: exact n-gram Jaccard near-dup pairs (oracle-able) --------------------
 def q26_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_pairs(spark, sf_dir)
@@ -326,8 +338,7 @@ def q28_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- C2/C3: embedding-cosine near-dup pairs (oracle-able) -------------------------
 def q29_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_near_dup_pairs(e, COSINE_THRESHOLD)
+    return _cosine_pairs(spark, sf_dir)
 
 
 # --- C2/C3: embedding-cosine clusters + canonical keep (oracle-able) ----------------
@@ -338,7 +349,7 @@ def q106_cosine_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape). The closure reuses near_dup_clusters with the cosine pair
     set plugged in."""
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.cosine_near_dup_pairs(e, COSINE_THRESHOLD).select("id_a", "id_b")
+    pairs = _cosine_pairs(spark, sf_dir).select("id_a", "id_b")
     return dedup.near_dup_clusters(e, "vec_id", "embedding", pairs=pairs)
 
 
