@@ -223,6 +223,9 @@ class _DML:
     # src/dst NATURAL KEYS (node ids derive as xxhash64(label, key))
     edge_from: str | None = None
     edge_to: str | None = None
+    # DDL payload (kind = ddl_node_type / ddl_edge_type /
+    # ddl_property / ddl_index)
+    ddl: dict = field(default_factory=dict)
 
 
 _AGGS = {"count", "sum", "avg", "min", "max", "first", "last"}
@@ -381,10 +384,43 @@ class _Parser:
                 dml.where = self._expr(dummy)
             return dml
         if head == "create":
-            # CREATE VERTEX <T> [SET ...] — insert-one alias — or
-            # CREATE EDGE <T> FROM <key> TO <key> [SET ...] (keys are
-            # the endpoint NATURAL KEYS; node ids derive from them)
+            # DDL forms: CREATE VERTEX TYPE <T> | CREATE EDGE TYPE <T>
+            # FROM <L> TO <L> | CREATE PROPERTY <T>.<p> <TYPE> |
+            # CREATE INDEX ON <T> (cols) [UNIQUE] — plus the DML
+            # forms CREATE VERTEX <T> [SET ...] (insert-one alias)
+            # and CREATE EDGE <T> FROM <key> TO <key> [SET ...]
+            if self._accept_word("property"):
+                label = self._name("type name")
+                self.expect("op", ".")
+                prop = self._name("property name")
+                type_name = self._name("type keyword")
+                return _DML(
+                    kind="ddl_property", label=label,
+                    ddl={"prop": prop, "type": type_name},
+                )
+            if self._accept_word("index"):
+                self._expect_word("on")
+                label = self._name("type name")
+                self.expect("op", "(")
+                cols = [self._name("column name")]
+                while self.accept("op", ","):
+                    cols.append(self._name("column name"))
+                self.expect("op", ")")
+                unique = bool(self._accept_word("unique"))
+                if not unique:
+                    self._accept_word("notunique")
+                return _DML(
+                    kind="ddl_index", label=label,
+                    ddl={"columns": cols, "unique": unique},
+                )
             if self._accept_word("edge"):
+                if self._accept_word("type"):
+                    dml = _DML(kind="ddl_edge_type", label=self._name("edge type"))
+                    self.expect("kw", "from")
+                    dml.ddl["src_label"] = self._name("source node type")
+                    self._expect_word("to")
+                    dml.ddl["dst_label"] = self._name("target node type")
+                    return dml
                 dml = _DML(kind="insert_edge", label=self._name("edge type"))
                 self.expect("kw", "from")
                 dml.edge_from = self._expr(dummy)
@@ -398,6 +434,8 @@ class _Parser:
                 dml.rows = [row]
                 return dml
             self._expect_word("vertex")
+            if self._accept_word("type"):
+                return _DML(kind="ddl_node_type", label=self._name("type name"))
             dml = _DML(kind="insert", label=self._name("type name"))
             row = {}
             if self._accept_word("set"):
@@ -1642,6 +1680,32 @@ def _execute_dml(
 
 
 def _execute_dml_locked(spark, stmt, workspace_dir, pred, ws, os):
+    if stmt.kind.startswith("ddl_"):
+        try:
+            if stmt.kind == "ddl_node_type":
+                ws.create_node_type(spark, workspace_dir, stmt.label)
+            elif stmt.kind == "ddl_edge_type":
+                ws.create_edge_type(
+                    spark, workspace_dir, stmt.label,
+                    stmt.ddl["src_label"], stmt.ddl["dst_label"],
+                )
+            elif stmt.kind == "ddl_property":
+                ws.add_property(
+                    spark, workspace_dir, stmt.label,
+                    stmt.ddl["prop"], stmt.ddl["type"],
+                )
+            else:  # ddl_index
+                ws.create_index(
+                    spark, workspace_dir, stmt.label,
+                    stmt.ddl["columns"], stmt.ddl["unique"],
+                )
+        except ValueError as exc:
+            raise ArcadeSQLError(str(exc)) from exc
+        ws.load_workspace(spark, workspace_dir)
+        return spark.createDataFrame(
+            [(stmt.kind, stmt.label, 0)],
+            "operation string, label string, count long",
+        )
     if stmt.kind == "update":
         n = ws.update_nodes(
             spark, workspace_dir, stmt.label, pred,

@@ -466,6 +466,124 @@ def delete_edges(spark: SparkSession, ws_dir: str, label: str, predicate: F.Colu
     return doomed
 
 
+# --- DDL as manifest + dataset operations (B19 companion) ----------------------
+# ArcadeDB Studio users type CREATE VERTEX TYPE / CREATE PROPERTY /
+# CREATE INDEX (the reference's ETL issues the same calls
+# programmatically, ArcadeDBService.java:143-154, 258-283). Here each
+# is a manifest + parquet-dataset operation: types are empty datasets
+# with declared schemas, properties are typed null columns, and a
+# UNIQUE index is a validation query (the A13 re-expression — at
+# 100 TB the "index" is layout + footer stats, uniqueness is a
+# groupBy audit).
+
+
+def create_node_type(spark: SparkSession, ws_dir: str, label: str) -> None:
+    with open(os.path.join(ws_dir, "manifest.json")) as mh:
+        manifest = json.load(mh)
+    if label in manifest["nodes"]:
+        raise ValueError(f"node type {label!r} already exists")
+    path = os.path.join(ws_dir, "nodes", label)
+    empty = spark.createDataFrame(
+        [], "node_id long, natural_key long, label string"
+    )
+    empty.write.mode("overwrite").parquet(path)
+    manifest["nodes"][label] = {
+        "path": path,
+        "key": "natural_key",
+        "source_hash": "ddl",
+        "schema": empty.schema.jsonValue(),
+        "count": 0,
+    }
+    with open(os.path.join(ws_dir, "manifest.json"), "w") as mh:
+        json.dump(manifest, mh, indent=2)
+
+
+def create_edge_type(
+    spark: SparkSession, ws_dir: str, label: str, src_label: str, dst_label: str
+) -> None:
+    """Engine extension vs plain ArcadeDB: endpoint labels are
+    REQUIRED (``FROM <SrcType> TO <DstType>``) because edge appends
+    validate endpoints against the typed node sets (A11)."""
+    with open(os.path.join(ws_dir, "manifest.json")) as mh:
+        manifest = json.load(mh)
+    if label in manifest["edges"]:
+        raise ValueError(f"edge type {label!r} already exists")
+    for lbl in (src_label, dst_label):
+        if lbl not in manifest["nodes"]:
+            raise ValueError(f"unknown endpoint node type {lbl!r}")
+    path = os.path.join(ws_dir, "edges", label)
+    empty = spark.createDataFrame([], "src long, dst long, label string")
+    empty.write.mode("overwrite").parquet(path)
+    manifest["edges"][label] = {
+        "path": path,
+        "src_label": src_label,
+        "dst_label": dst_label,
+        "source_hash": "ddl",
+        "schema": empty.schema.jsonValue(),
+        "count": 0,
+    }
+    with open(os.path.join(ws_dir, "manifest.json"), "w") as mh:
+        json.dump(manifest, mh, indent=2)
+
+
+def add_property(
+    spark: SparkSession, ws_dir: str, label: str, prop: str, type_name: str
+) -> None:
+    """CREATE PROPERTY <T>.<prop> <TYPE>: a typed null column added
+    to the label dataset (`definition.createProperty`,
+    ArcadeDBService.java:152-154 parity). One partition-parallel
+    rewrite; existing rows carry NULL (the reference's null-dropping
+    posture in reverse)."""
+    from biodwh2_arcadedb_server_spark.typemap import resolve_type
+
+    with open(os.path.join(ws_dir, "manifest.json")) as mh:
+        manifest = json.load(mh)
+    kind = "nodes" if label in manifest["nodes"] else "edges"
+    if label not in manifest[kind]:
+        raise ValueError(f"unknown type {label!r}")
+    path = manifest[kind][label]["path"]
+    cur = spark.read.parquet(path)
+    if prop in cur.columns:
+        raise ValueError(f"property {label}.{prop} already exists")
+    dtype = resolve_type({"datetime": "timestamp"}.get(type_name.lower(), type_name))
+    out = cur.withColumn(prop, F.lit(None).cast(dtype))
+    _rewrite_dataset(out, path)
+    manifest[kind][label]["schema"] = out.schema.jsonValue()
+    with open(os.path.join(ws_dir, "manifest.json"), "w") as mh:
+        json.dump(manifest, mh, indent=2)
+
+
+def create_index(
+    spark: SparkSession, ws_dir: str, label: str, cols: list[str], unique: bool
+) -> None:
+    """CREATE INDEX ON <T> (cols) [UNIQUE]: UNIQUE runs the A13
+    uniqueness validation (groupBy(cols) HAVING count>1 — fails loud
+    naming the violation count); both flavors are recorded in the
+    manifest so layout tooling (sources/layout.py Z-order, bucketing)
+    can pick the clustering columns — the 100 TB analog of an index."""
+    with open(os.path.join(ws_dir, "manifest.json")) as mh:
+        manifest = json.load(mh)
+    kind = "nodes" if label in manifest["nodes"] else "edges"
+    if label not in manifest[kind]:
+        raise ValueError(f"unknown type {label!r}")
+    df = spark.read.parquet(manifest[kind][label]["path"])
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown column(s) {missing} on {label!r}")
+    if unique:
+        dups = df.groupBy(*cols).count().where(F.col("count") > 1).count()
+        if dups:
+            raise ValueError(
+                f"UNIQUE index on {label}({', '.join(cols)}) violated: "
+                f"{dups} duplicated key value(s)"
+            )
+    manifest[kind][label].setdefault("indexes", []).append(
+        {"columns": cols, "unique": unique}
+    )
+    with open(os.path.join(ws_dir, "manifest.json"), "w") as mh:
+        json.dump(manifest, mh, indent=2)
+
+
 def is_stale(src_dir: str, ws_dir: str) -> bool:
     """E2 staleness check (ArcadeDBServer.java:105-119) — warn-only."""
     checksum_file = os.path.join(ws_dir, "checksum.txt")

@@ -215,3 +215,48 @@ def test_update_edge_props(spark, dml_ws):
         "SELECT count(*) AS n FROM e_CONTAINS WHERE l_discount > 0.05"
     ).collect()[0].n
     assert left == 0
+
+
+def test_ddl_create_type_property_insert_roundtrip(spark, dml_ws):
+    """Studio-style DDL: create a fresh vertex type, add a typed
+    property, insert into it, connect it with a new edge type, index
+    it — all through user-typed statements."""
+    run = lambda sql: execute(
+        spark, sql, workspace_dir=dml_ws, allow_writes=True
+    ).collect()[0]
+    assert run("CREATE VERTEX TYPE Warehouse").operation == "ddl_node_type"
+    assert run("CREATE PROPERTY Warehouse.capacity LONG").operation == "ddl_property"
+    assert run("INSERT INTO Warehouse SET natural_key = 1, capacity = 500")["count"] == 1
+    assert run("CREATE EDGE TYPE STORES FROM Warehouse TO Nation").operation == "ddl_edge_type"
+    assert run("CREATE EDGE STORES FROM 1 TO 3")["count"] == 1
+    rows = execute(
+        spark, "SELECT natural_key, capacity, out('STORES').size() AS d FROM Warehouse"
+    ).collect()
+    assert [(r.natural_key, r.capacity, r.d) for r in rows] == [(1, 500, 1)]
+    assert run("CREATE INDEX ON Warehouse (natural_key) UNIQUE").operation == "ddl_index"
+
+
+def test_ddl_errors(spark, dml_ws):
+    with pytest.raises(ArcadeSQLError, match="already exists"):
+        execute(
+            spark, "CREATE VERTEX TYPE Nation",
+            workspace_dir=dml_ws, allow_writes=True,
+        )
+    with pytest.raises(ArcadeSQLError, match="unknown endpoint"):
+        execute(
+            spark, "CREATE EDGE TYPE X FROM Nation TO Bogus",
+            workspace_dir=dml_ws, allow_writes=True,
+        )
+    with pytest.raises(ArcadeSQLError, match="read-only"):
+        execute(spark, "CREATE VERTEX TYPE Z")
+    # UNIQUE violation fails loud: n_name repeats? build a dup first
+    execute(
+        spark,
+        "INSERT INTO Nation (natural_key, n_name) VALUES (995, 'DUPNAME'), (996, 'DUPNAME')",
+        workspace_dir=dml_ws, allow_writes=True,
+    )
+    with pytest.raises(ArcadeSQLError, match="UNIQUE index .* violated"):
+        execute(
+            spark, "CREATE INDEX ON Nation (n_name) UNIQUE",
+            workspace_dir=dml_ws, allow_writes=True,
+        )
