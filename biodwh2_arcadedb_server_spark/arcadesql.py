@@ -74,9 +74,19 @@ Supported subset (documented contract, tested differentially):
   workspace_dir=...)``. Default OFF raises a clear error — the
   reference serves the database read-only over HTTP.
 
-Out of scope (raise a clear error): schema/index DDL, per-record
-correlated LET subqueries, projections mixing expand() with other
-fields — the last is the same restriction ArcadeDB itself enforces.
+- DDL (behind the same ``allow_writes`` gate): ``CREATE VERTEX TYPE
+  <T>``; ``CREATE EDGE TYPE <T> FROM <SrcType> TO <DstType>``
+  (endpoint labels are an engine requirement — edge appends validate
+  against the typed node sets, A11); ``CREATE PROPERTY <T>.<p>
+  <TYPE>`` (typed null column, partition-parallel rewrite);
+  ``CREATE INDEX ON <T> (cols) [UNIQUE]`` — UNIQUE runs the A13
+  uniqueness validation and fails loud; both flavors are recorded in
+  the manifest as clustering hints (at 100 TB the "index" is layout
+  + parquet footer stats, sources/layout.py).
+
+Out of scope (raise a clear error): per-record correlated LET
+subqueries, projections mixing expand() with other fields — the last
+is the same restriction ArcadeDB itself enforces; DROP/ALTER DDL.
 
 Scale notes: the compiled SQL references only the per-label views
 (typed, pruned scans) and the unified ``edges`` view (partitioned on
