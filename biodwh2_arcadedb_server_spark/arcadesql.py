@@ -16,10 +16,16 @@ Supported subset (documented contract, tested differentially):
 - ``SELECT [projections] FROM <Type | (subselect)> [WHERE expr]
   [GROUP BY ...] [ORDER BY f [ASC|DESC], ...] [SKIP n] [LIMIT n]``
 - projections: ``*``, properties, ``@rid``/``@type``, aliases via
-  ``AS``, aggregates (count/sum/avg/min/max, ``count(*)``), scalar
-  functions passed through to Spark when name-compatible, and the
-  graph projections ``out('E')``/``in('E')``/``both('E')`` (arrays
-  of neighbor ids) plus ``out('E').size()`` degree shorthand.
+  ``AS``, aggregates (count/sum/avg/min/max/first/last plus
+  stddev/variance/median/percentile, ``count(*)``), scalar
+  functions passed through to Spark when name-compatible, ArcadeDB
+  field-METHOD chaining (``name.toUpperCase()``,
+  ``text.substring(0, 5).trim()``, ``x.asInteger()``,
+  left/right/replace/indexOf/charAt/append/prefix/split/length/size
+  and the as* casts — Java 0-based offsets shifted to Spark's
+  1-based forms), and the graph projections
+  ``out('E')``/``in('E')``/``both('E')`` (arrays of neighbor ids)
+  plus ``out('E').size()`` degree shorthand.
 - ``SELECT expand(out('E')) FROM ...`` — neighbor node rows from the
   unified ``nodes`` view.
 - WHERE operators: ``= <> != < <= > >= LIKE IN [..] BETWEEN x AND y
@@ -238,7 +244,11 @@ class _DML:
     ddl: dict = field(default_factory=dict)
 
 
-_AGGS = {"count", "sum", "avg", "min", "max", "first", "last"}
+_AGGS = {
+    "count", "sum", "avg", "min", "max", "first", "last",
+    # ArcadeDB also ships these; names are Spark-compatible
+    "stddev", "variance", "median", "percentile",
+}
 # scalar functions whose ArcadeDB name is directly Spark-compatible
 _PASSTHROUGH_FNS = {
     "abs", "ceil", "floor", "round", "sqrt", "upper", "lower", "trim",
@@ -947,7 +957,80 @@ class _Parser:
     def _unary(self, sel: _Select) -> str:
         if self.accept("op", "-"):
             return f"(-{self._unary(sel)})"
-        return self._primary(sel)
+        return self._postfix_methods(self._primary(sel), sel)
+
+    # ArcadeDB field-method chaining (`name.toUpperCase()`,
+    # `text.substring(0, 5).trim()`, `x.asInteger()` …) — the Studio
+    # idiom — compiled to the equivalent Spark expressions. Java
+    # 0-based substring/indexOf/charAt shift to Spark's 1-based forms.
+    _ZERO_ARG_METHODS = {
+        "touppercase": "upper({x})",
+        "tolowercase": "lower({x})",
+        "trim": "trim({x})",
+        "length": "length({x})",
+        "size": "size({x})",
+        "asstring": "CAST({x} AS STRING)",
+        "asinteger": "CAST({x} AS INT)",
+        "aslong": "CAST({x} AS BIGINT)",
+        "asfloat": "CAST({x} AS DOUBLE)",
+        "asdecimal": "CAST({x} AS DECIMAL(38,18))",
+        "asboolean": "CAST({x} AS BOOLEAN)",
+        "asdate": "to_date({x})",
+        "asdatetime": "to_timestamp({x})",
+    }
+
+    def _postfix_methods(self, expr: str, sel: _Select) -> str:
+        while (
+            self.peek().kind == "op"
+            and self.peek().text == "."
+            and self.peek(1).kind == "ident"
+            and self.peek(2).kind == "op"
+            and self.peek(2).text == "("
+        ):
+            self.next()  # .
+            meth = self.next().text.lower()
+            self.next()  # (
+            args: list[str] = []
+            if not (self.peek().kind == "op" and self.peek().text == ")"):
+                while True:
+                    args.append(self._expr(sel))
+                    if not self.accept("op", ","):
+                        break
+            self.expect("op", ")")
+            if meth in self._ZERO_ARG_METHODS and not args:
+                expr = self._ZERO_ARG_METHODS[meth].format(x=expr)
+            elif meth == "left" and len(args) == 1:
+                expr = f"left({expr}, {args[0]})"
+            elif meth == "right" and len(args) == 1:
+                expr = f"right({expr}, {args[0]})"
+            elif meth == "substring" and len(args) == 1:
+                expr = f"substring({expr}, ({args[0]}) + 1)"
+            elif meth == "substring" and len(args) == 2:
+                # Java semantics: [begin, end) 0-based
+                expr = (
+                    f"substring({expr}, ({args[0]}) + 1, "
+                    f"({args[1]}) - ({args[0]}))"
+                )
+            elif meth == "replace" and len(args) == 2:
+                expr = f"replace({expr}, {args[0]}, {args[1]})"
+            elif meth == "indexof" and len(args) == 1:
+                # instr is 1-based with 0 = absent; Java wants
+                # 0-based with -1 = absent — the shift aligns both
+                expr = f"(instr({expr}, {args[0]}) - 1)"
+            elif meth == "charat" and len(args) == 1:
+                expr = f"substring({expr}, ({args[0]}) + 1, 1)"
+            elif meth == "append" and len(args) == 1:
+                expr = f"concat({expr}, {args[0]})"
+            elif meth == "prefix" and len(args) == 1:
+                expr = f"concat({args[0]}, {expr})"
+            elif meth == "split" and len(args) == 1:
+                expr = f"split({expr}, {args[0]})"
+            else:
+                raise ArcadeSQLError(
+                    f"unsupported method .{meth}() with {len(args)} "
+                    "argument(s)"
+                )
+        return expr
 
     def _string_val(self, raw: str) -> str:
         return raw[1:-1].replace("\\'", "'")

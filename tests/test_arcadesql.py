@@ -696,3 +696,45 @@ def test_match_variable_length_errors(graph_ws):
             "MATCH {type: Person, as: a}-KNOWS->"
             "{type: Person, as: b, while: ($foo < 2)} RETURN b.node_id"
         )
+
+
+# ---------------------------------------------------------------- method chaining
+def test_method_chaining_strings(graph_ws):
+    df = execute(
+        graph_ws,
+        "SELECT name.toUpperCase() AS up, name.substring(0, 1) AS first_ch, "
+        "name.append('!') AS bang, name.indexOf('1') AS idx1, "
+        "name.length() AS ln FROM Person WHERE node_id = 1",
+    )
+    r = df.collect()[0]
+    assert (r.up, r.first_ch, r.bang, r.idx1, r.ln) == ("P1", "p", "p1!", 1, 2)
+
+
+def test_method_chaining_casts_and_chain(graph_ws):
+    df = execute(
+        graph_ws,
+        "SELECT age.asString() AS s, name.toUpperCase().substring(1) AS tail "
+        "FROM Person WHERE node_id = 3",
+    )
+    r = df.collect()[0]
+    assert (r.s, r.tail) == ("30", "3")
+
+
+def test_method_chaining_in_where_and_size(graph_ws):
+    df = execute(
+        graph_ws,
+        "SELECT node_id FROM Person WHERE name.toUpperCase() = 'P2'",
+    )
+    assert [r.node_id for r in df.collect()] == [2]
+    df2 = execute(
+        graph_ws,
+        "SELECT out('KNOWS').size() AS d, name.split('p').size() AS parts "
+        "FROM Person WHERE node_id = 1",
+    )
+    r = df2.collect()[0]
+    assert (r.d, r.parts) == (2, 2)
+
+
+def test_method_unknown_rejected(graph_ws):
+    with pytest.raises(ArcadeSQLError, match="unsupported method"):
+        translate("SELECT name.hackIt() FROM Person")
