@@ -174,6 +174,7 @@ HEADLINE = [
     "q151_graphql_variables",
     "q153_match_vl_dialect",
     "q154_graphql_fragments",
+    "q155_methods_dialect",
     "q38_frame_sample",
     "q152_wav_decode",
 ]

@@ -295,6 +295,23 @@ def q153_match_vl_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B14 through the dialect: field-method chaining -------------------------------
+def q155_methods_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArcadeDB field-method chaining (`x.toLowerCase()`,
+    `x.substring(0,3)`, Java 0-based `indexOf`) — the Studio idiom —
+    compiled to plain Spark string expressions: whole-stage codegen,
+    scan-level pruning, no UDFs."""
+    _register_star_workspace(spark, sf_dir)
+    return arcadesql.execute(
+        spark,
+        "SELECT c_custkey, c_mktsegment.toLowerCase() AS seg, "
+        "c_mktsegment.substring(0, 3) AS pre, "
+        "c_mktsegment.indexOf('U') AS iu, "
+        "c_mktsegment.append('!').length() AS ln "
+        "FROM Customer WHERE c_custkey <= 50 ORDER BY c_custkey",
+    )
+
+
 # --- B19 through the dialect: UPDATE / INSERT / DELETE --------------------------
 def q147_dml_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-typed DML (the ArcadeDB SQL surface Studio users get,
@@ -416,6 +433,7 @@ QUERIES = {
     "q148_match_optional_dialect": q148_match_optional_dialect,
     "q150_unwind_dialect": q150_unwind_dialect,
     "q153_match_vl_dialect": q153_match_vl_dialect,
+    "q155_methods_dialect": q155_methods_dialect,
     "q149_match_not_dialect": q149_match_not_dialect,
     "q141_agg_dialect": q141_agg_dialect,
     "q145_graphql": q145_graphql,
@@ -446,6 +464,14 @@ ORACLE = {
         LEFT JOIN orders o ON o.o_custkey = c.c_custkey
         WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey <= 120
         GROUP BY c.c_custkey
+    """,
+    "q155_methods_dialect": """
+        SELECT c_custkey,
+               lower(c_mktsegment) AS seg,
+               substr(c_mktsegment, 1, 3) AS pre,
+               CAST(strpos(c_mktsegment, 'U') - 1 AS INT) AS iu,
+               CAST(length(c_mktsegment) + 1 AS INT) AS ln
+        FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey
     """,
     "q153_match_vl_dialect": """
         WITH reach AS (
