@@ -28,9 +28,9 @@ Supported subset (documented contract, tested differentially):
   plus ``out('E').size()`` degree shorthand.
 - ``SELECT expand(out('E')) FROM ...`` — neighbor node rows from the
   unified ``nodes`` view.
-- WHERE operators: ``= <> != < <= > >= LIKE IN [..] BETWEEN x AND y
-  IS [NOT] NULL CONTAINS AND OR NOT ()``; literals: numbers,
-  'strings', true/false/null, [lists].
+- WHERE operators: ``= <> != < <= > >= LIKE ILIKE MATCHES
+  CONTAINSTEXT IN [..] BETWEEN x AND y IS [NOT] NULL CONTAINS AND OR
+  NOT ()``; literals: numbers, 'strings', true/false/null, [lists].
 - ``TRAVERSE out('E'[, 'F'...]) FROM (SELECT FROM Type [WHERE ...])
   [MAXDEPTH n]`` — reachable node set (ArcadeDB TRAVERSE semantics:
   the root rows are depth 0 and included). Each step contributes its
@@ -900,6 +900,19 @@ class _Parser:
             self.next()
             rhs = self._add(sel)
             return f"array_contains({left}, {rhs})"
+        if t.kind == "ident" and t.text.lower() in (
+            "containstext", "ilike", "matches",
+        ):
+            # soft-keyword predicates (idents, so no lexing impact):
+            # CONTAINSTEXT = case-insensitive substring, ILIKE =
+            # case-insensitive LIKE, MATCHES = regex (Spark RLIKE)
+            op_name = self.next().text.lower()
+            rhs = self._add(sel)
+            if op_name == "containstext":
+                return f"(instr(lower({left}), lower({rhs})) > 0)"
+            if op_name == "ilike":
+                return f"(lower({left}) LIKE lower({rhs}))"
+            return f"({left} RLIKE {rhs})"
         if t.kind == "kw" and t.text == "in":
             self.next()
             rhs = self._add(sel)

@@ -738,3 +738,16 @@ def test_method_chaining_in_where_and_size(graph_ws):
 def test_method_unknown_rejected(graph_ws):
     with pytest.raises(ArcadeSQLError, match="unsupported method"):
         translate("SELECT name.hackIt() FROM Person")
+
+
+def test_text_predicates(graph_ws):
+    """CONTAINSTEXT (case-insensitive substring), ILIKE, MATCHES."""
+    assert _ids(execute(
+        graph_ws, "SELECT node_id FROM City WHERE name CONTAINSTEXT 'M'"
+    )) == [10]  # 'ams'
+    assert _ids(execute(
+        graph_ws, "SELECT node_id FROM City WHERE name ILIKE 'A%'"
+    )) == [10]
+    assert _ids(execute(
+        graph_ws, "SELECT node_id FROM City WHERE name MATCHES '^[bc].*'"
+    )) == [11, 12]
