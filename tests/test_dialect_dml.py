@@ -260,3 +260,60 @@ def test_ddl_errors(spark, dml_ws):
             spark, "CREATE INDEX ON Nation (n_name) UNIQUE",
             workspace_dir=dml_ws, allow_writes=True,
         )
+
+
+def test_server_concurrent_dml_and_reads(spark, sf_small, tmp_path_factory):
+    """ThreadingHTTPServer + allow_writes: concurrent INSERT statements
+    serialize through the DML lock while SELECTs keep answering —
+    no lost updates, no partial datasets."""
+    import base64
+    import json as _json
+    import threading
+    import urllib.request
+
+    from biodwh2_arcadedb_server_spark.server import QueryServer
+    from biodwh2_arcadedb_server_spark.workspace import build_workspace, load_workspace
+
+    ws = str(tmp_path_factory.mktemp("dml_conc") / "ws")
+    build_workspace(spark, sf_small, ws, force=True)
+    load_workspace(spark, ws)
+    srv = QueryServer(spark, workspace_dir=ws, allow_writes=True)
+    port = srv.start()
+    auth = base64.b64encode(f"{srv.username}:{srv.password}".encode()).decode()
+
+    def post(sql):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query",
+            data=_json.dumps({"sql": sql}).encode(),
+            headers={"Authorization": f"Basic {auth}"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            return _json.loads(resp.read())
+
+    errors: list = []
+
+    def insert(k):
+        try:
+            post(f"INSERT INTO Nation SET natural_key = {900 + k}, n_name = 'C{k}'")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def read():
+        try:
+            post("SELECT count(*) AS n FROM Nation")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    try:
+        threads = [threading.Thread(target=insert, args=(k,)) for k in range(4)]
+        threads += [threading.Thread(target=read) for _ in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(120)
+        assert not errors, errors
+        out = post("SELECT count(*) AS n FROM Nation WHERE natural_key >= 900")
+        assert out["rows"] == [["4"]]
+    finally:
+        srv.stop()
