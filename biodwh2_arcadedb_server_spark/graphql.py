@@ -40,9 +40,12 @@ type surfaces as the build-time unknown-field error) and a minimal
 ``{ __schema { types } }`` introspection answering from the
 registered workspace views (one row per type: name + field list —
 enough for clients to discover the schema; the full spec-shaped
-introspection tree is out of scope). Mutations remain out of scope —
-the reference plugin's read-query surface is what the server
-answers.
+introspection tree is out of scope). MUTATIONS get a minimal surface
+over the gated DML machinery: ``mutation { create<Label>(col: v, …)
+}`` / ``delete<Label>(equality args) }`` route to the workspace
+insert/delete (cascading) behind the same ``allow_writes`` opt-in as
+the SQL dialect — default OFF, the reference's read-only posture;
+richer updates go through the SQL dialect.
 
 Scale notes: the compiled plan is join + groupBy(collect_list) per
 nesting level, shuffling on node ids only after per-label column
@@ -143,6 +146,7 @@ class _Parser:
         # after the whole document is parsed (fragments may be
         # declared after the operation that uses them)
         self.fragments: dict[str, tuple[str, list]] = {}
+        self.operation = "query"  # or "mutation"
 
     def _peek(self) -> tuple[str, str] | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -168,8 +172,10 @@ class _Parser:
                 continue
             if root is not None:
                 raise GraphQLError("one root field per document")
-            # optional leading `query` / operation name / variable defs
-            if t[0] == "name" and t[1] == "query":
+            # optional leading `query`/`mutation` / operation name /
+            # variable defs
+            if t[0] == "name" and t[1] in ("query", "mutation"):
+                self.operation = t[1]
                 self._next()
                 t = self._peek()
                 if t and t[0] == "name":
@@ -338,6 +344,16 @@ def parse(doc: str, variables: dict | None = None) -> Field:
     return _Parser(_tokenize(doc), variables).parse_document()
 
 
+def parse_operation(
+    doc: str, variables: dict | None = None
+) -> tuple[Field, str]:
+    """Like :func:`parse` but also returns the operation kind
+    (``"query"`` / ``"mutation"``)."""
+    p = _Parser(_tokenize(doc), variables)
+    root = p.parse_document()
+    return root, p.operation
+
+
 # --- execution --------------------------------------------------------------------
 
 
@@ -414,6 +430,9 @@ def execute(
     document: str,
     relationships: dict[str, dict[str, Rel]] | None = None,
     variables: dict | None = None,
+    *,
+    workspace_dir: str | None = None,
+    allow_writes: bool = False,
 ) -> DataFrame:
     """Compile a GraphQL executable document into a DataFrame over the
     loaded workspace views. The root field name is the node label;
@@ -422,12 +441,72 @@ def execute(
     ``query($x: …)`` declarations — the standard client pattern —
     substituted at parse time so the compiled plan pushes them down
     exactly like literal arguments."""
-    root = parse(document, variables)
+    root, op_kind = parse_operation(document, variables)
     rels = default_relationships() if relationships is None else relationships
+    if op_kind == "mutation":
+        return _execute_mutation(
+            spark, root, workspace_dir=workspace_dir, allow_writes=allow_writes
+        )
     if root.name == "__schema":
         return _introspect(spark, rels)
     df = _build(spark, root.name, root, rels, keep_node_id=True)
     return df.drop("node_id")
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _execute_mutation(
+    spark: SparkSession,
+    root: Field,
+    *,
+    workspace_dir: str | None,
+    allow_writes: bool,
+) -> DataFrame:
+    """Minimal mutation surface over the gated DML machinery:
+    ``mutation { create<Label>(col: v, ...) }`` inserts one vertex
+    (``natural_key`` required — ids derive from it) and
+    ``mutation { delete<Label>(col: v, ...) }`` deletes the vertices
+    matching the equality conjunction (cascading to edges, like the
+    dialect's DELETE VERTEX). Richer updates go through the SQL
+    dialect. Same opt-in as dialect DML: default OFF raises — the
+    reference's endpoint is read-only."""
+    import re as _re
+
+    from biodwh2_arcadedb_server_spark import arcadesql
+
+    m = _re.fullmatch(r"(create|delete)([A-Z]\w*)", root.name)
+    if m is None:
+        raise GraphQLError(
+            f"unsupported mutation field {root.name!r} — expected "
+            "create<Label>(...) or delete<Label>(...)"
+        )
+    action, label = m.groups()
+    if not root.args:
+        raise GraphQLError(f"{root.name} requires arguments")
+    if action == "create":
+        stmt = arcadesql._DML(
+            kind="insert", label=label,
+            rows=[{k: _sql_literal(v) for k, v in root.args.items()}],
+        )
+    else:
+        stmt = arcadesql._DML(
+            kind="delete", label=label,
+            where=" AND ".join(
+                f"{k} = {_sql_literal(v)}" for k, v in root.args.items()
+            ),
+        )
+    try:
+        return arcadesql._execute_dml(spark, stmt, workspace_dir, allow_writes)
+    except arcadesql.ArcadeSQLError as exc:
+        raise GraphQLError(str(exc)) from exc
 
 
 def _introspect(spark: SparkSession, rels: dict[str, dict[str, Rel]]) -> DataFrame:

@@ -130,6 +130,8 @@ class QueryServer:
                             server.spark,
                             req["query"],
                             variables=req.get("variables"),
+                            workspace_dir=server.workspace_dir,
+                            allow_writes=server.allow_writes,
                         ).limit(limit)
                     else:
                         # The reference's endpoint speaks the ArcadeDB

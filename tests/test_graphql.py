@@ -216,3 +216,49 @@ def test_introspection_types(spark, ws):
     assert "c_acctbal" in rows["Customer"].fields
     assert "placed" in rows["Customer"].relationships
     assert "in_region" in rows["Nation"].relationships
+
+
+def test_mutation_create_and_delete_roundtrip(spark, sf_small, tmp_path_factory):
+    from biodwh2_arcadedb_server_spark.workspace import build_workspace, load_workspace
+
+    ws_dir = str(tmp_path_factory.mktemp("gql_mut") / "ws")
+    build_workspace(spark, sf_small, ws_dir, force=True)
+    load_workspace(spark, ws_dir)
+    # disabled by default — the reference endpoint is read-only
+    with pytest.raises(graphql.GraphQLError, match="read-only"):
+        graphql.execute(
+            spark, 'mutation { createNation(natural_key: 990, n_name: "MU") }'
+        )
+    res = graphql.execute(
+        spark,
+        "mutation ($k: Int!) { createNation(natural_key: $k, n_name: \"MU\") }",
+        variables={"k": 990},
+        workspace_dir=ws_dir,
+        allow_writes=True,
+    ).collect()[0]
+    assert (res.operation, res.label, res["count"]) == ("insert", "Nation", 1)
+    got = graphql.execute(spark, "{ Nation(natural_key: 990) { n_name } }")
+    assert [r.n_name for r in got.collect()] == ["MU"]
+    res2 = graphql.execute(
+        spark,
+        "mutation { deleteNation(natural_key: 990) }",
+        workspace_dir=ws_dir,
+        allow_writes=True,
+    ).collect()[0]
+    assert (res2.operation, res2["count"]) == ("delete", 1)
+    assert graphql.execute(
+        spark, "{ Nation(natural_key: 990) { n_name } }"
+    ).count() == 0
+
+
+def test_mutation_errors(spark, ws):
+    with pytest.raises(graphql.GraphQLError, match="unsupported mutation"):
+        graphql.execute(
+            spark, "mutation { renameNation(natural_key: 1) }",
+            workspace_dir="/tmp/x", allow_writes=True,
+        )
+    with pytest.raises(graphql.GraphQLError, match="requires arguments"):
+        graphql.execute(
+            spark, "mutation { createNation }",
+            workspace_dir="/tmp/x", allow_writes=True,
+        )
