@@ -39,7 +39,16 @@ ITERATIVE = {
     "q126",
     # round-4: dialect TRAVERSE drives the same frontier-join BFS
     "q137",
+    # round-6: dialect shortestPath() builds the same BFS tree
+    "q146",
 }
+
+# Dialect DML probes: ~25 sequential tiny jobs (force-build + per-
+# statement dataset write + view refresh) — job-count x scheduling
+# floor, SCALE-INDEPENDENT (the mutated dims are fixed-size at every
+# SF; inserts are O(inserted) appends). On a cluster these are
+# interactive statements, not a batch pipeline.
+DML = {"q147"}
 
 # Tolerance-contract probes (round 4): Spark runs the approximate AND
 # the exact path in one plan and emits contract rows; the DuckDB
@@ -60,6 +69,11 @@ def annotate(name: str, s: float, d: float | None) -> str:
         return (
             "asymmetric:tolerance-contract probe — Spark computes approx + "
             "exact in one plan, the oracle only checks the contract rows"
+        )
+    if pre in DML:
+        return (
+            "floor:job-count x scheduling (DML statement sequence + force-"
+            "build; scale-independent — fixed-size dims, append-mode inserts)"
         )
     if pre in STREAMING:
         return "floor:micro-batch+state-store cycle (irreducible locally; amortizes on a real stream)"
