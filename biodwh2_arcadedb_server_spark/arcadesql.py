@@ -1524,17 +1524,38 @@ def _compile_chain(
                 legs.append(f"SELECT dst AS s, src AS t FROM edges{lbl_w}")
             leg = "(" + " UNION ALL ".join(legs) + ")"
             view = f"n_{nt['type']}" if nt["type"] else "nodes"
+            # seed the unroll from the ANCHOR node set (its typed view
+            # + its own where:, requalified) instead of expanding the
+            # whole edge table and joining last — DISTINCT below a
+            # join blocks predicate pushdown, so an unseeded unroll
+            # would pay the global pair closure for a handful of
+            # anchors. The seed is a superset of the chain-constrained
+            # anchors (later joins still apply), so results are
+            # identical; the frontier just starts small.
+            src_pat = nodes[i]
+            seed_view = f"n_{src_pat['type']}" if src_pat["type"] else "nodes"
+            seed_where = ""
+            if src_pat.get("where"):
+                seed_where = " WHERE " + src_pat["where"].replace(
+                    f"{a}.", "__seed."
+                )
+            anchors = (
+                f"(SELECT __seed.node_id FROM {seed_view} __seed{seed_where})"
+            )
             unions = []
             if lo == 0:
                 unions.append(
-                    f"SELECT node_id AS __vsrc, node_id AS __vdst FROM {view}"
+                    f"SELECT __s.node_id AS __vsrc, __s.node_id AS __vdst "
+                    f"FROM {anchors} __s"
                 )
             for L in range(max(lo, 1), hi + 1):
-                hop_from = f"{leg} __h0"
+                hop_from = (
+                    f"{anchors} __s JOIN {leg} __h0 ON __h0.s = __s.node_id"
+                )
                 for j in range(1, L):
                     hop_from += f" JOIN {leg} __h{j} ON __h{j}.s = __h{j-1}.t"
                 unions.append(
-                    f"SELECT __h0.s AS __vsrc, __h{L-1}.t AS __vdst "
+                    f"SELECT __s.node_id AS __vsrc, __h{L-1}.t AS __vdst "
                     f"FROM {hop_from}"
                 )
             vl_name = f"__vl{tag}{i}"
