@@ -1535,7 +1535,12 @@ def _compile_chain(
             src_pat = nodes[i]
             seed_view = f"n_{src_pat['type']}" if src_pat["type"] else "nodes"
             seed_where = ""
-            if src_pat.get("where"):
+            # the anchor's own where tightens the seed — but only when
+            # it references no OTHER alias ($matched): a cross-alias
+            # predicate can't resolve inside the seed subquery, and
+            # omitting it is safe (the seed is a superset; the outer
+            # join + global WHERE still constrain the result)
+            if src_pat.get("where") and not src_pat.get("matched_used"):
                 seed_where = " WHERE " + src_pat["where"].replace(
                     f"{a}.", "__seed."
                 )

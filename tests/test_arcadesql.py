@@ -751,3 +751,18 @@ def test_text_predicates(graph_ws):
     assert _ids(execute(
         graph_ws, "SELECT node_id FROM City WHERE name MATCHES '^[bc].*'"
     )) == [11, 12]
+
+
+def test_variable_length_anchor_with_matched_where(graph_ws):
+    """A cross-alias $matched predicate on the node ANCHORING a
+    variable-length step must not leak into the seed subquery (it
+    can't resolve there) — the global WHERE still applies it."""
+    df = execute(
+        graph_ws,
+        "MATCH {type: Person, as: z, where: (node_id = 2)}"
+        "-KNOWS->{type: Person, as: a, where: ($matched.z.age < age)}"
+        "-KNOWS->{type: Person, as: b, maxDepth: 2} "
+        "RETURN a.node_id AS mid, b.node_id AS far",
+    )
+    # z=2 (age 20) knows 3 (30 > 20, passes); from 3: depth1 {4}, depth2 {5}
+    assert sorted((r.mid, r.far) for r in df.collect()) == [(3, 4), (3, 5)]
