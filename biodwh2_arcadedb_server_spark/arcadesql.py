@@ -1289,6 +1289,20 @@ def _replace_outside_strings(sql: str, needle: str, repl: str) -> str:
     )
 
 
+def _requalify_alias(sql: str, alias: str, new_alias: str) -> str:
+    """Rewrite ``alias.`` qualifiers to ``new_alias.`` — only OUTSIDE
+    single-quoted literals and only at identifier boundaries. The old
+    naive ``str.replace`` rewrote occurrences inside string literals
+    (``where: (o_orderstatus = 'o.x')`` silently became a comparison
+    against ``'__t0.x'``) and inside longer aliases (ADVICE r6)."""
+    pat = re.compile(rf"(?<![A-Za-z0-9_$]){re.escape(alias)}\.")
+    parts = _STRING_SPAN_RE.split(sql)
+    return "".join(
+        p if i % 2 else pat.sub(new_alias + ".", p)
+        for i, p in enumerate(parts)
+    )
+
+
 def _finalize_lets(sql: str, sel: _Select) -> str:
     """Inline LET bindings (in definition order, so later bindings may
     reference earlier $vars) and reject any unbound $var. Applied to
@@ -1541,8 +1555,8 @@ def _compile_chain(
             # omitting it is safe (the seed is a superset; the outer
             # join + global WHERE still constrain the result)
             if src_pat.get("where") and not src_pat.get("matched_used"):
-                seed_where = " WHERE " + src_pat["where"].replace(
-                    f"{a}.", "__seed."
+                seed_where = " WHERE " + _requalify_alias(
+                    src_pat["where"], a, "__seed"
                 )
             anchors = (
                 f"(SELECT __seed.node_id FROM {seed_view} __seed{seed_where})"
@@ -1610,7 +1624,7 @@ def _compile_chain(
         if nt.get("where"):
             # the deferred where was compiled qualified with the
             # node's public alias; requalify onto the inner table
-            inner_where = " AND " + nt["where"].replace(f"{b}.", f"{inner_t}.")
+            inner_where = " AND " + _requalify_alias(nt["where"], b, inner_t)
         lbl = f" AND {e}.label = '{_sql_str(label)}'" if label else ""
         anchor = f"__anchor{tag}{i}"
         if d == "both":
@@ -1639,6 +1653,12 @@ def _compile_neg_chain(chain: dict, idx: int) -> str:
     nodes, steps = chain["nodes"], chain["steps"]
     froms: list[str] = []
     conds: list[str] = []
+    # the chain's anchor alias is bound in the OUTER scope; its where
+    # is part of the negated pattern, so it belongs inside the NOT
+    # EXISTS conds (correlated) — dropping it excluded rows that
+    # should survive the anti-join (ADVICE r6)
+    if nodes[0].get("where"):
+        conds.append(nodes[0]["where"])
     for i, (d, label) in enumerate(steps):
         e = f"__ne{idx}_{i}"
         a = nodes[i]["alias"]
@@ -1649,6 +1669,8 @@ def _compile_neg_chain(chain: dict, idx: int) -> str:
         conds.append(cond)
         if nt.get("bound"):
             conds.append(nxt)
+            if nt.get("where"):
+                conds.append(nt["where"])
         else:
             froms.append(f"n_{nt['type']} {b}" if nt["type"] else f"nodes {b}")
             conds.append(nxt)
@@ -1924,6 +1946,37 @@ def _execute_dml_locked(spark, stmt, workspace_dir, pred, ws, os):
     return spark.createDataFrame(
         [(stmt.kind, stmt.label, n)], "operation string, label string, count long"
     )
+
+
+_DIALECT_CREATE_KINDS = frozenset(
+    {"vertex", "edge", "property", "index", "document"}
+)
+
+
+def claims_statement(sql: str) -> bool:
+    """Router helper for the server/CLI head-keyword dispatch: True
+    when the statement is a dialect DML/DDL form that should route
+    STRAIGHT to the dialect (so its clear writes-disabled error
+    surfaces instead of an opaque Spark one). CREATE is claimed only
+    for dialect object kinds — ``CREATE [TEMPORARY] VIEW/TABLE/
+    FUNCTION`` stays Spark SQL (ADVICE r6: blanket head capture broke
+    previously-working ``CREATE TEMPORARY VIEW``). UPDATE/INSERT/
+    DELETE are claimed only when the statement actually PARSES as
+    dialect DML, so Spark-only shapes (``INSERT INTO tbl SELECT …``
+    into a real catalog table) fall through to Spark SQL."""
+    toks = sql.lstrip().split(None, 2)
+    if not toks:
+        return False
+    head = toks[0].lower()
+    if head == "create":
+        return len(toks) > 1 and toks[1].lower() in _DIALECT_CREATE_KINDS
+    if head not in ("update", "insert", "delete"):
+        return False
+    try:
+        _Parser(sql).parse()
+        return True
+    except ArcadeSQLError:
+        return False
 
 
 def execute(

@@ -168,21 +168,19 @@ def _run_sql(spark, sql: str, workspace: str | None = None, allow_writes: bool =
     still attempt the dialect for those (ADVICE r5)."""
     from pyspark.errors import PySparkException
 
-    head = sql.lstrip().split(None, 1)[0].lower() if sql.strip() else ""
-    if head in ("update", "insert", "delete", "create"):
-        # DML is never valid Spark SQL over the workspace temp views —
-        # route straight to the dialect so the user sees ITS error
-        # (e.g. the clear writes-disabled message), not Spark's.
-        from biodwh2_arcadedb_server_spark import arcadesql
+    from biodwh2_arcadedb_server_spark import arcadesql
 
+    if arcadesql.claims_statement(sql):
+        # Dialect DML/DDL routes straight to the dialect so the user
+        # sees ITS error (e.g. the clear writes-disabled message);
+        # Spark-only heads like CREATE TEMPORARY VIEW stay Spark SQL
+        # (ADVICE r6).
         return arcadesql.execute(
             spark, sql, workspace_dir=workspace, allow_writes=allow_writes
         )
     try:
         return spark.sql(sql)
     except PySparkException as orig:
-        from biodwh2_arcadedb_server_spark import arcadesql
-
         try:
             return arcadesql.execute(
                 spark, sql, workspace_dir=workspace, allow_writes=allow_writes

@@ -147,15 +147,14 @@ class QueryServer:
                         from pyspark.errors import PySparkException
 
                         lang = req.get("language", "sql")
-                        head = req["sql"].lstrip().split(None, 1)
-                        head = head[0].lower() if head else ""
-                        if lang == "arcadedb" or head in (
-                            "update", "insert", "delete", "create",
+                        if lang == "arcadedb" or arcadesql.claims_statement(
+                            req["sql"]
                         ):
-                            # DML is never valid Spark SQL over the
-                            # workspace views — route straight to the
+                            # Dialect DML/DDL routes straight to the
                             # dialect so its clear writes-disabled
-                            # error (or the gated mutation) surfaces.
+                            # error (or the gated mutation) surfaces;
+                            # Spark-only heads like CREATE TEMP VIEW
+                            # stay Spark SQL (ADVICE r6).
                             df = arcadesql.execute(
                                 server.spark,
                                 req["sql"],

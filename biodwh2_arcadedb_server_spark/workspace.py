@@ -351,6 +351,11 @@ def insert_nodes(spark: SparkSession, ws_dir: str, label: str, rows: DataFrame) 
     )
     new = (
         new.select(*cur.columns)
+        # within-batch duplicates (a multi-row VALUES repeating a
+        # natural_key) would append two rows with the same node_id —
+        # the anti-join only guards against EXISTING ids (ADVICE r6);
+        # keep the first occurrence, same silent-skip posture as A9
+        .dropDuplicates(["node_id"])
         .join(cur.select("node_id"), "node_id", "left_anti")
         .localCheckpoint(eager=True)
     )

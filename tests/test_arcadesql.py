@@ -766,3 +766,71 @@ def test_variable_length_anchor_with_matched_where(graph_ws):
     )
     # z=2 (age 20) knows 3 (30 > 20, passes); from 3: depth1 {4}, depth2 {5}
     assert sorted((r.mid, r.far) for r in df.collect()) == [(3, 4), (3, 5)]
+
+
+# ---------------------------------------------------------------- ADVICE r6 regressions
+def test_match_not_chain_anchor_where_kept(graph_ws):
+    """A where: on the BOUND anchor inside a NOT { } chain is part of
+    the negated pattern (ADVICE r6: it was silently dropped): a is
+    excluded only when age < 30 AND an out-KNOWS edge exists, so 3-5
+    survive (where fails) even though they all have out-KNOWS."""
+    df = execute(
+        graph_ws,
+        "MATCH {type: Person, as: a}, "
+        "NOT {as: a, where: (age < 30)}-KNOWS->{type: Person} "
+        "RETURN a.node_id AS src ORDER BY src",
+    )
+    assert [r.src for r in df.collect()] == [3, 4, 5]
+
+
+def test_optional_where_literal_survives_requalification():
+    """Alias requalification of a deferred optional-leg where: must
+    not rewrite inside string literals (ADVICE r6: 'b.x' silently
+    became '__t0.x')."""
+    sql = translate(
+        "MATCH {type: Person, as: a}-KNOWS->"
+        "{type: Person, as: b, optional: true, where: (name = 'b.x')} "
+        "RETURN a.node_id AS pa, b.node_id AS pb"
+    )
+    assert "'b.x'" in sql
+    assert "__t0.x" not in sql
+
+
+def test_vl_seed_where_literal_survives_requalification():
+    """Same literal-safety for the variable-length seed requalifier."""
+    sql = translate(
+        "MATCH {type: Person, as: a, where: (name = 'a.x')}"
+        "-KNOWS->{type: Person, as: b, maxDepth: 2} "
+        "RETURN b.node_id AS nb"
+    )
+    assert "__seed.x" not in sql
+
+
+def test_claims_statement_routing():
+    """Server/CLI head-keyword dispatch: dialect DML/DDL is claimed,
+    Spark-only CREATE forms are not (ADVICE r6: blanket capture broke
+    CREATE TEMPORARY VIEW through the server/REPL)."""
+    claims = arcadesql.claims_statement
+    assert claims("CREATE VERTEX TYPE Foo")
+    assert claims("CREATE VERTEX Person SET name = 'x'")
+    assert claims("CREATE INDEX ON Person (name) UNIQUE")
+    assert claims("UPDATE Person SET age = 1 WHERE age = 2")
+    assert claims("DELETE FROM Person WHERE age = 2")
+    assert claims("INSERT INTO Person SET natural_key = 9")
+    assert not claims("CREATE TEMPORARY VIEW v AS SELECT 1 AS x")
+    assert not claims("CREATE OR REPLACE VIEW v AS SELECT 1 AS x")
+    assert not claims("CREATE TABLE t (x INT)")
+    assert not claims("SELECT name FROM Person")
+    assert not claims("")
+
+
+def test_run_sql_spark_create_view_not_hijacked(graph_ws):
+    """CREATE TEMPORARY VIEW through the REPL/server routing executes
+    as Spark SQL (ADVICE r6 regression)."""
+    from biodwh2_arcadedb_server_spark.cli import _run_sql
+
+    _run_sql(
+        graph_ws,
+        "CREATE OR REPLACE TEMPORARY VIEW __adv6_v AS SELECT 1 AS x",
+    )
+    assert _run_sql(graph_ws, "SELECT x FROM __adv6_v").collect()[0].x == 1

@@ -317,3 +317,27 @@ def test_server_concurrent_dml_and_reads(spark, sf_small, tmp_path_factory):
         assert out["rows"] == [["4"]]
     finally:
         srv.stop()
+
+
+def test_insert_values_within_batch_duplicate_key(spark, dml_ws):
+    """A single multi-row VALUES repeating a natural_key must not
+    append two rows with the same node_id (ADVICE r6: the anti-join
+    only guarded against EXISTING ids) — first occurrence wins, same
+    silent-skip posture as the cross-batch A9 path."""
+    before = _nation_count(spark)
+    res = execute(
+        spark,
+        "INSERT INTO Nation (natural_key, n_name) "
+        "VALUES (994, 'FIRST'), (994, 'SECOND'), (995, 'OK')",
+        workspace_dir=dml_ws,
+        allow_writes=True,
+    ).collect()[0]
+    assert res["count"] == 2
+    assert _nation_count(spark) == before + 2
+    rows = execute(
+        spark,
+        "SELECT natural_key, n_name FROM Nation WHERE natural_key IN [994, 995]",
+    ).collect()
+    assert sorted((int(r.natural_key), r.n_name) for r in rows) == [
+        (994, "FIRST"), (995, "OK"),
+    ]
