@@ -328,7 +328,7 @@ def test_insert_values_within_batch_duplicate_key(spark, dml_ws):
     res = execute(
         spark,
         "INSERT INTO Nation (natural_key, n_name) "
-        "VALUES (994, 'FIRST'), (994, 'SECOND'), (995, 'OK')",
+        "VALUES (997, 'FIRST'), (997, 'SECOND'), (998, 'OK')",
         workspace_dir=dml_ws,
         allow_writes=True,
     ).collect()[0]
@@ -336,8 +336,8 @@ def test_insert_values_within_batch_duplicate_key(spark, dml_ws):
     assert _nation_count(spark) == before + 2
     rows = execute(
         spark,
-        "SELECT natural_key, n_name FROM Nation WHERE natural_key IN [994, 995]",
+        "SELECT natural_key, n_name FROM Nation WHERE natural_key IN [997, 998]",
     ).collect()
     assert sorted((int(r.natural_key), r.n_name) for r in rows) == [
-        (994, "FIRST"), (995, "OK"),
+        (997, "FIRST"), (998, "OK"),
     ]
