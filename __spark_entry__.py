@@ -23,6 +23,7 @@ from biodwh2_arcadedb_server_spark.operators import (
     pipeline_queries,
     pipeline_queries2,
     pipeline_queries3,
+    pipeline_queries4,
     relational,
     relational2,
     relational3,
@@ -86,6 +87,11 @@ _MODULE_DEPS: dict[str, list[str]] = {
     "pipeline_queries3": [
         f"{_PKG}/operators/dedup.py",
         f"{_PKG}/operators/text.py",
+    ],
+    "pipeline_queries4": [
+        f"{_PKG}/operators/dedup.py",
+        f"{_PKG}/operators/similarity.py",
+        f"{_PKG}/operators/graph.py",
     ],
     "relational8": [f"{_PKG}/workspace.py"],
 }
@@ -208,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pooled.update(pipeline_queries.QUERIES)
     pooled.update(pipeline_queries2.QUERIES)
     pooled.update(pipeline_queries3.QUERIES)
+    pooled.update(pipeline_queries4.QUERIES)
     pooled.update(dialect_queries.QUERIES)
     oracled = set(oracle_sql())
     module_of = {name: fn.__module__ for name, fn in pooled.items()}
@@ -229,5 +236,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(pipeline_queries.ORACLE)
     out.update(pipeline_queries2.ORACLE)
     out.update(pipeline_queries3.ORACLE)
+    out.update(pipeline_queries4.ORACLE)
     out.update(dialect_queries.ORACLE)
     return out

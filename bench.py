@@ -177,6 +177,7 @@ HEADLINE = [
     "q155_methods_dialect",
     "q38_frame_sample",
     "q152_wav_decode",
+    "q156_semdedup_ann_clusters",
 ]
 
 # Streaming micro-batch drains, timed and reported separately: their

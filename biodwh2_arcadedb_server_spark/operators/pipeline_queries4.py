@@ -1,0 +1,141 @@
+"""Probe batch 14 (round 7) — ANN-shortlisted semantic dedup.
+
+- q156: the 100 TB semantic-dedup path (VERDICT r6 #1). q106's exact
+  blocked-matmul pair source is O(n²) flops by construction — fine as
+  the oracle twin, a scale-killer as the production path. q156 runs
+  the SemDeDup-shaped alternative (Abbas et al. 2023: dedup within
+  k-means cells of the embedding space): IVF-cell multi-probe
+  shortlisting → exact within-cell cosine → the SAME connected-
+  components closure — and audits it against the exact clusters in
+  ONE plan with a q27-style tolerance contract.
+
+Reference parity note: the reference repo has no dedup surface; this
+is driver-mandated extension C2/C3 (BASELINE.json north star), scale
+path for `similarity.cosine_near_dup_pairs`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodwh2_arcadedb_server_spark.operators import dedup, similarity
+from biodwh2_arcadedb_server_spark.operators.pipeline_queries import (
+    _COSINE_PAIR,
+    COSINE_THRESHOLD,
+    _cached_ckpt,
+    _cosine_pairs,
+)
+from biodwh2_arcadedb_server_spark.sources.registry import load_table
+
+# IVF shortlist operating point: 16 cells, 5-probe. Measured on the
+# driver's embeddings tables: pair recall 0.983 (sf0.01) / 0.998
+# (sf0.1), co-membership recall 0.955 / 0.982, zero false positives
+# at both (within-cell sims are exact, so FPs are impossible).
+ANN_CLUSTERS = 16
+ANN_PROBE = 5
+
+
+def _ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-shortlisted cosine pair set, session-cached like the exact
+    `_cosine_pairs` (q156 and the sf1 anchor both consume it)."""
+    return _cached_ckpt(
+        spark,
+        ("ann_cosine_pairs", sf_dir, COSINE_THRESHOLD, ANN_CLUSTERS, ANN_PROBE),
+        lambda: similarity.cosine_near_dup_pairs_ann(
+            load_table(spark, sf_dir, "embeddings"),
+            COSINE_THRESHOLD,
+            n_clusters=ANN_CLUSTERS,
+            n_probe=ANN_PROBE,
+        ),
+    )
+
+
+def q156_semdedup_ann_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-shortlisted semantic dedup, tolerance-contracted against
+    the exact closure in one plan.
+
+    Contract columns (aggregate booleans the oracle pins TRUE):
+    - ``pair_recall_ok``: the ANN pair set covers >= 0.95 of the
+      exact pair set.
+    - ``no_false_pos``: zero ANN pairs outside the exact set (exact
+      within-cell sims make a false positive impossible; the check
+      still runs so a bucketing bug fails loud).
+    - ``membership_ok``: >= 0.9 of exactly co-clustered pairs remain
+      co-clustered under the ANN closure (a missed bridge edge can
+      only SPLIT a cluster, never merge two — the directional error
+      a dedup pipeline tolerates: it keeps a few extra docs, never
+      drops a non-duplicate).
+
+    Returned rows are the EXACT cluster assignment (deterministic →
+    the DuckDB recursive-CTE oracle reproduces them) + the booleans,
+    mirroring q27's contract shape.
+
+    Scale: grow ``n_clusters`` ∝ corpus so cells stay bounded; the
+    shortlist then costs O(n · cell · probe²) flops — LINEAR in the
+    corpus vs q106's O(n²) — and the co-membership audit's per-cluster
+    self-join is bounded by near-dup cluster diameters (small by
+    construction; it is part of the CONTRACT leg, not the production
+    path, which is shortlist → closure only)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exact_pairs = _cosine_pairs(spark, sf_dir).select("id_a", "id_b")
+    ann_pairs = _ann_pairs(spark, sf_dir).select("id_a", "id_b")
+    exact_cl = dedup.near_dup_clusters(e, "vec_id", "embedding", pairs=exact_pairs)
+    ann_cl = dedup.near_dup_clusters(e, "vec_id", "embedding", pairs=ann_pairs)
+
+    hits = exact_pairs.join(ann_pairs, ["id_a", "id_b"], "left_semi")
+    extras = ann_pairs.join(exact_pairs, ["id_a", "id_b"], "left_anti")
+    # exact co-membership pairs, re-scored under the ANN clustering
+    exa = exact_cl.select(F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("_c"))
+    exb = exact_cl.select(F.col("vec_id").alias("id_b"), F.col("cluster_id").alias("_c"))
+    co = exa.join(exb, "_c").where(F.col("id_a") < F.col("id_b"))
+    anna = ann_cl.select(F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("_ca"))
+    annb = ann_cl.select(F.col("vec_id").alias("id_b"), F.col("cluster_id").alias("_cb"))
+    kept = (
+        co.join(anna, "id_a")
+        .join(annb, "id_b")
+        .select((F.col("_ca") == F.col("_cb")).cast("int").alias("_k"))
+    )
+    flags = (
+        hits.agg(F.count("*").alias("_nh"))
+        .crossJoin(exact_pairs.agg(F.count("*").alias("_nt")))
+        .crossJoin(extras.agg(F.count("*").alias("_nx")))
+        .crossJoin(kept.agg(F.sum("_k").alias("_km"), F.count("*").alias("_nm")))
+        .select(
+            (F.col("_nh") / F.greatest("_nt", F.lit(1)) >= 0.95).alias("pair_recall_ok"),
+            (F.col("_nx") == 0).alias("no_false_pos"),
+            (F.col("_km") / F.greatest("_nm", F.lit(1)) >= 0.9).alias("membership_ok"),
+        )
+    )
+    return exact_cl.crossJoin(F.broadcast(flags))
+
+
+QUERIES = {
+    "q156_semdedup_ann_clusters": q156_semdedup_ann_clusters,
+}
+
+ORACLE = {
+    "q156_semdedup_ann_clusters": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT id_a, id_b FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_PAIR} AS sim_raw
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WHERE sim_raw >= {COSINE_THRESHOLD}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs),
+        reach(node, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node),
+        comp AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+        SELECT v.vec_id,
+               COALESCE(c.comp, v.vec_id) AS cluster_id,
+               COALESCE(c.comp, v.vec_id) = v.vec_id AS is_canonical,
+               TRUE AS pair_recall_ok,
+               TRUE AS no_false_pos,
+               TRUE AS membership_ok
+        FROM embeddings v LEFT JOIN comp c ON c.node = v.vec_id
+    """,
+}

@@ -211,6 +211,43 @@ def _nearest_cells(vec_col, cent_lit, n_cells: int, n_probe: int):
     return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cluster"])
 
 
+def _train_spherical_centroids(
+    corpus: DataFrame,
+    n_clusters: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    sample_cap: int,
+    max_iter: int,
+):
+    """Coarse-quantizer training shared by :func:`ivf_topk` and
+    :func:`cosine_near_dup_pairs_ann`: spherical k-means on a BOUNDED
+    deterministic sample (``sample_cap`` rows picked by hash order —
+    a map-side TakeOrdered, one corpus pass), run vectorized on the
+    driver, returned as a broadcast centroid literal. Training on a
+    sample is statistically standard (FAISS practice — centroids need
+    ~100s of points per cell, not the corpus) and removes the
+    O(iterations) distributed passes an in-cluster Lloyd's would pay.
+    Vectors are normalized in numpy, not in the plan (spherical
+    k-means clusters the unit sphere, where L2 order equals cosine
+    order, aligning cells with the scoring metric)."""
+    import numpy as np
+
+    sample = (
+        corpus.select(F.xxhash64(F.col(id_col)).alias("_h"), F.col(vec_col).alias("_v"))
+        .orderBy("_h")
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r._v for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = _lloyd_sample(X, n_clusters, seed, max_iter)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in C]
+    )
+    return cent_lit, len(C)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -245,27 +282,10 @@ def ivf_topk(
     the final per-query top-k. Deterministic for a fixed seed.
     Recall is pytest-gated vs the exact ``knn_join``
     (tests/test_pipeline.py)."""
-    import numpy as np
-
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    # train on a bounded hash-ordered sample (TakeOrderedAndProject —
-    # map-side top-cap, one corpus pass); normalize in numpy, not in
-    # the plan (spherical k-means clusters the unit sphere, where L2
-    # order equals cosine order, aligning cells with the scoring
-    # metric)
-    sample = (
-        corpus.select(F.xxhash64(F.col(id_col)).alias("_h"), F.col(vec_col).alias("_v"))
-        .orderBy("_h")
-        .limit(sample_cap)
-        .collect()
+    cent_lit, n_cells = _train_spherical_centroids(
+        corpus, n_clusters, id_col, vec_col, seed, sample_cap, max_iter
     )
-    X = np.array([r._v for r in sample], dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    C = _lloyd_sample(X, n_clusters, seed, max_iter)
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in C]
-    )
-    n_cells = len(C)
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         dbl.alias("ce"),
@@ -598,3 +618,83 @@ def cosine_near_dup_pairs(
         block_pair, schema="id_a long, id_b long, sim_raw double"
     )
     return out.select("id_a", "id_b", F.round("sim_raw", 4).alias("sim"))
+
+
+def cosine_near_dup_pairs_ann(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_cap: int = 4096,
+    max_iter: int = 25,
+) -> DataFrame:
+    """ANN-shortlisted cosine near-dup pairs — the 100 TB semantic-
+    dedup path (SemDeDup shape: Abbas et al. 2023 deduplicate within
+    k-means clusters of the embedding space, never across the whole
+    corpus).
+
+    1. Train the IVF coarse quantizer (bounded-sample spherical
+       k-means, shared with :func:`ivf_topk`).
+    2. Multi-probe assignment: each vector joins its ``n_probe``
+       nearest cells, so a pair is shortlisted iff the probe sets
+       intersect — multi-probe recovers most near-threshold pairs
+       that straddle a cell boundary.
+    3. Exact all-pairs cosine WITHIN each cell (one vectorized BLAS
+       matmul per cell via ``applyInPandas``), keep sims >=
+       ``threshold``, dedupe pairs seen in several shared cells.
+
+    Similarities are EXACT (no false positives vs
+    :func:`cosine_near_dup_pairs` — the output is a subset); only
+    cross-cell pairs can be missed, and the measured recall is
+    contract-gated (pipeline q156). Scale: with ``n_clusters`` grown
+    ∝ corpus size (bounded cell cardinality), per-cell matmuls are
+    O(cell²) each and O(n·cell·n_probe²) total — LINEAR in the
+    corpus, vs the O(n²) flops of the exact blocked path; the only
+    shuffle is the n_probe-way cell assignment on an 8-byte key."""
+    import pandas as pd
+
+    cent_lit, n_cells = _train_spherical_centroids(
+        corpus, n_clusters, id_col, vec_col, seed, sample_cap, max_iter
+    )
+    ne = F.transform(vec_col, lambda x: x.cast("double") / array_norm(vec_col))
+    member = corpus.select(
+        F.col(id_col).cast("long").alias("_id"),
+        ne.alias("_ne"),
+        F.explode(
+            _nearest_cells(F.col(vec_col), cent_lit, n_cells, min(n_probe, n_cells))
+        ).alias("_cell"),
+    )
+    thr = float(threshold)
+
+    def cell_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim_raw": []})
+        m = np.stack(pdf["_ne"].to_numpy())
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sims[ia, ib] >= thr
+        a_ids, b_ids = ids[ia[mask]], ids[ib[mask]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a_ids, b_ids),
+                "id_b": np.maximum(a_ids, b_ids),
+                "sim_raw": sims[ia[mask], ib[mask]],
+            }
+        )
+
+    out = member.groupBy("_cell").applyInPandas(
+        cell_pairs, schema="id_a long, id_b long, sim_raw double"
+    )
+    # a pair co-resident in several probed cells appears once per cell
+    # with a bit-identical sim (same normalized vectors) — dedupe is
+    # value-stable
+    return (
+        out.dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round("sim_raw", 4).alias("sim"))
+    )

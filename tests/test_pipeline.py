@@ -462,3 +462,37 @@ def test_typo_pairs_max_edits_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dedup.same_length_typo_pairs(df, "id", "name", max_edits=0)
+
+
+def test_ann_cosine_pairs_subset_and_recall(spark, sf_small):
+    """IVF-shortlisted near-dup pairs (the q156 scale path): a strict
+    SUBSET of the exact blocked-matmul pairs with bit-identical sims
+    (within-cell cosine is exact), at contract-grade recall."""
+    e = load_table(spark, sf_small, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.sim
+        for r in similarity.cosine_near_dup_pairs(e, 0.4).collect()
+    }
+    ann = {
+        (r.id_a, r.id_b): r.sim
+        for r in similarity.cosine_near_dup_pairs_ann(
+            e, 0.4, n_clusters=16, n_probe=5
+        ).collect()
+    }
+    assert set(ann) <= set(exact)  # no false positives, ever
+    recall = len(ann) / len(exact)
+    assert recall >= 0.95, f"ANN pair recall too low: {recall}"
+    for pair, sim in ann.items():
+        assert sim == pytest.approx(exact[pair], abs=1e-4)
+
+
+def test_semdedup_contract_flags_true_at_sf01(spark, sf_medium):
+    """q156's tolerance contract must hold at sf0.1 too (the bench
+    SF), not just the driver's sf0.01 correctness gate — measured
+    pair recall 0.998 / membership 0.982 vs bounds 0.95 / 0.9."""
+    from biodwh2_arcadedb_server_spark.operators.pipeline_queries4 import (
+        q156_semdedup_ann_clusters,
+    )
+
+    row = q156_semdedup_ann_clusters(spark, sf_medium).limit(1).collect()[0]
+    assert row.pair_recall_ok and row.no_false_pos and row.membership_ok
