@@ -70,6 +70,12 @@ def build_sf1_embeddings(sf_dir: str) -> None:
 def main() -> None:
     import importlib.util
 
+    # optional argv filter: `python bench/sf1_probe.py q156_ann_pairs`
+    # measures just the named anchors (new-anchor runs must not re-pay
+    # the whole relational sweep)
+    only = set(sys.argv[1:])
+    want = lambda n: not only or n in only  # noqa: E731
+
     spec = importlib.util.spec_from_file_location(
         "conv", os.path.join(HERE, "convergence.py")
     )
@@ -146,6 +152,8 @@ def main() -> None:
         "q14_token_counts",
     ]
     for name in RELATIONAL:
+        if not want(name):
+            continue
         fn = queries[name]
         fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
         s_base = conv.time_spark(spark, fn, conv.BASE_SF, runs=2)
@@ -187,6 +195,8 @@ def main() -> None:
         )
 
     for name in ("q03_two_hop", "q29_cosine_neardup", "q104_leakage_safe_split"):
+        if not want(name):
+            continue
         if name in results and results[name].get("spark_sec"):
             continue  # already measured in an earlier (partial) run
         fn = queries[name]
@@ -204,6 +214,75 @@ def main() -> None:
             record(name, round(best, 3), None,
                    "skipped: recursive-CTE closure at sf1 pair volume "
                    "(known q106-class pathology)")
+
+    # --- q156 ANN pair source vs q29 exact (VERDICT r6 #1 anchor):
+    # the scale claim is GROWTH RATE, so the ANN shortlist is timed at
+    # sf0.1 and sf1 with n_clusters grown 10x alongside the corpus
+    # (SemDeDup practice: cells stay bounded, flops stay ~linear),
+    # while q29's exact blocked matmul pays 100x the flops for 10x
+    # the rows. Recall at sf1 is recorded next to the timing so the
+    # anchor can't quietly trade recall for speed.
+    if want("q156_ann_pairs"):
+        from biodwh2_arcadedb_server_spark.operators import similarity as _sim
+        from biodwh2_arcadedb_server_spark.sources.registry import load_table as _lt
+
+        def ann_pairs(sf: str, k: int):
+            return _sim.cosine_near_dup_pairs_ann(
+                _lt(spark, sf, "embeddings"), 0.4, n_clusters=k, n_probe=5
+            )
+
+        ann_pairs("/root/testdata/sf0.001", 4).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings = {}
+        for label, sf, k in (("sf0.1", BASE := "/root/testdata/sf0.1", 16), ("sf1", sf_dir, 160)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                ann_pairs(sf, k).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[label] = round(best, 3)
+        exact_sf1 = {
+            (r.id_a, r.id_b)
+            for r in _sim.cosine_near_dup_pairs(
+                _lt(spark, sf_dir, "embeddings"), 0.4
+            ).select("id_a", "id_b").collect()
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in ann_pairs(sf_dir, 160).select("id_a", "id_b").collect()
+        }
+        recall = round(len(got & exact_sf1) / max(len(exact_sf1), 1), 4)
+        results["q156_ann_pairs"] = {
+            "spark_sec": timings["sf1"],
+            "sf0.1": {"spark_sec": timings["sf0.1"]},
+            "sf1_over_sf0.1": round(timings["sf1"] / max(timings["sf0.1"], 1e-9), 2),
+            "n_clusters": {"sf0.1": 16, "sf1": 160},
+            "sf1_pair_recall_vs_exact": recall,
+            "exact_pairs_sf1": len(exact_sf1),
+            "note": (
+                "ANN shortlist growth vs q29 exact: cells grown 10x with "
+                "the corpus; compare q29_cosine_neardup.spark_sec (exact, "
+                "100x flops at sf1)"
+            ),
+        }
+        with open(OUT, "w") as f:
+            json.dump(
+                {
+                    "note": (
+                        "sf1 = sf0.1 facts replicated 10x with key offsets "
+                        "(convergence.py build_scaled) + embeddings replicated "
+                        "with deterministic perturbation; min of 2 runs, "
+                        "fresh-session warmup at sf0.001; relational probes "
+                        "carry a nested sf0.1 block so the ratio trend is "
+                        "measured, not argued"
+                    ),
+                    "probes": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"sf1 q156_ann_pairs: {timings} recall={recall}", flush=True)
 
 
 if __name__ == "__main__":

@@ -36,16 +36,20 @@ a ``variables`` dict — values substitute at parse time, so the
 compiled plan pushes them down exactly like literals), as are named
 fragments (``fragment F on T { … }`` + ``...F`` spreads, inlined
 post-parse so declaration order is free; a spread into the wrong
-type surfaces as the build-time unknown-field error) and a minimal
-``{ __schema { types } }`` introspection answering from the
-registered workspace views (one row per type: name + field list —
-enough for clients to discover the schema; the full spec-shaped
-introspection tree is out of scope). MUTATIONS get a minimal surface
-over the gated DML machinery: ``mutation { create<Label>(col: v, …)
-}`` / ``delete<Label>(equality args) }`` route to the workspace
-insert/delete (cascading) behind the same ``allow_writes`` opt-in as
-the SQL dialect — default OFF, the reference's read-only posture;
-richer updates go through the SQL dialect.
+type surfaces as the build-time unknown-field error), INLINE
+fragments (``... on T { … }`` — applied when the type condition
+matches the enclosing label, skipped for other known types, loud
+error for unknown ones), and introspection: ``{ __schema { types } }``
+(one row per type: name + field list) plus ``{ __type(name: "T")
+{ … } }`` (one row with per-field Spark types + relationship
+targets/directions; the full spec-shaped introspection tree is out
+of scope). MUTATIONS get a minimal surface over the gated DML
+machinery: ``mutation { create<Label>(col: v, …) }`` /
+``update<Label>(filter args, _set: {col: v, …})`` /
+``delete<Label>(equality args) }`` route to the workspace
+insert/update/delete (cascading) behind the same ``allow_writes``
+opt-in as the SQL dialect — default OFF, the reference's read-only
+posture.
 
 Scale notes: the compiled plan is join + groupBy(collect_list) per
 nesting level, shuffling on node ids only after per-label column
@@ -226,6 +230,22 @@ class _Parser:
                     raise GraphQLError(
                         f"expected fragment name after '...', got {fname!r}"
                     )
+                if fname == "on":
+                    # inline fragment: ``... on Type { … }`` — kept as
+                    # a marker node; _build applies it only when the
+                    # type condition matches the enclosing label
+                    # (spec §5.5.2 semantics on a concrete-type-only
+                    # schema)
+                    kind, typ = self._next()
+                    if kind != "name":
+                        raise GraphQLError(
+                            f"expected a type condition, got {typ!r}"
+                        )
+                    holder = Field("__inline__", args={"on": typ})
+                    self._expect("{")
+                    self._parse_selection_items(holder)
+                    f.selection.append(holder)
+                    continue
                 f.selection.append(Field("..." + fname))
                 continue
             f.selection.append(self._parse_field())
@@ -315,6 +335,34 @@ class _Parser:
 
     def _parse_value(self):
         kind, v = self._next()
+        if v == "{":
+            # GraphQL input object literal — the update mutation's
+            # ``_set: {col: value, …}`` argument
+            obj: dict = {}
+            while True:
+                kind, k = self._next()
+                if k == "}":
+                    break
+                if kind != "name":
+                    raise GraphQLError(f"expected object field name, got {k!r}")
+                self._expect(":")
+                obj[k] = self._parse_value()
+                t = self._peek()
+                if t and t[1] == ",":
+                    self._next()
+            return obj
+        if v == "[":
+            items: list = []
+            while True:
+                t = self._peek()
+                if t and t[1] == "]":
+                    self._next()
+                    break
+                items.append(self._parse_value())
+                t = self._peek()
+                if t and t[1] == ",":
+                    self._next()
+            return items
         if kind == "variable":
             name = v[1:]
             if self.declared and name not in self.declared:
@@ -357,6 +405,28 @@ def parse_operation(
 # --- execution --------------------------------------------------------------------
 
 
+def _expand_inline(spark: SparkSession, selection: list[Field], label: str) -> list[Field]:
+    """Apply inline fragments against the enclosing type: ``... on
+    <label>`` splices its fields in, a fragment on a DIFFERENT known
+    type contributes nothing (spec §5.5.2 — on a schema of concrete
+    object types only, a non-matching condition can never apply), and
+    an unknown type condition fails loud."""
+    out: list[Field] = []
+    for sub in selection:
+        if sub.name != "__inline__":
+            out.append(sub)
+            continue
+        cond = sub.args.get("on")
+        if cond == label:
+            out.extend(_expand_inline(spark, sub.selection, label))
+        elif not spark.catalog.tableExists(f"n_{cond}"):
+            raise GraphQLError(
+                f"unknown type condition {cond!r} in inline fragment "
+                f"(no n_{cond} view)"
+            )
+    return out
+
+
 def _build(
     spark: SparkSession,
     label: str,
@@ -378,16 +448,17 @@ def _build(
             raise GraphQLError(f"unknown argument {k!r} on type {label!r}")
         df = df.where(F.col(k) == F.lit(v))
 
+    selection = _expand_inline(spark, fld.selection, label)
     scalars: list[str] = []
     nested: list[Field] = []
-    for sub in fld.selection:
+    for sub in selection:
         if sub.selection:
             nested.append(sub)
         else:
             if sub.name not in df.columns:
                 raise GraphQLError(f"unknown field {sub.name!r} on type {label!r}")
             scalars.append(sub.name)
-    if not fld.selection:
+    if not selection:
         raise GraphQLError(f"selection set required on type {label!r}")
 
     # column pruning before any join: only requested fields travel
@@ -449,6 +520,8 @@ def execute(
         )
     if root.name == "__schema":
         return _introspect(spark, rels)
+    if root.name == "__type":
+        return _introspect_type(spark, rels, root)
     df = _build(spark, root.name, root, rels, keep_node_id=True)
     return df.drop("node_id")
 
@@ -482,11 +555,12 @@ def _execute_mutation(
 
     from biodwh2_arcadedb_server_spark import arcadesql
 
-    m = _re.fullmatch(r"(create|delete)([A-Z]\w*)", root.name)
+    m = _re.fullmatch(r"(create|delete|update)([A-Z]\w*)", root.name)
     if m is None:
         raise GraphQLError(
             f"unsupported mutation field {root.name!r} — expected "
-            "create<Label>(...) or delete<Label>(...)"
+            "create<Label>(...), update<Label>(..., _set: {...}) or "
+            "delete<Label>(...)"
         )
     action, label = m.groups()
     if not root.args:
@@ -495,6 +569,26 @@ def _execute_mutation(
         stmt = arcadesql._DML(
             kind="insert", label=label,
             rows=[{k: _sql_literal(v) for k, v in root.args.items()}],
+        )
+    elif action == "update":
+        sets = root.args.get("_set")
+        if not isinstance(sets, dict) or not sets:
+            raise GraphQLError(
+                f"{root.name} requires a _set: {{col: value, ...}} argument"
+            )
+        filters = {k: v for k, v in root.args.items() if k != "_set"}
+        if not filters:
+            raise GraphQLError(
+                f"{root.name} requires at least one filter argument "
+                "beside _set (an unfiltered update must be explicit — "
+                "use the SQL dialect)"
+            )
+        stmt = arcadesql._DML(
+            kind="update", label=label,
+            assignments=[(k, _sql_literal(v)) for k, v in sets.items()],
+            where=" AND ".join(
+                f"{k} = {_sql_literal(v)}" for k, v in filters.items()
+            ),
         )
     else:
         stmt = arcadesql._DML(
@@ -507,6 +601,39 @@ def _execute_mutation(
         return arcadesql._execute_dml(spark, stmt, workspace_dir, allow_writes)
     except arcadesql.ArcadeSQLError as exc:
         raise GraphQLError(str(exc)) from exc
+
+
+def _introspect_type(
+    spark: SparkSession, rels: dict[str, dict[str, Rel]], root: Field
+) -> DataFrame:
+    """``{ __type(name: "T") { … } }`` — single-type introspection
+    with per-field types, the level of detail ``__schema { types }``
+    (names only) omits: one row carrying the scalar fields as
+    ``array<struct<name, type>>`` (Spark SQL type strings stand in
+    for GraphQL scalar names — the engine's actual types) and the
+    relationship fields as ``array<struct<name, target, direction,
+    edge>>``. Catalog metadata only; no table scans."""
+    name = root.args.get("name")
+    if not name:
+        raise GraphQLError('__type requires a name: "<Label>" argument')
+    case = {k.lower(): k for k in rels}
+    label = case.get(str(name).lower(), str(name))
+    try:
+        schema = spark.table(f"n_{label}").schema
+    except Exception as exc:
+        raise GraphQLError(f"unknown type {name!r} (no n_{label} view)") from exc
+    fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    rel_rows = [
+        (rn, r.target, r.direction, r.edge)
+        for rn, r in sorted(rels.get(label, {}).items())
+    ]
+    return spark.createDataFrame(
+        [(label, fields, rel_rows)],
+        "name string, "
+        "fields array<struct<name string, type string>>, "
+        "relationships array<struct<name string, target string, "
+        "direction string, edge string>>",
+    )
 
 
 def _introspect(spark: SparkSession, rels: dict[str, dict[str, Rel]]) -> DataFrame:

@@ -150,20 +150,31 @@ def _lloyd_sample(X, n_clusters: int, seed: int, max_iter: int = 25, spherical: 
 
     rng = np.random.RandomState(seed)
     n = len(X)
-    # k-means++ init
+    # k-means++ init with an INCREMENTAL min-distance vector: the
+    # naive form recomputes d2 against every existing center each
+    # round (O(k²·n·d) — 16s at k=160); maintaining the running
+    # elementwise minimum is O(k·n·d) and picks the exact same
+    # centers (identical d2 values, identical rng call sequence)
     centers = [X[rng.randint(n)]]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
     for _ in range(1, n_clusters):
-        d2 = np.min(
-            [((X - c) ** 2).sum(axis=1) for c in centers], axis=0
-        )
         tot = d2.sum()
         if tot <= 0:
             centers.append(X[rng.randint(n)])
-            continue
-        centers.append(X[np.searchsorted(np.cumsum(d2 / tot), rng.rand())])
+        else:
+            centers.append(
+                X[np.searchsorted(np.cumsum(d2 / tot), rng.rand())]
+            )
+        d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(axis=1))
     C = np.array(centers)
+    d2 = np.empty((n, n_clusters))
     for _ in range(max_iter):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # per-center columns instead of an (n, k, d) broadcast: the
+        # same flops and bit-identical sums, without materializing a
+        # 335 MB temporary at k=160 (memory traffic, not arithmetic,
+        # dominated the broadcast form)
+        for j in range(len(C)):
+            d2[:, j] = ((X - C[j]) ** 2).sum(axis=1)
         assign = d2.argmin(axis=1)
         newC = np.zeros_like(C)
         for j in range(n_clusters):
@@ -241,11 +252,15 @@ def _train_spherical_centroids(
     )
     X = np.array([r._v for r in sample], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    C = _lloyd_sample(X, n_clusters, seed, max_iter)
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in C]
-    )
-    return cent_lit, len(C)
+    return _lloyd_sample(X, n_clusters, seed, max_iter)
+
+
+def _centroid_literal(C):
+    """Centroid matrix as a nested array literal for JVM-side HOF
+    probing. Right for SMALL k (ivf_topk's default 8) — the
+    expression tree holds k·d literals, so a large quantizer must
+    probe Arrow-side instead (see cosine_near_dup_pairs_ann)."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in C])
 
 
 def ivf_topk(
@@ -283,9 +298,10 @@ def ivf_topk(
     Recall is pytest-gated vs the exact ``knn_join``
     (tests/test_pipeline.py)."""
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cent_lit, n_cells = _train_spherical_centroids(
+    C = _train_spherical_centroids(
         corpus, n_clusters, id_col, vec_col, seed, sample_cap, max_iter
     )
+    cent_lit, n_cells = _centroid_literal(C), len(C)
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         dbl.alias("ce"),
@@ -654,18 +670,37 @@ def cosine_near_dup_pairs_ann(
     O(cell²) each and O(n·cell·n_probe²) total — LINEAR in the
     corpus, vs the O(n²) flops of the exact blocked path; the only
     shuffle is the n_probe-way cell assignment on an 8-byte key."""
+    import numpy as np
     import pandas as pd
 
-    cent_lit, n_cells = _train_spherical_centroids(
+    C = _train_spherical_centroids(
         corpus, n_clusters, id_col, vec_col, seed, sample_cap, max_iter
     )
-    ne = F.transform(vec_col, lambda x: x.cast("double") / array_norm(vec_col))
+    Ct = C.T.copy()
+    p = min(n_probe, len(C))
+
+    @F.pandas_udf("array<int>")
+    def _probe_cells(vs: pd.Series) -> pd.Series:
+        # Arrow-side multi-probe: one BLAS matmul per batch against
+        # the closure-captured centroid matrix (k·d doubles — ~80 KB
+        # at k=160). A JVM centroid LITERAL here would put k·d nodes
+        # in the expression tree and per-row interpreted HOF folds —
+        # measured 10x slower at k=160 (the scaled-cells regime this
+        # path exists for). Raw vectors rank cells like unit vectors
+        # (row norm is constant across cells); stable argsort breaks
+        # dot ties by cell index, matching _nearest_cells' sort key.
+        X = np.stack(vs.to_numpy()).astype(np.float64)
+        order = np.argsort(-(X @ Ct), axis=1, kind="stable")[:, :p]
+        return pd.Series([r.astype("int32").tolist() for r in order])
+
     member = corpus.select(
         F.col(id_col).cast("long").alias("_id"),
-        ne.alias("_ne"),
-        F.explode(
-            _nearest_cells(F.col(vec_col), cent_lit, n_cells, min(n_probe, n_cells))
-        ).alias("_cell"),
+        # RAW vectors travel; normalization happens Arrow-side in the
+        # per-cell kernel (one BLAS pass) — a per-element JVM HOF
+        # divide re-evaluates the O(d) norm fold per element, O(d²)
+        # interpreted ops per row, measured 20x slower end-to-end
+        F.col(vec_col).alias("_ne"),
+        F.explode(_probe_cells(F.col(vec_col))).alias("_cell"),
     )
     thr = float(threshold)
 
@@ -675,7 +710,8 @@ def cosine_near_dup_pairs_ann(
         ids = pdf["_id"].to_numpy()
         if len(ids) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "sim_raw": []})
-        m = np.stack(pdf["_ne"].to_numpy())
+        m = np.stack(pdf["_ne"].to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
         sims = m @ m.T
         ia, ib = np.triu_indices(len(ids), k=1)
         mask = sims[ia, ib] >= thr

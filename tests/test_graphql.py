@@ -262,3 +262,93 @@ def test_mutation_errors(spark, ws):
             spark, "mutation { createNation }",
             workspace_dir="/tmp/x", allow_writes=True,
         )
+
+
+# ---------------------------------------------------------------- round 7: inline fragments / update / __type
+def test_inline_fragment_matching_type(spark, ws):
+    df = graphql.execute(
+        spark,
+        '{ Customer(c_mktsegment: "BUILDING") { c_name ... on Customer '
+        "{ c_acctbal } } }",
+    )
+    assert df.columns == ["c_name", "c_acctbal"]
+    expect = graphql.execute(
+        spark, '{ Customer(c_mktsegment: "BUILDING") { c_name c_acctbal } }'
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_inline_fragment_non_matching_known_type_skipped(spark, ws):
+    df = graphql.execute(
+        spark,
+        "{ Nation(natural_key: 3) { n_name ... on Region { r_name } } }",
+    )
+    assert df.columns == ["n_name"]
+    assert df.count() == 1
+
+
+def test_inline_fragment_nested_and_with_named_spread(spark, ws):
+    df = graphql.execute(
+        spark,
+        "fragment Money on Customer { c_acctbal } "
+        "{ Nation(natural_key: 3) { n_name ... on Nation "
+        "{ cust_in_nation_rev { ...Money } } } }",
+    )
+    assert df.columns == ["n_name", "cust_in_nation_rev"]
+    rows = df.collect()
+    assert len(rows) == 1 and len(rows[0].cust_in_nation_rev) > 0
+
+
+def test_inline_fragment_unknown_type_errors(spark, ws):
+    with pytest.raises(graphql.GraphQLError, match="unknown type condition"):
+        graphql.execute(
+            spark, "{ Nation(natural_key: 3) { n_name ... on Bogus { x } } }"
+        )
+
+
+def test_mutation_update(spark, sf_small, tmp_path_factory):
+    ws_dir = str(tmp_path_factory.mktemp("gql_upd") / "ws")
+    build_workspace(spark, sf_small, ws_dir, force=True)
+    load_workspace(spark, ws_dir)
+    res = graphql.execute(
+        spark,
+        'mutation { updateNation(natural_key: 3, _set: {n_name: "RENAMED"}) }',
+        workspace_dir=ws_dir,
+        allow_writes=True,
+    ).collect()[0]
+    assert (res.operation, res.label, res["count"]) == ("update", "Nation", 1)
+    got = graphql.execute(spark, "{ Nation(natural_key: 3) { n_name } }")
+    assert [r.n_name for r in got.collect()] == ["RENAMED"]
+    # read-only by default, like create/delete
+    with pytest.raises(graphql.GraphQLError, match="read-only"):
+        graphql.execute(
+            spark, 'mutation { updateNation(natural_key: 3, _set: {n_name: "X"}) }'
+        )
+
+
+def test_mutation_update_errors(spark, ws):
+    with pytest.raises(graphql.GraphQLError, match="_set"):
+        graphql.execute(
+            spark, "mutation { updateNation(natural_key: 1) }",
+            workspace_dir="/tmp/x", allow_writes=True,
+        )
+    with pytest.raises(graphql.GraphQLError, match="filter argument"):
+        graphql.execute(
+            spark, 'mutation { updateNation(_set: {n_name: "X"}) }',
+            workspace_dir="/tmp/x", allow_writes=True,
+        )
+
+
+def test_type_introspection(spark, ws):
+    df = graphql.execute(spark, '{ __type(name: "Customer") { name fields } }')
+    row = df.collect()[0]
+    assert row.name == "Customer"
+    fields = {f.name: f.type for f in row.fields}
+    assert "c_acctbal" in fields and "node_id" in fields
+    assert fields["c_name"] == "string"
+    rels = {r.name: r for r in row.relationships}
+    assert rels["placed"].target == "Order" and rels["placed"].direction == "out"
+    with pytest.raises(graphql.GraphQLError, match="unknown type"):
+        graphql.execute(spark, '{ __type(name: "Bogus") { name } }')
+    with pytest.raises(graphql.GraphQLError, match="requires a name"):
+        graphql.execute(spark, "{ __type { name } }")
