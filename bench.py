@@ -178,6 +178,7 @@ HEADLINE = [
     "q38_frame_sample",
     "q152_wav_decode",
     "q156_semdedup_ann_clusters",
+    "q157_graphql_inline_fragments",
 ]
 
 # Streaming micro-batch drains, timed and reported separately: their

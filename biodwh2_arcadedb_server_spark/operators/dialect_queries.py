@@ -425,8 +425,36 @@ def q154_graphql_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q157_graphql_inline_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline fragments (``... on T``, round-7 GraphQL completion —
+    the reference bundles the full arcadedb-graphql module,
+    pom.xml:109-113): a type condition matching the enclosing label
+    splices its fields (including a nested relationship selection), a
+    non-matching KNOWN type contributes nothing — both in one
+    document, so the compiled plan is identical to the literal
+    selection: pushdown + one nested join."""
+    from biodwh2_arcadedb_server_spark import graphql
+
+    _register_star_workspace(spark, sf_dir)
+    out = graphql.execute(
+        spark,
+        '{ Customer(c_mktsegment: "HOUSEHOLD") { c_custkey '
+        "... on Customer { c_acctbal placed { o_orderkey } } "
+        "... on Order { o_totalprice } } }",
+    )
+    return out.where(F.col("c_custkey") <= 150).select(
+        "c_custkey",
+        "c_acctbal",
+        F.concat_ws(
+            ";",
+            F.transform("placed", lambda s: s["o_orderkey"].cast("string")),
+        ).alias("orders_repr"),
+    )
+
+
 QUERIES = {
     "q151_graphql_variables": q151_graphql_variables,
+    "q157_graphql_inline_fragments": q157_graphql_inline_fragments,
     "q154_graphql_fragments": q154_graphql_fragments,
     "q136_match_dialect": q136_match_dialect,
     "q147_dml_readback": q147_dml_readback,
@@ -445,6 +473,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q157_graphql_inline_fragments": """
+        SELECT c.c_custkey, c.c_acctbal,
+               COALESCE(string_agg(
+                   CAST(o.o_orderkey AS VARCHAR),
+                   ';' ORDER BY o.o_orderkey), '') AS orders_repr
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'HOUSEHOLD' AND c.c_custkey <= 150
+        GROUP BY c.c_custkey, c.c_acctbal
+    """,
     "q154_graphql_fragments": """
         SELECT c.c_custkey,
                COALESCE(string_agg(

@@ -76,3 +76,47 @@ def test_graphql_endpoint_variables(spark, ws):
         assert len(out["rows"]) == 1
     finally:
         srv.stop()
+
+
+def test_graphql_endpoint_inline_fragment_type_and_update(spark, sf_small, tmp_path_factory):
+    """Round-7 surface over the wire: inline fragments, __type
+    introspection, and the update<Label> mutation (writes-enabled
+    server)."""
+    ws_dir = str(tmp_path_factory.mktemp("gqlsrv7") / "ws")
+    build_workspace(spark, sf_small, ws_dir, force=True)
+    load_workspace(spark, ws_dir)
+    srv = QueryServer(spark, workspace_dir=ws_dir, allow_writes=True)
+    port = srv.start()
+    auth = base64.b64encode(f"{srv.username}:{srv.password}".encode()).decode()
+
+    def post(payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/graphql",
+            data=json.dumps(payload).encode(),
+            headers={"Authorization": f"Basic {auth}"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+
+    try:
+        out = post(
+            {"query": "{ Nation(natural_key: 3) { n_name ... on Nation "
+                      "{ in_region { r_name } } ... on Region { r_name } } }"}
+        )
+        assert out["columns"] == ["n_name", "in_region"]
+        assert len(out["rows"]) == 1
+
+        out2 = post({"query": '{ __type(name: "Nation") { name fields } }'})
+        assert out2["columns"] == ["name", "fields", "relationships"]
+        assert len(out2["rows"]) == 1 and "Nation" in out2["rows"][0][0]
+
+        out3 = post(
+            {"query": 'mutation { updateNation(natural_key: 3, '
+                      '_set: {n_name: "WIRED"}) }'}
+        )
+        assert out3["rows"][0][:2] == ["update", "Nation"]
+        out4 = post({"query": "{ Nation(natural_key: 3) { n_name } }"})
+        assert out4["rows"] == [["WIRED"]]
+    finally:
+        srv.stop()
