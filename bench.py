@@ -179,6 +179,7 @@ HEADLINE = [
     "q152_wav_decode",
     "q156_semdedup_ann_clusters",
     "q157_graphql_inline_fragments",
+    "q158_ddl_readback",
 ]
 
 # Streaming micro-batch drains, timed and reported separately: their

@@ -88,11 +88,18 @@ Supported subset (documented contract, tested differentially):
   ``CREATE INDEX ON <T> (cols) [UNIQUE]`` — UNIQUE runs the A13
   uniqueness validation and fails loud; both flavors are recorded in
   the manifest as clustering hints (at 100 TB the "index" is layout
-  + parquet footer stats, sources/layout.py).
+  + parquet footer stats, sources/layout.py). The inverses:
+  ``DROP TYPE <T> [UNSAFE]`` (populated types require UNSAFE; node
+  types referenced by edge types must drop those first),
+  ``DROP PROPERTY <T>.<p>``, ``DROP INDEX ON <T> (cols)``, and
+  ``ALTER TYPE <T> NAME <New>`` — a rename CASCADES the derived
+  identity (node ids are xxhash64(label, natural_key)): ids are
+  recomputed and every touching edge dataset's src/dst remapped via
+  an (old, new) id join.
 
 Out of scope (raise a clear error): per-record correlated LET
 subqueries, projections mixing expand() with other fields — the last
-is the same restriction ArcadeDB itself enforces; DROP/ALTER DDL.
+is the same restriction ArcadeDB itself enforces.
 
 Scale notes: the compiled SQL references only the per-label views
 (typed, pruned scans) and the unified ``edges`` view (partitioned on
@@ -334,7 +341,7 @@ class _Parser:
         elif head.kind == "kw" and head.text == "match":
             stmt = self._match()
         elif head.kind == "ident" and head.text.lower() in (
-            "update", "insert", "delete", "create",
+            "update", "insert", "delete", "create", "drop", "alter",
         ):
             stmt = self._dml()
         else:
@@ -403,6 +410,44 @@ class _Parser:
             if self.accept("kw", "where"):
                 dml.where = self._expr(dummy)
             return dml
+        if head == "drop":
+            # DROP TYPE <T> [UNSAFE] | DROP PROPERTY <T>.<p> |
+            # DROP INDEX ON <T> (cols) — the CREATE DDL inverses
+            if self._accept_word("type"):
+                label = self._name("type name")
+                unsafe = bool(self._accept_word("unsafe"))
+                return _DML(
+                    kind="ddl_drop_type", label=label, ddl={"unsafe": unsafe}
+                )
+            if self._accept_word("property"):
+                label = self._name("type name")
+                self.expect("op", ".")
+                prop = self._name("property name")
+                return _DML(
+                    kind="ddl_drop_property", label=label, ddl={"prop": prop}
+                )
+            if self._accept_word("index"):
+                self._expect_word("on")
+                label = self._name("type name")
+                self.expect("op", "(")
+                cols = [self._name("column name")]
+                while self.accept("op", ","):
+                    cols.append(self._name("column name"))
+                self.expect("op", ")")
+                return _DML(
+                    kind="ddl_drop_index", label=label, ddl={"columns": cols}
+                )
+            raise ArcadeSQLError(
+                "DROP supports TYPE <T> [UNSAFE], PROPERTY <T>.<p>, "
+                "INDEX ON <T> (cols)"
+            )
+        if head == "alter":
+            # ALTER TYPE <T> NAME <New> — the rename cascade
+            self._expect_word("type")
+            label = self._name("type name")
+            self._expect_word("name")
+            new = self._name("new type name")
+            return _DML(kind="ddl_rename_type", label=label, ddl={"new": new})
         if head == "create":
             # DDL forms: CREATE VERTEX TYPE <T> | CREATE EDGE TYPE <T>
             # FROM <L> TO <L> | CREATE PROPERTY <T>.<p> <TYPE> |
@@ -1835,6 +1880,7 @@ def _execute_dml(
 
 def _execute_dml_locked(spark, stmt, workspace_dir, pred, ws, os):
     if stmt.kind.startswith("ddl_"):
+        n_ddl = 0
         try:
             if stmt.kind == "ddl_node_type":
                 ws.create_node_type(spark, workspace_dir, stmt.label)
@@ -1848,16 +1894,36 @@ def _execute_dml_locked(spark, stmt, workspace_dir, pred, ws, os):
                     spark, workspace_dir, stmt.label,
                     stmt.ddl["prop"], stmt.ddl["type"],
                 )
-            else:  # ddl_index
+            elif stmt.kind == "ddl_index":
                 ws.create_index(
                     spark, workspace_dir, stmt.label,
                     stmt.ddl["columns"], stmt.ddl["unique"],
                 )
+            elif stmt.kind == "ddl_drop_type":
+                n_ddl = ws.drop_type(
+                    spark, workspace_dir, stmt.label, stmt.ddl["unsafe"]
+                )
+                spark.catalog.dropTempView(f"n_{stmt.label}")
+                spark.catalog.dropTempView(f"e_{stmt.label}")
+            elif stmt.kind == "ddl_drop_property":
+                ws.drop_property(
+                    spark, workspace_dir, stmt.label, stmt.ddl["prop"]
+                )
+            elif stmt.kind == "ddl_drop_index":
+                ws.drop_index(
+                    spark, workspace_dir, stmt.label, stmt.ddl["columns"]
+                )
+            else:  # ddl_rename_type
+                n_ddl = ws.rename_type(
+                    spark, workspace_dir, stmt.label, stmt.ddl["new"]
+                )
+                spark.catalog.dropTempView(f"n_{stmt.label}")
+                spark.catalog.dropTempView(f"e_{stmt.label}")
         except ValueError as exc:
             raise ArcadeSQLError(str(exc)) from exc
         ws.load_workspace(spark, workspace_dir)
         return spark.createDataFrame(
-            [(stmt.kind, stmt.label, 0)],
+            [(stmt.kind, stmt.label, n_ddl)],
             "operation string, label string, count long",
         )
     if stmt.kind == "update":
@@ -1970,6 +2036,17 @@ def claims_statement(sql: str) -> bool:
     head = toks[0].lower()
     if head == "create":
         return len(toks) > 1 and toks[1].lower() in _DIALECT_CREATE_KINDS
+    if head == "drop":
+        # DROP TYPE/PROPERTY + DROP INDEX ON are dialect; Spark's
+        # DROP TABLE/VIEW/FUNCTION stay Spark SQL
+        if len(toks) < 2:
+            return False
+        second = toks[1].lower()
+        return second in ("type", "property") or (
+            second == "index" and len(toks) > 2 and toks[2].lower().startswith("on")
+        )
+    if head == "alter":
+        return len(toks) > 1 and toks[1].lower() == "type"
     if head not in ("update", "insert", "delete"):
         return False
     try:

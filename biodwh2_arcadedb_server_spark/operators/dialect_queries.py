@@ -452,12 +452,68 @@ def q157_graphql_inline_fragments(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q158_ddl_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 DDL surface end-to-end (ArcadeDB SQL DDL [B],
+    `pom.xml:104-108`): on a force-built Region/Nation workspace,
+    CREATE a fresh vertex type + typed property + edge type, populate
+    them, then exercise every inverse — DROP PROPERTY (column-drop
+    rewrite), DROP INDEX (manifest record), DROP TYPE (gated
+    directory removal), and ALTER TYPE ... NAME — whose rename
+    CASCADES the content-derived identity: node ids are
+    xxhash64(label, natural_key), so ids are recomputed and the
+    LOCATED edge endpoints remapped via an (old, new) id join. The
+    readback traverses the renamed type's edges, proving the remap.
+    Deterministic: force-rebuilt from source each run. Same bench
+    floor note as q147: ~12 tiny sequential jobs, scale-independent."""
+    import hashlib
+    import os
+
+    from biodwh2_arcadedb_server_spark import workspace as ws
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    wdir = os.path.join("/tmp", f"biodwh2_ddl_probe_{tag}")
+    node_specs = [s for s in ws.NODE_SPECS if s.label in ("Region", "Nation")]
+    edge_specs = [s for s in ws.EDGE_SPECS if s.label == "IN_REGION"]
+    ws.build_workspace(
+        spark, sf_dir, wdir, force=True,
+        node_specs=node_specs, edge_specs=edge_specs,
+    )
+    ws.load_workspace(spark, wdir)
+    for stmt in (
+        "CREATE VERTEX TYPE Depot",
+        "CREATE PROPERTY Depot.cap LONG",
+        "CREATE PROPERTY Depot.tmp STRING",
+        "INSERT INTO Depot (natural_key, cap) VALUES (1, 500), (2, 700)",
+        "CREATE EDGE TYPE LOCATED FROM Depot TO Nation",
+        "CREATE EDGE LOCATED FROM 1 TO 3",
+        "CREATE EDGE LOCATED FROM 2 TO 5",
+        "DROP PROPERTY Depot.tmp",
+        "CREATE INDEX ON Depot (natural_key) UNIQUE",
+        "DROP INDEX ON Depot (natural_key)",
+        "CREATE VERTEX TYPE Scratch",
+        "DROP TYPE Scratch",
+        "ALTER TYPE Depot NAME Warehouse",
+    ):
+        arcadesql.execute(spark, stmt, workspace_dir=wdir, allow_writes=True)
+    out = arcadesql.execute(
+        spark,
+        "SELECT natural_key, cap, out('LOCATED').size() AS n_sites "
+        "FROM Warehouse ORDER BY natural_key",
+    )
+    return out.select(
+        F.col("natural_key").cast("long").alias("natural_key"),
+        F.col("cap").cast("long").alias("cap"),
+        F.col("n_sites").cast("int").alias("n_sites"),
+    )
+
+
 QUERIES = {
     "q151_graphql_variables": q151_graphql_variables,
     "q157_graphql_inline_fragments": q157_graphql_inline_fragments,
     "q154_graphql_fragments": q154_graphql_fragments,
     "q136_match_dialect": q136_match_dialect,
     "q147_dml_readback": q147_dml_readback,
+    "q158_ddl_readback": q158_ddl_readback,
     "q148_match_optional_dialect": q148_match_optional_dialect,
     "q150_unwind_dialect": q150_unwind_dialect,
     "q153_match_vl_dialect": q153_match_vl_dialect,
@@ -551,6 +607,13 @@ ORACLE = {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderstatus = 'O')
         ORDER BY c_custkey
+    """,
+    "q158_ddl_readback": """
+        SELECT CAST(1 AS BIGINT) AS natural_key, CAST(500 AS BIGINT) AS cap,
+               CAST(1 AS INT) AS n_sites
+        UNION ALL
+        SELECT 2, 700, 1
+        ORDER BY natural_key
     """,
     "q147_dml_readback": """
         SELECT CAST(n.n_nationkey AS BIGINT) AS natural_key,

@@ -589,6 +589,174 @@ def create_index(
         json.dump(manifest, mh, indent=2)
 
 
+def drop_type(spark: SparkSession, ws_dir: str, label: str, unsafe: bool = False) -> int:
+    """DROP TYPE <T> [UNSAFE]: remove the label dataset + manifest
+    entry (round-7 DDL completion — the inverse of create_node_type/
+    create_edge_type). A POPULATED type requires UNSAFE (ArcadeDB's
+    posture: dropping live records must be explicit), and a node type
+    referenced by a declared edge type cannot be dropped until those
+    edge types are — otherwise the schema would dangle. Returns
+    records dropped. O(1) IO: directory removal, no rewrite."""
+    with open(os.path.join(ws_dir, "manifest.json")) as mh:
+        manifest = json.load(mh)
+    if label in manifest["edges"]:
+        info = manifest["edges"][label]
+        n = spark.read.parquet(info["path"]).count()
+        if n and not unsafe:
+            raise ValueError(
+                f"edge type {label!r} holds {n} edge(s) — "
+                "use DROP TYPE ... UNSAFE to drop it with its records"
+            )
+        shutil.rmtree(info["path"])
+        del manifest["edges"][label]
+    elif label in manifest["nodes"]:
+        refs = sorted(
+            e for e, i in manifest["edges"].items()
+            if label in (i["src_label"], i["dst_label"])
+        )
+        if refs:
+            raise ValueError(
+                f"node type {label!r} is referenced by edge type(s) "
+                f"{refs} — DROP those first"
+            )
+        info = manifest["nodes"][label]
+        n = spark.read.parquet(info["path"]).count()
+        if n and not unsafe:
+            raise ValueError(
+                f"node type {label!r} holds {n} record(s) — "
+                "use DROP TYPE ... UNSAFE to drop it with its records"
+            )
+        shutil.rmtree(info["path"])
+        del manifest["nodes"][label]
+    else:
+        raise ValueError(f"unknown type {label!r}")
+    with open(os.path.join(ws_dir, "manifest.json"), "w") as mh:
+        json.dump(manifest, mh, indent=2)
+    return n
+
+
+def drop_property(spark: SparkSession, ws_dir: str, label: str, prop: str) -> None:
+    """DROP PROPERTY <T>.<p>: one partition-parallel rewrite without
+    the column (the inverse of add_property). Structural columns
+    (node_id/label/natural_key, src/dst) are protected; manifest
+    index records referencing the property are removed with it."""
+    core = {"node_id", "label", "natural_key", "src", "dst"}
+    if prop in core:
+        raise ValueError(f"cannot drop structural column {prop!r}")
+    with open(os.path.join(ws_dir, "manifest.json")) as mh:
+        manifest = json.load(mh)
+    kind = "nodes" if label in manifest["nodes"] else "edges"
+    if label not in manifest[kind]:
+        raise ValueError(f"unknown type {label!r}")
+    path = manifest[kind][label]["path"]
+    cur = spark.read.parquet(path)
+    if prop not in cur.columns:
+        raise ValueError(f"unknown property {label}.{prop}")
+    out = cur.drop(prop)
+    _rewrite_dataset(out, path)
+    manifest[kind][label]["schema"] = out.schema.jsonValue()
+    idx = manifest[kind][label].get("indexes")
+    if idx:
+        manifest[kind][label]["indexes"] = [
+            i for i in idx if prop not in i["columns"]
+        ]
+    with open(os.path.join(ws_dir, "manifest.json"), "w") as mh:
+        json.dump(manifest, mh, indent=2)
+
+
+def drop_index(spark: SparkSession, ws_dir: str, label: str, cols: list[str]) -> None:
+    """DROP INDEX ON <T> (cols): remove the manifest index record
+    (the clustering hint create_index recorded)."""
+    with open(os.path.join(ws_dir, "manifest.json")) as mh:
+        manifest = json.load(mh)
+    kind = "nodes" if label in manifest["nodes"] else "edges"
+    if label not in manifest[kind]:
+        raise ValueError(f"unknown type {label!r}")
+    idx = manifest[kind][label].get("indexes", [])
+    kept = [i for i in idx if i["columns"] != cols]
+    if len(kept) == len(idx):
+        raise ValueError(
+            f"no index on {label}({', '.join(cols)}) "
+            f"(declared: {[i['columns'] for i in idx]})"
+        )
+    manifest[kind][label]["indexes"] = kept
+    with open(os.path.join(ws_dir, "manifest.json"), "w") as mh:
+        json.dump(manifest, mh, indent=2)
+
+
+def rename_type(spark: SparkSession, ws_dir: str, label: str, new_label: str) -> int:
+    """ALTER TYPE <T> NAME <New>: rename a type, cascading the
+    DERIVED identity. Node ids are xxhash64(label, natural_key) — a
+    content-derived scheme with no driver-side map (A10) — so a node
+    rename RECOMPUTES every id and remaps src/dst in every touching
+    edge dataset via an (old_id, new_id) join: two hash joins per
+    edge type on 8-byte keys, the Spark-shaped cascade (at 100 TB the
+    remap shuffles only ids, and only for edge types declared against
+    the renamed label). Edge renames rewrite just their own label
+    column. Returns rows rewritten in the renamed dataset."""
+    with open(os.path.join(ws_dir, "manifest.json")) as mh:
+        manifest = json.load(mh)
+    for side in ("nodes", "edges"):
+        if new_label in manifest[side]:
+            raise ValueError(f"type {new_label!r} already exists")
+    if label in manifest["edges"]:
+        info = manifest["edges"][label]
+        cur = spark.read.parquet(info["path"])
+        n = cur.count()
+        new_path = os.path.join(ws_dir, "edges", new_label)
+        cur.withColumn("label", F.lit(new_label)).write.mode("overwrite").parquet(new_path)
+        shutil.rmtree(info["path"])
+        info["path"] = new_path
+        manifest["edges"][new_label] = info
+        del manifest["edges"][label]
+        with open(os.path.join(ws_dir, "manifest.json"), "w") as mh:
+            json.dump(manifest, mh, indent=2)
+        return n
+    if label not in manifest["nodes"]:
+        raise ValueError(f"unknown type {label!r}")
+    info = manifest["nodes"][label]
+    cur = spark.read.parquet(info["path"])
+    n = cur.count()
+    mapping = cur.select(
+        F.col("node_id").alias("_old"),
+        node_id(new_label, F.col("natural_key")).alias("_new"),
+    ).localCheckpoint(eager=True)
+    new_path = os.path.join(ws_dir, "nodes", new_label)
+    (
+        cur.withColumn("node_id", node_id(new_label, F.col("natural_key")))
+        .withColumn("label", F.lit(new_label))
+        .write.mode("overwrite").parquet(new_path)
+    )
+    shutil.rmtree(info["path"])
+    info["path"] = new_path
+    manifest["nodes"][new_label] = info
+    del manifest["nodes"][label]
+    for e_label, e_info in manifest["edges"].items():
+        touches = False
+        e = spark.read.parquet(e_info["path"])
+        if e_info["src_label"] == label:
+            e = (
+                e.join(mapping, e.src == mapping._old, "left")
+                .withColumn("src", F.coalesce("_new", "src"))
+                .drop("_old", "_new")
+            )
+            e_info["src_label"] = new_label
+            touches = True
+        if e_info["dst_label"] == label:
+            e = (
+                e.join(mapping, e.dst == mapping._old, "left")
+                .withColumn("dst", F.coalesce("_new", "dst"))
+                .drop("_old", "_new")
+            )
+            e_info["dst_label"] = new_label
+            touches = True
+        if touches:
+            _rewrite_dataset(e, e_info["path"])
+    with open(os.path.join(ws_dir, "manifest.json"), "w") as mh:
+        json.dump(manifest, mh, indent=2)
+    return n
+
+
 def is_stale(src_dir: str, ws_dir: str) -> bool:
     """E2 staleness check (ArcadeDBServer.java:105-119) — warn-only."""
     checksum_file = os.path.join(ws_dir, "checksum.txt")

@@ -341,3 +341,92 @@ def test_insert_values_within_batch_duplicate_key(spark, dml_ws):
     assert sorted((int(r.natural_key), r.n_name) for r in rows) == [
         (997, "FIRST"), (998, "OK"),
     ]
+
+
+def test_ddl_drop_property_and_index(spark, sf_small, tmp_path_factory):
+    """DROP PROPERTY rewrites the dataset without the column; DROP
+    INDEX removes the manifest clustering record (round-7 DDL)."""
+    import json as _json
+    import os
+
+    ws = str(tmp_path_factory.mktemp("ddl_drop") / "ws")
+    build_workspace(spark, sf_small, ws, force=True)
+    load_workspace(spark, ws)
+    run = lambda sql: execute(
+        spark, sql, workspace_dir=ws, allow_writes=True
+    ).collect()[0]
+    assert run("CREATE PROPERTY Nation.note STRING").operation == "ddl_property"
+    assert "note" in spark.table("n_Nation").columns
+    assert run("DROP PROPERTY Nation.note").operation == "ddl_drop_property"
+    assert "note" not in spark.table("n_Nation").columns
+    with pytest.raises(ArcadeSQLError, match="unknown property"):
+        run("DROP PROPERTY Nation.note")
+    with pytest.raises(ArcadeSQLError, match="structural"):
+        run("DROP PROPERTY Nation.node_id")
+    assert run("CREATE INDEX ON Nation (n_name)").operation == "ddl_index"
+    assert run("DROP INDEX ON Nation (n_name)").operation == "ddl_drop_index"
+    with pytest.raises(ArcadeSQLError, match="no index"):
+        run("DROP INDEX ON Nation (n_name)")
+    with open(os.path.join(ws, "manifest.json")) as mh:
+        assert _json.load(mh)["nodes"]["Nation"].get("indexes") == []
+
+
+def test_ddl_drop_type_gates_and_cascade_order(spark, sf_small, tmp_path_factory):
+    """DROP TYPE: populated types need UNSAFE; node types referenced
+    by edge types must drop those first; the dataset directory and
+    manifest entry go away."""
+    import os
+
+    ws = str(tmp_path_factory.mktemp("ddl_droptype") / "ws")
+    build_workspace(spark, sf_small, ws, force=True)
+    load_workspace(spark, ws)
+    run = lambda sql: execute(
+        spark, sql, workspace_dir=ws, allow_writes=True
+    ).collect()[0]
+    with pytest.raises(ArcadeSQLError, match="referenced by edge type"):
+        run("DROP TYPE Nation")
+    with pytest.raises(ArcadeSQLError, match="UNSAFE"):
+        run("DROP TYPE IN_REGION")
+    res = run("DROP TYPE IN_REGION UNSAFE")
+    assert res.operation == "ddl_drop_type" and res["count"] > 0
+    assert not os.path.exists(os.path.join(ws, "edges", "IN_REGION"))
+    # empty types drop without UNSAFE
+    run("CREATE VERTEX TYPE Scratch")
+    assert run("DROP TYPE Scratch")["count"] == 0
+    with pytest.raises(ArcadeSQLError, match="unknown type"):
+        run("DROP TYPE Scratch")
+
+
+def test_ddl_alter_type_rename_cascades_ids(spark, sf_small, tmp_path_factory):
+    """ALTER TYPE ... NAME ...: node ids are xxhash64(label, key), so
+    a rename recomputes ids AND remaps src/dst in touching edge
+    datasets — graph traversals must keep working afterward."""
+    ws = str(tmp_path_factory.mktemp("ddl_rename") / "ws")
+    build_workspace(spark, sf_small, ws, force=True)
+    load_workspace(spark, ws)
+    run = lambda sql: execute(
+        spark, sql, workspace_dir=ws, allow_writes=True
+    ).collect()[0]
+    before = execute(
+        spark,
+        "SELECT natural_key, out('IN_REGION').size() AS d FROM Nation",
+    ).collect()
+    res = run("ALTER TYPE Nation NAME Country")
+    assert res.operation == "ddl_rename_type" and res["count"] == len(before)
+    after = execute(
+        spark,
+        "SELECT natural_key, out('IN_REGION').size() AS d FROM Country",
+    ).collect()
+    assert sorted((r.natural_key, r.d) for r in before) == sorted(
+        (r.natural_key, r.d) for r in after
+    )
+    # derived ids actually changed (label participates in the hash)
+    from biodwh2_arcadedb_server_spark.workspace import node_id
+    from pyspark.sql import functions as F
+
+    ids = spark.table("n_Country").select(
+        (F.col("node_id") == node_id("Country", F.col("natural_key"))).alias("ok")
+    ).collect()
+    assert all(r.ok for r in ids)
+    with pytest.raises(ArcadeSQLError, match="already exists"):
+        run("ALTER TYPE Region NAME Country")
