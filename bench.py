@@ -180,6 +180,7 @@ HEADLINE = [
     "q156_semdedup_ann_clusters",
     "q157_graphql_inline_fragments",
     "q158_ddl_readback",
+    "q159_match_edge_alias",
 ]
 
 # Streaming micro-batch drains, timed and reported separately: their

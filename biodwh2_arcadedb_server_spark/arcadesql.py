@@ -544,7 +544,9 @@ class _Parser:
         return dml
 
     # -- MATCH pattern blocks (ArcadeDB/OrientDB MATCH syntax)
-    def _match_chain(self) -> tuple[list[dict], list[tuple[str, str | None]]]:
+    def _match_chain(
+        self,
+    ) -> tuple[list[dict], list[tuple[str, str | None, str | None]]]:
         nodes = [self._node_pattern()]
         steps: list[tuple[str, str | None]] = []
         while True:
@@ -637,6 +639,22 @@ class _Parser:
                         "contradictory"
                     )
                 assign(pat, inner_prefix=prefix)
+        # edge aliases ({as: e} on a step) share the compiled SQL
+        # namespace with node aliases — collisions are a user error
+        node_aliases = {p["alias"] for p in nodes}
+        for chain in extra:
+            node_aliases |= {p["alias"] for p in chain["nodes"]}
+        seen_edges: set[str] = set()
+        for st in (steps, *[c["steps"] for c in extra]):
+            for _d, _lbl, ea in st:
+                if ea is None:
+                    continue
+                if ea in node_aliases or ea in seen_edges:
+                    raise ArcadeSQLError(
+                        f"edge alias {ea!r} collides with another alias "
+                        "in this MATCH"
+                    )
+                seen_edges.add(ea)
         returns: list[tuple[str, str | None]] = []
         while True:
             expr = self._expr(dummy)
@@ -748,26 +766,51 @@ class _Parser:
             pat["_where_toks"] = where_slice
         return pat
 
-    def _edge_step(self) -> tuple[str, str | None] | None:
+    def _edge_alias(self) -> str | None:
+        """Optional ``{as: e}`` suffix on an edge step — a PATH
+        variable binding the traversed edge, so RETURN (and the
+        global WHERE) can project its properties from the typed
+        ``e_<LABEL>`` view."""
+        if not (self.peek().kind == "op" and self.peek().text == "{"):
+            return None
+        self.next()
+        word = self._name("edge pattern key")
+        if word.lower() != "as":
+            raise ArcadeSQLError(
+                f"edge patterns support only {{as: <alias>}}, got {word!r}"
+            )
+        self.expect("op", ":")
+        alias = self._name("edge alias")
+        self.expect("op", "}")
+        return alias
+
+    def _edge_step(self) -> tuple[str, str | None, str | None] | None:
         """``-LABEL->`` / ``-->`` (out), ``<-LABEL-`` / ``<--`` (in),
-        or method form ``.out('LABEL')`` / ``.in()`` / ``.both()``."""
+        or method form ``.out('LABEL')`` / ``.in()`` / ``.both()`` —
+        each optionally carrying a ``{as: e}`` edge binding."""
         t = self.peek()
         if t.kind == "op" and t.text == "-":
             self.next()
             if self.peek().kind == "arrow" and self.peek().text == "->":
                 self.next()
-                return ("out", None)  # -->
+                return ("out", None, None)  # -->
             label = self._name("edge label")
+            ealias = self._edge_alias()
             self.expect("arrow", "->")
-            return ("out", label)
+            return ("out", label, ealias)
         if t.kind == "arrow" and t.text == "<-":
             self.next()
             if self.accept("op", "-"):
-                return ("in", None)  # <--
+                return ("in", None, None)  # <--
             label = self._name("edge label")
+            ealias = self._edge_alias()
             self.expect("op", "-")
-            return ("in", label)
+            return ("in", label, ealias)
         if t.kind == "op" and t.text == ".":
+            # method form: the brace group FOLLOWING `.out('X')` is the
+            # next NODE pattern (OrientDB grammar), so edge aliases are
+            # an arrow-form-only feature — no ambiguity there because
+            # the alias braces sit before the arrow head
             self.next()
             d = self._direction("MATCH edge step")
             self.expect("op", "(")
@@ -775,7 +818,7 @@ class _Parser:
             if self.peek().kind == "string":
                 label = self._string_val(self.next().text)
             self.expect("op", ")")
-            return (d, label)
+            return (d, label, None)
         return None
 
     # -- statements
@@ -1546,12 +1589,20 @@ def _compile_chain(
     exactly ArcadeDB's optional-pattern semantics. Catalyst still
     sees one join chain: pushdown and broadcast apply per leg."""
     optional = False
-    for i, (d, label) in enumerate(steps):
-        e = f"__e{tag}{i}"
+    for i, (d, label, ealias) in enumerate(steps):
+        e = ealias or f"__e{tag}{i}"
         a = nodes[i]["alias"]
         nt = nodes[i + 1]
         b = nt["alias"]
         optional = optional or nt.get("optional", False)
+        if ealias is not None:
+            # the arrow grammar guarantees a label precedes the alias
+            # braces, so e_<label> always resolves here
+            if optional or nt.get("vl") is not None:
+                raise ArcadeSQLError(
+                    "edge aliases are not supported on optional or "
+                    "variable-length steps"
+                )
         vl = nt.get("vl")
         if vl is not None:
             # variable-length step (while: ($depth < N) / maxDepth: N)
@@ -1637,7 +1688,11 @@ def _compile_chain(
             continue
         if not optional:
             cond, nxt = _match_leg(e, a, b, d, label)
-            froms.append(f"JOIN edges {e} ON {cond}")
+            # a user-bound edge alias joins the TYPED edge view so
+            # RETURN can project edge properties (the unified `edges`
+            # view is the 3-column (src, dst, label) slice)
+            etable = f"e_{label}" if ealias else "edges"
+            froms.append(f"JOIN {etable} {e} ON {cond}")
             if nt.get("bound"):
                 # cycle-closing step: the target alias is already in
                 # scope — constrain it instead of re-joining its view
@@ -1704,7 +1759,13 @@ def _compile_neg_chain(chain: dict, idx: int) -> str:
     # should survive the anti-join (ADVICE r6)
     if nodes[0].get("where"):
         conds.append(nodes[0]["where"])
-    for i, (d, label) in enumerate(steps):
+    for i, (d, label, ealias) in enumerate(steps):
+        if ealias is not None:
+            raise ArcadeSQLError(
+                "edge aliases inside a NOT pattern are scoped to the "
+                "anti-join and never visible to RETURN — remove {as: "
+                f"{ealias}}}"
+            )
         e = f"__ne{idx}_{i}"
         a = nodes[i]["alias"]
         nt = nodes[i + 1]

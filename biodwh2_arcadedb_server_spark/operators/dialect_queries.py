@@ -74,10 +74,15 @@ def _register_star_workspace(spark: SparkSession, sf_dir: str) -> None:
         (F.col("l_orderkey") * 3 + 1).cast("long").alias("src"),
         (F.col("l_partkey") * 3 + 2).cast("long").alias("dst"),
         F.lit("CONTAINS").alias("label"),
+        # edge property for MATCH edge-alias probes ({as: e} binds the
+        # typed view; the unified `edges` view stays 3-column)
+        F.col("l_quantity").cast("double").alias("l_quantity"),
     )
     placed.createOrReplaceTempView("e_PLACED")
     contains.createOrReplaceTempView("e_CONTAINS")
-    placed.unionByName(contains).createOrReplaceTempView("edges")
+    placed.unionByName(
+        contains.select("src", "dst", "label")
+    ).createOrReplaceTempView("edges")
 
     nodes = (
         n_customer.select("node_id", "label", "natural_key")
@@ -507,6 +512,27 @@ def q158_ddl_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q159_match_edge_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH path variables (round 7, ROADMAP item d): ``{as: e}`` on
+    an edge step binds the traversed edge, joining the TYPED
+    ``e_<LABEL>`` view instead of the 3-column unified slice so
+    RETURN can aggregate edge properties — here total l_quantity per
+    customer across the 2-hop Customer-PLACED->Order-CONTAINS->Part
+    chain. Compiles to the same single join chain; the only plan
+    difference is which edge dataset the step scans (at 100 TB the
+    typed dataset is the SMALLER scan: one label's slice + pruned
+    columns)."""
+    _register_star_workspace(spark, sf_dir)
+    return arcadesql.execute(
+        spark,
+        "MATCH {type: Customer, as: c, where: (c_custkey <= 20)}"
+        "-PLACED->{type: Order, as: o}"
+        "-CONTAINS{as: e}->{type: Part, as: p} "
+        "RETURN c.c_custkey AS c_custkey, "
+        "sum(e.l_quantity) AS total_qty, count(*) AS n_lines",
+    )
+
+
 QUERIES = {
     "q151_graphql_variables": q151_graphql_variables,
     "q157_graphql_inline_fragments": q157_graphql_inline_fragments,
@@ -514,6 +540,7 @@ QUERIES = {
     "q136_match_dialect": q136_match_dialect,
     "q147_dml_readback": q147_dml_readback,
     "q158_ddl_readback": q158_ddl_readback,
+    "q159_match_edge_alias": q159_match_edge_alias,
     "q148_match_optional_dialect": q148_match_optional_dialect,
     "q150_unwind_dialect": q150_unwind_dialect,
     "q153_match_vl_dialect": q153_match_vl_dialect,
@@ -607,6 +634,16 @@ ORACLE = {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderstatus = 'O')
         ORDER BY c_custkey
+    """,
+    "q159_match_edge_alias": """
+        SELECT c.c_custkey,
+               SUM(CAST(l.l_quantity AS DOUBLE)) AS total_qty,
+               COUNT(*) AS n_lines
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_custkey <= 20
+        GROUP BY c.c_custkey
     """,
     "q158_ddl_readback": """
         SELECT CAST(1 AS BIGINT) AS natural_key, CAST(500 AS BIGINT) AS cap,

@@ -47,6 +47,12 @@ def graph_ws(spark):
         "src long, dst long, label string",
     )
     edges.createOrReplaceTempView("edges")
+    # typed edge view with a property — the MATCH edge-alias surface
+    # ({as: e}) joins e_<LABEL> so RETURN can project edge props
+    spark.createDataFrame(
+        [(s, d, "KNOWS", float(s * 10 + d)) for s, d in knows],
+        "src long, dst long, label string, weight double",
+    ).createOrReplaceTempView("e_KNOWS")
     nodes = persons.select(
         "node_id", "label", "natural_key", F.create_map(F.lit("name"), "name").alias("props")
     ).unionByName(
@@ -834,3 +840,75 @@ def test_run_sql_spark_create_view_not_hijacked(graph_ws):
         "CREATE OR REPLACE TEMPORARY VIEW __adv6_v AS SELECT 1 AS x",
     )
     assert _run_sql(graph_ws, "SELECT x FROM __adv6_v").collect()[0].x == 1
+
+
+# ---------------------------------------------------------------- MATCH edge aliases (path variables)
+def test_match_edge_alias_projects_edge_props(graph_ws):
+    """{as: e} on an edge step binds the traversed edge (ROADMAP item
+    d — path variables): RETURN projects its properties from the
+    typed e_<LABEL> view."""
+    df = execute(
+        graph_ws,
+        "MATCH {type: Person, as: a}-KNOWS{as: e}->{type: Person, as: b} "
+        "RETURN a.node_id AS src, b.node_id AS dst, e.weight AS w "
+        "ORDER BY src, dst",
+    )
+    assert [(r.src, r.dst, r.w) for r in df.collect()] == [
+        (1, 2, 12.0), (1, 3, 13.0), (2, 3, 23.0), (3, 4, 34.0), (4, 5, 45.0),
+    ]
+
+
+def test_match_edge_alias_aggregate(graph_ws):
+    """Edge properties flow through MATCH's implicit grouping."""
+    df = execute(
+        graph_ws,
+        "MATCH {type: Person, as: a}-KNOWS{as: e}->{type: Person} "
+        "RETURN a.node_id AS src, sum(e.weight) AS tw ORDER BY src",
+    )
+    assert [(r.src, r.tw) for r in df.collect()] == [
+        (1, 25.0), (2, 23.0), (3, 34.0), (4, 45.0),
+    ]
+
+
+def test_match_edge_alias_method_form_and_in(graph_ws):
+    df = execute(
+        graph_ws,
+        "MATCH {type: Person, as: b}<-KNOWS{as: e}-{type: Person, as: a} "
+        "RETURN a.node_id AS src, b.node_id AS dst, e.weight AS w "
+        "ORDER BY src, dst",
+    )
+    assert [(r.src, r.dst, r.w) for r in df.collect()][:2] == [
+        (1, 2, 12.0), (1, 3, 13.0),
+    ]
+    # method-form braces stay the NODE pattern (OrientDB grammar) —
+    # no edge alias there
+    df2 = execute(
+        graph_ws,
+        "MATCH {type: Person, as: a, where: (node_id = 1)}"
+        ".out('KNOWS'){type: Person, as: b} "
+        "RETURN b.node_id AS dst ORDER BY dst",
+    )
+    assert [r.dst for r in df2.collect()] == [2, 3]
+
+
+def test_match_edge_alias_errors(graph_ws):
+    with pytest.raises(ArcadeSQLError, match="optional or variable-length"):
+        translate(
+            "MATCH {type: Person, as: a}-KNOWS{as: e}->"
+            "{type: Person, as: b, optional: true} RETURN a.node_id"
+        )
+    with pytest.raises(ArcadeSQLError, match="collides"):
+        translate(
+            "MATCH {type: Person, as: a}-KNOWS{as: a}->{type: Person} "
+            "RETURN a.node_id"
+        )
+    with pytest.raises(ArcadeSQLError, match="NOT pattern"):
+        translate(
+            "MATCH {type: Person, as: a}, "
+            "NOT {as: a}-KNOWS{as: e}->{type: Person} RETURN a.node_id"
+        )
+    with pytest.raises(ArcadeSQLError, match="edge patterns support only"):
+        translate(
+            "MATCH {type: Person, as: a}-KNOWS{type: X}->{as: b} "
+            "RETURN a.node_id"
+        )
