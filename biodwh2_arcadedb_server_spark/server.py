@@ -40,6 +40,53 @@ from biodwh2_arcadedb_server_spark.logging_bridge import engine_logger
 DEFAULT_USER = "biodwh2"
 MAX_ROWS = 1000
 
+# Minimal Studio analog (the reference's headline workflow is "explore
+# the graph in ArcadeDB Studio" — README.md:19-26; ArcadeDBService
+# opens the browser on it, ArcadeDBService.java:285-293): a read-only
+# HTML query console served at GET /, executing statements through the
+# SAME authenticated /query and /graphql endpoints a client would use.
+# The page is fetched behind the basic-auth challenge, so the browser
+# reuses those credentials for the fetch() calls.
+_CONSOLE_HTML = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>BioDWH2 Spark Console</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:2rem;max-width:70rem}
+ textarea{width:100%;height:7rem;font-family:monospace;font-size:0.9rem}
+ table{border-collapse:collapse;margin-top:1rem}
+ td,th{border:1px solid #999;padding:0.2rem 0.5rem;font-size:0.85rem}
+ th{background:#eee} #err{color:#b00;white-space:pre-wrap}
+ select,button{font-size:0.9rem;padding:0.2rem 0.6rem;margin-top:0.4rem}
+</style></head><body>
+<h2>BioDWH2 Spark &mdash; query console</h2>
+<p>Statements run against the loaded workspace. Languages: Spark SQL
+(with ArcadeDB-dialect fallback), the ArcadeDB dialect (SELECT /
+MATCH / TRAVERSE), or GraphQL.</p>
+<textarea id="q">SELECT label, count(*) AS n FROM nodes GROUP BY label ORDER BY n DESC</textarea><br>
+<select id="lang"><option value="sql">SQL / dialect</option>
+<option value="arcadedb">ArcadeDB dialect</option>
+<option value="graphql">GraphQL</option></select>
+<button onclick="run()">Run</button>
+<div id="err"></div><div id="out"></div>
+<script>
+async function run(){
+  const q=document.getElementById('q').value;
+  const lang=document.getElementById('lang').value;
+  const path=lang==='graphql'?'/graphql':'/query';
+  const body=lang==='graphql'?{query:q}:{sql:q,language:lang};
+  document.getElementById('err').textContent='';
+  const r=await fetch(path,{method:'POST',body:JSON.stringify(body)});
+  const j=await r.json();
+  if(!r.ok){document.getElementById('err').textContent=j.error||r.status;
+            document.getElementById('out').innerHTML='';return;}
+  const esc=s=>String(s).replace(/[&<>]/g,c=>({'&':'&amp;','<':'&lt;','>':'&gt;'}[c]));
+  let h='<table><tr>'+j.columns.map(c=>'<th>'+esc(c)+'</th>').join('')+'</tr>';
+  for(const row of j.rows)
+    h+='<tr>'+row.map(v=>'<td>'+(v===null?'<i>null</i>':esc(v))+'</td>').join('')+'</tr>';
+  document.getElementById('out').innerHTML=h+'</table>';
+}
+</script></body></html>
+"""
+
 _log = engine_logger("http-server")
 
 
@@ -105,6 +152,23 @@ class QueryServer:
             def do_GET(self):
                 if self.path == "/health":
                     self._reply(200, {"status": "ok"})
+                elif self.path in ("/", "/index.html"):
+                    # Studio-analog console — served behind the basic-
+                    # auth challenge so the page's fetch() calls reuse
+                    # the browser's credentials
+                    if not self._authorized():
+                        self.send_response(401)
+                        self.send_header(
+                            "WWW-Authenticate", 'Basic realm="biodwh2"'
+                        )
+                        self.end_headers()
+                        return
+                    body = _CONSOLE_HTML.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._reply(404, {"error": "not found"})
 

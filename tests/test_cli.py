@@ -166,3 +166,73 @@ def test_server_speaks_arcadedb_dialect(spark, sf_small):
         assert post({"sql": "SELECT 2 AS two"})["rows"] == [["2"]]
     finally:
         srv.stop()
+
+
+def test_console_page_and_dialect_query_through_it(spark, sf_small, tmp_path_factory):
+    """Studio-analog console (reference README.md:19-26 workflow):
+    GET / serves the HTML console behind the auth challenge, and the
+    dialect statement the console posts executes through /query."""
+    import base64
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from biodwh2_arcadedb_server_spark.server import QueryServer
+    from biodwh2_arcadedb_server_spark.workspace import build_workspace, load_workspace
+
+    ws = str(tmp_path_factory.mktemp("console") / "ws")
+    build_workspace(spark, sf_small, ws, force=True)
+    load_workspace(spark, ws)
+    srv = QueryServer(spark)
+    port = srv.start()
+    auth = base64.b64encode(f"{srv.username}:{srv.password}".encode()).decode()
+    try:
+        # unauthenticated GET / challenges
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/")
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+            assert "Basic" in e.headers.get("WWW-Authenticate", "")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/",
+            headers={"Authorization": f"Basic {auth}"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            page = resp.read().decode()
+            assert resp.headers["Content-Type"].startswith("text/html")
+        assert "<html" in page and "/query" in page and "/graphql" in page
+        # the exact statement the console ships as its default
+        body = _json.dumps(
+            {"sql": "SELECT label, count(*) AS n FROM nodes "
+                    "GROUP BY label ORDER BY n DESC", "language": "sql"}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query",
+            data=body,
+            headers={"Authorization": f"Basic {auth}"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            out = _json.loads(resp.read())
+        assert out["columns"] == ["label", "n"]
+        assert len(out["rows"]) > 0
+        # and a dialect MATCH through the same endpoint (console's
+        # "ArcadeDB dialect" mode)
+        body = _json.dumps(
+            {"sql": "MATCH {type: Region, as: r}<-IN_REGION-"
+                    "{type: Nation, as: n} RETURN r.natural_key AS rk, "
+                    "count(*) AS n_nations",
+             "language": "arcadedb"}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query",
+            data=body,
+            headers={"Authorization": f"Basic {auth}"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            out = _json.loads(resp.read())
+        assert out["columns"] == ["rk", "n_nations"] and len(out["rows"]) == 5
+    finally:
+        srv.stop()
