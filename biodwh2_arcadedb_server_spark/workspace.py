@@ -101,6 +101,16 @@ def node_id(label: str, key_col) -> F.Column:
     return F.xxhash64(F.lit(label), key_col.cast("long"))
 
 
+def node_id2(label: str, key_col) -> F.Column:
+    """Second, independent 64-bit id lane for the 128-bit scheme
+    (SCALE.md: 64-bit collisions become material past ~10⁹ nodes).
+    A distinct leading salt makes the two lanes behave as independent
+    hash functions, so the pair collides with ~2⁻¹²⁸ probability —
+    still computed locally from the FK with zero shuffle, preserving
+    the no-id-assignment-pass property the scheme exists for."""
+    return F.xxhash64(F.lit("__idlane2__"), F.lit(label), key_col.cast("long"))
+
+
 def pseudo_hash(path: str) -> str:
     """A15 / HashUtils.java:21-24: md5 of "<mtime>__<size>" — a fast
     change detector that never reads file contents."""
@@ -119,42 +129,78 @@ def source_checksum(src_dir: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
-def build_nodes(spark: SparkSession, src_dir: str, spec: NodeSpec) -> DataFrame:
+def build_nodes(
+    spark: SparkSession, src_dir: str, spec: NodeSpec, id_bits: int = 64
+) -> DataFrame:
     """A10: per-label node set with global id + declared properties.
-    Internal bookkeeping fields are dropped (A5)."""
+    Internal bookkeeping fields are dropped (A5). ``id_bits=128`` adds
+    the second id lane (``node_id2``) — the SCALE.md collision-ceiling
+    escape hatch for >10⁹-node graphs."""
     df = load_table(spark, src_dir, spec.table)
     keep = [c for c in spec.props if c not in IGNORED_FIELDS]
+    lanes = [node_id(spec.label, F.col(spec.key)).alias("node_id")]
+    if id_bits == 128:
+        lanes.append(node_id2(spec.label, F.col(spec.key)).alias("node_id2"))
     return df.select(
-        node_id(spec.label, F.col(spec.key)).alias("node_id"),
+        *lanes,
         F.col(spec.key).cast("long").alias("natural_key"),
         F.lit(spec.label).alias("label"),
         *keep,
     )
 
 
-def build_edges(spark: SparkSession, src_dir: str, spec: EdgeSpec, nodes: dict[str, DataFrame]) -> DataFrame:
+def build_edges(
+    spark: SparkSession,
+    src_dir: str,
+    spec: EdgeSpec,
+    nodes: dict[str, DataFrame],
+    id_bits: int = 64,
+) -> DataFrame:
     """A11+A12: edge set with endpoint ids computed locally from the
     foreign keys (no remap join needed for id *assignment*), then
     validated with left_semi joins so dangling edges are dropped —
     the reference's `fromNode != null && toNode != null` skip
-    (ArcadeDBService.java:241-243)."""
+    (ArcadeDBService.java:241-243). Under ``id_bits=128`` the
+    endpoints carry both lanes (``src2``/``dst2``) — still derived
+    locally from the FK — and the dangling validation joins on the
+    16-byte pair, so a first-lane collision can't smuggle a dangling
+    edge through."""
     df = load_table(spark, src_dir, spec.table)
     cols = [
         node_id(spec.src_label, F.col(spec.src_key)).alias("src"),
         node_id(spec.dst_label, F.col(spec.dst_key)).alias("dst"),
         *[c for c in spec.props if c not in IGNORED_FIELDS],
     ]
+    if id_bits == 128:
+        cols[2:2] = [
+            node_id2(spec.src_label, F.col(spec.src_key)).alias("src2"),
+            node_id2(spec.dst_label, F.col(spec.dst_key)).alias("dst2"),
+        ]
     e = df.select(*cols)
     if spec.distinct:
         e = e.dropDuplicates(["src", "dst"])
-    src_ids = nodes[spec.src_label].select("node_id")
-    dst_ids = nodes[spec.dst_label].select("node_id")
-    e = e.join(src_ids, e.src == src_ids.node_id, "left_semi")
-    e = e.join(dst_ids, e.dst == dst_ids.node_id, "left_semi")
+    if id_bits == 128:
+        src_ids = nodes[spec.src_label].select("node_id", "node_id2")
+        dst_ids = nodes[spec.dst_label].select("node_id", "node_id2")
+        e = e.join(
+            src_ids,
+            (e.src == src_ids.node_id) & (e.src2 == src_ids.node_id2),
+            "left_semi",
+        )
+        e = e.join(
+            dst_ids,
+            (e.dst == dst_ids.node_id) & (e.dst2 == dst_ids.node_id2),
+            "left_semi",
+        )
+    else:
+        src_ids = nodes[spec.src_label].select("node_id")
+        dst_ids = nodes[spec.dst_label].select("node_id")
+        e = e.join(src_ids, e.src == src_ids.node_id, "left_semi")
+        e = e.join(dst_ids, e.dst == dst_ids.node_id, "left_semi")
     return e.withColumn("label", F.lit(spec.label))
 
 
-def validate_node_ids(node_frames: dict[str, DataFrame]) -> None:
+def validate_node_ids(node_frames: dict[str, DataFrame], id_bits: int = 64) -> None:
     """Collision audit for the hash-derived id scheme (the q17 unique-
     validation pattern applied to the ETL's own output): xxhash64 ids
     must be unique ACROSS labels — edges reference the global id, so a
@@ -165,14 +211,15 @@ def validate_node_ids(node_frames: dict[str, DataFrame]) -> None:
 
     Raises ``ValueError`` naming the colliding labels so the operator
     can switch the manifest's id_scheme to a 128-bit variant."""
+    key = ["node_id", "node_id2"] if id_bits == 128 else ["node_id"]
     ids = None
     for label, nf in node_frames.items():
-        part = nf.select("node_id", F.lit(label).alias("_lbl"))
+        part = nf.select(*key, F.lit(label).alias("_lbl"))
         ids = part if ids is None else ids.unionByName(part)
     if ids is None:
         return
     clashes = (
-        ids.groupBy("node_id")
+        ids.groupBy(*key)
         .agg(F.count("*").alias("n"), F.collect_set("_lbl").alias("labels"))
         .where(F.col("n") > 1)
         .limit(5)
@@ -197,6 +244,7 @@ def build_workspace(
     force: bool = False,
     node_specs: list[NodeSpec] | None = None,
     edge_specs: list[EdgeSpec] | None = None,
+    id_bits: int = 64,
 ) -> dict:
     """E1 lifecycle (`--create`): build the LPG workspace incrementally.
 
@@ -243,7 +291,20 @@ def build_workspace(
     def _src_hash(table: str) -> str:
         return pseudo_hash(os.path.join(src_dir, f"{table}.parquet"))
 
-    manifest: dict = {"version": 2, "id_scheme": "xxhash64(label,key)", "nodes": {}, "edges": {}}
+    if id_bits not in (64, 128):
+        raise ValueError(f"id_bits must be 64 or 128, got {id_bits}")
+    manifest: dict = {
+        "version": 2,
+        # the manifest records the scheme so readers/DML know which
+        # lanes exist (SCALE.md: the 128-bit variant "swaps in")
+        "id_scheme": (
+            "xxhash64(label,key)" if id_bits == 64
+            else "xxhash64x2(label,key)"
+        ),
+        "id_bits": id_bits,
+        "nodes": {},
+        "edges": {},
+    }
     rebuilt: list[str] = []
     node_frames: dict[str, DataFrame] = {}
     for spec in (node_specs if node_specs is not None else NODE_SPECS):
@@ -256,7 +317,7 @@ def build_workspace(
             manifest["nodes"][spec.label] = prev
             node_frames[spec.label] = spark.read.parquet(prev["path"])
             continue
-        nf = build_nodes(spark, src_dir, spec)
+        nf = build_nodes(spark, src_dir, spec, id_bits=id_bits)
         nf.write.mode("overwrite").parquet(out)
         node_frames[spec.label] = spark.read.parquet(out)
         rebuilt.append(f"n:{spec.label}")
@@ -268,7 +329,7 @@ def build_workspace(
             "count": node_frames[spec.label].count(),
         }
     if any(r.startswith("n:") for r in rebuilt):
-        validate_node_ids(node_frames)
+        validate_node_ids(node_frames, id_bits=id_bits)
 
     for spec in (edge_specs if edge_specs is not None else EDGE_SPECS):
         if spec.src_label not in node_frames or spec.dst_label not in node_frames:
@@ -282,7 +343,7 @@ def build_workspace(
         if prev and prev.get("source_hash") == h and endpoints_fresh and os.path.exists(prev["path"]):
             manifest["edges"][spec.label] = prev
             continue
-        ef = build_edges(spark, src_dir, spec, node_frames)
+        ef = build_edges(spark, src_dir, spec, node_frames, id_bits=id_bits)
         # Partitioning contract: edges are written hash-distributed by
         # src so per-source expansions and degree aggregations read
         # co-located data. At cluster scale this becomes
@@ -349,6 +410,8 @@ def insert_nodes(spark: SparkSession, ws_dir: str, label: str, rows: DataFrame) 
     new = rows.withColumn("node_id", node_id(label, F.col("natural_key"))).withColumn(
         "label", F.lit(label)
     )
+    if "node_id2" in cur.columns:  # 128-bit scheme: derive both lanes
+        new = new.withColumn("node_id2", node_id2(label, F.col("natural_key")))
     new = (
         new.select(*cur.columns)
         # within-batch duplicates (a multi-row VALUES repeating a
@@ -716,6 +779,11 @@ def rename_type(spark: SparkSession, ws_dir: str, label: str, new_label: str) ->
         raise ValueError(f"unknown type {label!r}")
     info = manifest["nodes"][label]
     cur = spark.read.parquet(info["path"])
+    if "node_id2" in cur.columns:
+        raise ValueError(
+            "ALTER TYPE ... NAME is not supported on 128-bit-id "
+            "workspaces yet — rebuild under the new name instead"
+        )
     n = cur.count()
     mapping = cur.select(
         F.col("node_id").alias("_old"),
@@ -782,7 +850,7 @@ def load_workspace(spark: SparkSession, ws_dir: str) -> dict:
     for label, info in manifest["nodes"].items():
         df = spark.read.parquet(info["path"])
         df.createOrReplaceTempView(f"n_{label}")
-        prop_cols = [c for c in df.columns if c not in ("node_id", "label", "natural_key")]
+        prop_cols = [c for c in df.columns if c not in ("node_id", "node_id2", "label", "natural_key")]
         if prop_cols:
             entries: list = []
             for c in prop_cols:

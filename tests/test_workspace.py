@@ -265,6 +265,96 @@ def test_build_workspace_runs_collision_audit(spark, sf_small, tmp_path, monkeyp
 
     calls = []
     real = ws.validate_node_ids
-    monkeypatch.setattr(ws, "validate_node_ids", lambda nf: calls.append(len(nf)) or real(nf))
+    monkeypatch.setattr(
+        ws, "validate_node_ids",
+        lambda nf, **kw: calls.append(len(nf)) or real(nf, **kw),
+    )
     ws.build_workspace(spark, sf_small, str(tmp_path / "ws_audit"), force=True)
     assert calls, "validate_node_ids was not called on a fresh build"
+
+
+# ---------------------------------------------------------------- 128-bit id scheme (round 7)
+def test_build_workspace_128bit_ids(spark, sf_small, tmp_path):
+    """id_bits=128 (the SCALE.md collision-ceiling escape hatch):
+    nodes carry both lanes, edges carry src2/dst2 derived locally
+    from the FK, the dangling semi-join keys on the 16-byte pair, and
+    the manifest records the scheme."""
+    from biodwh2_arcadedb_server_spark.workspace import (
+        build_workspace,
+        load_workspace,
+        node_id2,
+    )
+
+    ws = str(tmp_path / "ws128")
+    manifest = build_workspace(spark, sf_small, ws, force=True, id_bits=128)
+    assert manifest["id_scheme"] == "xxhash64x2(label,key)"
+    assert manifest["id_bits"] == 128
+    load_workspace(spark, ws)
+    n = spark.table("n_Nation")
+    assert {"node_id", "node_id2"} <= set(n.columns)
+    # second lane is derived, deterministic, and independent of lane 1
+    chk = n.select(
+        (F.col("node_id2") == node_id2("Nation", F.col("natural_key"))).alias("ok"),
+        (F.col("node_id2") != F.col("node_id")).alias("indep"),
+    ).collect()
+    assert all(r.ok and r.indep for r in chk)
+    e = spark.table("e_IN_REGION")
+    assert {"src", "src2", "dst", "dst2"} <= set(e.columns)
+    # both lanes of every edge endpoint resolve to the same node row
+    joined = (
+        e.join(
+            n.select(F.col("node_id").alias("src"), F.col("node_id2").alias("_n2")),
+            "src",
+        )
+        .where(F.col("src2") != F.col("_n2"))
+        .count()
+    )
+    assert joined == 0
+    # unified views stay 64-bit-shaped (node_id2 is an id lane, not a prop)
+    assert "node_id2" not in str(spark.table("nodes").schema["props"].dataType) or True
+    props_keys = spark.table("nodes").select(
+        F.explode(F.map_keys("props")).alias("k")
+    ).distinct().collect()
+    assert "node_id2" not in {r.k for r in props_keys}
+
+
+def test_validate_node_ids_128bit_pair_semantics(spark):
+    """Collision audit under the 128-bit scheme: a first-lane clash
+    with differing second lanes is NOT a collision; an identical PAIR
+    across labels is."""
+    from biodwh2_arcadedb_server_spark.workspace import validate_node_ids
+
+    a = spark.createDataFrame([(1, 10), (2, 20)], "node_id long, node_id2 long")
+    b = spark.createDataFrame([(2, 99), (3, 30)], "node_id long, node_id2 long")
+    validate_node_ids({"A": a, "B": b}, id_bits=128)  # lane-1 clash only: ok
+    with pytest.raises(ValueError, match="collision"):
+        validate_node_ids({"A": a, "B": b})  # same frames, 64-bit rules
+    c = spark.createDataFrame([(2, 20), (4, 40)], "node_id long, node_id2 long")
+    with pytest.raises(ValueError, match="collision"):
+        validate_node_ids({"A": a, "C": c}, id_bits=128)  # pair clash
+
+
+def test_insert_nodes_derives_second_lane(spark, sf_small, tmp_path):
+    """Dialect INSERT into a 128-bit workspace derives both lanes."""
+    from biodwh2_arcadedb_server_spark.arcadesql import execute
+    from biodwh2_arcadedb_server_spark.workspace import (
+        build_workspace,
+        load_workspace,
+        node_id2,
+    )
+
+    ws = str(tmp_path / "ws128ins")
+    build_workspace(spark, sf_small, ws, force=True, id_bits=128)
+    load_workspace(spark, ws)
+    execute(
+        spark,
+        "INSERT INTO Nation SET natural_key = 990, n_name = 'MU'",
+        workspace_dir=ws, allow_writes=True,
+    )
+    row = spark.read.parquet(f"{ws}/nodes/Nation").where(
+        F.col("natural_key") == 990
+    ).collect()[0]
+    expect = spark.range(1).select(
+        node_id2("Nation", F.lit(990)).alias("x")
+    ).collect()[0].x
+    assert row.node_id2 == expect
