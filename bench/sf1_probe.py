@@ -202,7 +202,14 @@ def main() -> None:
         fn = queries[name]
         fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
         best = float("inf")
+        from biodwh2_arcadedb_server_spark.operators import pipeline_queries as _pq
+
         for _ in range(2):
+            # bust the session-scoped derived-table cache so both runs
+            # pay the probe's full cost — the anchor records COLD cost
+            # per probe (the per-round bench.py number is the one that
+            # legitimately amortizes shared tables across the family)
+            _pq._SESSION_CACHE.clear()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -51,6 +51,22 @@ def get_spark(app_name: str = "biodwh2-arcadedb-server-spark", *, shuffle_partit
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Split small local files into row-group-grained tasks: the
+        # default 128 MB maxPartitionBytes leaves a 6 MB documents
+        # file as ONE scan task, serializing the first (often
+        # CPU-heavy) map stage on local[32] — a starvation a real
+        # cluster never sees because 100 TB inputs arrive in
+        # thousands of splits. 8 MB / 512 KB reproduces that
+        # multi-split shape at bench scale; on a real deployment the
+        # defaults are fine and these can be overridden via env.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "524288"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", _WAREHOUSE_DIR)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

@@ -496,3 +496,30 @@ def test_semdedup_contract_flags_true_at_sf01(spark, sf_medium):
 
     row = q156_semdedup_ann_clusters(spark, sf_medium).limit(1).collect()[0]
     assert row.pair_recall_ok and row.no_false_pos and row.membership_ok
+
+
+def test_jaccard_positional_filter_exact_vs_bruteforce(spark, sf_small):
+    """The PPJoin positional filter (round-7 perf work on the exact
+    pair path) must lose NO pair: compare against the quadratic
+    all-pairs Jaccard at a low threshold (0.5 stresses long prefixes
+    and near-miss candidates far more than the 0.8 the probes use)."""
+    d = load_table(spark, sf_small, "documents")
+    sh = dedup.shingle_table(d, "doc_id", "text", 3, 64)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            d, "doc_id", "text", 3, 0.5, shingles=sh
+        ).collect()
+    }
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    brute = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert got == brute
