@@ -181,6 +181,7 @@ HEADLINE = [
     "q157_graphql_inline_fragments",
     "q158_ddl_readback",
     "q159_match_edge_alias",
+    "q160_select_over_traverse",
 ]
 
 # Streaming micro-batch drains, timed and reported separately: their

@@ -199,6 +199,10 @@ class _Select:
     uses_graph_projection: bool = False
     lets: dict = field(default_factory=dict)  # $var -> compiled expr
     unwind: list[str] = field(default_factory=list)  # result fields to explode
+    # SELECT ... FROM (TRAVERSE ...) — the Studio filter-a-traversal
+    # pattern; materialized to a temp view by execute() (plan-level,
+    # like shortestPath), with $depth bound to the depth column
+    traverse_subquery: "_Traverse | None" = None
 
 
 @dataclass
@@ -883,7 +887,13 @@ class _Parser:
                     break
         self.expect("kw", "from")
         if self.accept("op", "("):
-            sel.subquery = self._select()
+            if self.peek().kind == "kw" and self.peek().text == "traverse":
+                sel.traverse_subquery = self._traverse()
+                # $depth in the outer WHERE/projections refers to the
+                # traversal depth column (ArcadeDB context variable)
+                sel.lets.setdefault("depth", "__self.depth")
+            else:
+                sel.subquery = self._select()
             self.expect("op", ")")
         else:
             sel.source_type = self._name("type name")
@@ -1472,6 +1482,11 @@ def _apply_unwind(sql: str, sel: _Select) -> str:
 
 
 def _compile_select(sel: _Select) -> str:
+    if sel.traverse_subquery is not None:
+        raise ArcadeSQLError(
+            "SELECT over a TRAVERSE subquery is plan-level (it runs "
+            "the frontier BFS first) — use execute()"
+        )
     if sel.subquery is not None:
         source = f"({_compile_select(sel.subquery)}) __self"
     else:
@@ -2139,8 +2154,33 @@ def execute(
     if isinstance(stmt, _Match):
         return spark.sql(_compile_match(stmt))
     if isinstance(stmt, _Select):
+        _materialize_traverse_sources(spark, stmt)
         return spark.sql(_compile_select(stmt))
-    # TRAVERSE
+    return _run_traverse(spark, stmt)
+
+
+def _materialize_traverse_sources(spark: SparkSession, sel: _Select) -> None:
+    """``SELECT ... FROM (TRAVERSE ...)`` — the Studio
+    filter-a-traversal pattern: run the frontier BFS, register its
+    result (node rows + ``depth``) under a spec-hashed view name
+    (idempotent under the ThreadingHTTPServer, same convention as the
+    shortestPath views), and point the SELECT at it. Recurses so the
+    pattern composes under nested SELECT subqueries."""
+    if sel.subquery is not None:
+        _materialize_traverse_sources(spark, sel.subquery)
+    if sel.traverse_subquery is None:
+        return
+    import hashlib
+
+    tag = hashlib.md5(repr(sel.traverse_subquery).encode()).hexdigest()[:10]
+    _run_traverse(spark, sel.traverse_subquery).createOrReplaceTempView(
+        f"n___trav{tag}"
+    )
+    sel.source_type = f"__trav{tag}"
+    sel.traverse_subquery = None
+
+
+def _run_traverse(spark: SparkSession, stmt: "_Traverse") -> DataFrame:
     from biodwh2_arcadedb_server_spark.operators.graph import bfs
 
     roots = spark.sql(_compile_select(stmt.inner)).select("node_id")

@@ -533,6 +533,22 @@ def q159_match_edge_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q160_select_over_traverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT ... FROM (TRAVERSE ...) — ArcadeDB's filter-a-traversal
+    Studio pattern (round 7): the frontier BFS materializes once
+    (spec-hashed view, same convention as shortestPath), the outer
+    SELECT aggregates it relationally, and $depth binds to the
+    traversal depth column."""
+    _register_star_workspace(spark, sf_dir)
+    return arcadesql.execute(
+        spark,
+        "SELECT label, $depth AS depth, count(*) AS n FROM "
+        "(TRAVERSE out('PLACED'), out('CONTAINS') FROM "
+        "(SELECT FROM Customer WHERE c_custkey <= 3) MAXDEPTH 2) "
+        "WHERE $depth >= 1 GROUP BY label, $depth ORDER BY label, depth",
+    )
+
+
 QUERIES = {
     "q151_graphql_variables": q151_graphql_variables,
     "q157_graphql_inline_fragments": q157_graphql_inline_fragments,
@@ -541,6 +557,7 @@ QUERIES = {
     "q147_dml_readback": q147_dml_readback,
     "q158_ddl_readback": q158_ddl_readback,
     "q159_match_edge_alias": q159_match_edge_alias,
+    "q160_select_over_traverse": q160_select_over_traverse,
     "q148_match_optional_dialect": q148_match_optional_dialect,
     "q150_unwind_dialect": q150_unwind_dialect,
     "q153_match_vl_dialect": q153_match_vl_dialect,
@@ -634,6 +651,24 @@ ORACLE = {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderstatus = 'O')
         ORDER BY c_custkey
+    """,
+    "q160_select_over_traverse": """
+        WITH d1 AS (
+            SELECT DISTINCT CAST(o.o_orderkey * 3 + 1 AS BIGINT) AS node_id,
+                   'Order' AS label, 1 AS depth
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey <= 3
+        ), d2 AS (
+            SELECT DISTINCT CAST(l.l_partkey * 3 + 2 AS BIGINT) AS node_id,
+                   'Part' AS label, 2 AS depth
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey <= 3
+        )
+        SELECT label, depth, COUNT(*) AS n
+        FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        GROUP BY label, depth ORDER BY label, depth
     """,
     "q159_match_edge_alias": """
         SELECT c.c_custkey,

@@ -18,6 +18,14 @@ Surface:
   configured — the analog of the reference's generated root password).
 - ``GET /health`` → ``{"status": "ok"}`` (unauthenticated, like the
   reference's readiness ping).
+- ArcadeDB wire-compat: ``GET /api/v1/ready`` (204) and
+  ``POST /api/v1/query/{db}`` / ``/api/v1/command/{db}`` with the
+  ArcadeDB body shape ``{"language": "sql", "command": …}`` →
+  ``{"result": [{col: value}, …]}`` — existing ArcadeDB client code
+  ports without edits; /query rejects non-idempotent statements,
+  /command honors the allow_writes gate.
+- ``GET /`` — a read-only HTML query console (the Studio-analog
+  explore workflow).
 
 Production notes: a real deployment would front this with Spark
 Connect / Thrift for wire compatibility; the point pinned by tests is
@@ -29,6 +37,7 @@ from __future__ import annotations
 
 import base64
 import json
+import re
 import secrets
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -152,6 +161,10 @@ class QueryServer:
             def do_GET(self):
                 if self.path == "/health":
                     self._reply(200, {"status": "ok"})
+                elif self.path == "/api/v1/ready":
+                    # ArcadeDB readiness ping: 204, no body
+                    self.send_response(204)
+                    self.end_headers()
                 elif self.path in ("/", "/index.html"):
                     # Studio-analog console — served behind the basic-
                     # auth challenge so the page's fetch() calls reuse
@@ -172,14 +185,99 @@ class QueryServer:
                 else:
                     self._reply(404, {"error": "not found"})
 
+            def _arcade_api(self, verb: str) -> None:
+                """ArcadeDB-compatible wire surface (the literal REST
+                shape the reference's embedded server exposes —
+                public HTTP API of arcadedb-server 22.x):
+                ``POST /api/v1/query/{db}`` and ``/api/v1/command/
+                {db}`` with body ``{"language": "sql", "command":
+                "..."}`` → ``{"result": [{col: value, …}, …]}``.
+                Existing ArcadeDB client code ports without edits:
+                language "sql" IS the ArcadeDB dialect here (dialect-
+                first routing, Spark-SQL fallback), /query stays
+                idempotent (dialect DML/DDL → 400, like ArcadeDB's
+                non-idempotent rejection), /command runs it behind
+                the same allow_writes gate as everywhere else."""
+                from pyspark.errors import PySparkException
+
+                from biodwh2_arcadedb_server_spark import arcadesql
+
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                cmd = req.get("command") or req.get("query")
+                if not cmd:
+                    self._reply(400, {"error": "missing 'command'"})
+                    return
+                lang = req.get("language", "sql").lower()
+                limit = min(int(req.get("limit", MAX_ROWS)), MAX_ROWS)
+                if lang == "graphql":
+                    from biodwh2_arcadedb_server_spark.graphql import (
+                        execute as gql_execute,
+                    )
+
+                    df = gql_execute(
+                        server.spark,
+                        cmd,
+                        variables=req.get("params"),
+                        workspace_dir=server.workspace_dir,
+                        allow_writes=server.allow_writes
+                        and verb == "command",
+                    )
+                elif lang in ("sql", "arcadedb"):
+                    if verb == "query" and arcadesql.claims_statement(cmd):
+                        self._reply(
+                            400,
+                            {"error": "non-idempotent statement on "
+                                      "/query — use /api/v1/command"},
+                        )
+                        return
+                    try:
+                        df = arcadesql.execute(
+                            server.spark,
+                            cmd,
+                            workspace_dir=server.workspace_dir,
+                            allow_writes=server.allow_writes
+                            and verb == "command",
+                        )
+                    except arcadesql.ArcadeSQLError as orig:
+                        # convenience fallback: plain Spark SQL text
+                        # still answers (the dialect is a superset of
+                        # neither) — but surface the DIALECT error
+                        # when both fail, matching the declared
+                        # language
+                        try:
+                            df = server.spark.sql(cmd)
+                        except PySparkException:
+                            raise orig from None
+                else:
+                    self._reply(400, {"error": f"unknown language {lang!r}"})
+                    return
+                rows = [r.asDict(recursive=True) for r in df.limit(limit).collect()]
+                for row in rows:  # JSON-safe: stringify exotic scalars
+                    for k, v in row.items():
+                        if v is not None and not isinstance(
+                            v, (str, int, float, bool, list, dict)
+                        ):
+                            row[k] = str(v)
+                self._reply(200, {"result": rows})
+
             def do_POST(self):
-                if self.path not in ("/query", "/graphql"):
+                api = re.fullmatch(r"/api/v1/(query|command)/[^/]+", self.path)
+                if self.path not in ("/query", "/graphql") and not api:
                     self._reply(404, {"error": "not found"})
                     return
                 if not self._authorized():
                     self.send_response(401)
                     self.send_header("WWW-Authenticate", 'Basic realm="biodwh2"')
                     self.end_headers()
+                    return
+                if api:
+                    try:
+                        self._arcade_api(api.group(1))
+                    except Exception as exc:  # noqa: BLE001
+                        self._reply(
+                            400, {"error": f"{type(exc).__name__}: {exc}"[:500]}
+                        )
                     return
                 try:
                     n = int(self.headers.get("Content-Length", "0"))

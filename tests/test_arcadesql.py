@@ -912,3 +912,35 @@ def test_match_edge_alias_errors(graph_ws):
             "MATCH {type: Person, as: a}-KNOWS{type: X}->{as: b} "
             "RETURN a.node_id"
         )
+
+
+# ---------------------------------------------------------------- SELECT over TRAVERSE
+def test_select_over_traverse_subquery(graph_ws):
+    """SELECT ... FROM (TRAVERSE ...) — the Studio filter-a-traversal
+    pattern; $depth binds to the traversal depth column."""
+    df = execute(
+        graph_ws,
+        "SELECT node_id, $depth AS d FROM "
+        "(TRAVERSE out('KNOWS') FROM (SELECT FROM Person WHERE age = 10) "
+        "MAXDEPTH 3) WHERE $depth >= 1 ORDER BY node_id",
+    )
+    assert [(r.node_id, r.d) for r in df.collect()] == [
+        (2, 1), (3, 1), (4, 2), (5, 3),
+    ]
+
+
+def test_select_star_over_traverse(graph_ws):
+    df = execute(
+        graph_ws,
+        "SELECT FROM (TRAVERSE out('KNOWS') FROM "
+        "(SELECT FROM Person WHERE age = 10))",
+    )
+    assert df.count() == 5 and "depth" in df.columns
+
+
+def test_select_over_traverse_translate_is_plan_level(graph_ws):
+    with pytest.raises(ArcadeSQLError, match="plan-level"):
+        translate(
+            "SELECT FROM (TRAVERSE out('KNOWS') FROM "
+            "(SELECT FROM Person WHERE age = 10))"
+        )

@@ -236,3 +236,80 @@ def test_console_page_and_dialect_query_through_it(spark, sf_small, tmp_path_fac
         assert out["columns"] == ["rk", "n_nations"] and len(out["rows"]) == 5
     finally:
         srv.stop()
+
+
+def test_arcadedb_v1_api_wire_compat(spark, sf_small, tmp_path_factory):
+    """The literal ArcadeDB REST shape: /api/v1/ready, /api/v1/query
+    (idempotent, ArcadeDB-SQL language), /api/v1/command (gated
+    writes) — {"result": [records]} responses."""
+    import base64
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from biodwh2_arcadedb_server_spark.server import QueryServer
+    from biodwh2_arcadedb_server_spark.workspace import build_workspace, load_workspace
+
+    ws = str(tmp_path_factory.mktemp("v1api") / "ws")
+    build_workspace(spark, sf_small, ws, force=True)
+    load_workspace(spark, ws)
+    srv = QueryServer(spark, workspace_dir=ws, allow_writes=True)
+    port = srv.start()
+    auth = base64.b64encode(f"{srv.username}:{srv.password}".encode()).decode()
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=_json.dumps(payload).encode(),
+            headers={"Authorization": f"Basic {auth}"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            return _json.loads(resp.read())
+
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/api/v1/ready") as r:
+            assert r.status == 204
+        out = post(
+            "/api/v1/query/biodwh2",
+            {"language": "sql",
+             "command": "SELECT n_name FROM Nation WHERE natural_key = 3"},
+        )
+        assert len(out["result"]) == 1 and "n_name" in out["result"][0]
+        # graph dialect through the same route
+        out2 = post(
+            "/api/v1/query/biodwh2",
+            {"language": "sql",
+             "command": "SELECT natural_key, out('IN_REGION').size() AS d "
+                        "FROM Nation WHERE natural_key <= 2"},
+        )
+        assert {r["d"] for r in out2["result"]} == {1}
+        # non-idempotent on /query → 400
+        try:
+            post("/api/v1/query/biodwh2",
+                 {"command": "INSERT INTO Nation SET natural_key = 990"})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # /command runs it (writes enabled on this server)
+        out3 = post(
+            "/api/v1/command/biodwh2",
+            {"language": "sql",
+             "command": "INSERT INTO Nation SET natural_key = 990, "
+                        "n_name = 'WIRELAND'"},
+        )
+        assert out3["result"][0]["count"] == 1
+        out4 = post(
+            "/api/v1/query/biodwh2",
+            {"command": "SELECT n_name FROM Nation WHERE natural_key = 990"},
+        )
+        assert out4["result"] == [{"n_name": "WIRELAND"}]
+        # graphql language
+        out5 = post(
+            "/api/v1/query/biodwh2",
+            {"language": "graphql",
+             "command": "{ Nation(natural_key: 3) { n_name } }"},
+        )
+        assert len(out5["result"]) == 1
+    finally:
+        srv.stop()
