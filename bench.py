@@ -182,6 +182,7 @@ HEADLINE = [
     "q158_ddl_readback",
     "q159_match_edge_alias",
     "q160_select_over_traverse",
+    "q161_collection_agg_dialect",
 ]
 
 # Streaming micro-batch drains, timed and reported separately: their

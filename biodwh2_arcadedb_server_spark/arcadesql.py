@@ -1248,6 +1248,17 @@ class _Parser:
                 self.expect("op", ")")
                 if low == "count" and star:
                     return "count(*)"
+                if low in ("set", "list"):
+                    # ArcadeDB collection aggregates: set() dedupes,
+                    # list() keeps multiplicity; both sorted — ArcadeDB
+                    # guarantees no order, a stable one keeps results
+                    # deterministic and oracle-able
+                    if star or len(args) != 1:
+                        raise ArcadeSQLError(
+                            f"{low}() takes exactly one expression"
+                        )
+                    inner = "collect_set" if low == "set" else "collect_list"
+                    return f"sort_array({inner}({args[0]}))"
                 if low in _AGGS or low in _PASSTHROUGH_FNS:
                     return f"{low}({prefix}{', '.join(args)})"
                 raise ArcadeSQLError(f"unsupported function {name}()")
@@ -1567,7 +1578,10 @@ def _compile_select(sel: _Select) -> str:
     return _finalize_lets(sql, sel)
 
 
-_AGG_RE = re.compile(r"\b(count|sum|avg|min|max|first|last)\s*\(", re.I)
+_AGG_RE = re.compile(
+    r"\b(count|sum|avg|min|max|first|last|collect_set|collect_list)\s*\(",
+    re.I,
+)
 
 
 def _match_leg(

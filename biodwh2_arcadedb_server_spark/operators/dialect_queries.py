@@ -549,6 +549,19 @@ def q160_select_over_traverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q161_collection_agg_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArcadeDB set()/list() collection aggregates through the
+    dialect (round 7): per market segment, the SORTED set of nation
+    keys plus the row count — compiles to sort_array(collect_set(…)),
+    one hash-aggregate shuffle."""
+    _register_star_workspace(spark, sf_dir)
+    return arcadesql.execute(
+        spark,
+        "SELECT c_mktsegment, set(c_nationkey) AS nations, count(*) AS n "
+        "FROM Customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    )
+
+
 QUERIES = {
     "q151_graphql_variables": q151_graphql_variables,
     "q157_graphql_inline_fragments": q157_graphql_inline_fragments,
@@ -558,6 +571,7 @@ QUERIES = {
     "q158_ddl_readback": q158_ddl_readback,
     "q159_match_edge_alias": q159_match_edge_alias,
     "q160_select_over_traverse": q160_select_over_traverse,
+    "q161_collection_agg_dialect": q161_collection_agg_dialect,
     "q148_match_optional_dialect": q148_match_optional_dialect,
     "q150_unwind_dialect": q150_unwind_dialect,
     "q153_match_vl_dialect": q153_match_vl_dialect,
@@ -651,6 +665,12 @@ ORACLE = {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderstatus = 'O')
         ORDER BY c_custkey
+    """,
+    "q161_collection_agg_dialect": """
+        SELECT c_mktsegment,
+               list_sort(list(DISTINCT c_nationkey)) AS nations,
+               COUNT(*) AS n
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     "q160_select_over_traverse": """
         WITH d1 AS (

@@ -944,3 +944,26 @@ def test_select_over_traverse_translate_is_plan_level(graph_ws):
             "SELECT FROM (TRAVERSE out('KNOWS') FROM "
             "(SELECT FROM Person WHERE age = 10))"
         )
+
+
+def test_collection_aggregates_set_list(graph_ws):
+    """ArcadeDB's set()/list() collection aggregates (sorted for
+    determinism) — per city, the set of resident names; in MATCH,
+    implicit grouping treats them as aggregates."""
+    df = execute(
+        graph_ws,
+        "MATCH {type: Person, as: p}-LIVES_IN->{type: City, as: c} "
+        "RETURN c.name AS city, set(p.name) AS residents ORDER BY city",
+    )
+    assert [(r.city, list(r.residents)) for r in df.collect()] == [
+        ("ams", ["p1", "p2"]), ("ber", ["p3"]), ("cdg", ["p4", "p5"]),
+    ]
+    df2 = execute(
+        graph_ws,
+        "SELECT label, list(natural_key) AS keys FROM "
+        "(TRAVERSE out('KNOWS') FROM (SELECT FROM Person WHERE age = 10)) "
+        "GROUP BY label",
+    )
+    assert [list(r.keys) for r in df2.collect()] == [["1", "2", "3", "4", "5"]]
+    with pytest.raises(ArcadeSQLError, match="exactly one"):
+        translate("SELECT set(name, age) FROM Person GROUP BY age")
