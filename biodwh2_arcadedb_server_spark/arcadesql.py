@@ -72,8 +72,9 @@ Supported subset (documented contract, tested differentially):
   TRAVERSE: use ``execute()``, not ``translate()``.
 
 - ``UPDATE <T> SET k = <expr>[, ...] [WHERE ...]``, ``INSERT INTO
-  <T> SET ... | (cols) VALUES (...)[, ...]``, ``CREATE VERTEX <T>
-  [SET ...]``, ``DELETE [VERTEX | FROM] <T> [WHERE ...]`` — routed
+  <T> SET ... [UPSERT] | (cols) VALUES (...)[, ...]``, ``CREATE
+  VERTEX <T> [SET ...]``, ``DELETE [VERTEX | FROM] <T> [WHERE ...]``
+  (UPSERT inserts the SET row when nothing matches) — routed
   to the workspace batch-recompute DML API (insert/update/
   delete_nodes; DELETE cascades to connected edges, ArcadeDB
   semantics) but ONLY behind ``execute(..., allow_writes=True,
@@ -398,6 +399,12 @@ class _Parser:
             dml = _DML(kind=kind, label=self._name("type name"))
             self._expect_word("set")
             self._dml_assignments(dml)
+            if self._accept_word("upsert"):
+                # UPDATE ... SET ... UPSERT [WHERE ...]: insert the SET
+                # row when nothing matches (ArcadeDB semantics)
+                if kind != "update":
+                    raise ArcadeSQLError("UPSERT applies to vertex UPDATE only")
+                dml.ddl["upsert"] = True
             if self.accept("kw", "where"):
                 dml.where = self._expr(dummy)
             return dml
@@ -2021,6 +2028,14 @@ def _execute_dml_locked(spark, stmt, workspace_dir, pred, ws, os):
             spark, workspace_dir, stmt.label, pred,
             {col: F.expr(expr) for col, expr in stmt.assignments},
         )
+        if n == 0 and stmt.ddl.get("upsert"):
+            # nothing matched: insert the SET row (ArcadeDB UPSERT) —
+            # the result row reports operation "insert" so the caller
+            # sees which branch ran
+            ins = _DML(
+                kind="insert", label=stmt.label, rows=[dict(stmt.assignments)]
+            )
+            return _execute_dml_locked(spark, ins, workspace_dir, pred, ws, os)
     elif stmt.kind == "delete":
         n = ws.delete_nodes(spark, workspace_dir, stmt.label, pred)
     elif stmt.kind == "update_edge":

@@ -430,3 +430,32 @@ def test_ddl_alter_type_rename_cascades_ids(spark, sf_small, tmp_path_factory):
     assert all(r.ok for r in ids)
     with pytest.raises(ArcadeSQLError, match="already exists"):
         run("ALTER TYPE Region NAME Country")
+
+
+def test_update_upsert(spark, dml_ws):
+    """UPDATE ... SET ... UPSERT WHERE: updates when matched, inserts
+    the SET row when nothing matches (ArcadeDB semantics)."""
+    # no nation 980 yet -> insert branch
+    res = execute(
+        spark,
+        "UPDATE Nation SET natural_key = 980, n_name = 'NEWLAND' "
+        "UPSERT WHERE natural_key = 980",
+        workspace_dir=dml_ws, allow_writes=True,
+    ).collect()[0]
+    assert (res.operation, res["count"]) == ("insert", 1)
+    # second time -> update branch
+    res2 = execute(
+        spark,
+        "UPDATE Nation SET n_name = 'RENLAND' UPSERT WHERE natural_key = 980",
+        workspace_dir=dml_ws, allow_writes=True,
+    ).collect()[0]
+    assert (res2.operation, res2["count"]) == ("update", 1)
+    rows = execute(
+        spark, "SELECT n_name FROM Nation WHERE natural_key = 980"
+    ).collect()
+    assert [r.n_name for r in rows] == ["RENLAND"]
+    with pytest.raises(ArcadeSQLError, match="vertex UPDATE only"):
+        execute(
+            spark, "UPDATE EDGE CONTAINS SET l_discount = 0 UPSERT",
+            workspace_dir=dml_ws, allow_writes=True,
+        )
