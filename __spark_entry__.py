@@ -32,6 +32,7 @@ from biodwh2_arcadedb_server_spark.operators import (
     relational6,
     relational7,
     relational8,
+    relational9,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -210,6 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pooled.update(relational6.QUERIES)
     pooled.update(relational7.QUERIES)
     pooled.update(relational8.QUERIES)
+    pooled.update(relational9.QUERIES)
     pooled.update(graph_queries.QUERIES)
     pooled.update(pipeline_queries.QUERIES)
     pooled.update(pipeline_queries2.QUERIES)
@@ -232,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational6.ORACLE)
     out.update(relational7.ORACLE)
     out.update(relational8.ORACLE)
+    out.update(relational9.ORACLE)
     out.update(graph_queries.ORACLE)
     out.update(pipeline_queries.ORACLE)
     out.update(pipeline_queries2.ORACLE)

@@ -59,6 +59,8 @@ HEADLINE = [
     "q42_exists_semi",
     "q43_tpch_q3_shape",
     "q44_tpch_q5_shape",
+    "q162_tpch_q10_shape",
+    "q163_tpch_q7_shape",
     "q45_sessionize",
     "q46_lpg_edge_build",
     "q47_pandas_zscore",
