@@ -476,14 +476,20 @@ def _build(
         e = spark.table(f"e_{rel.edge}").select("src", "dst")
         if rel.direction == "in":
             e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # `limit` on a NESTED field is PER PARENT (GraphQL client
+        # expectation): it must slice each parent's sorted child
+        # array, not truncate the child table globally before the
+        # join (which would return "the first N children overall")
+        nested_limit = nf.args.pop("limit", None)
         child = _build(spark, rel.target, nf, rels, keep_node_id=False)
         linked = e.join(child, e.dst == child._gql_key).select(
             F.col("src").alias("_parent"),
             F.struct(*[c for c in child.columns if c != "_gql_key"]).alias("_s"),
         )
-        agg = linked.groupBy("_parent").agg(
-            F.sort_array(F.collect_list("_s")).alias(nf.name)
-        )
+        arr = F.sort_array(F.collect_list("_s"))
+        if nested_limit is not None:
+            arr = F.slice(arr, 1, int(nested_limit))
+        agg = linked.groupBy("_parent").agg(arr.alias(nf.name))
         arr_type = agg.schema[nf.name].dataType
         df = (
             df.join(agg, df.node_id == agg._parent, "left")

@@ -352,3 +352,25 @@ def test_type_introspection(spark, ws):
         graphql.execute(spark, '{ __type(name: "Bogus") { name } }')
     with pytest.raises(graphql.GraphQLError, match="requires a name"):
         graphql.execute(spark, "{ __type { name } }")
+
+
+def test_nested_limit_is_per_parent(spark, ws):
+    """limit on a nested field slices EACH parent's (sorted) child
+    list — not the child table globally."""
+    full = graphql.execute(
+        spark, "{ Nation { natural_key cust_in_nation_rev { natural_key } } }"
+    )
+    limited = graphql.execute(
+        spark,
+        "{ Nation { natural_key cust_in_nation_rev(limit: 2) { natural_key } } }",
+    )
+    want = {
+        r.natural_key: [x.natural_key for x in r.cust_in_nation_rev][:2]
+        for r in full.collect()
+    }
+    got = {
+        r.natural_key: [x.natural_key for x in r.cust_in_nation_rev]
+        for r in limited.collect()
+    }
+    assert got == want
+    assert any(len(v) == 2 for v in got.values())  # actually sliced
