@@ -1405,6 +1405,90 @@ def _replace_outside_strings(sql: str, needle: str, repl: str) -> str:
     )
 
 
+def _top_level_conjuncts(expr: str) -> list[str]:
+    """Split a compiled boolean expression on top-level ``AND``
+    (outside string literals and parentheses) — the UPSERT insert
+    branch folds simple equality conjuncts into the new row."""
+    out: list[str] = []
+    depth = i = start = 0
+    n = len(expr)
+    while i < n:
+        c = expr[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if expr[j] == "\\":
+                    j += 2
+                    continue
+                if expr[j] == "'":
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and expr[i : i + 5].upper() == " AND ":
+            out.append(expr[start:i])
+            start = i + 5
+            i += 5
+            continue
+        i += 1
+    out.append(expr[start:])
+    return [p for p in (s.strip() for s in out) if p]
+
+
+def _fold_equality_conjuncts(expr: str, row: dict) -> None:
+    """Collect top-level ``col = literal`` conjuncts of a compiled
+    WHERE into ``row`` (UPSERT's insert branch), unwrapping balanced
+    outer parentheses recursively. Existing keys (SET wins) and
+    non-equality conjuncts are left alone."""
+    for part in _top_level_conjuncts(expr):
+        while part.startswith("(") and part.endswith(")"):
+            # strip only a paren pair that wraps the WHOLE part
+            depth = 0
+            wraps = True
+            i, n = 0, len(part)
+            while i < n:
+                c = part[i]
+                if c == "'":
+                    j = i + 1
+                    while j < n:
+                        if part[j] == "\\":
+                            j += 2
+                            continue
+                        if part[j] == "'":
+                            break
+                        j += 1
+                    i = j + 1
+                    continue
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0 and i < n - 1:
+                        wraps = False
+                        break
+                i += 1
+            if not wraps:
+                break
+            inner = part[1:-1].strip()
+            subs = _top_level_conjuncts(inner)
+            if len(subs) > 1:
+                for sp in subs:
+                    _fold_equality_conjuncts(sp, row)
+                return
+            part = inner
+        m = re.fullmatch(
+            r"\s*([A-Za-z_]\w*)\s*=\s*"
+            r"('(?:[^'\\]|\\.)*'|-?\d+(?:\.\d+)?)\s*",
+            part,
+        )
+        if m and m.group(1) not in row:
+            row[m.group(1)] = m.group(2)
+
+
 def _requalify_alias(sql: str, alias: str, new_alias: str) -> str:
     """Rewrite ``alias.`` qualifiers to ``new_alias.`` — only OUTSIDE
     single-quoted literals and only at identifier boundaries. The old
@@ -2024,25 +2108,37 @@ def _execute_dml_locked(spark, stmt, workspace_dir, pred, ws, os):
             "operation string, label string, count long",
         )
     if stmt.kind == "update":
-        n = ws.update_nodes(
-            spark, workspace_dir, stmt.label, pred,
-            {col: F.expr(expr) for col, expr in stmt.assignments},
-        )
+        try:
+            n = ws.update_nodes(
+                spark, workspace_dir, stmt.label, pred,
+                {col: F.expr(expr) for col, expr in stmt.assignments},
+            )
+        except ValueError as exc:  # identity-column guard
+            raise ArcadeSQLError(str(exc)) from exc
         if n == 0 and stmt.ddl.get("upsert"):
             # nothing matched: insert the SET row (ArcadeDB UPSERT) —
             # the result row reports operation "insert" so the caller
-            # sees which branch ran
-            ins = _DML(
-                kind="insert", label=stmt.label, rows=[dict(stmt.assignments)]
-            )
+            # sees which branch ran. ArcadeDB folds the WHERE's
+            # matched attributes into the inserted record, so simple
+            # `col = literal` conjuncts join the row (round-7 review:
+            # without this, the idiomatic `SET name='x' UPSERT WHERE
+            # natural_key = 9` form could never supply the key — and
+            # putting the key in SET is rejected as an identity
+            # UPDATE). SET wins on conflict.
+            row = dict(stmt.assignments)
+            _fold_equality_conjuncts(stmt.where or "", row)
+            ins = _DML(kind="insert", label=stmt.label, rows=[row])
             return _execute_dml_locked(spark, ins, workspace_dir, pred, ws, os)
     elif stmt.kind == "delete":
         n = ws.delete_nodes(spark, workspace_dir, stmt.label, pred)
     elif stmt.kind == "update_edge":
-        n = ws.update_edges(
-            spark, workspace_dir, stmt.label, pred,
-            {col: F.expr(expr) for col, expr in stmt.assignments},
-        )
+        try:
+            n = ws.update_edges(
+                spark, workspace_dir, stmt.label, pred,
+                {col: F.expr(expr) for col, expr in stmt.assignments},
+            )
+        except ValueError as exc:  # structural-column guard
+            raise ArcadeSQLError(str(exc)) from exc
     elif stmt.kind == "delete_edge":
         n = ws.delete_edges(spark, workspace_dir, stmt.label, pred)
     elif stmt.kind == "insert_edge":
@@ -2084,9 +2180,26 @@ def _execute_dml_locked(spark, stmt, workspace_dir, pred, ws, os):
     else:  # insert
         path = os.path.join(workspace_dir, "nodes", stmt.label)
         cur_schema = spark.read.parquet(path).schema
-        writable = [f for f in cur_schema.fields if f.name not in ("node_id", "label")]
+        writable = [
+            f for f in cur_schema.fields
+            if f.name not in ("node_id", "node_id2", "label")
+        ]
         frames = []
+        # statement-level within-batch dedupe, FIRST literal wins —
+        # deterministic, unlike a plan-level dropDuplicates whose
+        # survivor is partitioning-dependent (round-7 review finding);
+        # the node_id-level dropDuplicates in insert_nodes stays as
+        # the safety net for differently-spelled equal keys
+        seen_keys: set[str] = set()
+        rows_in_order = []
         for row in stmt.rows:
+            k = row.get("natural_key")
+            if k is not None:
+                if k in seen_keys:
+                    continue
+                seen_keys.add(k)
+            rows_in_order.append(row)
+        for row in rows_in_order:
             if "natural_key" not in row:
                 raise ArcadeSQLError(
                     "INSERT must assign natural_key — node ids are derived "

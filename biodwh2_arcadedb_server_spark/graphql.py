@@ -463,7 +463,11 @@ def _build(
 
     # column pruning before any join: only requested fields travel
     df = df.select("node_id", *dict.fromkeys(scalars))
-    if limit is not None:
+    # row limit applies at the ROOT only; on nested fields the caller
+    # slices each parent's collected array instead (per-parent
+    # semantics), so the same arg must not also truncate the child
+    # table here
+    if limit is not None and keep_node_id:
         df = df.limit(limit)
 
     for nf in nested:
@@ -479,8 +483,13 @@ def _build(
         # `limit` on a NESTED field is PER PARENT (GraphQL client
         # expectation): it must slice each parent's sorted child
         # array, not truncate the child table globally before the
-        # join (which would return "the first N children overall")
-        nested_limit = nf.args.pop("limit", None)
+        # join (which would return "the first N children overall").
+        # READ, never pop: Field objects are shared across fragment
+        # spreads (shallow-copied selections), so mutating args here
+        # would drop the limit from the second spread of the same
+        # fragment (round-7 review finding); _build ignores `limit`
+        # on non-root fields instead.
+        nested_limit = nf.args.get("limit")
         child = _build(spark, rel.target, nf, rels, keep_node_id=False)
         linked = e.join(child, e.dst == child._gql_key).select(
             F.col("src").alias("_parent"),

@@ -241,10 +241,19 @@ class QueryServer:
                         )
                     except arcadesql.ArcadeSQLError as orig:
                         # convenience fallback: plain Spark SQL text
-                        # still answers (the dialect is a superset of
-                        # neither) — but surface the DIALECT error
-                        # when both fail, matching the declared
-                        # language
+                        # still answers — but ONLY read-shaped
+                        # statements. An unrestricted fallback would
+                        # run Spark DDL/DML that the dialect rejected
+                        # (DROP VIEW, INSERT OVERWRITE …) on the
+                        # IDEMPOTENT endpoint and around the
+                        # allow_writes gate (round-7 review finding).
+                        head = cmd.lstrip().split(None, 1)
+                        head = head[0].lower() if head else ""
+                        if head not in (
+                            "select", "with", "values", "show",
+                            "describe", "desc", "explain", "table",
+                        ):
+                            raise orig from None
                         try:
                             df = server.spark.sql(cmd)
                         except PySparkException:
@@ -252,13 +261,22 @@ class QueryServer:
                 else:
                     self._reply(400, {"error": f"unknown language {lang!r}"})
                     return
-                rows = [r.asDict(recursive=True) for r in df.limit(limit).collect()]
-                for row in rows:  # JSON-safe: stringify exotic scalars
-                    for k, v in row.items():
-                        if v is not None and not isinstance(
-                            v, (str, int, float, bool, list, dict)
-                        ):
-                            row[k] = str(v)
+                def _json_safe(v):
+                    # recursive: nested array<struct> results carry
+                    # dates/Decimals too (round-7 review finding —
+                    # a top-level-only pass 400'd valid GraphQL reads)
+                    if v is None or isinstance(v, (str, int, float, bool)):
+                        return v
+                    if isinstance(v, list):
+                        return [_json_safe(x) for x in v]
+                    if isinstance(v, dict):
+                        return {k: _json_safe(x) for k, x in v.items()}
+                    return str(v)
+
+                rows = [
+                    {k: _json_safe(v) for k, v in r.asDict(recursive=True).items()}
+                    for r in df.limit(limit).collect()
+                ]
                 self._reply(200, {"result": rows})
 
             def do_POST(self):

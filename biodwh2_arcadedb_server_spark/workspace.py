@@ -416,8 +416,11 @@ def insert_nodes(spark: SparkSession, ws_dir: str, label: str, rows: DataFrame) 
         new.select(*cur.columns)
         # within-batch duplicates (a multi-row VALUES repeating a
         # natural_key) would append two rows with the same node_id —
-        # the anti-join only guards against EXISTING ids (ADVICE r6);
-        # keep the first occurrence, same silent-skip posture as A9
+        # the anti-join only guards against EXISTING ids (ADVICE r6).
+        # NOTE: the surviving row is partition-arbitrary; the dialect
+        # executor dedupes deterministically (first literal wins)
+        # BEFORE this call — this is the id-level safety net for
+        # callers feeding raw DataFrames
         .dropDuplicates(["node_id"])
         .join(cur.select("node_id"), "node_id", "left_anti")
         .localCheckpoint(eager=True)
@@ -435,7 +438,19 @@ def update_nodes(
     spark: SparkSession, ws_dir: str, label: str, predicate: F.Column, assignments: dict[str, F.Column]
 ) -> int:
     """UPDATE ... SET ... WHERE: rewrite the label dataset with the
-    assignments applied to matching rows. Returns rows touched."""
+    assignments applied to matching rows. Returns rows touched.
+    Identity columns are immutable — ids DERIVE from (label,
+    natural_key), so rewriting the key without recomputing node_id
+    (and every referencing edge) would silently break the invariant
+    (round-7 review finding); use DELETE + INSERT, or ALTER TYPE for
+    label renames."""
+    frozen = {"node_id", "node_id2", "label", "natural_key"}
+    bad = sorted(frozen & set(assignments))
+    if bad:
+        raise ValueError(
+            f"cannot UPDATE identity column(s) {bad} — node ids derive "
+            "from (label, natural_key); DELETE + INSERT instead"
+        )
     path = os.path.join(ws_dir, "nodes", label)
     cur = spark.read.parquet(path)
     touched = cur.where(predicate).count()
@@ -507,7 +522,16 @@ def update_edges(
     spark: SparkSession, ws_dir: str, label: str, predicate: F.Column, assignments: dict[str, F.Column]
 ) -> int:
     """UPDATE EDGE ... SET ... WHERE: rewrite the edge dataset with
-    the assignments applied to matching rows. Returns rows touched."""
+    the assignments applied to matching rows. Returns rows touched.
+    Endpoints and the label are immutable (same identity posture as
+    update_nodes) — DELETE EDGE + CREATE EDGE instead."""
+    frozen = {"src", "src2", "dst", "dst2", "label"}
+    bad = sorted(frozen & set(assignments))
+    if bad:
+        raise ValueError(
+            f"cannot UPDATE EDGE structural column(s) {bad} — "
+            "DELETE EDGE + CREATE EDGE instead"
+        )
     with open(os.path.join(ws_dir, "manifest.json")) as mh:
         manifest = json.load(mh)
     path = manifest["edges"][label]["path"]
@@ -703,7 +727,10 @@ def drop_property(spark: SparkSession, ws_dir: str, label: str, prop: str) -> No
     the column (the inverse of add_property). Structural columns
     (node_id/label/natural_key, src/dst) are protected; manifest
     index records referencing the property are removed with it."""
-    core = {"node_id", "label", "natural_key", "src", "dst"}
+    core = {
+        "node_id", "node_id2", "label", "natural_key",
+        "src", "src2", "dst", "dst2",
+    }
     if prop in core:
         raise ValueError(f"cannot drop structural column {prop!r}")
     with open(os.path.join(ws_dir, "manifest.json")) as mh:
@@ -789,6 +816,28 @@ def rename_type(spark: SparkSession, ws_dir: str, label: str, new_label: str) ->
         F.col("node_id").alias("_old"),
         node_id(new_label, F.col("natural_key")).alias("_new"),
     ).localCheckpoint(eager=True)
+    # re-run the cross-label collision audit BEFORE committing: the
+    # recomputed xxhash64(new_label, key) ids face the same hazard
+    # build_workspace refuses to ship (round-7 review finding) —
+    # a silent collision would cross-wire traversals
+    others = None
+    for other, o_info in manifest["nodes"].items():
+        if other == label:
+            continue
+        part = spark.read.parquet(o_info["path"]).select("node_id")
+        others = part if others is None else others.unionByName(part)
+    if others is not None:
+        clashes = (
+            mapping.select(F.col("_new").alias("node_id"))
+            .join(others, "node_id", "left_semi")
+            .count()
+        )
+        if clashes:
+            raise ValueError(
+                f"renaming {label!r} to {new_label!r} would collide "
+                f"{clashes} recomputed node id(s) with other labels — "
+                "rebuild with a wider id scheme first"
+            )
     new_path = os.path.join(ws_dir, "nodes", new_label)
     (
         cur.withColumn("node_id", node_id(new_label, F.col("natural_key")))
@@ -862,14 +911,23 @@ def load_workspace(spark: SparkSession, ws_dir: str) -> dict:
             props = F.create_map()
         slim = df.select("node_id", "label", "natural_key", props.alias("props"))
         unified_nodes = slim if unified_nodes is None else unified_nodes.unionByName(slim)
-    if unified_nodes is not None:
-        unified_nodes.createOrReplaceTempView("nodes")
+    if unified_nodes is None:
+        # dropping the LAST type must not leave a stale unified view
+        # whose plan reads a deleted dataset (round-7 review finding)
+        unified_nodes = spark.createDataFrame(
+            [], "node_id long, label string, natural_key string, "
+                "props map<string,string>"
+        )
+    unified_nodes.createOrReplaceTempView("nodes")
     unified_edges = None
     for label, info in manifest["edges"].items():
         df = spark.read.parquet(info["path"])
         df.createOrReplaceTempView(f"e_{label}")
         slim = df.select("src", "dst", "label")
         unified_edges = slim if unified_edges is None else unified_edges.unionByName(slim)
-    if unified_edges is not None:
-        unified_edges.createOrReplaceTempView("edges")
+    if unified_edges is None:
+        unified_edges = spark.createDataFrame(
+            [], "src long, dst long, label string"
+        )
+    unified_edges.createOrReplaceTempView("edges")
     return manifest

@@ -313,3 +313,58 @@ def test_arcadedb_v1_api_wire_compat(spark, sf_small, tmp_path_factory):
         assert len(out5["result"]) == 1
     finally:
         srv.stop()
+
+
+def test_v1_api_spark_fallback_is_read_only(spark, sf_small, tmp_path_factory):
+    """The /api/v1 Spark-SQL fallback must not run write-shaped
+    statements the dialect rejected — neither on the idempotent
+    /query route nor around the allow_writes gate (round-7 review)."""
+    import base64
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from biodwh2_arcadedb_server_spark.server import QueryServer
+    from biodwh2_arcadedb_server_spark.workspace import build_workspace, load_workspace
+
+    ws = str(tmp_path_factory.mktemp("v1ro") / "ws")
+    build_workspace(spark, sf_small, ws, force=True)
+    load_workspace(spark, ws)
+    srv = QueryServer(spark)  # writes NOT enabled
+    port = srv.start()
+    auth = base64.b64encode(f"{srv.username}:{srv.password}".encode()).decode()
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=_json.dumps(payload).encode(),
+            headers={"Authorization": f"Basic {auth}"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            return _json.loads(resp.read())
+
+    try:
+        for path in ("/api/v1/query/db", "/api/v1/command/db"):
+            try:
+                post(path, {"command": "DROP VIEW n_Nation"})
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        # the view survived
+        out = post("/api/v1/query/db",
+                   {"command": "SELECT count(*) AS n FROM Nation"})
+        assert out["result"][0]["n"] == 25
+        # read-shaped Spark SQL still answers through the fallback
+        out2 = post("/api/v1/query/db",
+                    {"command": "SELECT 1 AS one UNION ALL SELECT 2"})
+        assert len(out2["result"]) == 2
+        # nested GraphQL over the wire serializes dates etc.
+        out3 = post("/api/v1/query/db",
+                    {"language": "graphql",
+                     "command": "{ Customer(limit: 2) { c_name placed "
+                                "{ o_orderdate } } }"})
+        assert len(out3["result"]) == 2
+        assert isinstance(out3["result"][0]["placed"], list)
+    finally:
+        srv.stop()

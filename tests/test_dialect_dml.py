@@ -435,11 +435,11 @@ def test_ddl_alter_type_rename_cascades_ids(spark, sf_small, tmp_path_factory):
 def test_update_upsert(spark, dml_ws):
     """UPDATE ... SET ... UPSERT WHERE: updates when matched, inserts
     the SET row when nothing matches (ArcadeDB semantics)."""
-    # no nation 980 yet -> insert branch
+    # no nation 980 yet -> insert branch; the WHERE equality supplies
+    # the key (ArcadeDB folds matched attributes into the new record)
     res = execute(
         spark,
-        "UPDATE Nation SET natural_key = 980, n_name = 'NEWLAND' "
-        "UPSERT WHERE natural_key = 980",
+        "UPDATE Nation SET n_name = 'NEWLAND' UPSERT WHERE natural_key = 980",
         workspace_dir=dml_ws, allow_writes=True,
     ).collect()[0]
     assert (res.operation, res["count"]) == ("insert", 1)
@@ -459,3 +459,37 @@ def test_update_upsert(spark, dml_ws):
             spark, "UPDATE EDGE CONTAINS SET l_discount = 0 UPSERT",
             workspace_dir=dml_ws, allow_writes=True,
         )
+
+
+def test_update_identity_columns_rejected(spark, dml_ws):
+    """Identity columns are immutable through UPDATE — node ids derive
+    from (label, natural_key), so a key rewrite would silently break
+    the derived-identity invariant (round-7 review finding)."""
+    with pytest.raises(ArcadeSQLError, match="identity column"):
+        execute(
+            spark, "UPDATE Nation SET natural_key = 5 WHERE natural_key = 3",
+            workspace_dir=dml_ws, allow_writes=True,
+        )
+    with pytest.raises(ArcadeSQLError, match="structural column"):
+        execute(
+            spark, "UPDATE EDGE IN_REGION SET src = 1",
+            workspace_dir=dml_ws, allow_writes=True,
+        )
+
+
+def test_drop_last_type_refreshes_unified_views(spark, sf_small, tmp_path_factory):
+    """Dropping the LAST type must re-register empty unified views —
+    a stale view whose plan reads the deleted dataset fails every
+    later query (round-7 review finding)."""
+    from biodwh2_arcadedb_server_spark.workspace import NODE_SPECS
+
+    ws = str(tmp_path_factory.mktemp("drop_last") / "ws")
+    specs = [s for s in NODE_SPECS if s.label == "Region"]
+    build_workspace(spark, sf_small, ws, force=True, node_specs=specs, edge_specs=[])
+    load_workspace(spark, ws)
+    res = execute(
+        spark, "DROP TYPE Region UNSAFE", workspace_dir=ws, allow_writes=True
+    ).collect()[0]
+    assert res["count"] == 5
+    assert spark.table("nodes").count() == 0
+    assert spark.table("edges").count() == 0

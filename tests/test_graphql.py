@@ -374,3 +374,18 @@ def test_nested_limit_is_per_parent(spark, ws):
     }
     assert got == want
     assert any(len(v) == 2 for v in got.values())  # actually sliced
+
+
+def test_nested_limit_survives_repeated_fragment_spread(spark, ws):
+    """A fragment carrying a per-parent limit, spread twice — the
+    shared Field must not be mutated by the first use (round-7
+    review: args.pop dropped the limit from the second spread)."""
+    doc = (
+        "fragment f on Nation { cust_in_nation_rev(limit: 1) { natural_key } } "
+        "{ Nation { natural_key ...f } }"
+    )
+    first = graphql.execute(spark, doc).collect()
+    second = graphql.execute(spark, doc).collect()
+    for rows in (first, second):
+        assert all(len(r.cust_in_nation_rev) <= 1 for r in rows)
+        assert any(len(r.cust_in_nation_rev) == 1 for r in rows)
