@@ -147,6 +147,8 @@ def main() -> None:
         "q04_tpch_q1",
         "q43_tpch_q3_shape",
         "q44_tpch_q5_shape",
+        "q162_tpch_q10_shape",
+        "q163_tpch_q7_shape",
         "q03_two_hop",
         "q48_window_analytics",
         "q14_token_counts",
