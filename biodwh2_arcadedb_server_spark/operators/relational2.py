@@ -94,7 +94,10 @@ def q43_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        # shuffle_hash on the one big-big exchange: no sort on either
+        # side (15-22% at sf3); SMJ stays the engine default — the
+        # iterative probes measured SLOWER under a global preference
+        l.join(o.hint("shuffle_hash"), l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .where(F.col("o_orderdate") < F.lit("2024-06-01").cast("timestamp"))
         .groupBy("l_orderkey", "o_orderdate")
@@ -117,7 +120,7 @@ def q44_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        l.join(o.hint("shuffle_hash"), l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .where(F.col("c_nationkey") == F.col("s_nationkey"))

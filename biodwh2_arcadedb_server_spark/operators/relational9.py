@@ -7,7 +7,9 @@ analogs): the returned-items customer report (Q10 shape) and the
 bi-nation shipping-volume report (Q7 shape). Both follow the SCALE.md
 join contract: dims broadcast, ONE big-big shuffle (lineitem⋈orders),
 selective filters pushed to the parquet scan, top-k as
-TakeOrderedAndProject.
+TakeOrderedAndProject, and the big-big exchange hinted shuffle_hash
+(no sort on either side; the engine default stays SMJ — see
+session.py note).
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ def q162_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         l.where(F.col("l_returnflag") == "R")
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
@@ -52,7 +54,7 @@ def q163_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .where(F.col("s_nationkey") != F.col("c_nationkey"))

@@ -48,13 +48,14 @@ def get_spark(app_name: str = "biodwh2-arcadedb-server-spark", *, shuffle_partit
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Prefer shuffled HASH join over sort-merge when no broadcast
-        # applies: both sides still exchange, but neither pays a sort
-        # (15-22% on the sf3 join headliners — q44 3.5s->3.0s, q43
-        # 2.0s->1.6s). Safe at scale: SHJ spills since Spark 3.2, AQE
-        # still flips to broadcast when a side turns out small, and
-        # skew-join splitting applies to SHJ too.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Join strategy stays sort-merge by default: a GLOBAL
+        # preferSortMergeJoin=false was measured 15-22% faster on the
+        # big-big sf3 join headliners but 17% SLOWER across the
+        # iterative graph probes (per-iteration hash-map builds on
+        # small frontier joins lose to cheap small-input sorts), so
+        # the one big-big exchange per relational headliner carries an
+        # explicit shuffle_hash HINT instead (q43/q44/q162/q163) —
+        # per-plan choice, not a session-wide gamble.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
