@@ -59,6 +59,12 @@ def get_spark(app_name: str = "biodwh2-arcadedb-server-spark", *, shuffle_partit
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # COUNT/MIN/MAX over plain parquet answer from row-group
+        # footers instead of scanning — the DML statement sequence
+        # recounts datasets for manifest bookkeeping after every
+        # mutation (VERDICT r6 hygiene note), and at 100 TB a
+        # footer-read count is the only acceptable kind
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # Split small local files into row-group-grained tasks: the
         # default 128 MB maxPartitionBytes leaves a 6 MB documents
         # file as ONE scan task, serializing the first (often
