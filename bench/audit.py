@@ -41,6 +41,9 @@ ITERATIVE = {
     "q137",
     # round-6: dialect shortestPath() builds the same BFS tree
     "q146",
+    # round-7: SELECT over a TRAVERSE subquery materializes the same
+    # frontier-join BFS before the relational part runs
+    "q160",
 }
 
 # Dialect DML probes: ~25 sequential tiny jobs (force-build + per-
@@ -48,7 +51,7 @@ ITERATIVE = {
 # floor, SCALE-INDEPENDENT (the mutated dims are fixed-size at every
 # SF; inserts are O(inserted) appends). On a cluster these are
 # interactive statements, not a batch pipeline.
-DML = {"q147"}
+DML = {"q147", "q158"}  # q158: the DDL statement sequence (round 7)
 
 # Tolerance-contract probes (round 4): Spark runs the approximate AND
 # the exact path in one plan and emits contract rows; the DuckDB
