@@ -104,9 +104,7 @@ HEADLINE = [
     "q101_qualify_topn",
     "q102_windowed_distinct",
     "q103_lateral_explode",
-    "q104_leakage_safe_split",
     "q105_length_batching",
-    "q106_cosine_neardup_clusters",
     "q107_temperature_resample",
     "q111_gap_fill",
     "q112_mode_corr",
@@ -144,11 +142,18 @@ HEADLINE = [
     "q83_personalized_pagerank",
     "q85_closeness",
     "q86_betweenness",
+    # shared-cache families kept ADJACENT (one SEGMENT pays the
+    # session-scoped shingle/pair/cosine caches once; straddling a
+    # session restart re-derives them and moves totals ±10%)
     "q26_neardup_jaccard",
     "q100_neardup_clusters",
+    "q104_leakage_safe_split",
+    "q144_minhash_estimate",
     "q27_minhash_neardup",
     "q28_simhash_neardup",
     "q29_cosine_neardup",
+    "q106_cosine_neardup_clusters",
+    "q156_semdedup_ann_clusters",
     "q30_knn_topk",
     "q128_rag_retrieval",
     "q77_ivf_topk",
@@ -166,7 +171,6 @@ HEADLINE = [
     "q141_agg_dialect",
     "q142_typo_pairs",
     "q143_dataset_card",
-    "q144_minhash_estimate",
     "q145_graphql",
     "q146_shortestpath_dialect",
     "q147_dml_readback",
@@ -179,7 +183,6 @@ HEADLINE = [
     "q155_methods_dialect",
     "q38_frame_sample",
     "q152_wav_decode",
-    "q156_semdedup_ann_clusters",
     "q157_graphql_inline_fragments",
     "q158_ddl_readback",
     "q159_match_edge_alias",
