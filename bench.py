@@ -26,6 +26,11 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# Bench runs small local files: opt in to the small-split scan
+# tuning (row-group-grained tasks) that get_spark() no longer bakes
+# in as a library default (round-7 ADVICE).
+os.environ.setdefault("SPARK_GRAFT_LOCAL_TUNING", "1")
+
 
 from biodwh2_arcadedb_server_spark.session import get_spark  # noqa: E402
 

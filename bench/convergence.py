@@ -29,6 +29,8 @@ import duckdb  # noqa: E402
 import pyarrow as pa  # noqa: E402
 import pyarrow.parquet as pq  # noqa: E402
 
+import os as _os
+_os.environ.setdefault("SPARK_GRAFT_LOCAL_TUNING", "1")
 from biodwh2_arcadedb_server_spark.session import get_spark  # noqa: E402
 from biodwh2_arcadedb_server_spark.sources.registry import TABLES, table_path  # noqa: E402
 

@@ -15,6 +15,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import os as _os
+_os.environ.setdefault("SPARK_GRAFT_LOCAL_TUNING", "1")
 from biodwh2_arcadedb_server_spark.session import get_spark  # noqa: E402
 
 HERE = os.path.dirname(os.path.abspath(__file__))

@@ -24,6 +24,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Same small-split scan tuning opt-in as bench.py (round-7 ADVICE:
+# no longer a get_spark() library default).
+os.environ.setdefault("SPARK_GRAFT_LOCAL_TUNING", "1")
+
 import numpy as np  # noqa: E402
 import pyarrow as pa  # noqa: E402
 import pyarrow.parquet as pq  # noqa: E402

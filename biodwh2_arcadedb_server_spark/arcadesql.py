@@ -58,7 +58,14 @@ Supported subset (documented contract, tested differentially):
 - ``LET $var = <expr | (SELECT ...)>`` context variables in SELECT:
   bindings inline where ``$var`` is referenced; an uncorrelated
   ``(SELECT agg ...)`` binding becomes a Spark scalar subquery that
-  Catalyst evaluates once and broadcasts (q67 semantics).
+  Catalyst evaluates once and broadcasts (q67 semantics). A binding
+  may reference the CURRENT outer record via
+  ``$parent.$current.<field>`` (ArcadeDB's per-record correlated LET,
+  round 8): it compiles to a correlated scalar subquery over the
+  outer FROM alias, which Catalyst decorrelates into a left outer
+  join + partial aggregate — one shuffle on the correlation key, not
+  a per-row execution. ``$current.<field>`` resolves to the current
+  scope's own record.
 - ``shortestPath(<src-id>, <dst-expr> [, 'OUT'|'IN'|'BOTH'
   [, 'EdgeLabel' [, maxDepth]]])`` — ArcadeDB's path function
   (default direction BOTH, like ArcadeDB). The source must be a
@@ -98,9 +105,8 @@ Supported subset (documented contract, tested differentially):
   recomputed and every touching edge dataset's src/dst remapped via
   an (old, new) id join.
 
-Out of scope (raise a clear error): per-record correlated LET
-subqueries, projections mixing expand() with other fields — the last
-is the same restriction ArcadeDB itself enforces.
+Out of scope (raise a clear error): projections mixing expand() with
+other fields — the same restriction ArcadeDB itself enforces.
 
 Scale notes: the compiled SQL references only the per-label views
 (typed, pruned scans) and the unified ``edges`` view (partitioned on
@@ -199,6 +205,12 @@ class _Select:
     distinct: bool = False
     uses_graph_projection: bool = False
     lets: dict = field(default_factory=dict)  # $var -> compiled expr
+    # FROM alias of this SELECT in the compiled SQL. Top-level keeps
+    # "__self"; every nested (scalar / LET) subquery gets a fresh
+    # "__subN" so a correlated reference to the OUTER record
+    # ($parent.$current.<field>, round 8) is not shadowed by the
+    # inner scope's own alias.
+    alias: str = "__self"
     unwind: list[str] = field(default_factory=list)  # result fields to explode
     # SELECT ... FROM (TRAVERSE ...) — the Studio filter-a-traversal
     # pattern; materialized to a temp view by execute() (plan-level,
@@ -283,6 +295,12 @@ class _Parser:
         # used to reject cross-alias predicates on optional patterns
         # (they cannot correlate out of the optional-leg subquery).
         self.matched_used = False
+        # SELECT-nesting stack: $current resolves against the top,
+        # $parent.$current against the element below it (per-record
+        # correlated LET subqueries, round 8). Each nested select
+        # draws a fresh alias from the counter.
+        self._sel_stack: list[_Select] = []
+        self._sub_counter = 0
 
     # -- token helpers
     def peek(self, k: int = 0) -> _Tok:
@@ -862,6 +880,19 @@ class _Parser:
             subquery=None, where=None, group_by=[], order_by=[], skip=None,
             limit=None,
         )
+        if self._sel_stack:
+            # nested (scalar / LET / FROM) subquery: fresh alias so an
+            # outer-record correlation ($parent.$current.<field>) is
+            # not shadowed by this scope's own FROM alias
+            self._sub_counter += 1
+            sel.alias = f"__sub{self._sub_counter}"
+        self._sel_stack.append(sel)
+        try:
+            return self._select_tail(sel)
+        finally:
+            self._sel_stack.pop()
+
+    def _select_tail(self, sel: _Select) -> _Select:
         if self.accept("kw", "distinct"):
             sel.distinct = True
         # projections (may be empty: ArcadeDB `SELECT FROM X` == SELECT *)
@@ -898,7 +929,7 @@ class _Parser:
                 sel.traverse_subquery = self._traverse()
                 # $depth in the outer WHERE/projections refers to the
                 # traversal depth column (ArcadeDB context variable)
-                sel.lets.setdefault("depth", "__self.depth")
+                sel.lets.setdefault("depth", f"{sel.alias}.depth")
             else:
                 sel.subquery = self._select()
             self.expect("op", ")")
@@ -1170,6 +1201,39 @@ class _Parser:
             raise ArcadeSQLError(f"unsupported attribute {at}")
         if t.kind == "var":
             v = self.next().text
+            if v.lower() == "$current":
+                # $current.<field> — the record of the CURRENT select
+                # context (ArcadeDB context variable); compiles to the
+                # current scope's FROM alias.
+                if not self._sel_stack:
+                    raise ArcadeSQLError(
+                        "$current is only valid inside a SELECT"
+                    )
+                self.expect("op", ".")
+                prop = self._name("property name")
+                return f"{self._sel_stack[-1].alias}.{prop}"
+            if v.lower() == "$parent":
+                # $parent.$current.<field> — the OUTER record's field
+                # inside a LET / scalar subquery (per-record
+                # correlated LET, round 8). Compiles to the enclosing
+                # select's FROM alias: a correlated scalar subquery
+                # that Catalyst decorrelates into a left outer join +
+                # partial aggregate — one shuffle on the correlation
+                # key, never a per-row execution.
+                self.expect("op", ".")
+                nxt = self.next()
+                if nxt.kind != "var" or nxt.text.lower() != "$current":
+                    raise ArcadeSQLError(
+                        "$parent must be followed by .$current.<field>"
+                    )
+                self.expect("op", ".")
+                prop = self._name("property name")
+                if len(self._sel_stack) < 2:
+                    raise ArcadeSQLError(
+                        "$parent.$current.<field> is only valid inside "
+                        "a subquery (no enclosing SELECT here)"
+                    )
+                return f"{self._sel_stack[-2].alias}.{prop}"
             if v.lower() == "$matched":
                 # $matched.<alias>.<prop> — ArcadeDB's cross-alias
                 # pattern-variable reference inside a node where:.
@@ -1375,15 +1439,16 @@ class _Parser:
         subquery over the unified edges view (Catalyst decorrelates it
         into a left join + partial aggregate)."""
         sel.uses_graph_projection = True
-        cond = {"out": "e.src = __self.node_id", "in": "e.dst = __self.node_id"}
+        a = sel.alias
+        cond = {"out": f"e.src = {a}.node_id", "in": f"e.dst = {a}.node_id"}
         pick = {"out": "e.dst", "in": "e.src"}
         lbl = f" AND e.label = '{_sql_str(label)}'" if label else ""
         if direction == "both":
             return (
                 "(SELECT sort_array(collect_list(x)) FROM (SELECT e.dst AS x "
-                f"FROM edges e WHERE e.src = __self.node_id{lbl} UNION ALL "
+                f"FROM edges e WHERE e.src = {a}.node_id{lbl} UNION ALL "
                 "SELECT e.src AS x FROM edges e WHERE e.dst = "
-                f"__self.node_id{lbl}))"
+                f"{a}.node_id{lbl}))"
             )
         return (
             f"(SELECT sort_array(collect_list({pick[direction]})) FROM edges e "
@@ -1590,9 +1655,9 @@ def _compile_select(sel: _Select) -> str:
             "the frontier BFS first) — use execute()"
         )
     if sel.subquery is not None:
-        source = f"({_compile_select(sel.subquery)}) __self"
+        source = f"({_compile_select(sel.subquery)}) {sel.alias}"
     else:
-        source = f"n_{sel.source_type} __self"
+        source = f"n_{sel.source_type} {sel.alias}"
 
     if sel.expand_edge is not None:
         d, label = sel.expand_edge
@@ -1641,7 +1706,7 @@ def _compile_select(sel: _Select) -> str:
         )
     else:
         if sel.star:
-            proj = "__self.*"
+            proj = f"{sel.alias}.*"
         else:
             parts = []
             for expr, alias in sel.projections:

@@ -178,6 +178,19 @@ def _run_sql(spark, sql: str, workspace: str | None = None, allow_writes: bool =
         return arcadesql.execute(
             spark, sql, workspace_dir=workspace, allow_writes=allow_writes
         )
+    if not allow_writes:
+        # Spark-shaped writes (CTAS, INSERT INTO … SELECT, WITH …
+        # INSERT) don't match claims_statement() and would execute
+        # with no gate (round-7 ADVICE, high — same fall-through as
+        # the server's /query branch).
+        from biodwh2_arcadedb_server_spark.sqlgate import (
+            statement_is_read_only,
+        )
+
+        if not statement_is_read_only(spark, sql):
+            raise PermissionError(
+                "write statement without --allow-writes"
+            )
     try:
         return spark.sql(sql)
     except PySparkException as orig:

@@ -553,17 +553,47 @@ def q161_collection_agg_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ArcadeDB set()/list() collection aggregates through the
     dialect (round 7): per market segment, the SORTED set of nation
     keys plus the row count — compiles to sort_array(collect_set(…)),
-    one hash-aggregate shuffle."""
+    one hash-aggregate shuffle. The set is returned through the
+    dialect's ``.asString()`` method chain (round 8): the driver's
+    canonicalizer hashes scalar cells, so the probe contract is the
+    STRING form ``[k1, k2, …]`` — which also exercises method
+    chaining on an aggregate call, not just on fields."""
     _register_star_workspace(spark, sf_dir)
     return arcadesql.execute(
         spark,
-        "SELECT c_mktsegment, set(c_nationkey) AS nations, count(*) AS n "
+        "SELECT c_mktsegment, set(c_nationkey).asString() AS nations, "
+        "count(*) AS n "
         "FROM Customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    )
+
+
+def q164_correlated_let_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record correlated LET (round 8) — ArcadeDB evaluates
+    ``LET $x = (SELECT agg FROM T WHERE <field> =
+    $parent.$current.<field>)`` once per outer record (dialect [B],
+    reference pom.xml:104-108). The Spark compile emits a correlated
+    scalar subquery per binding; Catalyst decorrelates each into ONE
+    join + partial aggregate keyed on the correlation column
+    (plan-verified BroadcastHashJoin at this scale) — per-record
+    semantics at join cost, never a per-row execution, which is what
+    survives 100 TB."""
+    _register_star_workspace(spark, sf_dir)
+    return arcadesql.execute(
+        spark,
+        "SELECT o_orderkey, o_orderstatus, "
+        "$status_total AS status_total, $status_n AS status_n "
+        "FROM Order "
+        "LET $status_total = (SELECT sum(o_totalprice) FROM Order "
+        "WHERE o_orderstatus = $parent.$current.o_orderstatus), "
+        "$status_n = (SELECT count(*) FROM Order "
+        "WHERE o_orderstatus = $parent.$current.o_orderstatus) "
+        "WHERE o_orderkey <= 100 ORDER BY o_orderkey",
     )
 
 
 QUERIES = {
     "q151_graphql_variables": q151_graphql_variables,
+    "q164_correlated_let_dialect": q164_correlated_let_dialect,
     "q157_graphql_inline_fragments": q157_graphql_inline_fragments,
     "q154_graphql_fragments": q154_graphql_fragments,
     "q136_match_dialect": q136_match_dialect,
@@ -587,6 +617,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q164_correlated_let_dialect": """
+        SELECT o.o_orderkey, o.o_orderstatus,
+               (SELECT sum(o2.o_totalprice) FROM orders o2
+                WHERE o2.o_orderstatus = o.o_orderstatus) AS status_total,
+               (SELECT count(*) FROM orders o2
+                WHERE o2.o_orderstatus = o.o_orderstatus) AS status_n
+        FROM orders o WHERE o.o_orderkey <= 100 ORDER BY o.o_orderkey
+    """,
     "q157_graphql_inline_fragments": """
         SELECT c.c_custkey, c.c_acctbal,
                COALESCE(string_agg(
@@ -668,7 +706,9 @@ ORACLE = {
     """,
     "q161_collection_agg_dialect": """
         SELECT c_mktsegment,
-               list_sort(list(DISTINCT c_nationkey)) AS nations,
+               '[' || array_to_string(
+                   list_sort(list(DISTINCT c_nationkey)), ', ')
+                   || ']' AS nations,
                COUNT(*) AS n
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,

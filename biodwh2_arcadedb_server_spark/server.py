@@ -247,12 +247,14 @@ class QueryServer:
                         # (DROP VIEW, INSERT OVERWRITE …) on the
                         # IDEMPOTENT endpoint and around the
                         # allow_writes gate (round-7 review finding).
-                        head = cmd.lstrip().split(None, 1)
-                        head = head[0].lower() if head else ""
-                        if head not in (
-                            "select", "with", "values", "show",
-                            "describe", "desc", "explain", "table",
-                        ):
+                        # Plan-walk gate, not a head allowlist:
+                        # `WITH cte AS (…) INSERT INTO …` hides a
+                        # write behind a read head (round-7 ADVICE).
+                        from biodwh2_arcadedb_server_spark.sqlgate import (
+                            statement_is_read_only,
+                        )
+
+                        if not statement_is_read_only(server.spark, cmd):
                             raise orig from None
                         try:
                             df = server.spark.sql(cmd)
@@ -342,6 +344,31 @@ class QueryServer:
                                 allow_writes=server.allow_writes,
                             )
                         else:
+                            # Spark-shaped writes (CREATE TABLE AS
+                            # SELECT, INSERT INTO … SELECT, INSERT
+                            # OVERWRITE DIRECTORY, WITH … INSERT) do
+                            # not match claims_statement() and used to
+                            # fall through HERE with no gate — a
+                            # read-only server executed writes
+                            # (round-7 ADVICE, high). Same plan-walk
+                            # gate as /api/v1; allow_writes=True
+                            # servers are explicitly write-enabled.
+                            from biodwh2_arcadedb_server_spark.sqlgate import (
+                                statement_is_read_only,
+                            )
+
+                            if not server.allow_writes and not (
+                                statement_is_read_only(
+                                    server.spark, req["sql"]
+                                )
+                            ):
+                                self._reply(
+                                    403,
+                                    {"error": "write statement on a "
+                                              "read-only server (start "
+                                              "with --allow-writes)"},
+                                )
+                                return
                             try:
                                 df = server.spark.sql(req["sql"])
                             except PySparkException as orig:

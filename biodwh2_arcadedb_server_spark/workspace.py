@@ -914,8 +914,12 @@ def load_workspace(spark: SparkSession, ws_dir: str) -> dict:
     if unified_nodes is None:
         # dropping the LAST type must not leave a stale unified view
         # whose plan reads a deleted dataset (round-7 review finding)
+        # natural_key is LONG to match the populated path (build_nodes
+        # casts the key to long) — a string here made the unified-view
+        # schema depend on whether any node type exists (round-7
+        # ADVICE).
         unified_nodes = spark.createDataFrame(
-            [], "node_id long, label string, natural_key string, "
+            [], "node_id long, label string, natural_key long, "
                 "props map<string,string>"
         )
     unified_nodes.createOrReplaceTempView("nodes")

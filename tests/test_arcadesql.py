@@ -832,12 +832,16 @@ def test_claims_statement_routing():
 
 def test_run_sql_spark_create_view_not_hijacked(graph_ws):
     """CREATE TEMPORARY VIEW through the REPL/server routing executes
-    as Spark SQL (ADVICE r6 regression)."""
+    as Spark SQL — not hijacked by the dialect (ADVICE r6 regression).
+    Since round 8 session-mutating statements additionally require
+    allow_writes (round-7 ADVICE write gate); the routing concern this
+    test pins is unchanged."""
     from biodwh2_arcadedb_server_spark.cli import _run_sql
 
     _run_sql(
         graph_ws,
         "CREATE OR REPLACE TEMPORARY VIEW __adv6_v AS SELECT 1 AS x",
+        allow_writes=True,
     )
     assert _run_sql(graph_ws, "SELECT x FROM __adv6_v").collect()[0].x == 1
 
@@ -967,3 +971,72 @@ def test_collection_aggregates_set_list(graph_ws):
     assert [list(r.keys) for r in df2.collect()] == [["1", "2", "3", "4", "5"]]
     with pytest.raises(ArcadeSQLError, match="exactly one"):
         translate("SELECT set(name, age) FROM Person GROUP BY age")
+
+
+# -------------------------------------------------- correlated LET (round 8)
+def test_correlated_let_scalar_agg(graph_ws):
+    """LET $x = (SELECT agg FROM T WHERE f = $parent.$current.f) is
+    evaluated per outer record (ArcadeDB per-record LET semantics).
+    Here: for each person, how many persons share their city."""
+    df = execute(
+        graph_ws,
+        "SELECT name, $n AS same_age_decade FROM Person "
+        "LET $n = (SELECT count(*) FROM Person "
+        "WHERE age <= $parent.$current.age) "
+        "ORDER BY name",
+    )
+    # ages 10..50 → running count 1..5
+    assert [(r.name, r.same_age_decade) for r in df.collect()] == [
+        (f"p{i}", i) for i in range(1, 6)
+    ]
+
+
+def test_correlated_let_in_where(graph_ws):
+    """A correlated LET binding referenced from WHERE filters per
+    record: persons whose age is the max within their age-mod-20
+    cohort."""
+    df = execute(
+        graph_ws,
+        "SELECT name FROM Person "
+        "LET $maxage = (SELECT max(age) FROM Person "
+        "WHERE age % 20 = $parent.$current.age % 20) "
+        "WHERE age = $maxage ORDER BY name",
+    )
+    # cohorts: {10,30,50} max 50 → p5; {20,40} max 40 → p4
+    assert [r.name for r in df.collect()] == ["p4", "p5"]
+
+
+def test_current_field_reference(graph_ws):
+    """$current.<field> resolves to the current record's own field."""
+    df = execute(
+        graph_ws,
+        "SELECT $current.name AS n FROM Person WHERE $current.age > 30 "
+        "ORDER BY n",
+    )
+    assert [r.n for r in df.collect()] == ["p4", "p5"]
+
+
+def test_parent_current_outside_subquery_rejected(graph_ws):
+    with pytest.raises(ArcadeSQLError, match=r"\$parent\.\$current"):
+        execute(graph_ws, "SELECT $parent.$current.age FROM Person")
+
+
+def test_parent_without_current_rejected(graph_ws):
+    with pytest.raises(ArcadeSQLError, match=r"\$parent must be followed"):
+        execute(
+            graph_ws,
+            "SELECT name FROM Person LET $x = (SELECT count(*) FROM "
+            "Person WHERE age = $parent.age)",
+        )
+
+
+def test_uncorrelated_let_still_single_scalar(graph_ws):
+    """Regression: an uncorrelated (SELECT agg) binding stays a plain
+    scalar subquery under the new aliasing scheme."""
+    df = execute(
+        graph_ws,
+        "SELECT name FROM Person "
+        "LET $avg = (SELECT avg(age) FROM Person) "
+        "WHERE age > $avg ORDER BY name",
+    )
+    assert [r.name for r in df.collect()] == ["p4", "p5"]

@@ -368,3 +368,72 @@ def test_v1_api_spark_fallback_is_read_only(spark, sf_small, tmp_path_factory):
         assert isinstance(out3["result"][0]["placed"], list)
     finally:
         srv.stop()
+
+
+def test_query_endpoint_write_gate(spark, sf_small, tmp_path):
+    """Round-7 ADVICE (high + medium): Spark-shaped writes that don't
+    match claims_statement() — CTAS, INSERT INTO … SELECT, INSERT
+    OVERWRITE DIRECTORY, and a write hidden behind a WITH head — must
+    NOT execute on a read-only server's /query endpoint, and the CLI
+    honors the same gate. allow_writes=True restores them."""
+    import base64
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from biodwh2_arcadedb_server_spark.cli import _run_sql
+    from biodwh2_arcadedb_server_spark.server import QueryServer
+    from biodwh2_arcadedb_server_spark.sources.registry import register_tables
+
+    register_tables(spark, sf_small)
+    srv = QueryServer(spark)  # writes NOT enabled
+    port = srv.start()
+    auth = base64.b64encode(f"{srv.username}:{srv.password}".encode()).decode()
+
+    def post(sql):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query",
+            data=_json.dumps({"sql": sql}).encode(),
+            headers={"Authorization": f"Basic {auth}"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            return _json.loads(resp.read())
+
+    out_dir = tmp_path / "exfil"
+    writes = [
+        "CREATE TABLE sneaky_ctas AS SELECT 1 AS x",
+        "INSERT INTO nation SELECT * FROM nation",
+        f"INSERT OVERWRITE DIRECTORY '{out_dir}' USING parquet SELECT 1",
+        # the WITH head hid this from the old head allowlist
+        "WITH c AS (SELECT 1 AS x) INSERT INTO nation SELECT * FROM nation",
+        "CACHE TABLE nation",
+    ]
+    try:
+        for sql in writes:
+            try:
+                post(sql)
+                raise AssertionError(f"expected 403 for {sql!r}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 403, sql
+        assert not out_dir.exists()
+        assert "sneaky_ctas" not in [
+            t.name for t in spark.catalog.listTables()
+        ]
+        # reads still answer, including WITH-SELECT
+        assert post("WITH c AS (SELECT 1 AS one) SELECT * FROM c")[
+            "rows"
+        ] == [["1"]]
+    finally:
+        srv.stop()
+
+    # CLI: same fall-through, same gate
+    with pytest.raises(PermissionError):
+        _run_sql(spark, "CREATE TABLE sneaky_cli AS SELECT 1 AS x")
+    # --allow-writes restores session-scoped Spark DDL
+    _run_sql(
+        spark, "CREATE TEMPORARY VIEW gate_ok AS SELECT 1 AS x",
+        allow_writes=True,
+    )
+    assert spark.sql("SELECT * FROM gate_ok").count() == 1
+    spark.catalog.dropTempView("gate_ok")
