@@ -39,7 +39,13 @@ post-parse so declaration order is free; a spread into the wrong
 type surfaces as the build-time unknown-field error), INLINE
 fragments (``... on T { … }`` — applied when the type condition
 matches the enclosing label, skipped for other known types, loud
-error for unknown ones), and introspection: ``{ __schema { types } }``
+error for unknown ones), FIELD ALIASES (``total: o_totalprice``,
+spec (2.7) — the response key is the alias; the same field may be
+requested twice under different aliases), the ``@skip(if:)`` /
+``@include(if:)`` directives (spec (5.5) on fields, named spreads
+and inline fragments; the condition is a boolean literal or
+variable, evaluated at parse time exactly where variables
+substitute), and introspection: ``{ __schema { types } }``
 (one row per type: name + field list) plus ``{ __type(name: "T")
 { … } }`` (one row with per-field Spark types + relationship
 targets/directions; the full spec-shaped introspection tree is out
@@ -76,6 +82,13 @@ class Field:
     name: str
     args: dict = dc_field(default_factory=dict)
     selection: list["Field"] = dc_field(default_factory=list)
+    # response key (spec (2.7): ``alias: field``) — None means the
+    # field name itself
+    alias: str | None = None
+
+    @property
+    def out(self) -> str:
+        return self.alias or self.name
 
 
 @dataclass(frozen=True)
@@ -105,7 +118,7 @@ def default_relationships() -> dict[str, dict[str, Rel]]:
 _TOKEN = re.compile(
     r"""\s*(?:
         (?P<spread>\.\.\.)
-      | (?P<punct>[{}():,\[\]!=])
+      | (?P<punct>[{}():,\[\]!=@])
       | (?P<string>"(?:[^"\\]|\\.)*")
       | (?P<number>-?\d+(?:\.\d+)?)
       | (?P<variable>\$[_A-Za-z][_0-9A-Za-z]*)
@@ -241,14 +254,19 @@ class _Parser:
                         raise GraphQLError(
                             f"expected a type condition, got {typ!r}"
                         )
+                    keep = self._parse_directives()
                     holder = Field("__inline__", args={"on": typ})
                     self._expect("{")
                     self._parse_selection_items(holder)
-                    f.selection.append(holder)
+                    if keep:
+                        f.selection.append(holder)
                     continue
-                f.selection.append(Field("..." + fname))
+                if self._parse_directives():
+                    f.selection.append(Field("..." + fname))
                 continue
-            f.selection.append(self._parse_field())
+            sub = self._parse_field()
+            if sub is not None:
+                f.selection.append(sub)
 
     def _resolve_spreads(self, fld: Field, seen: tuple) -> None:
         """Inline ``...Name`` spreads (post-parse, so declaration
@@ -308,12 +326,54 @@ class _Parser:
         if t and t[1] == "!":
             self._next()
 
-    def _parse_field(self) -> Field:
+    def _parse_directives(self) -> bool:
+        """``@skip(if: <bool>)`` / ``@include(if: <bool>)`` (spec
+        §5.5) — returns True when the annotated selection should be
+        KEPT. Conditions are boolean literals or variables; variables
+        substitute at parse time, so directives evaluate right here —
+        the compiled plan never carries a skipped field."""
+        keep = True
+        while (t := self._peek()) is not None and t[1] == "@":
+            self._next()
+            kind, name = self._next()
+            if kind != "name" or name not in ("skip", "include"):
+                raise GraphQLError(
+                    f"unsupported directive @{name} (only @skip/@include)"
+                )
+            self._expect("(")
+            kind, arg = self._next()
+            if (kind, arg) != ("name", "if"):
+                raise GraphQLError(f"@{name} requires an if: argument")
+            self._expect(":")
+            cond = self._parse_value()
+            self._expect(")")
+            if not isinstance(cond, bool):
+                raise GraphQLError(
+                    f"@{name}(if:) must be a Boolean, got {cond!r}"
+                )
+            if name == "skip" and cond:
+                keep = False
+            if name == "include" and not cond:
+                keep = False
+        return keep
+
+    def _parse_field(self) -> Field | None:
+        """One field in a selection set. Returns None when a @skip/
+        @include directive drops it. ``alias: field`` (spec §2.7)
+        sets the response key."""
         kind, name = self._next()
         if kind != "name":
             raise GraphQLError(f"expected field name, got {name!r}")
         f = Field(name)
         t = self._peek()
+        if t and t[1] == ":":
+            # alias — the parsed name was the response key
+            self._next()
+            kind, real = self._next()
+            if kind != "name":
+                raise GraphQLError(f"expected field name after alias, got {real!r}")
+            f.alias, f.name = name, real
+            t = self._peek()
         if t and t[1] == "(":
             self._next()
             while True:
@@ -328,10 +388,12 @@ class _Parser:
                 if v != ",":
                     raise GraphQLError(f"expected ',' or ')', got {v!r}")
             t = self._peek()
+        keep = self._parse_directives()
+        t = self._peek()
         if t and t[1] == "{":
             self._next()
             self._parse_selection_items(f)
-        return f
+        return f if keep else None
 
     def _parse_value(self):
         kind, v = self._next()
@@ -449,7 +511,7 @@ def _build(
         df = df.where(F.col(k) == F.lit(v))
 
     selection = _expand_inline(spark, fld.selection, label)
-    scalars: list[str] = []
+    scalars: dict[str, str] = {}  # response key -> source column
     nested: list[Field] = []
     for sub in selection:
         if sub.selection:
@@ -457,12 +519,16 @@ def _build(
         else:
             if sub.name not in df.columns:
                 raise GraphQLError(f"unknown field {sub.name!r} on type {label!r}")
-            scalars.append(sub.name)
+            # response key is the alias when present (spec §2.7);
+            # identical keys merge first-wins like identical fields
+            scalars.setdefault(sub.out, sub.name)
     if not selection:
         raise GraphQLError(f"selection set required on type {label!r}")
 
     # column pruning before any join: only requested fields travel
-    df = df.select("node_id", *dict.fromkeys(scalars))
+    df = df.select(
+        "node_id", *[F.col(src).alias(out) for out, src in scalars.items()]
+    )
     # row limit applies at the ROOT only; on nested fields the caller
     # slices each parent's collected array instead (per-parent
     # semantics), so the same arg must not also truncate the child
@@ -498,12 +564,12 @@ def _build(
         arr = F.sort_array(F.collect_list("_s"))
         if nested_limit is not None:
             arr = F.slice(arr, 1, int(nested_limit))
-        agg = linked.groupBy("_parent").agg(arr.alias(nf.name))
-        arr_type = agg.schema[nf.name].dataType
+        agg = linked.groupBy("_parent").agg(arr.alias(nf.out))
+        arr_type = agg.schema[nf.out].dataType
         df = (
             df.join(agg, df.node_id == agg._parent, "left")
             .drop("_parent")
-            .withColumn(nf.name, F.coalesce(F.col(nf.name), F.array().cast(arr_type)))
+            .withColumn(nf.out, F.coalesce(F.col(nf.out), F.array().cast(arr_type)))
         )
 
     if keep_node_id:

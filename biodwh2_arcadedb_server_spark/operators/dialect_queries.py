@@ -457,6 +457,43 @@ def q157_graphql_inline_fragments(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q165_graphql_aliases_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field aliases (GraphQL spec §2.7) + @skip/@include directives
+    (spec §5.5) driven by variables — round-8 parity with the bundled
+    graphql-java surface (reference pom.xml:109-113). One document
+    exercises: the same scalar under a different response key, a
+    variable-driven @skip dropping a field, an @include keeping a
+    nested relationship under an alias, and an @include(if: false)
+    removing another nested selection entirely. Directives evaluate
+    at parse time (where variables substitute), so the compiled
+    Catalyst plan carries ONLY the kept selections — a skipped field
+    costs nothing at any scale."""
+    from biodwh2_arcadedb_server_spark import graphql
+
+    _register_star_workspace(spark, sf_dir)
+    out = graphql.execute(
+        spark,
+        "query($withOrders: Boolean!, $noBal: Boolean!) "
+        '{ Customer(c_mktsegment: "AUTOMOBILE") { '
+        "ckey: c_custkey "
+        "balance: c_acctbal "
+        "c_acctbal @skip(if: $noBal) "
+        "orders: placed @include(if: $withOrders) { o_orderkey } "
+        "never: placed @include(if: false) { o_orderkey } "
+        "} }",
+        variables={"withOrders": True, "noBal": True},
+    )
+    assert "c_acctbal" not in out.columns and "never" not in out.columns
+    return out.where(F.col("ckey") <= 150).select(
+        "ckey",
+        "balance",
+        F.concat_ws(
+            ";",
+            F.transform("orders", lambda s: s["o_orderkey"].cast("string")),
+        ).alias("orders_repr"),
+    )
+
+
 def q158_ddl_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-7 DDL surface end-to-end (ArcadeDB SQL DDL [B],
     `pom.xml:104-108`): on a force-built Region/Nation workspace,
@@ -595,6 +632,7 @@ QUERIES = {
     "q151_graphql_variables": q151_graphql_variables,
     "q164_correlated_let_dialect": q164_correlated_let_dialect,
     "q157_graphql_inline_fragments": q157_graphql_inline_fragments,
+    "q165_graphql_aliases_directives": q165_graphql_aliases_directives,
     "q154_graphql_fragments": q154_graphql_fragments,
     "q136_match_dialect": q136_match_dialect,
     "q147_dml_readback": q147_dml_readback,
@@ -624,6 +662,16 @@ ORACLE = {
                (SELECT count(*) FROM orders o2
                 WHERE o2.o_orderstatus = o.o_orderstatus) AS status_n
         FROM orders o WHERE o.o_orderkey <= 100 ORDER BY o.o_orderkey
+    """,
+    "q165_graphql_aliases_directives": """
+        SELECT c.c_custkey AS ckey, c.c_acctbal AS balance,
+               COALESCE(string_agg(
+                   CAST(o.o_orderkey AS VARCHAR),
+                   ';' ORDER BY o.o_orderkey), '') AS orders_repr
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'AUTOMOBILE' AND c.c_custkey <= 150
+        GROUP BY c.c_custkey, c.c_acctbal
     """,
     "q157_graphql_inline_fragments": """
         SELECT c.c_custkey, c.c_acctbal,

@@ -389,3 +389,71 @@ def test_nested_limit_survives_repeated_fragment_spread(spark, ws):
     for rows in (first, second):
         assert all(len(r.cust_in_nation_rev) <= 1 for r in rows)
         assert any(len(r.cust_in_nation_rev) == 1 for r in rows)
+
+
+# ------------------------------------------------ aliases + directives (round 8)
+def test_field_alias_response_keys(spark, ws):
+    """spec §2.7: the response key is the alias; the same field can be
+    requested twice under different keys."""
+    df = graphql.execute(
+        spark,
+        '{ Customer(natural_key: 1) { nm: c_name bal: c_acctbal '
+        "also: c_acctbal } }",
+    )
+    assert df.columns == ["nm", "bal", "also"]
+    row = df.collect()[0]
+    assert row.nm is not None and row.bal == row.also
+
+
+def test_nested_alias(spark, ws):
+    """An aliased relationship field names the output column; the
+    relationship itself resolves by field NAME."""
+    df = graphql.execute(
+        spark,
+        "{ Customer(natural_key: 1) { c_name orders: placed { o_orderstatus } } }",
+    )
+    assert df.columns == ["c_name", "orders"]
+    assert len(df.collect()[0].orders) > 0
+
+
+def test_skip_include_directives(spark, ws):
+    """spec §5.5: @skip(if: true) and @include(if: false) drop the
+    selection; variable-driven conditions evaluate where variables
+    substitute."""
+    df = graphql.execute(
+        spark,
+        "query($s: Boolean!, $i: Boolean!) { Customer(natural_key: 1) { "
+        "c_mktsegment c_name @skip(if: $s) c_acctbal @include(if: $i) "
+        "placed @include(if: false) { o_orderkey } } }",
+        variables={"s": True, "i": False},
+    )
+    assert df.columns == ["c_mktsegment"]
+    # flipped values keep everything
+    df2 = graphql.execute(
+        spark,
+        "query($s: Boolean!, $i: Boolean!) { Customer(natural_key: 1) { "
+        "c_mktsegment c_name @skip(if: $s) c_acctbal @include(if: $i) } }",
+        variables={"s": False, "i": True},
+    )
+    assert df2.columns == ["c_mktsegment", "c_name", "c_acctbal"]
+
+
+def test_directive_on_spread_and_inline_fragment(spark, ws):
+    df = graphql.execute(
+        spark,
+        "fragment N on Customer { c_name } "
+        "{ Customer(natural_key: 1) { c_mktsegment ...N @skip(if: true) "
+        "... on Customer @include(if: false) { c_acctbal } } }",
+    )
+    assert df.columns == ["c_mktsegment"]
+
+
+def test_directive_errors(spark, ws):
+    with pytest.raises(graphql.GraphQLError, match="unsupported directive"):
+        graphql.execute(
+            spark, "{ Customer { c_name @deprecated(reason: \"x\") } }"
+        )
+    with pytest.raises(graphql.GraphQLError, match="must be a Boolean"):
+        graphql.execute(spark, '{ Customer { c_name @skip(if: "yes") } }')
+    with pytest.raises(graphql.GraphQLError, match="if: argument"):
+        graphql.execute(spark, "{ Customer { c_name @skip(unless: true) } }")

@@ -120,3 +120,36 @@ def test_graphql_endpoint_inline_fragment_type_and_update(spark, sf_small, tmp_p
         assert out4["rows"] == [["WIRED"]]
     finally:
         srv.stop()
+
+
+def test_graphql_endpoint_aliases_and_directives(spark, ws):
+    """Round 8: field aliases (spec §2.7) and variable-driven
+    @skip/@include (spec §5.5) over the wire — the same document
+    returns different shapes as the variables flip."""
+    srv = QueryServer(spark)
+    port = srv.start()
+    auth = base64.b64encode(f"{srv.username}:{srv.password}".encode()).decode()
+    doc = (
+        "query ($k: Int!, $withRegion: Boolean!) { "
+        "Nation(natural_key: $k) { name: n_name "
+        "region: in_region @include(if: $withRegion) { r_name } } }"
+    )
+
+    def post(variables):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/graphql",
+            data=json.dumps({"query": doc, "variables": variables}).encode(),
+            headers={"Authorization": f"Basic {auth}"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+
+    try:
+        out = post({"k": 3, "withRegion": True})
+        assert out["columns"] == ["name", "region"]
+        assert len(out["rows"]) == 1
+        out2 = post({"k": 3, "withRegion": False})
+        assert out2["columns"] == ["name"]
+    finally:
+        srv.stop()
