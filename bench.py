@@ -58,6 +58,12 @@ HEADLINE = [
     "q16_tumbling_window",
     "q17_unique_validation",
     "q18_rollup",
+    "q19_expand_out",
+    "q23_degrees",
+    "q25_label_propagation",
+    "q31_ann_topk",
+    "q34_lang_id",
+    "q35_fingerprint",
     "q39_string_functions",
     "q40_date_functions",
     "q41_collection_functions",
@@ -193,6 +199,9 @@ HEADLINE = [
     "q159_match_edge_alias",
     "q160_select_over_traverse",
     "q161_collection_agg_dialect",
+    "q164_correlated_let_dialect",
+    "q165_graphql_aliases_directives",
+    "q166_dml_return_after_before",
 ]
 
 # Streaming micro-batch drains, timed and reported separately: their

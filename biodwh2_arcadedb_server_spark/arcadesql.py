@@ -405,6 +405,31 @@ class _Parser:
             if not self.accept("op", ","):
                 break
 
+    def _dml_return(self, dml: _DML, allow: set[str]) -> None:
+        """``RETURN AFTER [$current]`` / ``RETURN BEFORE [$current]``
+        (ArcadeDB DML result projection): instead of the affected
+        count, the statement returns the mutated records — AFTER the
+        mutation (UPDATE) or their pre-mutation state (UPDATE/
+        DELETE)."""
+        if not self.accept("kw", "return"):
+            return
+        mode = None
+        for m in ("after", "before"):
+            if self._accept_word(m):
+                mode = m
+                break
+        if mode is None or mode not in allow:
+            raise ArcadeSQLError(
+                f"RETURN supports {' / '.join(sorted(allow)).upper()} "
+                "here"
+            )
+        # optional $current (the whole-record projection — the only
+        # one supported; field projections are out of scope)
+        t = self.peek()
+        if t.kind == "var" and t.text.lower() == "$current":
+            self.next()
+        dml.ddl["return"] = mode
+
     def _dml(self) -> _DML:
         head = self.next().text.lower()
         dummy = _Select(
@@ -423,6 +448,7 @@ class _Parser:
                 if kind != "update":
                     raise ArcadeSQLError("UPSERT applies to vertex UPDATE only")
                 dml.ddl["upsert"] = True
+            self._dml_return(dml, allow={"after", "before"})
             if self.accept("kw", "where"):
                 dml.where = self._expr(dummy)
             return dml
@@ -436,6 +462,7 @@ class _Parser:
             if not self._accept_word("vertex"):
                 self.expect("kw", "from")
             dml = _DML(kind="delete", label=self._name("type name"))
+            self._dml_return(dml, allow={"before"})
             if self.accept("kw", "where"):
                 dml.where = self._expr(dummy)
             return dml
@@ -2172,6 +2199,30 @@ def _execute_dml_locked(spark, stmt, workspace_dir, pred, ws, os):
             [(stmt.kind, stmt.label, n_ddl)],
             "operation string, label string, count long",
         )
+    ret_mode = stmt.ddl.get("return")
+    if ret_mode and stmt.kind not in ("update", "delete"):
+        raise ArcadeSQLError(
+            "RETURN AFTER/BEFORE supports vertex UPDATE and DELETE"
+        )
+    before_rows = ret_ids = None
+    if ret_mode:
+        # Snapshot the matched records (BEFORE) or their stable ids
+        # (AFTER) ahead of the mutation: the dataset swap invalidates
+        # any lazy plan over the old files, so materialize via
+        # localCheckpoint. node_id is immutable under UPDATE (identity
+        # columns are guarded), which is what makes the AFTER
+        # semi-join correct.
+        npath = os.path.join(workspace_dir, "nodes", stmt.label)
+        try:
+            matched = spark.read.parquet(npath).where(pred)
+        except Exception as exc:
+            raise ArcadeSQLError(
+                f"unknown vertex type {stmt.label!r}"
+            ) from exc
+        if ret_mode == "before":
+            before_rows = matched.localCheckpoint(eager=True)
+        else:
+            ret_ids = matched.select("node_id").localCheckpoint(eager=True)
     if stmt.kind == "update":
         try:
             n = ws.update_nodes(
@@ -2193,9 +2244,35 @@ def _execute_dml_locked(spark, stmt, workspace_dir, pred, ws, os):
             row = dict(stmt.assignments)
             _fold_equality_conjuncts(stmt.where or "", row)
             ins = _DML(kind="insert", label=stmt.label, rows=[row])
-            return _execute_dml_locked(spark, ins, workspace_dir, pred, ws, os)
+            res = _execute_dml_locked(spark, ins, workspace_dir, pred, ws, os)
+            if ret_mode == "after":
+                # RETURN AFTER on the upsert-insert branch: the WHERE's
+                # key equality selects the freshly inserted record
+                return spark.read.parquet(
+                    os.path.join(workspace_dir, "nodes", stmt.label)
+                ).where(pred).localCheckpoint(eager=True)
+            if ret_mode == "before":
+                return before_rows  # nothing matched: empty
+            return res
+        if ret_mode:
+            # early result return still must re-register the session
+            # views — the dataset swap invalidated their file listing
+            ws.load_workspace(spark, workspace_dir)
+            if ret_mode == "before":
+                return before_rows
+            # materialize: the returned rows must survive the NEXT
+            # mutation's dataset swap (a lazy plan over the current
+            # files would die on it)
+            return (
+                spark.read.parquet(os.path.join(workspace_dir, "nodes", stmt.label))
+                .join(ret_ids, "node_id", "left_semi")
+                .localCheckpoint(eager=True)
+            )
     elif stmt.kind == "delete":
         n = ws.delete_nodes(spark, workspace_dir, stmt.label, pred)
+        if ret_mode == "before":
+            ws.load_workspace(spark, workspace_dir)
+            return before_rows
     elif stmt.kind == "update_edge":
         try:
             n = ws.update_edges(

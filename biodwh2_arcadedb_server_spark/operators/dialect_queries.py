@@ -494,6 +494,48 @@ def q165_graphql_aliases_directives(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q166_dml_return_after_before(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML ``RETURN AFTER/BEFORE`` (round 8 — ArcadeDB returns the
+    mutated records instead of a count, SQL surface [B],
+    pom.xml:104-108): UPDATE ... RETURN AFTER $current yields the
+    post-mutation rows (stable node ids captured pre-swap, then a
+    semi-join against the rewritten dataset); DELETE ... RETURN
+    BEFORE yields the deleted rows' pre-mutation state (checkpointed
+    ahead of the swap). Deterministic: force-rebuilt Region/Nation
+    workspace each run, so DuckDB recomputes both result sets from
+    the raw table. Same scale-independent job-count floor as q147."""
+    import hashlib
+    import os
+
+    from biodwh2_arcadedb_server_spark import workspace as ws
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    wdir = os.path.join("/tmp", f"biodwh2_ret_probe_{tag}")
+    node_specs = [s for s in ws.NODE_SPECS if s.label in ("Region", "Nation")]
+    edge_specs = [s for s in ws.EDGE_SPECS if s.label == "IN_REGION"]
+    ws.build_workspace(
+        spark, sf_dir, wdir, force=True,
+        node_specs=node_specs, edge_specs=edge_specs,
+    )
+    ws.load_workspace(spark, wdir)
+    upd = arcadesql.execute(
+        spark,
+        "UPDATE Nation SET n_name = lower(n_name) RETURN AFTER $current "
+        "WHERE natural_key < 10",
+        workspace_dir=wdir, allow_writes=True,
+    )
+    dele = arcadesql.execute(
+        spark,
+        "DELETE FROM Nation RETURN BEFORE WHERE natural_key = 20",
+        workspace_dir=wdir, allow_writes=True,
+    )
+    return upd.select(
+        F.lit("after").alias("op"), "natural_key", "n_name"
+    ).unionByName(
+        dele.select(F.lit("before").alias("op"), "natural_key", "n_name")
+    )
+
+
 def q158_ddl_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-7 DDL surface end-to-end (ArcadeDB SQL DDL [B],
     `pom.xml:104-108`): on a force-built Region/Nation workspace,
@@ -637,6 +679,7 @@ QUERIES = {
     "q136_match_dialect": q136_match_dialect,
     "q147_dml_readback": q147_dml_readback,
     "q158_ddl_readback": q158_ddl_readback,
+    "q166_dml_return_after_before": q166_dml_return_after_before,
     "q159_match_edge_alias": q159_match_edge_alias,
     "q160_select_over_traverse": q160_select_over_traverse,
     "q161_collection_agg_dialect": q161_collection_agg_dialect,
@@ -655,6 +698,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q166_dml_return_after_before": """
+        SELECT 'after' AS op, n_nationkey AS natural_key,
+               lower(n_name) AS n_name
+        FROM nation WHERE n_nationkey < 10
+        UNION ALL
+        SELECT 'before' AS op, n_nationkey AS natural_key, n_name
+        FROM nation WHERE n_nationkey = 20
+    """,
     "q164_correlated_let_dialect": """
         SELECT o.o_orderkey, o.o_orderstatus,
                (SELECT sum(o2.o_totalprice) FROM orders o2

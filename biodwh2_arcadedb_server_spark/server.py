@@ -23,7 +23,11 @@ Surface:
   ArcadeDB body shape ``{"language": "sql", "command": …}`` →
   ``{"result": [{col: value}, …]}`` — existing ArcadeDB client code
   ports without edits; /query rejects non-idempotent statements,
-  /command honors the allow_writes gate.
+  /command honors the allow_writes gate. Transaction sessions:
+  ``POST /api/v1/begin|commit|rollback/{db}`` with the
+  ``arcadedb-session-id`` header (begin returns it); dialect DML
+  inside a session stages for the all-or-nothing shadow-workspace
+  commit (transactions.py).
 - ``GET /`` — a read-only HTML query console (the Studio-analog
   explore workflow).
 
@@ -125,6 +129,12 @@ class QueryServer:
         self.password = password or secrets.token_urlsafe(16)
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # ArcadeDB v1 transaction sessions (begin/commit/rollback)
+        from biodwh2_arcadedb_server_spark.transactions import (
+            TransactionManager,
+        )
+
+        self.transactions = TransactionManager()
 
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> int:
@@ -210,6 +220,42 @@ class QueryServer:
                     return
                 lang = req.get("language", "sql").lower()
                 limit = min(int(req.get("limit", MAX_ROWS)), MAX_ROWS)
+                # Transaction sessions (ArcadeDB v1: commands carrying
+                # an arcadedb-session-id header join the transaction
+                # begun by POST /api/v1/begin/{db}): dialect DML/DDL
+                # inside a session is STAGED for the atomic commit;
+                # reads fall through and execute immediately (staged
+                # writes become visible at commit — documented
+                # batch-recompute divergence, transactions.py).
+                sid = self.headers.get("arcadedb-session-id")
+                if (
+                    verb == "command"
+                    and server.transactions.active(sid)
+                    and lang in ("sql", "arcadedb")
+                    and arcadesql.claims_statement(cmd)
+                ):
+                    from biodwh2_arcadedb_server_spark.transactions import (
+                        TransactionError,
+                    )
+
+                    if not server.allow_writes:
+                        self._reply(
+                            400,
+                            {"error": "DML in a transaction requires "
+                                      "--allow-writes"},
+                        )
+                        return
+                    try:
+                        pos = server.transactions.stage(sid, cmd)
+                    except TransactionError as exc:
+                        self._reply(400, {"error": str(exc)})
+                        return
+                    self._reply(
+                        200,
+                        {"result": [{"operation": "staged",
+                                     "statement": pos}]},
+                    )
+                    return
                 if lang == "graphql":
                     from biodwh2_arcadedb_server_spark.graphql import (
                         execute as gql_execute,
@@ -281,15 +327,82 @@ class QueryServer:
                 ]
                 self._reply(200, {"result": rows})
 
+            def _arcade_txn(self, verb: str) -> None:
+                """``POST /api/v1/begin|commit|rollback/{db}`` —
+                ArcadeDB v1 transaction sessions (client libraries
+                call these even for read-only work). ``begin``
+                returns the session id in the ``arcadedb-session-id``
+                header (and the body); ``commit`` applies the staged
+                statements all-or-nothing via the shadow-workspace
+                swap (transactions.py); ``rollback`` discards."""
+                from biodwh2_arcadedb_server_spark.transactions import (
+                    TransactionConflict,
+                    TransactionError,
+                )
+
+                sid = self.headers.get("arcadedb-session-id")
+                try:
+                    if verb == "begin":
+                        new_sid = server.transactions.begin(
+                            server.workspace_dir
+                        )
+                        body = json.dumps(
+                            {"result": [{"sessionId": new_sid}]}
+                        ).encode()
+                        self.send_response(200)
+                        self.send_header("arcadedb-session-id", new_sid)
+                        self.send_header(
+                            "Content-Type", "application/json"
+                        )
+                        self.send_header(
+                            "Content-Length", str(len(body))
+                        )
+                        self.end_headers()
+                        self.wfile.write(body)
+                    elif verb == "commit":
+                        n = server.transactions.commit(
+                            server.spark, sid,
+                            allow_writes=server.allow_writes,
+                        )
+                        self._reply(
+                            200,
+                            {"result": [{"operation": "commit",
+                                         "statements": n}]},
+                        )
+                    else:  # rollback
+                        n = server.transactions.rollback(sid)
+                        self._reply(
+                            200,
+                            {"result": [{"operation": "rollback",
+                                         "statements": n}]},
+                        )
+                except TransactionConflict as exc:
+                    self._reply(409, {"error": str(exc)})
+                except TransactionError as exc:
+                    self._reply(400, {"error": str(exc)})
+
             def do_POST(self):
                 api = re.fullmatch(r"/api/v1/(query|command)/[^/]+", self.path)
-                if self.path not in ("/query", "/graphql") and not api:
+                txn = re.fullmatch(
+                    r"/api/v1/(begin|commit|rollback)/[^/]+", self.path
+                )
+                if self.path not in ("/query", "/graphql") and not (
+                    api or txn
+                ):
                     self._reply(404, {"error": "not found"})
                     return
                 if not self._authorized():
                     self.send_response(401)
                     self.send_header("WWW-Authenticate", 'Basic realm="biodwh2"')
                     self.end_headers()
+                    return
+                if txn:
+                    try:
+                        self._arcade_txn(txn.group(1))
+                    except Exception as exc:  # noqa: BLE001
+                        self._reply(
+                            400, {"error": f"{type(exc).__name__}: {exc}"[:500]}
+                        )
                     return
                 if api:
                     try:

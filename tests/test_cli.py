@@ -437,3 +437,110 @@ def test_query_endpoint_write_gate(spark, sf_small, tmp_path):
     )
     assert spark.sql("SELECT * FROM gate_ok").count() == 1
     spark.catalog.dropTempView("gate_ok")
+
+
+def test_v1_api_transaction_sessions(spark, sf_small, tmp_path_factory):
+    """ArcadeDB v1 transaction routes (round 8): begin returns a
+    session id; DML commands carrying the arcadedb-session-id header
+    stage instead of executing; rollback leaves the workspace
+    unchanged; a fresh begin → stage → commit applies atomically via
+    the shadow-workspace swap; the committed state reads back."""
+    import base64
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from biodwh2_arcadedb_server_spark.server import QueryServer
+    from biodwh2_arcadedb_server_spark.workspace import build_workspace, load_workspace
+
+    ws = str(tmp_path_factory.mktemp("v1txn") / "ws")
+    build_workspace(spark, sf_small, ws, force=True)
+    load_workspace(spark, ws)
+    srv = QueryServer(spark, workspace_dir=ws, allow_writes=True)
+    port = srv.start()
+    auth = base64.b64encode(f"{srv.username}:{srv.password}".encode()).decode()
+
+    def post(path, payload=None, sid=None):
+        headers = {"Authorization": f"Basic {auth}"}
+        if sid:
+            headers["arcadedb-session-id"] = sid
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=_json.dumps(payload or {}).encode(),
+            headers=headers,
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            return _json.loads(resp.read()), resp.headers
+
+    def nation_count():
+        out, _ = post("/api/v1/query/db",
+                      {"command": "SELECT count(*) AS n FROM Nation"})
+        return out["result"][0]["n"]
+
+    base_n = nation_count()
+    try:
+        # --- begin → two staged commands → rollback: nothing applied
+        out, hdrs = post("/api/v1/begin/db")
+        sid = hdrs["arcadedb-session-id"]
+        assert out["result"][0]["sessionId"] == sid
+        for key in (990, 991):
+            out, _ = post(
+                "/api/v1/command/db",
+                {"command": f"INSERT INTO Nation SET natural_key = {key}, "
+                            f"n_name = 'TXN{key}'"},
+                sid=sid,
+            )
+            assert out["result"][0]["operation"] == "staged"
+        assert nation_count() == base_n  # staged, not applied
+        out, _ = post("/api/v1/rollback/db", sid=sid)
+        assert out["result"][0]["statements"] == 2
+        assert nation_count() == base_n
+        # the session is closed now
+        try:
+            post("/api/v1/commit/db", sid=sid)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # --- begin → stage → commit: applied atomically
+        out, hdrs = post("/api/v1/begin/db")
+        sid2 = hdrs["arcadedb-session-id"]
+        post("/api/v1/command/db",
+             {"command": "INSERT INTO Nation SET natural_key = 992, "
+                         "n_name = 'TXNCOMMIT'"},
+             sid=sid2)
+        # reads inside the session still answer (pre-commit state)
+        assert nation_count() == base_n
+        out, _ = post("/api/v1/commit/db", sid=sid2)
+        assert out["result"][0]["statements"] == 1
+        assert nation_count() == base_n + 1
+        out, _ = post("/api/v1/query/db",
+                      {"command": "SELECT n_name FROM Nation "
+                                  "WHERE natural_key = 992"})
+        assert out["result"][0]["n_name"] == "TXNCOMMIT"
+
+        # --- empty transaction commits as a no-op (read-only client
+        # library pattern)
+        _, hdrs = post("/api/v1/begin/db")
+        out, _ = post("/api/v1/commit/db", sid=hdrs["arcadedb-session-id"])
+        assert out["result"][0]["statements"] == 0
+
+        # --- a failing statement rolls the whole transaction back
+        _, hdrs = post("/api/v1/begin/db")
+        sid3 = hdrs["arcadedb-session-id"]
+        post("/api/v1/command/db",
+             {"command": "INSERT INTO Nation SET natural_key = 993, "
+                         "n_name = 'NEVER'"},
+             sid=sid3)
+        post("/api/v1/command/db",
+             {"command": "DELETE FROM NoSuchType WHERE natural_key = 1"},
+             sid=sid3)
+        try:
+            post("/api/v1/commit/db", sid=sid3)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert nation_count() == base_n + 1  # 993 NOT applied
+    finally:
+        srv.stop()

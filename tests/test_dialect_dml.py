@@ -493,3 +493,70 @@ def test_drop_last_type_refreshes_unified_views(spark, sf_small, tmp_path_factor
     assert res["count"] == 5
     assert spark.table("nodes").count() == 0
     assert spark.table("edges").count() == 0
+
+
+# ------------------------------------------------ RETURN AFTER/BEFORE (round 8)
+def test_update_return_after(spark, dml_ws):
+    """UPDATE ... RETURN AFTER $current returns the mutated records
+    (ArcadeDB DML result projection) instead of the count."""
+    rows = execute(
+        spark,
+        "UPDATE Nation SET n_name = 'RA' RETURN AFTER $current "
+        "WHERE natural_key >= 20 AND natural_key <= 22",
+        workspace_dir=dml_ws, allow_writes=True,
+    ).collect()
+    assert len(rows) == 3
+    assert all(r.n_name == "RA" for r in rows)
+    assert sorted(r.natural_key for r in rows) == [20, 21, 22]
+
+
+def test_update_return_before(spark, dml_ws):
+    before = execute(
+        spark,
+        "UPDATE Nation SET n_name = 'RB' RETURN BEFORE "
+        "WHERE natural_key = 21",
+        workspace_dir=dml_ws, allow_writes=True,
+    ).collect()
+    assert len(before) == 1
+    assert before[0].n_name != "RB"  # pre-mutation state
+    now = execute(
+        spark, "SELECT n_name FROM Nation WHERE natural_key = 21"
+    ).collect()[0]
+    assert now.n_name == "RB"  # mutation did apply
+
+
+def test_delete_return_before(spark, dml_ws):
+    n0 = _nation_count(spark)
+    gone = execute(
+        spark,
+        "DELETE FROM Nation RETURN BEFORE WHERE natural_key = 11",
+        workspace_dir=dml_ws, allow_writes=True,
+    ).collect()
+    assert len(gone) == 1 and gone[0].natural_key == 11
+    assert _nation_count(spark) == n0 - 1
+
+
+def test_upsert_return_after_insert_branch(spark, dml_ws):
+    rows = execute(
+        spark,
+        "UPDATE Nation SET n_name = 'UPSERTED' UPSERT RETURN AFTER "
+        "WHERE natural_key = 987",
+        workspace_dir=dml_ws, allow_writes=True,
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].n_name == "UPSERTED" and rows[0].natural_key == 987
+
+
+def test_return_mode_errors(spark, dml_ws):
+    with pytest.raises(ArcadeSQLError, match="RETURN supports BEFORE"):
+        execute(
+            spark,
+            "DELETE FROM Nation RETURN AFTER WHERE natural_key = 1",
+            workspace_dir=dml_ws, allow_writes=True,
+        )
+    with pytest.raises(ArcadeSQLError, match="RETURN supports"):
+        execute(
+            spark,
+            "UPDATE Nation SET n_name = 'x' RETURN COUNT",
+            workspace_dir=dml_ws, allow_writes=True,
+        )
