@@ -2194,7 +2194,11 @@ def _execute_dml_locked(spark, stmt, workspace_dir, pred, ws, os):
                 spark.catalog.dropTempView(f"e_{stmt.label}")
         except ValueError as exc:
             raise ArcadeSQLError(str(exc)) from exc
-        ws.load_workspace(spark, workspace_dir)
+        if stmt.kind not in ("ddl_index", "ddl_drop_index"):
+            # index DDL is manifest-only — no dataset or schema
+            # changed, so the registered views stay valid (round-8
+            # interactive-DDL trim)
+            ws.load_workspace(spark, workspace_dir)
         return spark.createDataFrame(
             [(stmt.kind, stmt.label, n_ddl)],
             "operation string, label string, count long",

@@ -22,6 +22,7 @@ from pathlib import Path
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -39,7 +40,18 @@ def write_bucketed(
     stale = Path(urlparse(warehouse).path or warehouse) / table.lower()
     if stale.exists():
         shutil.rmtree(stale, ignore_errors=True)
-    writer = df.write.mode("overwrite").bucketBy(buckets, key)
+    # Pre-shuffle into the bucket layout: repartition(buckets, key)
+    # uses the same Murmur3 hash as the bucket assignment, so every
+    # write task holds exactly one bucket and emits ONE file per
+    # bucket. Without this, each of N write tasks emits a file per
+    # bucket (N files/bucket) and the scan-side sorted-bucket
+    # optimization is lost — Spark re-Sorts before a merge join it
+    # could have read pre-sorted (round-8 q44 layout experiment).
+    writer = (
+        df.repartition(buckets, F.col(key))
+        .write.mode("overwrite")
+        .bucketBy(buckets, key)
+    )
     if sort:
         writer = writer.sortBy(key)
     writer.format("parquet").saveAsTable(table)

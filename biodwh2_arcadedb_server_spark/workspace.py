@@ -111,6 +111,25 @@ def node_id2(label: str, key_col) -> F.Column:
     return F.xxhash64(F.lit("__idlane2__"), F.lit(label), key_col.cast("long"))
 
 
+def _dataset_row_count(spark: SparkSession, path: str) -> int:
+    """Row count for a freshly written dataset. Small datasets (the
+    interactive create/DDL path) answer DRIVER-SIDE from the parquet
+    footers — no Spark job; large ones fall back to the distributed
+    footer-pushdown count (spark.sql.parquet.aggregatePushdown)."""
+    import pyarrow.parquet as pa_pq
+
+    parts = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    if len(parts) <= 64:
+        return sum(
+            pa_pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in parts
+        )
+    return spark.read.parquet(path).count()
+
+
 def pseudo_hash(path: str) -> str:
     """A15 / HashUtils.java:21-24: md5 of "<mtime>__<size>" — a fast
     change detector that never reads file contents."""
@@ -326,7 +345,7 @@ def build_workspace(
             "key": spec.key,
             "source_hash": h,
             "schema": node_frames[spec.label].schema.jsonValue(),
-            "count": node_frames[spec.label].count(),
+            "count": _dataset_row_count(spark, out),
         }
     if any(r.startswith("n:") for r in rebuilt):
         validate_node_ids(node_frames, id_bits=id_bits)
@@ -357,7 +376,7 @@ def build_workspace(
             "dst_label": spec.dst_label,
             "source_hash": h,
             "schema": edf.schema.jsonValue(),
-            "count": edf.count(),
+            "count": _dataset_row_count(spark, out),
         }
 
     with open(manifest_file, "w") as mh:
@@ -395,6 +414,32 @@ def _update_manifest_count(ws_dir: str, kind: str, label: str, count: int) -> No
         json.dump(manifest, mh, indent=2)
 
 
+def _append_via_tmp(df: DataFrame, path: str) -> int:
+    """Materialize ``df`` into a tmp dir (ONE Spark job, including any
+    upstream validation joins), count the written rows from the
+    parquet FOOTERS driver-side (no second job), then move the part
+    files into the dataset directory (append = adding files; Spark
+    part names carry a UUID so moves cannot collide). Replaces the
+    checkpoint + count + append 3-job sequence on the interactive
+    insert path (round-8 q147/q158 trim). Returns rows appended."""
+    import pyarrow.parquet as pa_pq
+
+    tmp = path + "__ins"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    df.write.mode("overwrite").parquet(tmp)
+    parts = [
+        f for f in os.listdir(tmp)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    n = sum(pa_pq.read_metadata(os.path.join(tmp, f)).num_rows for f in parts)
+    if n:
+        for f in parts:
+            os.replace(os.path.join(tmp, f), os.path.join(path, f))
+    shutil.rmtree(tmp)
+    return n
+
+
 def insert_nodes(spark: SparkSession, ws_dir: str, label: str, rows: DataFrame) -> int:
     """CREATE VERTEX: append rows (node_id derived from natural_key;
     existing ids are rejected rows — duplicates silently skipped, the
@@ -423,11 +468,8 @@ def insert_nodes(spark: SparkSession, ws_dir: str, label: str, rows: DataFrame) 
         # callers feeding raw DataFrames
         .dropDuplicates(["node_id"])
         .join(cur.select("node_id"), "node_id", "left_anti")
-        .localCheckpoint(eager=True)
     )
-    n_ins = new.count()
-    if n_ins:
-        new.write.mode("append").parquet(path)
+    n_ins = _append_via_tmp(new, path)
     with open(os.path.join(ws_dir, "manifest.json")) as mh:
         n = json.load(mh)["nodes"][label]["count"] + n_ins
     _update_manifest_count(ws_dir, "nodes", label, n)
@@ -476,7 +518,9 @@ def delete_nodes(spark: SparkSession, ws_dir: str, label: str, predicate: F.Colu
     if n_del == 0:
         return 0
     _rewrite_dataset(cur.join(doomed, "node_id", "left_anti"), path)
-    _update_manifest_count(ws_dir, "nodes", label, spark.read.parquet(path).count())
+    _update_manifest_count(
+        ws_dir, "nodes", label, manifest["nodes"][label]["count"] - n_del
+    )
     for e_label, info in manifest["edges"].items():
         if label not in (info["src_label"], info["dst_label"]):
             continue
@@ -509,11 +553,9 @@ def insert_edges(spark: SparkSession, ws_dir: str, label: str, rows: DataFrame) 
     dst_ids = spark.read.parquet(manifest["nodes"][info["dst_label"]]["path"]).select("node_id")
     new = new.join(src_ids, new.src == src_ids.node_id, "left_semi")
     new = new.join(dst_ids, new.dst == dst_ids.node_id, "left_semi")
-    new = new.localCheckpoint(eager=True)
-    n_new = new.count()
+    # append, not rewrite: O(inserted) IO (100 TB posture)
+    n_new = _append_via_tmp(new, path)
     if n_new:
-        # append, not rewrite: O(inserted) IO (100 TB posture)
-        new.write.mode("append").parquet(path)
         _update_manifest_count(ws_dir, "edges", label, info["count"] + n_new)
     return n_new
 
@@ -554,7 +596,10 @@ def delete_edges(spark: SparkSession, ws_dir: str, label: str, predicate: F.Colu
     doomed = cur.where(predicate).count()
     if doomed:
         _rewrite_dataset(cur.where(~predicate), path)
-        _update_manifest_count(ws_dir, "edges", label, spark.read.parquet(path).count())
+        _update_manifest_count(
+            ws_dir, "edges", label,
+            manifest["edges"][label]["count"] - doomed,
+        )
     return doomed
 
 
@@ -569,6 +614,27 @@ def delete_edges(spark: SparkSession, ws_dir: str, label: str, predicate: F.Colu
 # groupBy audit).
 
 
+def _write_empty_dataset(schema, path: str) -> None:
+    """Write an empty parquet dataset DRIVER-SIDE (pyarrow): creating
+    a type is a metadata operation and must not launch a distributed
+    job for zero rows (round-8 q158 trim — each empty Spark write was
+    a ~0.5s job in an interactive DDL sequence)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    pa_pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array([], type=f.type) for f in to_arrow_schema(schema)],
+            schema=to_arrow_schema(schema),
+        ),
+        os.path.join(path, "part-00000-empty.parquet"),
+    )
+
+
 def create_node_type(spark: SparkSession, ws_dir: str, label: str) -> None:
     with open(os.path.join(ws_dir, "manifest.json")) as mh:
         manifest = json.load(mh)
@@ -578,7 +644,7 @@ def create_node_type(spark: SparkSession, ws_dir: str, label: str) -> None:
     empty = spark.createDataFrame(
         [], "node_id long, natural_key long, label string"
     )
-    empty.write.mode("overwrite").parquet(path)
+    _write_empty_dataset(empty.schema, path)
     manifest["nodes"][label] = {
         "path": path,
         "key": "natural_key",
@@ -605,7 +671,7 @@ def create_edge_type(
             raise ValueError(f"unknown endpoint node type {lbl!r}")
     path = os.path.join(ws_dir, "edges", label)
     empty = spark.createDataFrame([], "src long, dst long, label string")
-    empty.write.mode("overwrite").parquet(path)
+    _write_empty_dataset(empty.schema, path)
     manifest["edges"][label] = {
         "path": path,
         "src_label": src_label,
@@ -639,7 +705,12 @@ def add_property(
         raise ValueError(f"property {label}.{prop} already exists")
     dtype = resolve_type({"datetime": "timestamp"}.get(type_name.lower(), type_name))
     out = cur.withColumn(prop, F.lit(None).cast(dtype))
-    _rewrite_dataset(out, path)
+    if manifest[kind][label].get("count") == 0:
+        # empty type: pure schema change, no rows to rewrite —
+        # driver-side (round-8 q158 trim)
+        _write_empty_dataset(out.schema, path)
+    else:
+        _rewrite_dataset(out, path)
     manifest[kind][label]["schema"] = out.schema.jsonValue()
     with open(os.path.join(ws_dir, "manifest.json"), "w") as mh:
         json.dump(manifest, mh, indent=2)
@@ -662,7 +733,8 @@ def create_index(
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"unknown column(s) {missing} on {label!r}")
-    if unique:
+    if unique and manifest[kind][label].get("count", 1) != 0:
+        # (an empty type is trivially unique — no audit job)
         dups = df.groupBy(*cols).count().where(F.col("count") > 1).count()
         if dups:
             raise ValueError(
@@ -688,7 +760,10 @@ def drop_type(spark: SparkSession, ws_dir: str, label: str, unsafe: bool = False
         manifest = json.load(mh)
     if label in manifest["edges"]:
         info = manifest["edges"][label]
-        n = spark.read.parquet(info["path"]).count()
+        # manifest counts are maintained by every mutation — a DDL
+        # statement must not pay a dataset re-scan for bookkeeping
+        # (round-7 VERDICT #8)
+        n = info["count"]
         if n and not unsafe:
             raise ValueError(
                 f"edge type {label!r} holds {n} edge(s) — "
@@ -707,7 +782,7 @@ def drop_type(spark: SparkSession, ws_dir: str, label: str, unsafe: bool = False
                 f"{refs} — DROP those first"
             )
         info = manifest["nodes"][label]
-        n = spark.read.parquet(info["path"]).count()
+        n = info["count"]
         if n and not unsafe:
             raise ValueError(
                 f"node type {label!r} holds {n} record(s) — "
@@ -792,7 +867,7 @@ def rename_type(spark: SparkSession, ws_dir: str, label: str, new_label: str) ->
     if label in manifest["edges"]:
         info = manifest["edges"][label]
         cur = spark.read.parquet(info["path"])
-        n = cur.count()
+        n = info["count"]  # maintained invariant — no re-scan
         new_path = os.path.join(ws_dir, "edges", new_label)
         cur.withColumn("label", F.lit(new_label)).write.mode("overwrite").parquet(new_path)
         shutil.rmtree(info["path"])
@@ -806,32 +881,43 @@ def rename_type(spark: SparkSession, ws_dir: str, label: str, new_label: str) ->
         raise ValueError(f"unknown type {label!r}")
     info = manifest["nodes"][label]
     cur = spark.read.parquet(info["path"])
-    if "node_id2" in cur.columns:
-        raise ValueError(
-            "ALTER TYPE ... NAME is not supported on 128-bit-id "
-            "workspaces yet — rebuild under the new name instead"
-        )
-    n = cur.count()
-    mapping = cur.select(
+    # 128-bit workspaces (SCALE.md collision-ceiling escape hatch)
+    # rename the SAME way with both lanes recomputed and the edge
+    # remap joined on the 16-byte pair — a first-lane collision can't
+    # cross-wire the remap (round-8: closes the ROADMAP "128-bit DML
+    # completion" seam that previously raised here).
+    two_lane = "node_id2" in cur.columns
+    n = info["count"]  # maintained invariant — no re-scan
+    lanes = [
         F.col("node_id").alias("_old"),
         node_id(new_label, F.col("natural_key")).alias("_new"),
-    ).localCheckpoint(eager=True)
+    ]
+    if two_lane:
+        lanes += [
+            F.col("node_id2").alias("_old2"),
+            node_id2(new_label, F.col("natural_key")).alias("_new2"),
+        ]
+    mapping = cur.select(*lanes).localCheckpoint(eager=True)
     # re-run the cross-label collision audit BEFORE committing: the
     # recomputed xxhash64(new_label, key) ids face the same hazard
     # build_workspace refuses to ship (round-7 review finding) —
     # a silent collision would cross-wire traversals
+    id_cols = ["node_id", "node_id2"] if two_lane else ["node_id"]
     others = None
     for other, o_info in manifest["nodes"].items():
         if other == label:
             continue
-        part = spark.read.parquet(o_info["path"]).select("node_id")
+        part = spark.read.parquet(o_info["path"]).select(*id_cols)
         others = part if others is None else others.unionByName(part)
     if others is not None:
-        clashes = (
-            mapping.select(F.col("_new").alias("node_id"))
-            .join(others, "node_id", "left_semi")
-            .count()
-        )
+        new_ids = mapping.select(F.col("_new").alias("node_id"))
+        if two_lane:
+            # a clash means BOTH lanes collide — the pair is the id
+            new_ids = mapping.select(
+                F.col("_new").alias("node_id"),
+                F.col("_new2").alias("node_id2"),
+            )
+        clashes = new_ids.join(others, id_cols, "left_semi").count()
         if clashes:
             raise ValueError(
                 f"renaming {label!r} to {new_label!r} would collide "
@@ -839,32 +925,44 @@ def rename_type(spark: SparkSession, ws_dir: str, label: str, new_label: str) ->
                 "rebuild with a wider id scheme first"
             )
     new_path = os.path.join(ws_dir, "nodes", new_label)
-    (
-        cur.withColumn("node_id", node_id(new_label, F.col("natural_key")))
-        .withColumn("label", F.lit(new_label))
-        .write.mode("overwrite").parquet(new_path)
-    )
+    renamed = cur.withColumn(
+        "node_id", node_id(new_label, F.col("natural_key"))
+    ).withColumn("label", F.lit(new_label))
+    if two_lane:
+        renamed = renamed.withColumn(
+            "node_id2", node_id2(new_label, F.col("natural_key"))
+        )
+    renamed.write.mode("overwrite").parquet(new_path)
     shutil.rmtree(info["path"])
     info["path"] = new_path
     manifest["nodes"][new_label] = info
     del manifest["nodes"][label]
+    drop_cols = ["_old", "_new"] + (["_old2", "_new2"] if two_lane else [])
     for e_label, e_info in manifest["edges"].items():
         touches = False
         e = spark.read.parquet(e_info["path"])
         if e_info["src_label"] == label:
-            e = (
-                e.join(mapping, e.src == mapping._old, "left")
-                .withColumn("src", F.coalesce("_new", "src"))
-                .drop("_old", "_new")
+            cond = e.src == mapping._old
+            if two_lane:
+                cond = cond & (e.src2 == mapping._old2)
+            e = e.join(mapping, cond, "left").withColumn(
+                "src", F.coalesce("_new", "src")
             )
+            if two_lane:
+                e = e.withColumn("src2", F.coalesce("_new2", "src2"))
+            e = e.drop(*drop_cols)
             e_info["src_label"] = new_label
             touches = True
         if e_info["dst_label"] == label:
-            e = (
-                e.join(mapping, e.dst == mapping._old, "left")
-                .withColumn("dst", F.coalesce("_new", "dst"))
-                .drop("_old", "_new")
+            cond = e.dst == mapping._old
+            if two_lane:
+                cond = cond & (e.dst2 == mapping._old2)
+            e = e.join(mapping, cond, "left").withColumn(
+                "dst", F.coalesce("_new", "dst")
             )
+            if two_lane:
+                e = e.withColumn("dst2", F.coalesce("_new2", "dst2"))
+            e = e.drop(*drop_cols)
             e_info["dst_label"] = new_label
             touches = True
         if touches:
@@ -895,9 +993,26 @@ def load_workspace(spark: SparkSession, ws_dir: str) -> dict:
     without widening every label to a common schema."""
     with open(os.path.join(ws_dir, "manifest.json")) as mh:
         manifest = json.load(mh)
+
+    def _read(info):
+        # The manifest carries the authoritative schema (written at
+        # build time and kept current by every schema-changing DDL),
+        # so view registration needs NO parquet footer read — at 14
+        # statements per interactive DDL sequence the per-statement
+        # re-registration was paying a footer read per label
+        # (round-8 q158 trim; ~40% of the sequence wall time).
+        schema_json = info.get("schema")
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            return spark.read.schema(
+                StructType.fromJson(schema_json)
+            ).parquet(info["path"])
+        return spark.read.parquet(info["path"])
+
     unified_nodes = None
     for label, info in manifest["nodes"].items():
-        df = spark.read.parquet(info["path"])
+        df = _read(info)
         df.createOrReplaceTempView(f"n_{label}")
         prop_cols = [c for c in df.columns if c not in ("node_id", "node_id2", "label", "natural_key")]
         if prop_cols:
@@ -925,7 +1040,7 @@ def load_workspace(spark: SparkSession, ws_dir: str) -> dict:
     unified_nodes.createOrReplaceTempView("nodes")
     unified_edges = None
     for label, info in manifest["edges"].items():
-        df = spark.read.parquet(info["path"])
+        df = _read(info)
         df.createOrReplaceTempView(f"e_{label}")
         slim = df.select("src", "dst", "label")
         unified_edges = slim if unified_edges is None else unified_edges.unionByName(slim)

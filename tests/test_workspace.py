@@ -357,3 +357,52 @@ def test_insert_nodes_derives_second_lane(spark, sf_small, tmp_path):
         node_id2("Nation", F.lit(990)).alias("x")
     ).collect()[0].x
     assert row.node_id2 == expect
+
+
+def test_rename_type_128bit_two_lane_cascade(spark, sf_small, tmp_path):
+    """ALTER TYPE ... NAME on a 128-bit workspace (round 8 — closes
+    the ROADMAP '128-bit DML completion' seam): both id lanes are
+    recomputed from (new_label, natural_key), and every touching edge
+    dataset's src/src2 (or dst/dst2) pairs remap via the 16-byte pair
+    join — a first-lane-only match must not remap an endpoint."""
+    from biodwh2_arcadedb_server_spark.workspace import (
+        build_workspace,
+        load_workspace,
+        node_id,
+        node_id2,
+        rename_type,
+    )
+
+    ws = str(tmp_path / "ws128r")
+    build_workspace(spark, sf_small, ws, force=True, id_bits=128)
+    load_workspace(spark, ws)
+    before_edges = spark.table("e_IN_REGION").count()
+    n = rename_type(spark, ws, "Nation", "Land")
+    assert n == 25
+    load_workspace(spark, ws)
+    nn = spark.table("n_Land")
+    chk = nn.select(
+        (F.col("node_id") == node_id("Land", F.col("natural_key"))).alias("a"),
+        (F.col("node_id2") == node_id2("Land", F.col("natural_key"))).alias("b"),
+    ).collect()
+    assert all(r.a and r.b for r in chk)
+    # the IN_REGION edges remapped BOTH src lanes to the new ids
+    e = spark.table("e_IN_REGION")
+    assert e.count() == before_edges
+    joined = (
+        e.join(
+            nn.select(
+                F.col("node_id").alias("src"),
+                F.col("node_id2").alias("_n2"),
+            ),
+            "src",
+        )
+        .where(F.col("src2") != F.col("_n2"))
+        .count()
+    )
+    assert joined == 0
+    # every edge src resolves against the renamed label (none dangling)
+    resolved = e.join(
+        nn.select(F.col("node_id").alias("src")), "src", "left_semi"
+    ).count()
+    assert resolved == before_edges
