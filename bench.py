@@ -202,6 +202,7 @@ HEADLINE = [
     "q164_correlated_let_dialect",
     "q165_graphql_aliases_directives",
     "q166_dml_return_after_before",
+    "q167_parameterized_query",
 ]
 
 # Streaming micro-batch drains, timed and reported separately: their

@@ -189,6 +189,91 @@ def _sql_str(val: str) -> str:
     return val.replace("\\", "\\\\").replace("'", "\\'")
 
 
+# ------------------------------------------------------------- parameters
+_NAMED_PARAM_RE = re.compile(r":([A-Za-z_]\w*)")
+
+
+def _render_param(val) -> str:
+    """Render a Python parameter value as a dialect literal. Strings
+    go through ``_sql_str`` (quote + backslash escaping) so a value
+    like ``O'Brien' OR 1=1 --`` stays ONE string literal — binding is
+    the injection boundary, exactly like a real driver's."""
+    import datetime as _dt
+
+    if val is None:
+        return "null"
+    if isinstance(val, bool):
+        return "true" if val else "false"
+    if isinstance(val, int):
+        return str(val)
+    if isinstance(val, float):
+        import math
+
+        if not math.isfinite(val):
+            raise ArcadeSQLError(f"non-finite parameter value {val!r}")
+        return repr(val)
+    if isinstance(val, (list, tuple)):
+        return "[" + ", ".join(_render_param(v) for v in val) + "]"
+    if isinstance(val, _dt.datetime):
+        return f"'{val.isoformat(sep=' ')}'"
+    if isinstance(val, _dt.date):
+        return f"'{val.isoformat()}'"
+    if isinstance(val, str):
+        return f"'{_sql_str(val)}'"
+    raise ArcadeSQLError(
+        f"unsupported parameter type {type(val).__name__}"
+    )
+
+
+def bind_params(sql: str, params) -> str:
+    """Bind query parameters into an ArcadeDB-dialect statement —
+    the wire behavior of ArcadeDB's ``{"command": ..., "params":
+    ...}`` REST payload and of every client driver. A dict binds
+    named ``:name`` placeholders; a list/tuple binds positional
+    ``?`` placeholders in order. Replacement happens only OUTSIDE
+    single-quoted string literals, and only for names present in
+    the dict — ``{type: Person}`` MATCH syntax and user text like
+    ':noon' are never touched. Values are rendered as escaped
+    literals (``_render_param``), so binding cannot change the
+    statement shape. Unbound placeholders fail loudly downstream
+    (``?`` is not a dialect token; a dangling ``:name`` does not
+    parse)."""
+    if params is None:
+        return sql
+    parts = _STRING_SPAN_RE.split(sql)
+    if isinstance(params, dict):
+        rendered = {k: _render_param(v) for k, v in params.items()}
+
+        def _sub(m: re.Match) -> str:
+            return rendered.get(m.group(1), m.group(0))
+
+        return "".join(
+            p if i % 2 else _NAMED_PARAM_RE.sub(_sub, p)
+            for i, p in enumerate(parts)
+        )
+    if isinstance(params, (list, tuple)):
+        n_slots = sum(p.count("?") for i, p in enumerate(parts) if i % 2 == 0)
+        if n_slots != len(params):
+            raise ArcadeSQLError(
+                f"statement has {n_slots} positional placeholder(s) "
+                f"but {len(params)} parameter(s) were supplied"
+            )
+        vals = iter(params)
+        out: list[str] = []
+        for i, p in enumerate(parts):
+            if i % 2:
+                out.append(p)
+            else:
+                out.append(
+                    re.sub(r"\?", lambda _m: _render_param(next(vals)), p)
+                )
+        return "".join(out)
+    raise ArcadeSQLError(
+        f"params must be a dict (named) or list (positional), "
+        f"got {type(params).__name__}"
+    )
+
+
 # ---------------------------------------------------------------- parser
 @dataclass
 class _Select:
@@ -2054,10 +2139,11 @@ def _compile_match(m: _Match) -> str:
     return sql
 
 
-def translate(sql: str) -> str:
+def translate(sql: str, params=None) -> str:
     """ArcadeDB-dialect SELECT or MATCH → one Spark SQL string over
     the workspace views (``n_<Label>``, unified ``nodes``/``edges``).
     TRAVERSE statements are plan-level (use :func:`execute`)."""
+    sql = bind_params(sql, params)
     p = _Parser(sql)
     stmt = p.parse()
     if isinstance(stmt, _Traverse):
@@ -2426,6 +2512,7 @@ def execute(
     *,
     workspace_dir: str | None = None,
     allow_writes: bool = False,
+    params=None,
 ) -> DataFrame:
     """Run an ArcadeDB-dialect statement against the registered
     workspace views. SELECT/MATCH → ``spark.sql(translate(...))``;
@@ -2433,7 +2520,10 @@ def execute(
     ArcadeDB semantics), returning unified node rows + depth;
     UPDATE/INSERT/DELETE/CREATE VERTEX → the workspace DML API, but
     ONLY when ``allow_writes=True`` (read-only by default, like the
-    reference's HTTP endpoint)."""
+    reference's HTTP endpoint). ``params`` binds ``:name`` (dict) or
+    positional ``?`` (list) placeholders before parsing — the REST
+    ``{"command", "params"}`` wire contract."""
+    sql = bind_params(sql, params)
     p = _Parser(sql)
     stmt = p.parse()
     if isinstance(stmt, _DML):

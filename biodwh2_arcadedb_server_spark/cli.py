@@ -21,6 +21,7 @@ Usage: ``python -m biodwh2_arcadedb_server_spark.cli create --source
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 from biodwh2_arcadedb_server_spark.session import get_spark
@@ -95,6 +96,11 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--force", action="store_true", help="rebuild even if checksum matches")
         if name == "query":
             sp.add_argument("--sql", required=True)
+            sp.add_argument(
+                "--params",
+                help="JSON dict (named :name) or list (positional ?) "
+                     "of query parameters",
+            )
         if name in ("start", "create-start", "query"):
             # Dialect DML (UPDATE/INSERT/DELETE) is OFF by default —
             # the reference serves the database read-only over HTTP.
@@ -146,8 +152,13 @@ def main(argv: list[str] | None = None) -> int:
             srv.stop()
     if args.cmd == "query":
         load_workspace(spark, args.workspace)
+        sql = args.sql
+        if getattr(args, "params", None):
+            from biodwh2_arcadedb_server_spark import arcadesql
+
+            sql = arcadesql.bind_params(sql, json.loads(args.params))
         _run_sql(
-            spark, args.sql, workspace=args.workspace,
+            spark, sql, workspace=args.workspace,
             allow_writes=args.allow_writes,
         ).show(100, truncate=False)
     return 0

@@ -670,8 +670,36 @@ def q164_correlated_let_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q167_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized dialect statement (round 8) — the ``{"command",
+    "params"}`` wire contract of ArcadeDB's v1 REST API and of every
+    client driver (the reference embeds arcadedb-server,
+    pom.xml:104-108). Named ``:name`` placeholders bind as ESCAPED
+    literals before parsing (``arcadesql.bind_params``): the hostile
+    ``:hostile`` value here stays one string literal — proving the
+    injection boundary — while the list value compiles to an IN
+    array. Binding is textual, so the compiled statement is still ONE
+    Spark SQL string: pushdown of the bound predicates into the
+    parquet scan applies exactly as for inline literals."""
+    _register_star_workspace(spark, sf_dir)
+    return arcadesql.execute(
+        spark,
+        "SELECT c_mktsegment, count(*) AS n, avg(c_acctbal) AS avg_bal "
+        "FROM Customer "
+        "WHERE c_acctbal > :minBal AND c_mktsegment IN :segs "
+        "AND c_mktsegment <> :hostile "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+        params={
+            "minBal": 1000.0,
+            "segs": ["BUILDING", "AUTOMOBILE", "MACHINERY"],
+            "hostile": "x' OR '1'='1",
+        },
+    )
+
+
 QUERIES = {
     "q151_graphql_variables": q151_graphql_variables,
+    "q167_parameterized_query": q167_parameterized_query,
     "q164_correlated_let_dialect": q164_correlated_let_dialect,
     "q157_graphql_inline_fragments": q157_graphql_inline_fragments,
     "q165_graphql_aliases_directives": q165_graphql_aliases_directives,
@@ -698,6 +726,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q167_parameterized_query": """
+        SELECT c_mktsegment, count(*) AS n, avg(c_acctbal) AS avg_bal
+        FROM customer
+        WHERE c_acctbal > 1000.0
+          AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+          AND c_mktsegment <> 'x'' OR ''1''=''1'
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
     "q166_dml_return_after_before": """
         SELECT 'after' AS op, n_nationkey AS natural_key,
                lower(n_name) AS n_name

@@ -220,6 +220,20 @@ class QueryServer:
                     return
                 lang = req.get("language", "sql").lower()
                 limit = min(int(req.get("limit", MAX_ROWS)), MAX_ROWS)
+                # Parameterized statements (the {"command", "params"}
+                # wire contract every ArcadeDB driver uses): bind
+                # BEFORE any routing so staged transaction writes,
+                # /query reads and the Spark-SQL fallback all see the
+                # same bound text. Binding renders escaped literals —
+                # a param value can never change the statement shape
+                # (injection boundary). GraphQL keeps params as
+                # variables instead.
+                if lang in ("sql", "arcadedb") and req.get("params") is not None:
+                    try:
+                        cmd = arcadesql.bind_params(cmd, req["params"])
+                    except arcadesql.ArcadeSQLError as exc:
+                        self._reply(400, {"error": str(exc)})
+                        return
                 # Transaction sessions (ArcadeDB v1: commands carrying
                 # an arcadedb-session-id header join the transaction
                 # begun by POST /api/v1/begin/{db}): dialect DML/DDL

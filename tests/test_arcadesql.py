@@ -1040,3 +1040,113 @@ def test_uncorrelated_let_still_single_scalar(graph_ws):
         "WHERE age > $avg ORDER BY name",
     )
     assert [r.name for r in df.collect()] == ["p4", "p5"]
+
+
+# ----------------------------------------------------------- parameters
+# ArcadeDB's wire contract ({"command": ..., "params": ...}) and every
+# client driver bind :name / positional ? placeholders server-side
+# (reference embeds arcadedb-server, pom.xml:104-108).
+
+
+def test_params_named(graph_ws):
+    df = execute(
+        graph_ws,
+        "SELECT name FROM Person WHERE age > :minAge AND name <> :skip "
+        "ORDER BY name",
+        params={"minAge": 20, "skip": "p4"},
+    )
+    assert [r.name for r in df.collect()] == ["p3", "p5"]
+
+
+def test_params_positional(graph_ws):
+    df = execute(
+        graph_ws,
+        "SELECT name FROM Person WHERE age > ? AND age < ? ORDER BY name",
+        params=[10, 40],
+    )
+    assert [r.name for r in df.collect()] == ["p2", "p3"]
+
+
+def test_params_list_value_for_in(graph_ws):
+    df = execute(
+        graph_ws,
+        "SELECT name FROM Person WHERE age IN :ages ORDER BY name",
+        params={"ages": [10, 30, 99]},
+    )
+    assert [r.name for r in df.collect()] == ["p1", "p3"]
+
+
+def test_params_injection_stays_one_literal(graph_ws):
+    """A hostile value must stay ONE string literal — binding renders
+    escaped literals, it never splices statement text."""
+    df = execute(
+        graph_ws,
+        "SELECT name FROM Person WHERE name = :n",
+        params={"n": "p1' OR '1'='1"},
+    )
+    assert df.count() == 0
+    # and a value holding a quote still matches exactly when present
+    graph_ws.sql("SELECT * FROM n_Person").withColumn(
+        "name", F.when(F.col("node_id") == 1, F.lit("o'b")).otherwise(F.col("name"))
+    ).createOrReplaceTempView("n_Person")
+    try:
+        df = execute(
+            graph_ws,
+            "SELECT node_id FROM Person WHERE name = :n",
+            params={"n": "o'b"},
+        )
+        assert _ids(df) == [1]
+    finally:
+        # restore the fixture view for later tests
+        graph_ws.sql("SELECT * FROM n_Person").withColumn(
+            "name", F.when(F.col("node_id") == 1, F.lit("p1")).otherwise(F.col("name"))
+        ).createOrReplaceTempView("n_Person")
+
+
+def test_params_only_outside_strings_and_known_names(graph_ws):
+    # ':noon' inside the literal is untouched; unknown :other is left
+    # for the parser to reject loudly
+    df = execute(
+        graph_ws,
+        "SELECT name FROM Person WHERE name <> ':noon' AND age = :a",
+        params={"a": 30},
+    )
+    assert [r.name for r in df.collect()] == ["p3"]
+    with pytest.raises(ArcadeSQLError):
+        execute(graph_ws, "SELECT name FROM Person WHERE age = :missing",
+                params={"a": 1})
+
+
+def test_params_positional_count_mismatch(graph_ws):
+    with pytest.raises(ArcadeSQLError, match="2 positional"):
+        execute(graph_ws, "SELECT 1 FROM Person WHERE age > ? AND age < ?",
+                params=[1])
+
+
+def test_params_match_pattern_colon_untouched(graph_ws):
+    """MATCH object syntax ({type: Person}) shares the colon — binding
+    must not rewrite it even when a param name collides."""
+    df = execute(
+        graph_ws,
+        "MATCH {type: Person, as: p, where: (age = :age)} RETURN p.name",
+        params={"age": 20, "type": "nope", "as": "nope"},
+    )
+    assert [r.name for r in df.collect()] == ["p2"]
+
+
+def test_params_render_types(graph_ws):
+    import datetime as dt
+
+    from biodwh2_arcadedb_server_spark.arcadesql import _render_param
+
+    assert _render_param(None) == "null"
+    assert _render_param(True) == "true"
+    assert _render_param(3) == "3"
+    assert _render_param(2.5) == "2.5"
+    assert _render_param([1, "a"]) == "[1, 'a']"
+    assert _render_param(dt.date(2024, 3, 1)) == "'2024-03-01'"
+    assert _render_param(dt.datetime(2024, 3, 1, 12, 30)) == "'2024-03-01 12:30:00'"
+    with pytest.raises(ArcadeSQLError):
+        _render_param(float("inf"))
+    with pytest.raises(ArcadeSQLError):
+        _render_param(object())

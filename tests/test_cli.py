@@ -311,6 +311,32 @@ def test_arcadedb_v1_api_wire_compat(spark, sf_small, tmp_path_factory):
              "command": "{ Nation(natural_key: 3) { n_name } }"},
         )
         assert len(out5["result"]) == 1
+        # parameterized statement, the driver wire contract: named
+        # :params bound server-side as escaped literals
+        out6 = post(
+            "/api/v1/query/biodwh2",
+            {"language": "sql",
+             "command": "SELECT n_name FROM Nation WHERE natural_key = :k",
+             "params": {"k": 3}},
+        )
+        assert len(out6["result"]) == 1 and "n_name" in out6["result"][0]
+        # a hostile param value stays one literal (no injection)
+        out7 = post(
+            "/api/v1/query/biodwh2",
+            {"language": "sql",
+             "command": "SELECT n_name FROM Nation WHERE n_name = :n",
+             "params": {"n": "x' OR '1'='1"}},
+        )
+        assert out7["result"] == []
+        # positional ? params
+        out8 = post(
+            "/api/v1/query/biodwh2",
+            {"language": "sql",
+             "command": "SELECT count(*) AS c FROM Nation "
+                        "WHERE natural_key BETWEEN ? AND ?",
+             "params": [0, 4]},
+        )
+        assert out8["result"][0]["c"] == 5
     finally:
         srv.stop()
 
