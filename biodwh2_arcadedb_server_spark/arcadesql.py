@@ -29,10 +29,19 @@ Supported subset (documented contract, tested differentially):
 - ``SELECT expand(out('E')) FROM ...`` — neighbor node rows from the
   unified ``nodes`` view.
 - WHERE operators: ``= <> != < <= > >= LIKE ILIKE MATCHES
-  CONTAINSTEXT IN [..] BETWEEN x AND y IS [NOT] NULL CONTAINS AND OR
-  NOT ()``; literals: numbers, 'strings', true/false/null, [lists].
+  CONTAINSTEXT IN [..] BETWEEN x AND y IS [NOT] NULL CONTAINS
+  CONTAINSANY CONTAINSALL AND OR NOT ()``; literals: numbers,
+  'strings', true/false/null, [lists]. Collection/map element access:
+  ``field[0]`` (0-based), ``field[1-3]`` (inclusive range sublist),
+  ``field['key']`` (map value) — interleaves freely with method
+  chains (``csv.split(',')[0].trim()``).
+- Query parameters: ``:name`` (dict) and positional ``?`` (list)
+  placeholders via ``execute(..., params=...)`` /
+  ``bind_params(sql, params)`` — the ``{"command", "params"}`` REST
+  wire contract; values bind as escaped literals (injection-safe).
 - ``TRAVERSE out('E'[, 'F'...]) FROM (SELECT FROM Type [WHERE ...])
-  [MAXDEPTH n]`` — reachable node set (ArcadeDB TRAVERSE semantics:
+  [MAXDEPTH n | WHILE [(]$depth < n[)]]`` — reachable node set
+  (ArcadeDB TRAVERSE semantics:
   the root rows are depth 0 and included). Each step contributes its
   own hop leg — ``out('A'), in('B')`` follows out-A and in-B edges
   only, and an unlabeled step follows every edge type.
@@ -983,6 +992,31 @@ class _Parser:
         maxdepth = None
         if self.accept("kw", "maxdepth"):
             maxdepth = self._int("MAXDEPTH")
+        elif self._accept_word("while"):
+            # ArcadeDB's other depth-bound spelling: WHILE $depth < n
+            # / <= n (the same restriction MATCH while: enforces —
+            # arbitrary WHILE predicates would require per-path
+            # evaluation, which the set-based BFS deliberately
+            # avoids). Parens optional, like ArcadeDB.
+            parens = bool(self.accept("op", "("))
+            v = self.expect("var")
+            if v.text != "$depth":
+                raise ArcadeSQLError(
+                    f"TRAVERSE WHILE supports only $depth bounds, "
+                    f"got {v.text}"
+                )
+            op_t = self.next()
+            if op_t.kind != "op" or op_t.text not in ("<", "<="):
+                raise ArcadeSQLError(
+                    "TRAVERSE WHILE supports $depth < N / <= N, got "
+                    f"{op_t.text!r}"
+                )
+            n = self._int("WHILE depth bound")
+            if parens:
+                self.expect("op", ")")
+            # WHILE gates EXPANSION: nodes at depth d expand while
+            # d < N (resp. <= N), so reachable depth is N (resp. N+1)
+            maxdepth = n if op_t.text == "<" else n + 1
         return _Traverse(steps=steps, inner=inner, maxdepth=maxdepth)
 
     def _select(self) -> _Select:
@@ -1150,16 +1184,29 @@ class _Parser:
             return f"array_contains({left}, {rhs})"
         if t.kind == "ident" and t.text.lower() in (
             "containstext", "ilike", "matches",
+            "containsany", "containsall",
         ):
             # soft-keyword predicates (idents, so no lexing impact):
             # CONTAINSTEXT = case-insensitive substring, ILIKE =
-            # case-insensitive LIKE, MATCHES = regex (Spark RLIKE)
+            # case-insensitive LIKE, MATCHES = regex (Spark RLIKE),
+            # CONTAINSANY/CONTAINSALL = collection-vs-collection
+            # membership (ArcadeDB SQL where-operators) — both compile
+            # to JVM higher-order/array builtins, no shuffle, pushdown
+            # of the surrounding conjuncts unaffected
             op_name = self.next().text.lower()
             rhs = self._add(sel)
             if op_name == "containstext":
                 return f"(instr(lower({left}), lower({rhs})) > 0)"
             if op_name == "ilike":
                 return f"(lower({left}) LIKE lower({rhs}))"
+            if op_name == "containsany":
+                return f"arrays_overlap({left}, {rhs})"
+            if op_name == "containsall":
+                # every rhs element present in the lhs collection
+                return (
+                    f"(size(array_except({rhs}, {left})) = 0 "
+                    f"AND {rhs} IS NOT NULL AND {left} IS NOT NULL)"
+                )
             return f"({left} RLIKE {rhs})"
         if t.kind == "kw" and t.text == "in":
             self.next()
@@ -1240,14 +1287,45 @@ class _Parser:
         "asdatetime": "to_timestamp({x})",
     }
 
+    def _index_suffix(self, expr: str, sel: _Select) -> str:
+        """ArcadeDB collection/map access: ``field[0]`` (0-based
+        element), ``field[1-3]`` (inclusive range sublist),
+        ``field['key']`` (map value). Compiles to ``element_at`` /
+        ``slice`` — JVM builtins, codegen-friendly, index shifted to
+        Spark's 1-based convention."""
+        self.expect("op", "[")
+        t = self.peek()
+        if t.kind == "string":
+            key = self.next().text
+            self.expect("op", "]")
+            return f"element_at({expr}, {key})"
+        lo = self._int("collection index")
+        if self.accept("op", "-"):
+            hi = self._int("collection range end")
+            self.expect("op", "]")
+            if hi < lo:
+                raise ArcadeSQLError(
+                    f"collection range [{lo}-{hi}] is reversed"
+                )
+            return f"slice({expr}, {lo + 1}, {hi - lo + 1})"
+        self.expect("op", "]")
+        return f"element_at({expr}, {lo + 1})"
+
     def _postfix_methods(self, expr: str, sel: _Select) -> str:
-        while (
-            self.peek().kind == "op"
-            and self.peek().text == "."
-            and self.peek(1).kind == "ident"
-            and self.peek(2).kind == "op"
-            and self.peek(2).text == "("
-        ):
+        while True:
+            # indexing and method calls interleave freely:
+            # x.split(',')[0].trim()
+            if self.peek().kind == "op" and self.peek().text == "[":
+                expr = self._index_suffix(expr, sel)
+                continue
+            if not (
+                self.peek().kind == "op"
+                and self.peek().text == "."
+                and self.peek(1).kind == "ident"
+                and self.peek(2).kind == "op"
+                and self.peek(2).text == "("
+            ):
+                return expr
             self.next()  # .
             meth = self.next().text.lower()
             self.next()  # (
@@ -1291,7 +1369,6 @@ class _Parser:
                     f"unsupported method .{meth}() with {len(args)} "
                     "argument(s)"
                 )
-        return expr
 
     def _string_val(self, raw: str) -> str:
         return raw[1:-1].replace("\\'", "'")

@@ -1150,3 +1150,92 @@ def test_params_render_types(graph_ws):
         _render_param(float("inf"))
     with pytest.raises(ArcadeSQLError):
         _render_param(object())
+
+
+# ------------------------------------- collection operators / indexing
+
+
+@pytest.fixture(scope="module")
+def tagged_ws(graph_ws):
+    graph_ws.createDataFrame(
+        [
+            (100, "Doc", "a", ["red", "green"], "x,y,z"),
+            (101, "Doc", "b", ["green", "blue"], "p,q"),
+            (102, "Doc", "c", ["blue"], "only"),
+        ],
+        "node_id long, label string, natural_key string, "
+        "tags array<string>, csv string",
+    ).createOrReplaceTempView("n_Doc")
+    return graph_ws
+
+
+def test_containsany(tagged_ws):
+    df = execute(
+        tagged_ws,
+        "SELECT natural_key FROM Doc WHERE tags CONTAINSANY "
+        "['red', 'blue'] ORDER BY natural_key",
+    )
+    assert [r.natural_key for r in df.collect()] == ["a", "b", "c"]
+
+
+def test_containsall(tagged_ws):
+    df = execute(
+        tagged_ws,
+        "SELECT natural_key FROM Doc WHERE tags CONTAINSALL "
+        "['green', 'blue']",
+    )
+    assert [r.natural_key for r in df.collect()] == ["b"]
+
+
+def test_collection_index_and_slice(tagged_ws):
+    df = execute(
+        tagged_ws,
+        "SELECT natural_key, tags[0] AS first_tag, "
+        "csv.split(',')[1] AS second_field, "
+        "tags[0-1].size() AS head_len "
+        "FROM Doc WHERE natural_key = 'a'",
+    )
+    row = df.collect()[0]
+    assert row.first_tag == "red"
+    assert row.second_field == "y"
+    assert row.head_len == 2
+
+
+def test_index_method_interleave(tagged_ws):
+    df = execute(
+        tagged_ws,
+        "SELECT csv.split(',')[0].toUpperCase() AS h FROM Doc "
+        "WHERE natural_key = 'b'",
+    )
+    assert df.collect()[0].h == "P"
+
+
+def test_reversed_range_rejected(tagged_ws):
+    with pytest.raises(ArcadeSQLError, match="reversed"):
+        translate("SELECT tags[3-1] FROM Doc")
+
+
+def test_traverse_while_depth(graph_ws):
+    # WHILE $depth < 1: roots expand once — same set as MAXDEPTH 1
+    df = execute(
+        graph_ws,
+        "TRAVERSE out('KNOWS') FROM (SELECT FROM Person WHERE "
+        "node_id = 1) WHILE ($depth < 1)",
+    )
+    assert _ids(df) == [1, 2, 3]
+    # <= 1 expands depth-1 nodes too (reach depth 2)
+    df = execute(
+        graph_ws,
+        "TRAVERSE out('KNOWS') FROM (SELECT FROM Person WHERE "
+        "node_id = 1) WHILE $depth <= 1",
+    )
+    assert _ids(df) == [1, 2, 3, 4]
+
+
+def test_traverse_while_non_depth_rejected(graph_ws):
+    with pytest.raises(ArcadeSQLError, match="only \\$depth"):
+        execute(
+            graph_ws,
+            "TRAVERSE out('KNOWS') FROM (SELECT FROM Person) "
+            "WHILE ($other < 1)",
+        )
