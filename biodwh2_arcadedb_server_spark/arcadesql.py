@@ -87,9 +87,14 @@ Supported subset (documented contract, tested differentially):
   path length. NULL for unreachable destinations. Plan-level like
   TRAVERSE: use ``execute()``, not ``translate()``.
 
-- ``UPDATE <T> SET k = <expr>[, ...] [WHERE ...]``, ``INSERT INTO
+- ``UPDATE <T> [SET k = <expr>[, ...]] [REMOVE p[, ...]]
+  [WHERE ...]`` (REMOVE clears the value — schema-full engine, the
+  typed column stays), ``INSERT INTO
   <T> SET ... [UPSERT] | (cols) VALUES (...)[, ...]``, ``CREATE
-  VERTEX <T> [SET ...]``, ``DELETE [VERTEX | FROM] <T> [WHERE ...]``
+  VERTEX <T> [SET ...]``, ``CREATE EDGE <T> FROM <key | (SELECT …)>
+  TO <key | (SELECT …)> [SET ...]`` (set-valued endpoints create an
+  edge per (src, dst) pair — ArcadeDB's canonical bulk-edge form),
+  ``DELETE [VERTEX | FROM] <T> [WHERE ...]``
   (UPSERT inserts the SET row when nothing matches) — routed
   to the workspace batch-recompute DML API (insert/update/
   delete_nodes; DELETE cascades to connected edges, ArcadeDB
@@ -534,8 +539,24 @@ class _Parser:
         if head == "update":
             kind = "update_edge" if self._accept_word("edge") else "update"
             dml = _DML(kind=kind, label=self._name("type name"))
-            self._expect_word("set")
-            self._dml_assignments(dml)
+            clauses = 0
+            if self._accept_word("set"):
+                self._dml_assignments(dml)
+                clauses += 1
+            if self._accept_word("remove"):
+                # UPDATE ... REMOVE p1[, p2]: clear the property on
+                # matching records (schema-full engine: the column
+                # stays, the value goes NULL — typed by the when/
+                # otherwise coercion in update_nodes)
+                while True:
+                    dml.assignments.append(
+                        (self._name("property name"), "NULL")
+                    )
+                    if not self.accept("op", ","):
+                        break
+                clauses += 1
+            if not clauses:
+                raise ArcadeSQLError("UPDATE requires SET and/or REMOVE")
             if self._accept_word("upsert"):
                 # UPDATE ... SET ... UPSERT [WHERE ...]: insert the SET
                 # row when nothing matches (ArcadeDB semantics)
@@ -2471,21 +2492,44 @@ def _execute_dml_locked(spark, stmt, workspace_dir, pred, ws, os):
                 f"unknown edge propert{'ies' if len(unknown) > 1 else 'y'} "
                 f"for {stmt.label}: {sorted(unknown)}"
             )
-        cols = [
-            ws.node_id(info["src_label"], F.expr(stmt.edge_from)).alias("src"),
-            ws.node_id(info["dst_label"], F.expr(stmt.edge_to)).alias("dst"),
-        ]
+        def _endpoint_df(expr: str, side_label: str, out: str):
+            """A literal/expression endpoint is ONE natural key (node
+            id derives as xxhash64(label, key)); a ``(SELECT …)``
+            endpoint is the ArcadeDB set form — ``CREATE EDGE E FROM
+            (SELECT …) TO (SELECT …)`` creates an edge per (src, dst)
+            pair of the two result sets."""
+            s = expr.strip()
+            if s.startswith("(SELECT"):
+                sub = spark.sql(s[1:-1])
+                if "node_id" not in sub.columns:
+                    raise ArcadeSQLError(
+                        "CREATE EDGE endpoint subquery must return "
+                        "node rows (missing node_id)"
+                    )
+                return sub.select(F.col("node_id").alias(out)), True
+            return (
+                spark.range(1).select(
+                    ws.node_id(side_label, F.expr(expr)).alias(out)
+                ),
+                False,
+            )
+
+        src_df, src_set = _endpoint_df(stmt.edge_from, info["src_label"], "src")
+        dst_df, dst_set = _endpoint_df(stmt.edge_to, info["dst_label"], "dst")
+        # pair product of the endpoint sets (1×1 for literal keys).
+        # Interactive endpoint selections are small; broadcasting the
+        # dst side keeps the product shuffle-free — the cross join IS
+        # the requested semantics, not an accident.
+        rows = src_df.crossJoin(F.broadcast(dst_df))
         for f in e_schema.fields:
             if f.name in ("src", "dst", "label"):
                 continue
-            cols.append(
+            rows = rows.withColumn(
+                f.name,
                 (F.expr(props[f.name]) if f.name in props else F.lit(None))
-                .cast(f.dataType)
-                .alias(f.name)
+                .cast(f.dataType),
             )
-        n = ws.insert_edges(
-            spark, workspace_dir, stmt.label, spark.range(1).select(*cols)
-        )
+        n = ws.insert_edges(spark, workspace_dir, stmt.label, rows)
     else:  # insert
         path = os.path.join(workspace_dir, "nodes", stmt.label)
         cur_schema = spark.read.parquet(path).schema

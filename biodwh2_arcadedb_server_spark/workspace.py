@@ -548,11 +548,33 @@ def insert_edges(spark: SparkSession, ws_dir: str, label: str, rows: DataFrame) 
     info = manifest["edges"][label]
     path = info["path"]
     cur = spark.read.parquet(path)
-    new = rows.withColumn("label", F.lit(label)).select(*cur.columns)
-    src_ids = spark.read.parquet(manifest["nodes"][info["src_label"]]["path"]).select("node_id")
-    dst_ids = spark.read.parquet(manifest["nodes"][info["dst_label"]]["path"]).select("node_id")
-    new = new.join(src_ids, new.src == src_ids.node_id, "left_semi")
-    new = new.join(dst_ids, new.dst == dst_ids.node_id, "left_semi")
+    new = rows.withColumn("label", F.lit(label))
+    src_nodes = spark.read.parquet(manifest["nodes"][info["src_label"]]["path"])
+    dst_nodes = spark.read.parquet(manifest["nodes"][info["dst_label"]]["path"])
+    if "src2" in cur.columns and "src2" not in new.columns:
+        # 128-bit workspace fed first-lane-only rows (the dialect
+        # CREATE EDGE path): the second lane cannot be derived from
+        # the first (both are independent xxhash64 lanes of the
+        # natural key), so pull it from the endpoint node tables —
+        # the same join that validates existence
+        new = new.join(
+            src_nodes.select(
+                F.col("node_id").alias("src"), F.col("node_id2").alias("src2")
+            ),
+            "src",
+        ).join(
+            dst_nodes.select(
+                F.col("node_id").alias("dst"), F.col("node_id2").alias("dst2")
+            ),
+            "dst",
+        )
+        new = new.select(*cur.columns)
+    else:
+        new = new.select(*cur.columns)
+        src_ids = src_nodes.select("node_id")
+        dst_ids = dst_nodes.select("node_id")
+        new = new.join(src_ids, new.src == src_ids.node_id, "left_semi")
+        new = new.join(dst_ids, new.dst == dst_ids.node_id, "left_semi")
     # append, not rewrite: O(inserted) IO (100 TB posture)
     n_new = _append_via_tmp(new, path)
     if n_new:

@@ -143,7 +143,7 @@ def test_dml_parse_errors_are_clean(spark):
             workspace_dir="/tmp/x",
             allow_writes=True,
         )
-    with pytest.raises(ArcadeSQLError, match="expected SET"):
+    with pytest.raises(ArcadeSQLError, match="SET and/or REMOVE"):
         execute(spark, "UPDATE Nation n_name = 'X'", allow_writes=True)
 
 
@@ -560,3 +560,83 @@ def test_return_mode_errors(spark, dml_ws):
             "UPDATE Nation SET n_name = 'x' RETURN COUNT",
             workspace_dir=dml_ws, allow_writes=True,
         )
+
+
+def test_create_edge_set_endpoints(spark, sf_small, tmp_path_factory):
+    """CREATE EDGE FROM (SELECT …) TO (SELECT …) — ArcadeDB's set
+    form: one edge per (src, dst) pair of the two result sets
+    (round 8)."""
+    from biodwh2_arcadedb_server_spark.arcadesql import execute
+
+    ws = str(tmp_path_factory.mktemp("edge_sets") / "ws")
+    build_workspace(spark, sf_small, ws, force=True)
+    load_workspace(spark, ws)
+    before = execute(spark, "SELECT count(*) AS n FROM (SELECT "
+                            "expand(outE('IN_REGION')) FROM Nation)").collect()[0].n
+    res = execute(
+        spark,
+        "CREATE EDGE IN_REGION FROM (SELECT FROM Nation WHERE "
+        "natural_key <= 2) TO (SELECT FROM Region WHERE "
+        "natural_key >= 3)",
+        workspace_dir=ws,
+        allow_writes=True,
+    ).collect()[0]
+    assert res["count"] == 6  # 3 nations x 2 regions
+    after = execute(spark, "SELECT count(*) AS n FROM (SELECT "
+                           "expand(outE('IN_REGION')) FROM Nation)").collect()[0].n
+    assert after == before + 6
+    # mixed form: literal src, set dst
+    res2 = execute(
+        spark,
+        "CREATE EDGE IN_REGION FROM 20 TO (SELECT FROM Region "
+        "WHERE natural_key <= 1)",
+        workspace_dir=ws,
+        allow_writes=True,
+    ).collect()[0]
+    assert res2["count"] == 2
+    # a subquery over rows without node_id is a clear error
+    with pytest.raises(ArcadeSQLError, match="node_id"):
+        execute(
+            spark,
+            "CREATE EDGE IN_REGION FROM (SELECT n_name FROM Nation) TO 0",
+            workspace_dir=ws,
+            allow_writes=True,
+        )
+
+
+def test_update_remove_property(spark, sf_small, tmp_path_factory):
+    """UPDATE … REMOVE p clears the value (NULL) on matching rows,
+    keeps the column and its type; combines with SET."""
+    from biodwh2_arcadedb_server_spark.arcadesql import execute
+
+    ws = str(tmp_path_factory.mktemp("upd_remove") / "ws")
+    build_workspace(spark, sf_small, ws, force=True)
+    load_workspace(spark, ws)
+    run = lambda s: execute(spark, s, workspace_dir=ws, allow_writes=True)
+    run("CREATE PROPERTY Nation.note STRING")
+    run("UPDATE Nation SET note = 'kept'")
+    res = run("UPDATE Nation REMOVE note WHERE natural_key <= 3").collect()[0]
+    assert res["count"] == 4
+    rows = execute(
+        spark,
+        "SELECT natural_key, note FROM Nation WHERE natural_key <= 5 "
+        "ORDER BY natural_key",
+    ).collect()
+    assert all(r.note is None for r in rows[:4])
+    assert all(r.note == "kept" for r in rows[4:])
+    # SET + REMOVE combined
+    run("UPDATE Nation SET note = 'back' WHERE natural_key = 9")
+    res2 = run(
+        "UPDATE Nation SET n_name = 'X' REMOVE note WHERE natural_key = 9"
+    ).collect()[0]
+    assert res2["count"] == 1
+    row = execute(
+        spark, "SELECT n_name, note FROM Nation WHERE natural_key = 9"
+    ).collect()[0]
+    assert row.n_name == "X" and row.note is None
+    # identity columns still refused through REMOVE
+    with pytest.raises(ArcadeSQLError):
+        run("UPDATE Nation REMOVE natural_key")
+    # neither SET nor REMOVE is a parse error
+    with pytest.raises(ArcadeSQLError, match="SET and/or REMOVE"):
+        run("UPDATE Nation WHERE natural_key = 1")
