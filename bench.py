@@ -203,6 +203,7 @@ HEADLINE = [
     "q165_graphql_aliases_directives",
     "q166_dml_return_after_before",
     "q167_parameterized_query",
+    "q168_gopher_repetition",
 ]
 
 # Streaming micro-batch drains, timed and reported separately: their

@@ -135,8 +135,23 @@ def q110_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.chunk_documents(d, chunk=CHUNK, stride=STRIDE)
 
 
+def q168_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-rule composite (Rae et al. 2021 §A1.1, round
+    8): per-document duplicate-LINE fraction (absent from q92's
+    k-gram stats), duplicate-word and duplicate-bigram fractions, and
+    the paper-threshold pass/fail flag (dup lines > 0.30 or dup
+    2-grams > 0.18 → excluded from training). Zero-shuffle JVM
+    higher-order folds over the documents scan — the flag is a
+    pushable predicate when used as a filter."""
+    from biodwh2_arcadedb_server_spark.operators import text as text_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    return text_ops.repetition_metrics(d)
+
+
 QUERIES = {
     "q91_decontamination": q91_decontamination,
+    "q168_gopher_repetition": q168_gopher_repetition,
     "q92_repetition_stats": q92_repetition_stats,
     "q93_tfidf_topterms": q93_tfidf_topterms,
     "q94_bm25_search": q94_bm25_search,
@@ -156,6 +171,39 @@ _GRAMS3 = f"""
 """
 
 ORACLE = {
+    "q168_gopher_repetition": """
+        WITH w AS (
+            SELECT doc_id,
+                   string_split(text, chr(10)) AS lines,
+                   string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents
+        ), b AS (
+            SELECT doc_id, lines, words,
+                   CASE WHEN len(words) >= 2 THEN
+                       list_transform(range(1, len(words)),
+                                      i -> words[i] || ' ' || words[i+1])
+                   ELSE []::VARCHAR[] END AS bigrams
+            FROM w
+        ), m AS (
+            SELECT doc_id,
+                   len(lines) AS n_lines,
+                   CASE WHEN len(lines) > 1
+                        THEN 1.0 - len(list_distinct(lines)) / len(lines)
+                        ELSE 0.0 END AS dup_line_frac,
+                   CASE WHEN len(words) > 1
+                        THEN 1.0 - len(list_distinct(words)) / len(words)
+                        ELSE 0.0 END AS dup_word_frac,
+                   CASE WHEN len(bigrams) > 1
+                        THEN 1.0 - len(list_distinct(bigrams)) / len(bigrams)
+                        ELSE 0.0 END AS dup_bigram_frac
+            FROM b
+        )
+        SELECT doc_id, n_lines, dup_line_frac, dup_word_frac,
+               dup_bigram_frac,
+               (dup_line_frac > 0.30 OR dup_bigram_frac > 0.18)
+                   AS repetitious
+        FROM m
+    """,
     "q91_decontamination": f"""
         -- distinct over gram HASHES, not gram strings — the exact
         -- mirror of the Spark side's hash-inside-transform plan

@@ -127,3 +127,65 @@ def fingerprint(
         F.array_min(grams).alias("min_fingerprint"),
         F.size(grams).alias("n_windows"),
     )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1: MassiveWeb
+    repetition rules): per-document duplicate-line, duplicate-word and
+    duplicate-word-bigram fractions, plus the pass/fail flag at the
+    paper's thresholds (duplicate lines > 0.30 or duplicate 2-grams >
+    0.18 → repetitious, excluded from training).
+
+    Scale: one projection of JVM higher-order functions over the
+    documents scan — no shuffle, no Python, whole-stage codegen; the
+    flag predicate is pushable when used as a filter. At 100 TB this
+    runs at scan speed like the other text.py metrics.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def dup_frac(arr):
+        # 1 - distinct/size; 0 for empty/singleton collections
+        return F.when(
+            F.size(arr) > 1,
+            1.0 - F.size(F.array_distinct(arr)) / F.size(arr),
+        ).otherwise(F.lit(0.0))
+
+    out = df.select(
+        F.col(id_col),
+        lines.alias("_lines"),
+        words.alias("_words"),
+    ).select(
+        F.col(id_col),
+        F.size("_lines").alias("n_lines"),
+        dup_frac(F.col("_lines")).alias("dup_line_frac"),
+        dup_frac(F.col("_words")).alias("dup_word_frac"),
+        dup_frac(
+            # sequence over word positions 1..n-1 (1-based): bigram
+            # i = words[i] + ' ' + words[i+1]. Guarded: Spark's
+            # sequence(1, 0) DESCENDS ([1, 0]), so <2 words must
+            # short-circuit to an empty list, not an empty sequence
+            F.when(
+                F.size("_words") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_words") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("_words", i),
+                        F.element_at("_words", i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("dup_bigram_frac"),
+    )
+    return out.withColumn(
+        "repetitious",
+        (F.col("dup_line_frac") > max_dup_line_frac)
+        | (F.col("dup_bigram_frac") > max_dup_bigram_frac),
+    )

@@ -189,3 +189,36 @@ def test_source_cap_known(spark):
         src_rows.sort(key=lambda r: r.rank_in_source)
         for a, b in zip(src_rows, src_rows[1:]):
             assert (a.n_tokens, -a.doc_id) >= (b.n_tokens, -b.doc_id)
+
+
+def test_repetition_metrics_known(spark):
+    """Gopher repetition composite (round 8): hand-computed fractions
+    on four edge-shaped docs — repeated lines, clean prose, empty
+    text, one fully-repeated word stream."""
+    from biodwh2_arcadedb_server_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc"),     # 3 lines, 'a b' doubled
+            (2, "x y z"),            # clean
+            (3, ""),                  # empty -> all zeros
+            (4, "w w w w w w"),     # 6 words, 1 distinct
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    r1 = rows[1]
+    assert r1.n_lines == 3
+    assert abs(r1.dup_line_frac - (1 - 2 / 3)) < 1e-9
+    # words: [a, b, a, b, c] -> 1 - 3/5
+    assert abs(r1.dup_word_frac - (1 - 3 / 5)) < 1e-9
+    # bigrams: [a b, b a, a b, b c] -> 1 - 3/4
+    assert abs(r1.dup_bigram_frac - 0.25) < 1e-9
+    assert r1.repetitious  # dup lines 0.333 > 0.30
+    assert not rows[2].repetitious
+    assert rows[2].dup_word_frac == 0.0
+    assert rows[3].dup_line_frac == 0.0 and not rows[3].repetitious
+    r4 = rows[4]
+    assert abs(r4.dup_word_frac - (1 - 1 / 6)) < 1e-9
+    assert abs(r4.dup_bigram_frac - (1 - 1 / 5)) < 1e-9
+    assert r4.repetitious
