@@ -288,6 +288,24 @@ def bind_params(sql: str, params) -> str:
     )
 
 
+def split_script(text: str) -> list[str]:
+    """Split an ArcadeDB ``sqlscript`` body into statements on ``;``
+    OUTSIDE single-quoted string literals (the Studio multi-statement
+    language; the v1 REST API accepts ``language: "sqlscript"``).
+    Empty statements (trailing ``;``, blank lines between) are
+    dropped."""
+    parts = _STRING_SPAN_RE.split(text)
+    stmts: list[str] = [""]
+    for i, p in enumerate(parts):
+        if i % 2:
+            stmts[-1] += p
+            continue
+        pieces = p.split(";")
+        stmts[-1] += pieces[0]
+        stmts.extend(pieces[1:])
+    return [s.strip() for s in stmts if s.strip()]
+
+
 # ---------------------------------------------------------------- parser
 @dataclass
 class _Select:
@@ -2643,8 +2661,35 @@ def execute(
     ONLY when ``allow_writes=True`` (read-only by default, like the
     reference's HTTP endpoint). ``params`` binds ``:name`` (dict) or
     positional ``?`` (list) placeholders before parsing — the REST
-    ``{"command", "params"}`` wire contract."""
+    ``{"command", "params"}`` wire contract.
+
+    ``EXPLAIN <select|match>`` returns Spark's FORMATTED physical
+    plan (one ``plan`` column) for the compiled statement — the
+    dialect's answer to ArcadeDB's EXPLAIN: the user sees pushed
+    filters, join strategies and codegen spans instead of ArcadeDB
+    step trees."""
     sql = bind_params(sql, params)
+    head_m = re.match(r"\s*explain\b\s*", sql, re.IGNORECASE)
+    if head_m:
+        inner = sql[head_m.end():]
+        ip = _Parser(inner)
+        istmt = ip.parse()
+        if isinstance(istmt, _DML):
+            raise ArcadeSQLError(
+                "EXPLAIN supports SELECT / MATCH (DML routes to the "
+                "workspace API — no single SQL plan to show)"
+            )
+        if isinstance(istmt, _Traverse):
+            raise ArcadeSQLError(
+                "EXPLAIN supports SELECT / MATCH (TRAVERSE executes "
+                "an iterative BFS, not one SQL plan)"
+            )
+        _register_shortest_path_views(spark, ip.shortest_paths)
+        compiled = (
+            _compile_match(istmt) if isinstance(istmt, _Match)
+            else _compile_select(istmt)
+        )
+        return spark.sql(f"EXPLAIN FORMATTED {compiled}")
     p = _Parser(sql)
     stmt = p.parse()
     if isinstance(stmt, _DML):

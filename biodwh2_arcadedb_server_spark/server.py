@@ -242,11 +242,17 @@ class QueryServer:
                 # writes become visible at commit — documented
                 # batch-recompute divergence, transactions.py).
                 sid = self.headers.get("arcadedb-session-id")
+                _txn_stmts = [cmd]
+                if lang == "sqlscript":
+                    # a script inside a transaction stages its
+                    # write statements as a unit — executing them
+                    # directly would bypass the session's atomicity
+                    _txn_stmts = arcadesql.split_script(cmd)
                 if (
                     verb == "command"
                     and server.transactions.active(sid)
-                    and lang in ("sql", "arcadedb")
-                    and arcadesql.claims_statement(cmd)
+                    and lang in ("sql", "arcadedb", "sqlscript")
+                    and any(arcadesql.claims_statement(s) for s in _txn_stmts)
                 ):
                     from biodwh2_arcadedb_server_spark.transactions import (
                         TransactionError,
@@ -260,7 +266,17 @@ class QueryServer:
                         )
                         return
                     try:
-                        pos = server.transactions.stage(sid, cmd)
+                        for _s in _txn_stmts:
+                            if not arcadesql.claims_statement(_s):
+                                # mixed scripts would interleave
+                                # immediate reads with deferred writes
+                                # — confusing; reject loudly
+                                raise TransactionError(
+                                    "scripts inside a transaction may "
+                                    "contain write statements only — "
+                                    "run reads outside the session"
+                                )
+                            pos = server.transactions.stage(sid, _s)
                     except TransactionError as exc:
                         self._reply(400, {"error": str(exc)})
                         return
@@ -283,43 +299,61 @@ class QueryServer:
                         allow_writes=server.allow_writes
                         and verb == "command",
                     )
-                elif lang in ("sql", "arcadedb"):
-                    if verb == "query" and arcadesql.claims_statement(cmd):
+                elif lang in ("sql", "arcadedb", "sqlscript"):
+                    stmts = (
+                        arcadesql.split_script(cmd)
+                        if lang == "sqlscript" else [cmd]
+                    )
+                    if not stmts:
+                        self._reply(400, {"error": "empty script"})
+                        return
+                    if verb == "query" and any(
+                        arcadesql.claims_statement(s) for s in stmts
+                    ):
                         self._reply(
                             400,
                             {"error": "non-idempotent statement on "
                                       "/query — use /api/v1/command"},
                         )
                         return
-                    try:
-                        df = arcadesql.execute(
-                            server.spark,
-                            cmd,
-                            workspace_dir=server.workspace_dir,
-                            allow_writes=server.allow_writes
-                            and verb == "command",
-                        )
-                    except arcadesql.ArcadeSQLError as orig:
-                        # convenience fallback: plain Spark SQL text
-                        # still answers — but ONLY read-shaped
-                        # statements. An unrestricted fallback would
-                        # run Spark DDL/DML that the dialect rejected
-                        # (DROP VIEW, INSERT OVERWRITE …) on the
-                        # IDEMPOTENT endpoint and around the
-                        # allow_writes gate (round-7 review finding).
-                        # Plan-walk gate, not a head allowlist:
-                        # `WITH cte AS (…) INSERT INTO …` hides a
-                        # write behind a read head (round-7 ADVICE).
-                        from biodwh2_arcadedb_server_spark.sqlgate import (
-                            statement_is_read_only,
-                        )
-
-                        if not statement_is_read_only(server.spark, cmd):
-                            raise orig from None
+                    def _run_one(s: str):
                         try:
-                            df = server.spark.sql(cmd)
-                        except PySparkException:
-                            raise orig from None
+                            return arcadesql.execute(
+                                server.spark,
+                                s,
+                                workspace_dir=server.workspace_dir,
+                                allow_writes=server.allow_writes
+                                and verb == "command",
+                            )
+                        except arcadesql.ArcadeSQLError as orig:
+                            # convenience fallback: plain Spark SQL
+                            # text still answers — but ONLY read-
+                            # shaped statements. An unrestricted
+                            # fallback would run Spark DDL/DML that
+                            # the dialect rejected (DROP VIEW, INSERT
+                            # OVERWRITE …) on the IDEMPOTENT endpoint
+                            # and around the allow_writes gate
+                            # (round-7 review finding). Plan-walk
+                            # gate, not a head allowlist: `WITH cte
+                            # AS (…) INSERT INTO …` hides a write
+                            # behind a read head (round-7 ADVICE).
+                            from biodwh2_arcadedb_server_spark.sqlgate import (
+                                statement_is_read_only,
+                            )
+
+                            if not statement_is_read_only(server.spark, s):
+                                raise orig from None
+                            try:
+                                return server.spark.sql(s)
+                            except PySparkException:
+                                raise orig from None
+
+                    # sqlscript: run every statement in order, answer
+                    # with the LAST one's result (ArcadeDB Studio
+                    # script semantics); plain sql is the one-
+                    # statement special case
+                    for s in stmts:
+                        df = _run_one(s)
                 else:
                     self._reply(400, {"error": f"unknown language {lang!r}"})
                     return

@@ -1239,3 +1239,38 @@ def test_traverse_while_non_depth_rejected(graph_ws):
             "TRAVERSE out('KNOWS') FROM (SELECT FROM Person) "
             "WHILE ($other < 1)",
         )
+
+
+# ------------------------------------------------------------ EXPLAIN
+def test_explain_select_returns_plan(graph_ws):
+    df = execute(graph_ws, "EXPLAIN SELECT name FROM Person WHERE age > 20")
+    assert df.columns == ["plan"]
+    plan = df.collect()[0].plan
+    # temp views over createDataFrame show as ExistingRDD scans; the
+    # load-bearing assertions are a real plan with the filter intact
+    assert "Physical Plan" in plan and "Filter" in plan
+
+
+def test_explain_match_and_rejections(graph_ws):
+    df = execute(
+        graph_ws,
+        "EXPLAIN MATCH {type: Person, as: p}-KNOWS->{type: Person, as: q} "
+        "RETURN p.name",
+    )
+    assert "Physical Plan" in df.collect()[0].plan
+    with pytest.raises(ArcadeSQLError, match="TRAVERSE"):
+        execute(graph_ws, "EXPLAIN TRAVERSE out() FROM (SELECT FROM Person)")
+    with pytest.raises(ArcadeSQLError, match="DML"):
+        execute(graph_ws, "EXPLAIN UPDATE Person SET name = 'x'")
+
+
+# ------------------------------------------------------------ sqlscript
+def test_split_script():
+    from biodwh2_arcadedb_server_spark.arcadesql import split_script
+
+    assert split_script("SELECT 1; SELECT 2;") == ["SELECT 1", "SELECT 2"]
+    # semicolons inside string literals are NOT separators
+    assert split_script("SELECT 'a;b' FROM T; SELECT 2") == [
+        "SELECT 'a;b' FROM T", "SELECT 2",
+    ]
+    assert split_script("  \n ;; ") == []

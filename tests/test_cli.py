@@ -570,3 +570,100 @@ def test_v1_api_transaction_sessions(spark, sf_small, tmp_path_factory):
         assert nation_count() == base_n + 1  # 993 NOT applied
     finally:
         srv.stop()
+
+
+def test_v1_api_sqlscript(spark, sf_small, tmp_path_factory):
+    """language=sqlscript: multi-statement scripts (Studio semantics —
+    statements run in order, the LAST one's result answers); write
+    scripts honor the same gates as single statements."""
+    import base64
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from biodwh2_arcadedb_server_spark.server import QueryServer
+    from biodwh2_arcadedb_server_spark.workspace import build_workspace, load_workspace
+
+    ws = str(tmp_path_factory.mktemp("sqlscript") / "ws")
+    build_workspace(spark, sf_small, ws, force=True)
+    load_workspace(spark, ws)
+    srv = QueryServer(spark, workspace_dir=ws, allow_writes=True)
+    port = srv.start()
+    auth = base64.b64encode(f"{srv.username}:{srv.password}".encode()).decode()
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=_json.dumps(payload).encode(),
+            headers={"Authorization": f"Basic {auth}"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            return _json.loads(resp.read())
+
+    try:
+        # read-only script on /query: last statement answers
+        out = post(
+            "/api/v1/query/biodwh2",
+            {"language": "sqlscript",
+             "command": "SELECT count(*) AS a FROM Region; "
+                        "SELECT n_name FROM Nation WHERE natural_key = 3;"},
+        )
+        assert len(out["result"]) == 1 and "n_name" in out["result"][0]
+        # any write statement inside a /query script -> 400
+        try:
+            post("/api/v1/query/biodwh2",
+                 {"language": "sqlscript",
+                  "command": "SELECT 1 FROM Region; "
+                             "INSERT INTO Nation SET natural_key = 991"})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # write script on /command: runs in order, last result answers
+        out2 = post(
+            "/api/v1/command/biodwh2",
+            {"language": "sqlscript",
+             "command": "INSERT INTO Nation SET natural_key = 991, "
+                        "n_name = 'SCRIPTIA'; "
+                        "SELECT n_name FROM Nation WHERE natural_key = 991"},
+        )
+        assert out2["result"] == [{"n_name": "SCRIPTIA"}]
+        # script inside a transaction: writes stage as a unit
+        b = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/begin/biodwh2",
+            data=b"{}", headers={"Authorization": f"Basic {auth}"},
+            method="POST",
+        )
+        with urllib.request.urlopen(b) as resp:
+            sid = resp.headers["arcadedb-session-id"]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/command/biodwh2",
+            data=_json.dumps({
+                "language": "sqlscript",
+                "command": "INSERT INTO Nation SET natural_key = 992, "
+                           "n_name = 'A'; INSERT INTO Nation SET "
+                           "natural_key = 993, n_name = 'B'",
+            }).encode(),
+            headers={"Authorization": f"Basic {auth}",
+                     "arcadedb-session-id": sid},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            staged = _json.loads(resp.read())["result"][0]
+        assert staged["operation"] == "staged" and staged["statement"] == 1  # 0-based pos of the LAST staged statement
+        c = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/commit/biodwh2",
+            data=b"{}", headers={"Authorization": f"Basic {auth}",
+                                 "arcadedb-session-id": sid},
+            method="POST",
+        )
+        with urllib.request.urlopen(c) as resp:
+            assert resp.status == 200
+        out3 = post(
+            "/api/v1/query/biodwh2",
+            {"command": "SELECT count(*) AS n FROM Nation "
+                        "WHERE natural_key IN [992, 993]"},
+        )
+        assert out3["result"][0]["n"] == 2
+    finally:
+        srv.stop()
