@@ -204,6 +204,7 @@ HEADLINE = [
     "q166_dml_return_after_before",
     "q167_parameterized_query",
     "q168_gopher_repetition",
+    "q169_curation_funnel",
 ]
 
 # Streaming micro-batch drains, timed and reported separately: their

@@ -541,3 +541,61 @@ def chunk_documents(
         F.size("_ctoks").alias("n_tokens"),
         F.md5(F.concat_ws(" ", F.col("_ctoks"))).alias("chunk_md5"),
     )
+
+
+def curation_funnel(
+    df: DataFrame,
+    lang: str = "en",
+    min_chars: int = 100,
+    max_chars: int = 20000,
+    max_dup_line_frac: float = 0.30,
+    max_dup_bigram_frac: float = 0.18,
+    source_cap: int = 8,
+) -> DataFrame:
+    """End-to-end training-data curation funnel (the FineWeb/RefinedWeb
+    stage chain, deterministic subset): language filter → length gate →
+    Gopher repetition rules → exact dedup (md5, min-doc_id keeper) →
+    per-source cap. Returns the audit FUNNEL — one row per stage with
+    surviving doc and source counts — the table every curation run
+    reports before training starts.
+
+    Scale: stages 1–3 are pushable scan predicates (zero shuffle);
+    exact dedup is ONE hash shuffle on md5(text); the source cap is
+    one window shuffle on source. The funnel counts reuse the same
+    lazily-built stage frames, so Spark runs one job per stage count
+    over pruned columns — at 100 TB each stage is a column-pruned
+    pass, and the surviving-set materialization (not returned here)
+    would be the same plan with the counts dropped."""
+    from biodwh2_arcadedb_server_spark.operators.text import repetition_metrics
+
+    s0 = df
+    s1 = s0.where(F.col("lang") == lang)
+    s2 = s1.where(F.col("n_chars").between(min_chars, max_chars))
+    rep = repetition_metrics(s2).where(
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
+    ).select("doc_id")
+    s3 = s2.join(rep, "doc_id", "left_semi")
+    keeper = (
+        s3.groupBy(F.md5(F.col("text")).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s4 = s3.join(keeper, "doc_id", "left_semi")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    s5 = s4.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= source_cap
+    ).drop("_rk")
+    stages = [
+        ("0_ingested", s0), ("1_lang", s1), ("2_length", s2),
+        ("3_repetition", s3), ("4_exact_dedup", s4), ("5_source_cap", s5),
+    ]
+    funnel = None
+    for name, frame in stages:
+        row = frame.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        funnel = row if funnel is None else funnel.unionByName(row)
+    return funnel.orderBy("stage")

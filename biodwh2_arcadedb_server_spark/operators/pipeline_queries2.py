@@ -149,9 +149,22 @@ def q168_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.repetition_metrics(d)
 
 
+def q169_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel (round 8): language → length →
+    Gopher repetition → exact dedup → source cap, reported as the
+    per-stage audit table (stage, surviving docs, surviving sources)
+    every curation run publishes before training. Composes the
+    tested operators (text.repetition_metrics, md5 keeper, window
+    cap) into ONE chain — the probe proves the stages compose, not
+    just that each works alone."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.curation_funnel(d)
+
+
 QUERIES = {
     "q91_decontamination": q91_decontamination,
     "q168_gopher_repetition": q168_gopher_repetition,
+    "q169_curation_funnel": q169_curation_funnel,
     "q92_repetition_stats": q92_repetition_stats,
     "q93_tfidf_topterms": q93_tfidf_topterms,
     "q94_bm25_search": q94_bm25_search,
@@ -171,6 +184,52 @@ _GRAMS3 = f"""
 """
 
 ORACLE = {
+    "q169_curation_funnel": """
+        WITH s1 AS (
+            SELECT * FROM documents WHERE lang = 'en'
+        ), s2 AS (
+            SELECT * FROM s1 WHERE n_chars BETWEEN 100 AND 20000
+        ), rep AS (
+            SELECT doc_id,
+                   string_split(text, chr(10)) AS lines,
+                   string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM s2
+        ), repm AS (
+            SELECT doc_id,
+                   CASE WHEN len(lines) > 1
+                        THEN 1.0 - len(list_distinct(lines)) / len(lines)
+                        ELSE 0.0 END AS dlf,
+                   CASE WHEN len(words) >= 2 THEN (
+                       SELECT CASE WHEN len(b) > 1
+                                   THEN 1.0 - len(list_distinct(b)) / len(b)
+                                   ELSE 0.0 END
+                       FROM (SELECT list_transform(range(1, len(words)),
+                                  i -> words[i] || ' ' || words[i+1]) AS b)
+                   ) ELSE 0.0 END AS dbf
+            FROM rep
+        ), s3 AS (
+            SELECT s2.* FROM s2 JOIN repm USING (doc_id)
+            WHERE repm.dlf <= 0.30 AND repm.dbf <= 0.18
+        ), keeper AS (
+            SELECT min(doc_id) AS doc_id FROM s3 GROUP BY md5(text)
+        ), s4 AS (
+            SELECT s3.* FROM s3 SEMI JOIN keeper USING (doc_id)
+        ), s5 AS (
+            SELECT * FROM (
+                SELECT s4.*, row_number() OVER (
+                    PARTITION BY source ORDER BY doc_id) AS rk
+                FROM s4
+            ) WHERE rk <= 8
+        )
+        SELECT '0_ingested' AS stage, count(*) AS n_docs,
+               count(DISTINCT source) AS n_sources FROM documents
+        UNION ALL SELECT '1_lang', count(*), count(DISTINCT source) FROM s1
+        UNION ALL SELECT '2_length', count(*), count(DISTINCT source) FROM s2
+        UNION ALL SELECT '3_repetition', count(*), count(DISTINCT source) FROM s3
+        UNION ALL SELECT '4_exact_dedup', count(*), count(DISTINCT source) FROM s4
+        UNION ALL SELECT '5_source_cap', count(*), count(DISTINCT source) FROM s5
+        ORDER BY stage
+    """,
     "q168_gopher_repetition": """
         WITH w AS (
             SELECT doc_id,

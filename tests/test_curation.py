@@ -222,3 +222,31 @@ def test_repetition_metrics_known(spark):
     assert abs(r4.dup_word_frac - (1 - 1 / 6)) < 1e-9
     assert abs(r4.dup_bigram_frac - (1 - 1 / 5)) < 1e-9
     assert r4.repetitious
+
+
+def test_curation_funnel_monotone_and_known(spark):
+    """The funnel is monotone non-increasing and each stage drops the
+    rows its rule targets (hand-built corpus)."""
+    from biodwh2_arcadedb_server_spark.operators.curation import curation_funnel
+
+    docs = []
+    # 12 good english docs across 2 sources (cap=3 binds: 6 -> 6? no:
+    # per-source cap 3 keeps 3+3)
+    for i in range(12):
+        docs.append((i, "clean prose " + " ".join(f"w{i}x{j}" for j in range(30)),
+                     "en", f"s{i % 2}", 200))
+    docs.append((100, "short", "en", "s0", 5))                  # length gate
+    docs.append((101, "x " * 100, "en", "s0", 200))             # repetition
+    docs.append((102, docs[0][1], "en", "s1", 200))             # exact dup of doc 0
+    docs.append((103, "bonjour le monde " * 12, "fr", "s0", 200))  # lang
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    rows = {r.stage: (r.n_docs, r.n_sources)
+            for r in curation_funnel(df, source_cap=3).collect()}
+    assert rows["0_ingested"] == (16, 2)
+    assert rows["1_lang"] == (15, 2)       # -fr
+    assert rows["2_length"] == (14, 2)     # -short
+    assert rows["3_repetition"] == (13, 2) # -'x x x ...'
+    assert rows["4_exact_dedup"] == (12, 2)  # -dup of doc 0
+    assert rows["5_source_cap"] == (6, 2)    # 3 per source
