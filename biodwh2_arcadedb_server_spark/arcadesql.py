@@ -222,10 +222,16 @@ def _render_param(val) -> str:
         return str(val)
     if isinstance(val, float):
         import math
+        from decimal import Decimal
 
         if not math.isfinite(val):
             raise ArcadeSQLError(f"non-finite parameter value {val!r}")
-        return repr(val)
+        # plain decimal notation, never scientific — the dialect
+        # lexer's number token is \\d+(\\.\\d+)?, so repr()'s '1e-05'
+        # would tokenize as number/ident/op/number and fail to parse
+        # (round-8 review finding). Decimal(repr()) keeps the exact
+        # shortest-round-trip digits.
+        return format(Decimal(repr(val)), "f")
     if isinstance(val, (list, tuple)):
         return "[" + ", ".join(_render_param(v) for v in val) + "]"
     if isinstance(val, _dt.datetime):
@@ -1033,10 +1039,10 @@ class _Parser:
             maxdepth = self._int("MAXDEPTH")
         elif self._accept_word("while"):
             # ArcadeDB's other depth-bound spelling: WHILE $depth < n
-            # / <= n (the same restriction MATCH while: enforces —
-            # arbitrary WHILE predicates would require per-path
-            # evaluation, which the set-based BFS deliberately
-            # avoids). Parens optional, like ArcadeDB.
+            # / <= n (the same $depth-only restriction MATCH while:
+            # enforces — arbitrary WHILE predicates would require
+            # per-path evaluation, which the set-based BFS
+            # deliberately avoids). Parens optional, like ArcadeDB.
             parens = bool(self.accept("op", "("))
             v = self.expect("var")
             if v.text != "$depth":
@@ -1053,9 +1059,16 @@ class _Parser:
             n = self._int("WHILE depth bound")
             if parens:
                 self.expect("op", ")")
-            # WHILE gates EXPANSION: nodes at depth d expand while
-            # d < N (resp. <= N), so reachable depth is N (resp. N+1)
-            maxdepth = n if op_t.text == "<" else n + 1
+            # TRAVERSE WHILE gates record INCLUSION (OrientDB/ArcadeDB
+            # semantics: the condition is evaluated per visited
+            # record; false -> not included, not expanded), so
+            # WHILE $depth <= N is exactly MAXDEPTH N and
+            # WHILE $depth < N is MAXDEPTH N-1 (round-8 review
+            # finding — the first cut mapped expansion, one frontier
+            # too deep). MATCH while: keeps its documented
+            # expansion-gating reading, which matches MATCH's
+            # per-step evaluation point.
+            maxdepth = n if op_t.text == "<=" else max(n - 1, 0)
         return _Traverse(steps=steps, inner=inner, maxdepth=maxdepth)
 
     def _select(self) -> _Select:
@@ -2323,6 +2336,7 @@ def _execute_dml(
     stmt: _DML,
     workspace_dir: str | None,
     allow_writes: bool,
+    refresh_views: bool = True,
 ) -> DataFrame:
     """Route a dialect DML statement to the workspace batch-recompute
     API (B19). Gated: ``allow_writes`` defaults OFF everywhere —
@@ -2350,10 +2364,14 @@ def _execute_dml(
 
     pred = F.expr(stmt.where) if stmt.where else F.lit(True)
     with _DML_LOCK:
-        return _execute_dml_locked(spark, stmt, workspace_dir, pred, ws, os)
+        return _execute_dml_locked(
+            spark, stmt, workspace_dir, pred, ws, os, refresh_views
+        )
 
 
-def _execute_dml_locked(spark, stmt, workspace_dir, pred, ws, os):
+def _execute_dml_locked(
+    spark, stmt, workspace_dir, pred, ws, os, refresh_views=True
+):
     if stmt.kind.startswith("ddl_"):
         n_ddl = 0
         try:
@@ -2392,11 +2410,14 @@ def _execute_dml_locked(spark, stmt, workspace_dir, pred, ws, os):
                 n_ddl = ws.rename_type(
                     spark, workspace_dir, stmt.label, stmt.ddl["new"]
                 )
-                spark.catalog.dropTempView(f"n_{stmt.label}")
-                spark.catalog.dropTempView(f"e_{stmt.label}")
+                if refresh_views:
+                    # staged (shadow) application must not touch the
+                    # session's live views — commit re-registers once
+                    spark.catalog.dropTempView(f"n_{stmt.label}")
+                    spark.catalog.dropTempView(f"e_{stmt.label}")
         except ValueError as exc:
             raise ArcadeSQLError(str(exc)) from exc
-        if stmt.kind not in ("ddl_index", "ddl_drop_index"):
+        if refresh_views and stmt.kind not in ("ddl_index", "ddl_drop_index"):
             # index DDL is manifest-only — no dataset or schema
             # changed, so the registered views stay valid (round-8
             # interactive-DDL trim)
@@ -2463,7 +2484,8 @@ def _execute_dml_locked(spark, stmt, workspace_dir, pred, ws, os):
         if ret_mode:
             # early result return still must re-register the session
             # views — the dataset swap invalidated their file listing
-            ws.load_workspace(spark, workspace_dir)
+            if refresh_views:
+                ws.load_workspace(spark, workspace_dir)
             if ret_mode == "before":
                 return before_rows
             # materialize: the returned rows must survive the NEXT
@@ -2477,7 +2499,8 @@ def _execute_dml_locked(spark, stmt, workspace_dir, pred, ws, os):
     elif stmt.kind == "delete":
         n = ws.delete_nodes(spark, workspace_dir, stmt.label, pred)
         if ret_mode == "before":
-            ws.load_workspace(spark, workspace_dir)
+            if refresh_views:
+                ws.load_workspace(spark, workspace_dir)
             return before_rows
     elif stmt.kind == "update_edge":
         try:
@@ -2597,7 +2620,8 @@ def _execute_dml_locked(spark, stmt, workspace_dir, pred, ws, os):
 
             before = _json.load(mh)["nodes"][stmt.label]["count"]
         n = ws.insert_nodes(spark, workspace_dir, stmt.label, rows_df) - before
-    ws.load_workspace(spark, workspace_dir)
+    if refresh_views:
+        ws.load_workspace(spark, workspace_dir)
     return spark.createDataFrame(
         [(stmt.kind, stmt.label, n)], "operation string, label string, count long"
     )
@@ -2652,6 +2676,7 @@ def execute(
     workspace_dir: str | None = None,
     allow_writes: bool = False,
     params=None,
+    refresh_views: bool = True,
 ) -> DataFrame:
     """Run an ArcadeDB-dialect statement against the registered
     workspace views. SELECT/MATCH → ``spark.sql(translate(...))``;
@@ -2693,7 +2718,10 @@ def execute(
     p = _Parser(sql)
     stmt = p.parse()
     if isinstance(stmt, _DML):
-        return _execute_dml(spark, stmt, workspace_dir, allow_writes)
+        return _execute_dml(
+            spark, stmt, workspace_dir, allow_writes,
+            refresh_views=refresh_views,
+        )
     _register_shortest_path_views(spark, p.shortest_paths)
     if isinstance(stmt, _Match):
         return spark.sql(_compile_match(stmt))

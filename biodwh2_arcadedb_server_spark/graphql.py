@@ -520,8 +520,18 @@ def _build(
             if sub.name not in df.columns:
                 raise GraphQLError(f"unknown field {sub.name!r} on type {label!r}")
             # response key is the alias when present (spec §2.7);
-            # identical keys merge first-wins like identical fields
-            scalars.setdefault(sub.out, sub.name)
+            # identical keys selecting the SAME field merge (spec
+            # §5.3.2), but the same key over DIFFERENT fields is an
+            # unmergeable document — silently keeping the first would
+            # hand the client the wrong column under that key
+            # (round-8 review finding)
+            prev = scalars.setdefault(sub.out, sub.name)
+            if prev != sub.name:
+                raise GraphQLError(
+                    f"response key {sub.out!r} selects conflicting "
+                    f"fields {prev!r} and {sub.name!r} (spec §5.3.2 "
+                    "field merging)"
+                )
     if not selection:
         raise GraphQLError(f"selection set required on type {label!r}")
 

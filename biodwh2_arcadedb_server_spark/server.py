@@ -228,7 +228,10 @@ class QueryServer:
                 # a param value can never change the statement shape
                 # (injection boundary). GraphQL keeps params as
                 # variables instead.
-                if lang in ("sql", "arcadedb") and req.get("params") is not None:
+                if (
+                    lang in ("sql", "arcadedb", "sqlscript")
+                    and req.get("params") is not None
+                ):
                     try:
                         cmd = arcadesql.bind_params(cmd, req["params"])
                     except arcadesql.ArcadeSQLError as exc:
@@ -266,18 +269,25 @@ class QueryServer:
                         )
                         return
                     try:
+                        # validate the WHOLE script before staging
+                        # anything: a mid-script rejection must not
+                        # leave earlier statements buffered — a later
+                        # commit would silently apply half a script
+                        # the client was told was refused (round-8
+                        # review finding)
                         for _s in _txn_stmts:
                             if not arcadesql.claims_statement(_s):
-                                # mixed scripts would interleave
-                                # immediate reads with deferred writes
-                                # — confusing; reject loudly
                                 raise TransactionError(
                                     "scripts inside a transaction may "
                                     "contain write statements only — "
                                     "run reads outside the session"
                                 )
+                            arcadesql._Parser(_s).parse()
+                        for _s in _txn_stmts:
                             pos = server.transactions.stage(sid, _s)
-                    except TransactionError as exc:
+                    except (
+                        TransactionError, arcadesql.ArcadeSQLError,
+                    ) as exc:
                         self._reply(400, {"error": str(exc)})
                         return
                     self._reply(

@@ -43,6 +43,7 @@ import os
 import secrets
 import shutil
 import threading
+import time
 
 from pyspark.sql import SparkSession
 
@@ -57,6 +58,10 @@ class TransactionConflict(TransactionError):
 
 
 MAX_ACTIVE = 64
+# Idle sessions are evicted (a crashed client that never commits or
+# rolls back must not pin one of the MAX_ACTIVE slots forever —
+# ArcadeDB's own HTTP sessions time out; round-8 review finding).
+IDLE_TTL_SECONDS = 30 * 60
 
 
 def _manifest_fingerprint(ws_dir: str) -> str:
@@ -98,6 +103,12 @@ class TransactionManager:
                 "workspace-backed server"
             )
         with self._lock:
+            now = time.monotonic()
+            for stale in [
+                s for s, t in self._txns.items()
+                if now - t["touched"] > IDLE_TTL_SECONDS
+            ]:
+                del self._txns[stale]
             if len(self._txns) >= MAX_ACTIVE:
                 raise TransactionError(
                     f"too many open transactions (max {MAX_ACTIVE})"
@@ -107,6 +118,7 @@ class TransactionManager:
                 "ws": workspace_dir,
                 "fingerprint": _manifest_fingerprint(workspace_dir),
                 "statements": [],
+                "touched": now,
             }
         return sid
 
@@ -124,12 +136,21 @@ class TransactionManager:
         returns its 0-based position in the transaction."""
         from biodwh2_arcadedb_server_spark import arcadesql
 
-        txn = self._get(sid)
         # parse NOW so the client hears about a syntax error at
         # command time, not buried inside a later commit
         arcadesql._Parser(statement).parse()
         with self._lock:
+            # lookup and append under ONE lock hold: a commit/rollback
+            # racing between them would pop the dict and this append
+            # would land in an orphan — acknowledged but never applied
+            # (round-8 review finding)
+            txn = self._txns.get(sid or "")
+            if txn is None:
+                raise TransactionError(
+                    f"unknown or closed session {sid!r}"
+                )
             txn["statements"].append(statement)
+            txn["touched"] = time.monotonic()
             return len(txn["statements"]) - 1
 
     def rollback(self, sid: str) -> int:
@@ -173,9 +194,15 @@ class TransactionManager:
         try:
             for i, stmt in enumerate(stmts):
                 try:
+                    # refresh_views=False: the session's global views
+                    # must NEVER point at the shadow — concurrent
+                    # readers would see uncommitted data (dirty read)
+                    # and a failed later statement could not undo what
+                    # they observed (round-8 review finding)
                     arcadesql.execute(
                         spark, stmt,
                         workspace_dir=shadow, allow_writes=True,
+                        refresh_views=False,
                     ).collect()
                 except Exception as exc:
                     raise TransactionError(
@@ -197,9 +224,20 @@ class TransactionManager:
         except Exception:
             if os.path.isdir(shadow):
                 shutil.rmtree(shadow)
-            # statement application re-registered session views at the
-            # shadow — restore them to the live workspace
+            # views were never repointed (refresh_views=False), but a
+            # rename-window failure could leave them over moved paths
+            # — re-register defensively against the live workspace
             ws_mod.load_workspace(spark, base)
             raise
+        # type-level DDL inside the transaction leaves stale typed
+        # views behind (shadow application skipped the live-view
+        # drops); prune them before the one post-commit re-register
+        for stmt in stmts:
+            parsed = arcadesql._Parser(stmt).parse()
+            if getattr(parsed, "kind", "") in (
+                "ddl_drop_type", "ddl_rename_type",
+            ):
+                spark.catalog.dropTempView(f"n_{parsed.label}")
+                spark.catalog.dropTempView(f"e_{parsed.label}")
         ws_mod.load_workspace(spark, base)
         return len(stmts)

@@ -498,7 +498,18 @@ def update_nodes(
     touched = cur.where(predicate).count()
     out = cur
     for col_name, expr in assignments.items():
-        out = out.withColumn(col_name, F.when(predicate, expr).otherwise(F.col(col_name)))
+        # cast the assignment to the column's DECLARED type: the
+        # schema is the contract (manifest-registered views read with
+        # it), and an uncast when/otherwise would silently coerce the
+        # whole column — e.g. SET age = 'x' turning long into string
+        # parquet that the stale manifest schema can no longer scan
+        # (round-8 review finding)
+        out = out.withColumn(
+            col_name,
+            F.when(
+                predicate, expr.cast(cur.schema[col_name].dataType)
+            ).otherwise(F.col(col_name)),
+        )
     _rewrite_dataset(out, path)
     return touched
 
@@ -603,7 +614,18 @@ def update_edges(
     touched = cur.where(predicate).count()
     out = cur
     for col_name, expr in assignments.items():
-        out = out.withColumn(col_name, F.when(predicate, expr).otherwise(F.col(col_name)))
+        # cast the assignment to the column's DECLARED type: the
+        # schema is the contract (manifest-registered views read with
+        # it), and an uncast when/otherwise would silently coerce the
+        # whole column — e.g. SET age = 'x' turning long into string
+        # parquet that the stale manifest schema can no longer scan
+        # (round-8 review finding)
+        out = out.withColumn(
+            col_name,
+            F.when(
+                predicate, expr.cast(cur.schema[col_name].dataType)
+            ).otherwise(F.col(col_name)),
+        )
     _rewrite_dataset(out, path)
     return touched
 

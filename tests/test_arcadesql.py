@@ -1216,20 +1216,36 @@ def test_reversed_range_rejected(tagged_ws):
 
 
 def test_traverse_while_depth(graph_ws):
-    # WHILE $depth < 1: roots expand once — same set as MAXDEPTH 1
-    df = execute(
-        graph_ws,
-        "TRAVERSE out('KNOWS') FROM (SELECT FROM Person WHERE "
-        "node_id = 1) WHILE ($depth < 1)",
-    )
-    assert _ids(df) == [1, 2, 3]
-    # <= 1 expands depth-1 nodes too (reach depth 2)
+    # WHILE gates record INCLUSION (ArcadeDB semantics): $depth <= 1
+    # keeps depth-0/1 records — exactly MAXDEPTH 1
     df = execute(
         graph_ws,
         "TRAVERSE out('KNOWS') FROM (SELECT FROM Person WHERE "
         "node_id = 1) WHILE $depth <= 1",
     )
+    assert _ids(df) == [1, 2, 3]
+    # $depth < 2 is the same set spelled strictly
+    df = execute(
+        graph_ws,
+        "TRAVERSE out('KNOWS') FROM (SELECT FROM Person WHERE "
+        "node_id = 1) WHILE ($depth < 2)",
+    )
+    assert _ids(df) == [1, 2, 3]
+    # <= 2 reaches one frontier further
+    df = execute(
+        graph_ws,
+        "TRAVERSE out('KNOWS') FROM (SELECT FROM Person WHERE "
+        "node_id = 1) WHILE $depth <= 2",
+    )
     assert _ids(df) == [1, 2, 3, 4]
+    # degenerate: < 0 keeps nothing beyond... maxdepth clamps at 0,
+    # i.e. the roots only
+    df = execute(
+        graph_ws,
+        "TRAVERSE out('KNOWS') FROM (SELECT FROM Person WHERE "
+        "node_id = 1) WHILE $depth < 1",
+    )
+    assert _ids(df) == [1]
 
 
 def test_traverse_while_non_depth_rejected(graph_ws):
@@ -1274,3 +1290,18 @@ def test_split_script():
         "SELECT 'a;b' FROM T", "SELECT 2",
     ]
     assert split_script("  \n ;; ") == []
+
+
+def test_params_float_plain_decimal(graph_ws):
+    """repr() floats ('1e-05') don't tokenize — binding must render
+    plain decimal notation (round-8 review finding)."""
+    from biodwh2_arcadedb_server_spark.arcadesql import _render_param
+
+    assert _render_param(1e-05) == "0.00001"
+    assert _render_param(1e20) == "100000000000000000000"
+    df = execute(
+        graph_ws,
+        "SELECT name FROM Person WHERE age * 1.0 > :eps ORDER BY name LIMIT 1",
+        params={"eps": 1e-05},
+    )
+    assert [r.name for r in df.collect()] == ["p1"]

@@ -667,3 +667,87 @@ def test_v1_api_sqlscript(spark, sf_small, tmp_path_factory):
         assert out3["result"][0]["n"] == 2
     finally:
         srv.stop()
+
+
+def test_transaction_manager_ttl_and_stage_race_safety(spark, sf_small, tmp_path_factory):
+    """Round-8 review fixes: idle sessions are evicted at begin (no
+    permanent MAX_ACTIVE exhaustion), and staging into a just-closed
+    session errors instead of appending to an orphan."""
+    from biodwh2_arcadedb_server_spark import transactions as txn_mod
+    from biodwh2_arcadedb_server_spark.transactions import (
+        TransactionError,
+        TransactionManager,
+    )
+    from biodwh2_arcadedb_server_spark.workspace import build_workspace
+
+    ws = str(tmp_path_factory.mktemp("ttl") / "ws")
+    build_workspace(spark, sf_small, ws, force=True)
+    mgr = TransactionManager()
+    sid = mgr.begin(ws)
+    # age the session past the TTL and begin again: slot reclaimed
+    mgr._txns[sid]["touched"] -= txn_mod.IDLE_TTL_SECONDS + 1
+    sid2 = mgr.begin(ws)
+    assert not mgr.active(sid) and mgr.active(sid2)
+    # staging into the evicted session is a loud error
+    import pytest as _pytest
+
+    with _pytest.raises(TransactionError, match="unknown or closed"):
+        mgr.stage(sid, "INSERT INTO Nation SET natural_key = 999")
+    # rollback closes; stage after close errors (the race-window shape)
+    mgr.stage(sid2, "INSERT INTO Nation SET natural_key = 999")
+    mgr.rollback(sid2)
+    with _pytest.raises(TransactionError, match="unknown or closed"):
+        mgr.stage(sid2, "INSERT INTO Nation SET natural_key = 998")
+
+
+def test_mixed_script_in_txn_stages_nothing(spark, sf_small, tmp_path_factory):
+    """A rejected mixed read/write script must leave NOTHING staged —
+    a later commit must not apply half a refused script (round-8
+    review finding)."""
+    import base64
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from biodwh2_arcadedb_server_spark.server import QueryServer
+    from biodwh2_arcadedb_server_spark.workspace import build_workspace, load_workspace
+
+    ws = str(tmp_path_factory.mktemp("mixedtxn") / "ws")
+    build_workspace(spark, sf_small, ws, force=True)
+    load_workspace(spark, ws)
+    srv = QueryServer(spark, workspace_dir=ws, allow_writes=True)
+    port = srv.start()
+    auth = base64.b64encode(f"{srv.username}:{srv.password}".encode()).decode()
+
+    def post(path, payload, sid=None):
+        headers = {"Authorization": f"Basic {auth}"}
+        if sid:
+            headers["arcadedb-session-id"] = sid
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=_json.dumps(payload).encode(), headers=headers, method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            return _json.loads(resp.read()), resp.headers
+
+    try:
+        _, h = post("/api/v1/begin/biodwh2", {})
+        sid = h["arcadedb-session-id"]
+        try:
+            post("/api/v1/command/biodwh2",
+                 {"language": "sqlscript",
+                  "command": "INSERT INTO Nation SET natural_key = 994, "
+                             "n_name = 'LEAK'; SELECT FROM Nation"},
+                 sid=sid)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # committing now applies NOTHING (empty transaction)
+        out, _ = post("/api/v1/commit/biodwh2", {}, sid=sid)
+        assert out["result"][0]["statements"] == 0
+        chk, _ = post("/api/v1/query/biodwh2",
+                      {"command": "SELECT count(*) AS n FROM Nation "
+                                  "WHERE natural_key = 994"})
+        assert chk["result"][0]["n"] == 0
+    finally:
+        srv.stop()

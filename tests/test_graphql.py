@@ -457,3 +457,18 @@ def test_directive_errors(spark, ws):
         graphql.execute(spark, '{ Customer { c_name @skip(if: "yes") } }')
     with pytest.raises(graphql.GraphQLError, match="if: argument"):
         graphql.execute(spark, "{ Customer { c_name @skip(unless: true) } }")
+
+
+def test_duplicate_response_key_conflicting_fields_rejected(spark, ws):
+    """Spec §5.3.2: the same response key over different fields is an
+    unmergeable document — loud error, never silent first-wins
+    (round-8 review finding)."""
+    import pytest as _pytest
+
+    from biodwh2_arcadedb_server_spark.graphql import GraphQLError, execute
+
+    with _pytest.raises(GraphQLError, match="conflicting"):
+        execute(spark, "{ Customer { bal: c_name bal: c_acctbal } }")
+    # same key, same field: merges fine (spec-sanctioned)
+    df = execute(spark, "{ Customer(natural_key: 1) { k: c_acctbal k: c_acctbal } }")
+    assert df.columns == ["k"]

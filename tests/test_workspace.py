@@ -406,3 +406,29 @@ def test_rename_type_128bit_two_lane_cascade(spark, sf_small, tmp_path):
         nn.select(F.col("node_id").alias("src")), "src", "left_semi"
     ).count()
     assert resolved == before_edges
+
+
+def test_update_preserves_declared_column_type(spark, sf_small, tmp_path):
+    """UPDATE assignments cast to the column's declared type — an
+    uncast when/otherwise would coerce the whole column (e.g. long →
+    string parquet) and break every later manifest-schema read
+    (round-8 review finding)."""
+    from biodwh2_arcadedb_server_spark.workspace import (
+        build_workspace,
+        load_workspace,
+        update_nodes,
+    )
+
+    ws = str(tmp_path / "updtype")
+    build_workspace(spark, sf_small, ws, force=True)
+    load_workspace(spark, ws)
+    before_type = dict(spark.table("n_Customer").dtypes)["c_acctbal"]
+    update_nodes(
+        spark, ws, "Customer",
+        F.col("natural_key") == 1,
+        {"c_acctbal": F.lit("123.5")},  # string literal into a numeric col
+    )
+    load_workspace(spark, ws)
+    after = spark.table("n_Customer")
+    assert dict(after.dtypes)["c_acctbal"] == before_type
+    assert after.where(F.col("natural_key") == 1).collect()[0].c_acctbal == 123.5
