@@ -559,43 +559,72 @@ def curation_funnel(
     surviving doc and source counts — the table every curation run
     reports before training starts.
 
-    Scale: stages 1–3 are pushable scan predicates (zero shuffle);
-    exact dedup is ONE hash shuffle on md5(text); the source cap is
-    one window shuffle on source. The funnel counts reuse the same
-    lazily-built stage frames, so Spark runs one job per stage count
-    over pruned columns — at 100 TB each stage is a column-pruned
-    pass, and the surviving-set materialization (not returned here)
-    would be the same plan with the counts dropped."""
+    ONE pass, not one job per stage: each document carries cumulative
+    survival flags (f1..f5); the dedup keeper is a min-over-hash
+    window among stage-3 survivors and the source cap a running count
+    among stage-4 survivors, so the whole funnel is a single plan with
+    exactly two window shuffles (md5 hash, source) + one final
+    aggregate — at 100 TB the document scan happens once, where the
+    naive per-stage recount would re-derive the repetition metrics
+    four times over."""
     from biodwh2_arcadedb_server_spark.operators.text import repetition_metrics
 
-    s0 = df
-    s1 = s0.where(F.col("lang") == lang)
-    s2 = s1.where(F.col("n_chars").between(min_chars, max_chars))
-    rep = repetition_metrics(s2).where(
-        (F.col("dup_line_frac") <= max_dup_line_frac)
-        & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
-    ).select("doc_id")
-    s3 = s2.join(rep, "doc_id", "left_semi")
-    keeper = (
-        s3.groupBy(F.md5(F.col("text")).alias("_h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    rep = repetition_metrics(df).select(
+        "doc_id", "dup_line_frac", "dup_bigram_frac"
     )
-    s4 = s3.join(keeper, "doc_id", "left_semi")
-    w = Window.partitionBy("source").orderBy("doc_id")
-    s5 = s4.withColumn("_rk", F.row_number().over(w)).where(
-        F.col("_rk") <= source_cap
-    ).drop("_rk")
-    stages = [
-        ("0_ingested", s0), ("1_lang", s1), ("2_length", s2),
-        ("3_repetition", s3), ("4_exact_dedup", s4), ("5_source_cap", s5),
+    base = df.join(rep, "doc_id")
+    f1 = F.col("lang") == lang
+    f2 = f1 & F.col("n_chars").between(min_chars, max_chars)
+    f3 = (
+        f2
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
+    )
+    flagged = base.select(
+        "doc_id", "source",
+        F.md5(F.col("text")).alias("_h"),
+        f1.alias("f1"), f2.alias("f2"), f3.alias("f3"),
+    )
+    # dedup keeper: min doc_id per content hash AMONG stage-3 docs
+    w_h = Window.partitionBy("_h")
+    flagged = flagged.withColumn(
+        "f4",
+        F.col("f3")
+        & (F.col("doc_id")
+           == F.min(F.when(F.col("f3"), F.col("doc_id"))).over(w_h)),
+    )
+    # source cap: running count of stage-4 survivors per source in
+    # doc_id order (deterministic — doc_id is unique)
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = flagged.withColumn(
+        "f5",
+        F.col("f4")
+        & (F.sum(F.when(F.col("f4"), 1).otherwise(0)).over(w_s)
+           <= source_cap),
+    )
+    agg = flagged.agg(
+        F.count("*").alias("c0"),
+        F.countDistinct("source").alias("s0"),
+        *[
+            x
+            for i in range(1, 6)
+            for x in (
+                F.sum(F.col(f"f{i}").cast("long")).alias(f"c{i}"),
+                F.countDistinct(
+                    F.when(F.col(f"f{i}"), F.col("source"))
+                ).alias(f"s{i}"),
+            )
+        ],
+    )
+    names = [
+        "0_ingested", "1_lang", "2_length",
+        "3_repetition", "4_exact_dedup", "5_source_cap",
     ]
-    funnel = None
-    for name, frame in stages:
-        row = frame.agg(
-            F.lit(name).alias("stage"),
-            F.count("*").alias("n_docs"),
-            F.countDistinct("source").alias("n_sources"),
-        )
-        funnel = row if funnel is None else funnel.unionByName(row)
-    return funnel.orderBy("stage")
+    stack = ", ".join(f"'{n}', c{i}, s{i}" for i, n in enumerate(names))
+    return agg.selectExpr(
+        f"stack(6, {stack}) AS (stage, n_docs, n_sources)"
+    ).orderBy("stage")
