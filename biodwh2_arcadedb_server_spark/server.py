@@ -175,6 +175,30 @@ class QueryServer:
                     # ArcadeDB readiness ping: 204, no body
                     self.send_response(204)
                     self.end_headers()
+                elif self.path == "/api/v1/databases":
+                    # ArcadeDB: list of database names (clients call
+                    # this right after connect). One engine, one
+                    # database — the reference creates exactly
+                    # 'biodwh2' (ArcadeDBService.java createDatabase)
+                    if not self._authorized():
+                        self.send_response(401)
+                        self.send_header(
+                            "WWW-Authenticate", 'Basic realm="biodwh2"'
+                        )
+                        self.end_headers()
+                        return
+                    self._reply(200, {"result": ["biodwh2"]})
+                elif self.path.startswith("/api/v1/exists/"):
+                    # ArcadeDB: {"result": true|false} per database
+                    if not self._authorized():
+                        self.send_response(401)
+                        self.send_header(
+                            "WWW-Authenticate", 'Basic realm="biodwh2"'
+                        )
+                        self.end_headers()
+                        return
+                    db = self.path.rsplit("/", 1)[-1]
+                    self._reply(200, {"result": db == "biodwh2"})
                 elif self.path in ("/", "/index.html"):
                     # Studio-analog console — served behind the basic-
                     # auth challenge so the page's fetch() calls reuse

@@ -751,3 +751,44 @@ def test_mixed_script_in_txn_stages_nothing(spark, sf_small, tmp_path_factory):
         assert chk["result"][0]["n"] == 0
     finally:
         srv.stop()
+
+
+def test_v1_api_databases_and_exists(spark, sf_small):
+    """ArcadeDB wire shape: GET /api/v1/databases lists ['biodwh2'],
+    GET /api/v1/exists/{db} answers {"result": bool} — clients call
+    both right after connect."""
+    import base64
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from biodwh2_arcadedb_server_spark.server import QueryServer
+    from biodwh2_arcadedb_server_spark.sources.registry import register_tables
+
+    register_tables(spark, sf_small)
+    srv = QueryServer(spark)
+    port = srv.start()
+    auth = base64.b64encode(f"{srv.username}:{srv.password}".encode()).decode()
+
+    def get(path):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            headers={"Authorization": f"Basic {auth}"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            return _json.loads(resp.read())
+
+    try:
+        assert get("/api/v1/databases") == {"result": ["biodwh2"]}
+        assert get("/api/v1/exists/biodwh2") == {"result": True}
+        assert get("/api/v1/exists/nope") == {"result": False}
+        # both are auth-gated
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/v1/databases"
+            )
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+    finally:
+        srv.stop()
