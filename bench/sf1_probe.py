@@ -156,6 +156,10 @@ def main() -> None:
         "q03_two_hop",
         "q48_window_analytics",
         "q14_token_counts",
+        # round-8 document-pipeline anchors: zero-shuffle HOF folds
+        # (q168) and the one-pass funnel (q169) over documents x10
+        "q168_gopher_repetition",
+        "q169_curation_funnel",
     ]
     for name in RELATIONAL:
         if not want(name):
