@@ -205,6 +205,7 @@ HEADLINE = [
     "q167_parameterized_query",
     "q168_gopher_repetition",
     "q169_curation_funnel",
+    "q170_domain_mixture",
 ]
 
 # Streaming micro-batch drains, timed and reported separately: their

