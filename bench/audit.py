@@ -51,7 +51,9 @@ ITERATIVE = {
 # floor, SCALE-INDEPENDENT (the mutated dims are fixed-size at every
 # SF; inserts are O(inserted) appends). On a cluster these are
 # interactive statements, not a batch pipeline.
-DML = {"q147", "q158"}  # q158: the DDL statement sequence (round 7)
+# q158: the DDL statement sequence (round 7); q166: RETURN
+# AFTER/BEFORE readback — same force-build + statement-sequence shape
+DML = {"q147", "q158", "q166"}
 
 # Tolerance-contract probes (round 4): Spark runs the approximate AND
 # the exact path in one plan and emits contract rows; the DuckDB

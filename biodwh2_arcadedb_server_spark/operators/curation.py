@@ -569,6 +569,12 @@ def curation_funnel(
     four times over."""
     from biodwh2_arcadedb_server_spark.operators.text import repetition_metrics
 
+    # The repetition HOF folds live in their OWN aggregated join
+    # branch on purpose: inlining them as columns of the window/
+    # expand plan re-evaluates the folds per downstream reference
+    # (measured 8.2s vs 3.0s warm at sf0.1) — the extra documents
+    # scan is cheaper than recomputing O(words²) folds 7x under the
+    # count-distinct Expand.
     rep = repetition_metrics(df).select(
         "doc_id", "dup_line_frac", "dup_bigram_frac"
     )

@@ -144,9 +144,11 @@ def repetition_metrics(
 
     Scale: one projection of JVM higher-order functions over the
     documents scan — no shuffle, no Python, whole-stage codegen; the
-    flag predicate is pushable when used as a filter. At 100 TB this
-    runs at scan speed like the other text.py metrics.
-    """
+    flag predicate is pushable when used as a filter. The line/word
+    arrays MATERIALIZE as columns in a first select before the
+    fraction expressions reference them — inlining the splits into
+    each fraction re-tokenizes the text per reference (measured 5x
+    at sf0.1)."""
     lines = F.split(F.col(text_col), "\n")
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 

@@ -208,3 +208,37 @@ def test_unwind_explode_no_shuffle_beyond_projection(spark, sf_medium):
     plan = explain_str(df)
     assert "Generate explode" in plan or "Generate" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_q169_funnel_single_pass_plan(spark, sf_medium):
+    """The one-pass funnel (round 8): no Python in the plan, and the
+    per-document work happens ONCE — at most the two declared window
+    exchanges (md5 hash, source) plus the final single-row aggregate
+    appear; a per-stage-recount regression would multiply scans."""
+    from biodwh2_arcadedb_server_spark.operators.pipeline_queries2 import (
+        q169_curation_funnel,
+    )
+
+    df = q169_curation_funnel(spark, sf_medium)
+    plan = explain_str(df)
+    assert "EvalPython" not in plan
+    # two scans by design (the repetition-fold branch + the flag
+    # pass), NOT one per funnel stage — a per-stage-recount
+    # regression would show 6+. The formatted plan prints each scan
+    # node twice (tree + detail), so count tree nodes only.
+    import re
+
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) <= 2
+
+
+def test_q170_mixture_plan_broadcasts_targets(spark, sf_medium):
+    """Mixture resampling: the per-source target table joins via
+    broadcast (no extra shuffle beyond the one rank window)."""
+    from biodwh2_arcadedb_server_spark.operators.pipeline_queries2 import (
+        q170_domain_mixture,
+    )
+
+    df = q170_domain_mixture(spark, sf_medium)
+    plan = explain_str(df)
+    assert "EvalPython" not in plan
+    assert has_broadcast_hash_join(df)
