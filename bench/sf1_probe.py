@@ -160,6 +160,7 @@ def main() -> None:
         # (q168) and the one-pass funnel (q169) over documents x10
         "q168_gopher_repetition",
         "q169_curation_funnel",
+        "q170_domain_mixture",
     ]
     for name in RELATIONAL:
         if not want(name):
