@@ -94,7 +94,10 @@ Supported subset (documented contract, tested differentially):
   VERTEX <T> [SET ...]``, ``CREATE EDGE <T> FROM <key | (SELECT …)>
   TO <key | (SELECT …)> [SET ...]`` (set-valued endpoints create an
   edge per (src, dst) pair — ArcadeDB's canonical bulk-edge form),
-  ``DELETE [VERTEX | FROM] <T> [WHERE ...]``
+  ``DELETE [VERTEX | FROM] <T> [WHERE ...]``, ``DELETE EDGE <T>
+  [FROM <key | (SELECT …)> TO <key | (SELECT …)>] [WHERE ...]``
+  (endpoint-scoped deletion: every edge between the two sets goes,
+  duplicates included)
   (UPSERT inserts the SET row when nothing matches) — routed
   to the workspace batch-recompute DML API (insert/update/
   delete_nodes; DELETE cascades to connected edges, ArcadeDB
@@ -595,6 +598,13 @@ class _Parser:
             # DELETE VERTEX <T> | DELETE EDGE <T> | DELETE FROM <T>
             if self._accept_word("edge"):
                 dml = _DML(kind="delete_edge", label=self._name("edge type"))
+                if self.accept("kw", "from"):
+                    # DELETE EDGE <T> FROM <key|(SELECT…)> TO
+                    # <key|(SELECT…)> — ArcadeDB's endpoint form;
+                    # deletes every edge between the two sets
+                    dml.edge_from = self._expr(dummy)
+                    self._expect_word("to")
+                    dml.edge_to = self._expr(dummy)
                 if self.accept("kw", "where"):
                     dml.where = self._expr(dummy)
                 return dml
@@ -2331,6 +2341,30 @@ def _register_shortest_path_views(spark: SparkSession, specs: list[dict]) -> Non
 _DML_LOCK = __import__("threading").Lock()
 
 
+def _endpoint_df(spark, ws, expr: str, side_label: str, out: str):
+    """Resolve a CREATE/DELETE EDGE endpoint: a literal/expression
+    endpoint is ONE natural key (node id derives as xxhash64(label,
+    key)); a ``(SELECT …)`` endpoint is the ArcadeDB set form — the
+    statement applies to every (src, dst) pair of the two result
+    sets. Returns (1-column node-id DataFrame named ``out``,
+    is_set)."""
+    s = expr.strip()
+    if s.startswith("(SELECT"):
+        sub = spark.sql(s[1:-1])
+        if "node_id" not in sub.columns:
+            raise ArcadeSQLError(
+                "edge endpoint subquery must return node rows "
+                "(missing node_id)"
+            )
+        return sub.select(F.col("node_id").alias(out)), True
+    return (
+        spark.range(1).select(
+            ws.node_id(side_label, F.expr(expr)).alias(out)
+        ),
+        False,
+    )
+
+
 def _execute_dml(
     spark: SparkSession,
     stmt: _DML,
@@ -2511,7 +2545,24 @@ def _execute_dml_locked(
         except ValueError as exc:  # structural-column guard
             raise ArcadeSQLError(str(exc)) from exc
     elif stmt.kind == "delete_edge":
-        n = ws.delete_edges(spark, workspace_dir, stmt.label, pred)
+        if stmt.edge_from is not None:
+            import json as _json
+
+            with open(os.path.join(workspace_dir, "manifest.json")) as mh:
+                e_info = _json.load(mh)["edges"].get(stmt.label)
+            if e_info is None:
+                raise ArcadeSQLError(f"unknown edge type {stmt.label!r}")
+            s_df, _ = _endpoint_df(
+                spark, ws, stmt.edge_from, e_info["src_label"], "src"
+            )
+            d_df, _ = _endpoint_df(
+                spark, ws, stmt.edge_to, e_info["dst_label"], "dst"
+            )
+            n = ws.delete_edges_between(
+                spark, workspace_dir, stmt.label, s_df, d_df, pred
+            )
+        else:
+            n = ws.delete_edges(spark, workspace_dir, stmt.label, pred)
     elif stmt.kind == "insert_edge":
         import json as _json
 
@@ -2533,30 +2584,8 @@ def _execute_dml_locked(
                 f"unknown edge propert{'ies' if len(unknown) > 1 else 'y'} "
                 f"for {stmt.label}: {sorted(unknown)}"
             )
-        def _endpoint_df(expr: str, side_label: str, out: str):
-            """A literal/expression endpoint is ONE natural key (node
-            id derives as xxhash64(label, key)); a ``(SELECT …)``
-            endpoint is the ArcadeDB set form — ``CREATE EDGE E FROM
-            (SELECT …) TO (SELECT …)`` creates an edge per (src, dst)
-            pair of the two result sets."""
-            s = expr.strip()
-            if s.startswith("(SELECT"):
-                sub = spark.sql(s[1:-1])
-                if "node_id" not in sub.columns:
-                    raise ArcadeSQLError(
-                        "CREATE EDGE endpoint subquery must return "
-                        "node rows (missing node_id)"
-                    )
-                return sub.select(F.col("node_id").alias(out)), True
-            return (
-                spark.range(1).select(
-                    ws.node_id(side_label, F.expr(expr)).alias(out)
-                ),
-                False,
-            )
-
-        src_df, src_set = _endpoint_df(stmt.edge_from, info["src_label"], "src")
-        dst_df, dst_set = _endpoint_df(stmt.edge_to, info["dst_label"], "dst")
+        src_df, src_set = _endpoint_df(spark, ws, stmt.edge_from, info["src_label"], "src")
+        dst_df, dst_set = _endpoint_df(spark, ws, stmt.edge_to, info["dst_label"], "dst")
         # pair product of the endpoint sets (1×1 for literal keys).
         # Interactive endpoint selections are small; broadcasting the
         # dst side keeps the product shuffle-free — the cross join IS

@@ -630,6 +630,42 @@ def update_edges(
     return touched
 
 
+def delete_edges_between(
+    spark: SparkSession,
+    ws_dir: str,
+    label: str,
+    src_ids: DataFrame,
+    dst_ids: DataFrame,
+    predicate: F.Column,
+) -> int:
+    """DELETE EDGE <T> FROM <x> TO <y> [WHERE …]: drop every edge
+    whose src is in ``src_ids`` AND dst is in ``dst_ids`` (1-column
+    node-id frames named src/dst) and that matches ``predicate``.
+    The doomed set is identified by two semi-joins on the 8-byte
+    endpoint columns (broadcast for interactive endpoint sets) and
+    removed with exceptAll — full-row multiset semantics, so
+    duplicate edges between the same endpoints all go, matching
+    ArcadeDB. Returns edges deleted."""
+    with open(os.path.join(ws_dir, "manifest.json")) as mh:
+        manifest = json.load(mh)
+    info = manifest["edges"][label]
+    cur = spark.read.parquet(info["path"])
+    doomed = (
+        cur.join(F.broadcast(src_ids), "src", "left_semi")
+        .join(F.broadcast(dst_ids), "dst", "left_semi")
+        .where(predicate)
+        # the USING-joins move the join keys to the FRONT of the
+        # schema and exceptAll matches POSITIONALLY — restore cur's
+        # column order or nothing ever matches
+        .select(*cur.columns)
+    )
+    n_del = doomed.count()
+    if n_del:
+        _rewrite_dataset(cur.exceptAll(doomed), info["path"])
+        _update_manifest_count(ws_dir, "edges", label, info["count"] - n_del)
+    return n_del
+
+
 def delete_edges(spark: SparkSession, ws_dir: str, label: str, predicate: F.Column) -> int:
     """DELETE EDGE ... WHERE: drop matching edge rows (no cascade —
     edges have no dependents). Returns edges deleted."""

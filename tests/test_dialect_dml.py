@@ -640,3 +640,39 @@ def test_update_remove_property(spark, sf_small, tmp_path_factory):
     # neither SET nor REMOVE is a parse error
     with pytest.raises(ArcadeSQLError, match="SET and/or REMOVE"):
         run("UPDATE Nation WHERE natural_key = 1")
+
+
+def test_delete_edge_between_endpoints(spark, sf_small, tmp_path_factory):
+    """DELETE EDGE <T> FROM <x> TO <y> — endpoint-scoped deletion
+    (literal keys and subquery sets), duplicates between the same
+    endpoints all go, WHERE composes (round 8)."""
+    from biodwh2_arcadedb_server_spark.arcadesql import execute
+
+    ws = str(tmp_path_factory.mktemp("del_between") / "ws")
+    build_workspace(spark, sf_small, ws, force=True)
+    load_workspace(spark, ws)
+    run = lambda s: execute(spark, s, workspace_dir=ws, allow_writes=True)
+    # create two extra duplicate edges nation10 -> its region (0)
+    run("CREATE EDGE IN_REGION FROM 10 TO 0").collect()
+    run("CREATE EDGE IN_REGION FROM 10 TO 0").collect()
+    deg = execute(
+        spark,
+        "SELECT out('IN_REGION').size() AS d FROM Nation WHERE natural_key = 10",
+    ).collect()[0].d
+    assert deg == 3  # original + 2 dups
+    res = run("DELETE EDGE IN_REGION FROM 10 TO 0").collect()[0]
+    assert res["count"] == 3  # all edges between the pair go
+    deg2 = execute(
+        spark,
+        "SELECT out('IN_REGION').size() AS d FROM Nation WHERE natural_key = 10",
+    ).collect()[0].d
+    assert deg2 == 0
+    # subquery endpoints: delete all IN_REGION edges from nations 0-2
+    res2 = run(
+        "DELETE EDGE IN_REGION FROM (SELECT FROM Nation WHERE "
+        "natural_key <= 2) TO (SELECT FROM Region)"
+    ).collect()[0]
+    assert res2["count"] == 3
+    # nothing between an unrelated pair
+    res3 = run("DELETE EDGE IN_REGION FROM 3 TO 4").collect()[0]
+    assert res3["count"] == 0
