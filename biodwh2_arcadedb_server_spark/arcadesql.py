@@ -2559,7 +2559,8 @@ def _execute_dml_locked(
                 spark, ws, stmt.edge_to, e_info["dst_label"], "dst"
             )
             n = ws.delete_edges_between(
-                spark, workspace_dir, stmt.label, s_df, d_df, pred
+                spark, workspace_dir, stmt.label, s_df, d_df, pred,
+                info=e_info,
             )
         else:
             n = ws.delete_edges(spark, workspace_dir, stmt.label, pred)

@@ -569,16 +569,17 @@ def curation_funnel(
     four times over."""
     from biodwh2_arcadedb_server_spark.operators.text import repetition_metrics
 
-    # The repetition HOF folds live in their OWN aggregated join
-    # branch on purpose: inlining them as columns of the window/
-    # expand plan re-evaluates the folds per downstream reference
-    # (measured 8.2s vs 3.0s warm at sf0.1) — the extra documents
-    # scan is cheaper than recomputing O(words²) folds 7x under the
-    # count-distinct Expand.
-    rep = repetition_metrics(df).select(
-        "doc_id", "dup_line_frac", "dup_bigram_frac"
+    # ONE scan, no self-join: repetition_metrics carries the funnel's
+    # other columns through its own two-step select (keep_cols). The
+    # two-step matters — the line/word arrays materialize once before
+    # the fraction expressions reference them, so CollapseProject
+    # cannot re-inline the splits per reference (a naive inline
+    # variant measured 8-16s vs 2s warm at sf0.1); a doc_id self-join
+    # would double-count duplicate ids and silently drop null ids
+    # from the audit (round-8 review finding).
+    base = repetition_metrics(
+        df, keep_cols=tuple(c for c in df.columns if c != "doc_id")
     )
-    base = df.join(rep, "doc_id")
     f1 = F.col("lang") == lang
     f2 = f1 & F.col("n_chars").between(min_chars, max_chars)
     f3 = (
@@ -659,21 +660,34 @@ def domain_mixture_sample(
     standard mitigation is pre-bucketing the rank within (source,
     md5-prefix) shards."""
     spark = df.sparkSession
+    bad = sorted(s for s, w in weights.items() if not w > 0)
+    if bad:
+        raise ValueError(f"mixture weights must be positive; got {bad}")
     wdf = spark.createDataFrame(
-        list(weights.items()), f"{source_col} string, _w double"
+        [(s, float(w)) for s, w in weights.items()],
+        f"{source_col} string, _w double",
     )
     counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
-    t = (
-        counts.join(F.broadcast(wdf), source_col)
-        .agg(F.min(F.col("_n") / F.col("_w")).alias("_T"))
-    )
-    targets = (
-        counts.join(F.broadcast(wdf), source_col)
-        .crossJoin(F.broadcast(t))
-        .select(
-            source_col,
-            F.floor(F.col("_w") * F.col("_T")).alias("_tgt"),
+    # ONE corpus scan for the per-source counts; the right join's
+    # result is bounded by len(weights), so collecting it is a
+    # bounded driver step (same posture as the sample-trained
+    # quantizers), and the targets become a broadcast literal frame —
+    # the separate T-agg subtree would otherwise DOUBLE the corpus
+    # scan (Spark does not dedupe common subplans; round-8 review)
+    rows = counts.join(wdf, source_col, "right").collect()
+    missing = sorted(r[source_col] for r in rows if r["_n"] is None)
+    if missing:
+        # a weighted source absent from the corpus makes the mixture
+        # unachievable at any size — loud error, never a silent
+        # 100:0 output (round-8 review finding)
+        raise ValueError(
+            f"weighted source(s) absent from the corpus: {missing} — "
+            "the requested mixture is unachievable"
         )
+    t_val = min(r["_n"] / r["_w"] for r in rows)
+    targets = spark.createDataFrame(
+        [(r[source_col], int(r["_w"] * t_val)) for r in rows],
+        f"{source_col} string, _tgt long",
     )
     rank = F.row_number().over(
         Window.partitionBy(source_col).orderBy(

@@ -198,7 +198,11 @@ _GRAMS3 = f"""
 
 ORACLE = {
     "q170_domain_mixture": """
-        WITH w(source, wt) AS (VALUES ('src0', 2.0), ('src1', 1.0), ('src2', 2.0), ('src3', 1.0), ('src4', 2.0), ('src5', 1.0), ('src6', 2.0), ('src7', 1.0), ('src8', 2.0), ('src9', 1.0), ('src10', 2.0), ('src11', 1.0), ('src12', 2.0), ('src13', 1.0), ('src14', 2.0), ('src15', 1.0), ('src16', 2.0), ('src17', 1.0), ('src18', 2.0), ('src19', 1.0)),
+        -- wt cast to DOUBLE so n/wt and wt*T use IEEE double like
+        -- Spark; DuckDB's DECIMAL inference would floor() differently
+        -- at representation boundaries (round-8 review finding)
+        WITH w0(source, wt0) AS (VALUES ('src0', 2.0), ('src1', 1.0), ('src2', 2.0), ('src3', 1.0), ('src4', 2.0), ('src5', 1.0), ('src6', 2.0), ('src7', 1.0), ('src8', 2.0), ('src9', 1.0), ('src10', 2.0), ('src11', 1.0), ('src12', 2.0), ('src13', 1.0), ('src14', 2.0), ('src15', 1.0), ('src16', 2.0), ('src17', 1.0), ('src18', 2.0), ('src19', 1.0)),
+        w AS (SELECT source, CAST(wt0 AS DOUBLE) AS wt FROM w0),
         c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
         t AS (SELECT min(n / wt) AS T FROM c JOIN w USING (source)),
         tgt AS (

@@ -135,6 +135,7 @@ def repetition_metrics(
     text_col: str = "text",
     max_dup_line_frac: float = 0.30,
     max_dup_bigram_frac: float = 0.18,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1: MassiveWeb
     repetition rules): per-document duplicate-line, duplicate-word and
@@ -159,12 +160,19 @@ def repetition_metrics(
             1.0 - F.size(F.array_distinct(arr)) / F.size(arr),
         ).otherwise(F.lit(0.0))
 
+    # keep_cols lets composites (curation_funnel) carry their other
+    # columns through the SAME scan instead of self-joining on the id
+    # — a join would double-count duplicate ids and drop null ids
+    # from the audit (round-8 review finding)
+    keep = [c for c in keep_cols if c != id_col]
     out = df.select(
         F.col(id_col),
+        *keep,
         lines.alias("_lines"),
         words.alias("_words"),
     ).select(
         F.col(id_col),
+        *keep,
         F.size("_lines").alias("n_lines"),
         dup_frac(F.col("_lines")).alias("dup_line_frac"),
         dup_frac(F.col("_words")).alias("dup_word_frac"),

@@ -168,6 +168,13 @@ class QueryServer:
                     return False
                 return user == server.username and pw == server.password
 
+            def _challenge(self) -> None:
+                """One 401 Basic challenge for every auth-gated route
+                (round-8 review: the block was pasted four times)."""
+                self.send_response(401)
+                self.send_header("WWW-Authenticate", 'Basic realm="biodwh2"')
+                self.end_headers()
+
             def do_GET(self):
                 if self.path == "/health":
                     self._reply(200, {"status": "ok"})
@@ -181,21 +188,13 @@ class QueryServer:
                     # database — the reference creates exactly
                     # 'biodwh2' (ArcadeDBService.java createDatabase)
                     if not self._authorized():
-                        self.send_response(401)
-                        self.send_header(
-                            "WWW-Authenticate", 'Basic realm="biodwh2"'
-                        )
-                        self.end_headers()
+                        self._challenge()
                         return
                     self._reply(200, {"result": ["biodwh2"]})
                 elif self.path.startswith("/api/v1/exists/"):
                     # ArcadeDB: {"result": true|false} per database
                     if not self._authorized():
-                        self.send_response(401)
-                        self.send_header(
-                            "WWW-Authenticate", 'Basic realm="biodwh2"'
-                        )
-                        self.end_headers()
+                        self._challenge()
                         return
                     db = self.path.rsplit("/", 1)[-1]
                     self._reply(200, {"result": db == "biodwh2"})
@@ -204,11 +203,7 @@ class QueryServer:
                     # auth challenge so the page's fetch() calls reuse
                     # the browser's credentials
                     if not self._authorized():
-                        self.send_response(401)
-                        self.send_header(
-                            "WWW-Authenticate", 'Basic realm="biodwh2"'
-                        )
-                        self.end_headers()
+                        self._challenge()
                         return
                     body = _CONSOLE_HTML.encode()
                     self.send_response(200)
@@ -474,9 +469,7 @@ class QueryServer:
                     self._reply(404, {"error": "not found"})
                     return
                 if not self._authorized():
-                    self.send_response(401)
-                    self.send_header("WWW-Authenticate", 'Basic realm="biodwh2"')
-                    self.end_headers()
+                    self._challenge()
                     return
                 if txn:
                     try:

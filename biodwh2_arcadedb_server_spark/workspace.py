@@ -637,6 +637,7 @@ def delete_edges_between(
     src_ids: DataFrame,
     dst_ids: DataFrame,
     predicate: F.Column,
+    info: dict | None = None,
 ) -> int:
     """DELETE EDGE <T> FROM <x> TO <y> [WHERE …]: drop every edge
     whose src is in ``src_ids`` AND dst is in ``dst_ids`` (1-column
@@ -646,9 +647,12 @@ def delete_edges_between(
     removed with exceptAll — full-row multiset semantics, so
     duplicate edges between the same endpoints all go, matching
     ArcadeDB. Returns edges deleted."""
-    with open(os.path.join(ws_dir, "manifest.json")) as mh:
-        manifest = json.load(mh)
-    info = manifest["edges"][label]
+    if info is None:
+        # callers that already resolved the manifest entry (the
+        # dialect executor reads it for the endpoint labels) pass it
+        # in — no second read/parse per statement (round-8 review)
+        with open(os.path.join(ws_dir, "manifest.json")) as mh:
+            info = json.load(mh)["edges"][label]
     cur = spark.read.parquet(info["path"])
     doomed = (
         cur.join(F.broadcast(src_ids), "src", "left_semi")

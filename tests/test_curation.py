@@ -286,3 +286,21 @@ def test_domain_mixture_sample_proportions(spark):
     # b's selection identical; a's may ROTATE (rank by hash over a
     # bigger pool) but the per-source count contract holds
     assert len(sel_after) == 20
+
+
+def test_curation_funnel_duplicate_and_null_ids(spark):
+    """The funnel audits DIRTY corpora: duplicate doc_ids must not
+    inflate stage counts (the old self-join squared them) and null
+    doc_ids must still be counted at ingest (round-8 review)."""
+    from biodwh2_arcadedb_server_spark.operators.curation import curation_funnel
+
+    doc = "clean prose " + " ".join(f"w{j}" for j in range(30))
+    df = spark.createDataFrame(
+        [(1, doc, "en", "s0", 200),
+         (1, doc + " twin", "en", "s0", 200),   # duplicate id
+         (None, doc + " anon", "en", "s0", 200)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r.stage: r.n_docs for r in curation_funnel(df).collect()}
+    assert rows["0_ingested"] == 3
+    assert rows["1_lang"] == 3 and rows["2_length"] == 3
