@@ -194,6 +194,7 @@ HEADLINE = [
     "q155_methods_dialect",
     "q38_frame_sample",
     "q152_wav_decode",
+    "q172_png_decode",
     "q157_graphql_inline_fragments",
     "q158_ddl_readback",
     "q159_match_edge_alias",
@@ -206,6 +207,7 @@ HEADLINE = [
     "q168_gopher_repetition",
     "q169_curation_funnel",
     "q170_domain_mixture",
+    "q171_rid_lookup",
 ]
 
 # Streaming micro-batch drains, timed and reported separately: their
@@ -229,9 +231,42 @@ STREAMING = [
 # providers, and probes timed late in it published 2-4x their audited
 # minimums. Two remedies, both cheap because stop()+getOrCreate() in
 # the same process keeps the JVM alive (JIT code cache stays warm):
-SEGMENT = 40  # restart the session every N timed probes
+SEGMENT = 40  # restart the session every ~N timed probes
 RERUN_THRESHOLD = 1.2  # s — probes slower than this get a min-of-2
 # second pass in a fresh end-of-run session
+
+# Probes sharing the per-session derived-table cache
+# (pipeline_queries._SESSION_CACHE: shingle table / exact-pair set /
+# cosine pairs). A session restart INSIDE this family re-derives the
+# cached tables and moves family totals ±1s with no code change —
+# r8's only adverse "regression" (q106 +1.0s) was exactly this
+# artifact (VERDICT r8 "next" #3). Segment breaks shift AROUND the
+# family, never through it.
+CACHE_FAMILY = {
+    "q26_neardup_jaccard", "q100_neardup_clusters",
+    "q104_leakage_safe_split", "q144_minhash_estimate",
+    "q27_minhash_neardup", "q28_simhash_neardup",
+    "q29_cosine_neardup", "q106_cosine_neardup_clusters",
+    "q156_semdedup_ann_clusters",
+}
+
+
+def segment_breaks(names: list[str], segment: int = SEGMENT,
+                   family: frozenset | set = frozenset(CACHE_FAMILY)) -> set[int]:
+    """Indices where the timed loop restarts the session: the first
+    probe at-or-past each SEGMENT boundary that does NOT continue a
+    cache family already in progress. Deterministic in the probe list
+    alone, so adding probes elsewhere can't silently move a restart
+    into the family block."""
+    breaks: set[int] = set()
+    count = 0
+    for i, name in enumerate(names):
+        mid_family = name in family and i > 0 and names[i - 1] in family
+        if count >= segment and not mid_family:
+            breaks.add(i)
+            count = 0
+        count += 1
+    return breaks
 
 
 def main() -> None:
@@ -275,8 +310,9 @@ def main() -> None:
             gc.collect()
 
     times: dict[str, float] = {}
+    breaks = segment_breaks(HEADLINE)
     for i, name in enumerate(HEADLINE):
-        if i and i % SEGMENT == 0:
+        if i in breaks:
             spark.stop()
             spark = get_spark("bench")
         t = run_one(spark, name)

@@ -147,6 +147,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<number>\d+(?:\.\d+)?)
+  | (?P<rid>\#\d+:-?\d+)
   | (?P<string>'(?:[^'\\]|\\.)*')
   | (?P<at>@\w+)
   | (?P<var>\$\w+)
@@ -342,6 +343,11 @@ class _Select:
     # pattern; materialized to a temp view by execute() (plan-level,
     # like shortestPath), with $depth bound to the depth column
     traverse_subquery: "_Traverse | None" = None
+    # SELECT FROM #bucket:pos — ArcadeDB record-id addressing (how
+    # Studio deep-links records). Resolved at compile time against the
+    # workspace's manifest-recorded bucket order; pos is the
+    # content-derived node_id (our documented id divergence).
+    rid: "tuple[int, int] | None" = None
 
 
 @dataclass
@@ -1066,7 +1072,10 @@ class _Parser:
                     "TRAVERSE WHILE supports $depth < N / <= N, got "
                     f"{op_t.text!r}"
                 )
+            neg = self.accept("op", "-") is not None
             n = self._int("WHILE depth bound")
+            if neg:
+                n = -n
             if parens:
                 self.expect("op", ")")
             # TRAVERSE WHILE gates record INCLUSION (OrientDB/ArcadeDB
@@ -1078,7 +1087,12 @@ class _Parser:
             # too deep). MATCH while: keeps its documented
             # expansion-gating reading, which matches MATCH's
             # per-step evaluation point.
-            maxdepth = n if op_t.text == "<=" else max(n - 1, 0)
+            # the condition is evaluated on the ROOTS too (depth 0):
+            # a bound false at 0 (`< 0`, `<= -1`) includes nothing —
+            # keep the negative value as an empty-result sentinel
+            # instead of clamping to MAXDEPTH 0, which would still
+            # return the roots (round-9 advice finding)
+            maxdepth = n if op_t.text == "<=" else n - 1
         return _Traverse(steps=steps, inner=inner, maxdepth=maxdepth)
 
     def _select(self) -> _Select:
@@ -1141,6 +1155,14 @@ class _Parser:
             else:
                 sel.subquery = self._select()
             self.expect("op", ")")
+        elif self.peek().kind == "rid":
+            # RID literal source: `SELECT FROM #bucket:pos` returns
+            # the one addressed record (ArcadeDB SQL [B]; RIDs are how
+            # Studio deep-links records). bucket→label resolves at
+            # compile time; pos is the node_id the same session's
+            # `SELECT @rid FROM T` echoes.
+            b, p = self.next().text[1:].split(":")
+            sel.rid = (int(b), int(p))
         else:
             sel.source_type = self._name("type name")
         # LET $var = <expr | (SELECT ...)> [, ...] — ArcadeDB context
@@ -1439,6 +1461,24 @@ class _Parser:
         t = self.peek()
         if t.kind == "number":
             return self.next().text
+        if t.kind == "rid":
+            # RID literal in expression position (`WHERE @rid = #b:p`):
+            # the position component IS the node_id (globally unique
+            # content-derived hash), so it compiles to the bigint
+            # literal; the bucket is validated for range when a
+            # workspace is loaded (out-of-range RIDs error loudly,
+            # matching `SELECT FROM #b:p`).
+            b, p = self.next().text[1:].split(":")
+            from biodwh2_arcadedb_server_spark import workspace as ws
+
+            if ws.RID_BUCKET_LABELS and not (
+                0 <= int(b) < len(ws.RID_BUCKET_LABELS)
+            ):
+                raise ArcadeSQLError(
+                    f"RID bucket {b} out of range — this workspace has "
+                    f"buckets 0..{len(ws.RID_BUCKET_LABELS) - 1}"
+                )
+            return f"CAST({p} AS BIGINT)"
         if t.kind == "string":
             return self.next().text  # keep quoted — valid Spark literal
         if t.kind == "kw" and t.text in ("true", "false", "null"):
@@ -1899,6 +1939,28 @@ def _apply_unwind(sql: str, sel: _Select) -> str:
     )
 
 
+def _rid_bucket_label(bucket: int) -> str:
+    """Resolve a RID literal's bucket index to its node label via the
+    manifest-recorded bucket order (workspace.RID_BUCKET_LABELS,
+    refreshed by every load_workspace). Clear errors for no-workspace
+    sessions and out-of-range buckets (ArcadeDB raises on an invalid
+    RID rather than returning empty)."""
+    from biodwh2_arcadedb_server_spark import workspace as ws
+
+    if not ws.RID_BUCKET_LABELS:
+        raise ArcadeSQLError(
+            "RID literals (#bucket:pos) require a loaded workspace "
+            "(load_workspace registers the bucket→type order)"
+        )
+    if not 0 <= bucket < len(ws.RID_BUCKET_LABELS):
+        raise ArcadeSQLError(
+            f"RID bucket {bucket} out of range — this workspace has "
+            f"buckets 0..{len(ws.RID_BUCKET_LABELS) - 1} "
+            f"({', '.join(ws.RID_BUCKET_LABELS)})"
+        )
+    return ws.RID_BUCKET_LABELS[bucket]
+
+
 def _compile_select(sel: _Select) -> str:
     if sel.traverse_subquery is not None:
         raise ArcadeSQLError(
@@ -1907,6 +1969,14 @@ def _compile_select(sel: _Select) -> str:
         )
     if sel.subquery is not None:
         source = f"({_compile_select(sel.subquery)}) {sel.alias}"
+    elif sel.rid is not None:
+        # resolve ONCE into plain (source_type, where) form so a
+        # recompile of the same parsed statement stays idempotent
+        label = _rid_bucket_label(sel.rid[0])
+        rid_pred = f"{sel.alias}.node_id = {sel.rid[1]}"
+        sel.where = f"({rid_pred}) AND ({sel.where})" if sel.where else rid_pred
+        sel.source_type, sel.rid = label, None
+        source = f"n_{label} {sel.alias}"
     else:
         source = f"n_{sel.source_type} {sel.alias}"
 
@@ -2505,7 +2575,12 @@ def _execute_dml_locked(
             row = dict(stmt.assignments)
             _fold_equality_conjuncts(stmt.where or "", row)
             ins = _DML(kind="insert", label=stmt.label, rows=[row])
-            res = _execute_dml_locked(spark, ins, workspace_dir, pred, ws, os)
+            # forward refresh_views: inside a transaction commit the
+            # recursion must NOT repoint the live session views at the
+            # uncommitted shadow workspace (dirty read)
+            res = _execute_dml_locked(
+                spark, ins, workspace_dir, pred, ws, os, refresh_views
+            )
             if ret_mode == "after":
                 # RETURN AFTER on the upsert-insert branch: the WHERE's
                 # key equality selects the freshly inserted record
@@ -2804,6 +2879,11 @@ def _run_traverse(spark: SparkSession, stmt: "_Traverse") -> DataFrame:
     for leg in legs[1:]:
         hop = hop.unionByName(leg)
     depth = stmt.maxdepth if stmt.maxdepth is not None else 2**31 - 1
+    if depth < 0:
+        # WHILE bound false at depth 0 — inclusion-gated TRAVERSE
+        # returns nothing, roots included (parser sentinel)
+        roots = roots.where(F.lit(False))
+        depth = 0
     reach = bfs(hop, roots, max_depth=depth)  # (node_id, depth)
     nodes = spark.table("nodes")
     return reach.alias("r").join(

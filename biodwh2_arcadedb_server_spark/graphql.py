@@ -513,7 +513,21 @@ def _build(
     selection = _expand_inline(spark, fld.selection, label)
     scalars: dict[str, str] = {}  # response key -> source column
     nested: list[Field] = []
+    # response key -> ("scalar"|"nested", source field) across BOTH
+    # kinds: an aliased scalar and a nested relationship sharing one
+    # response key is just as unmergeable as scalar-vs-scalar (spec
+    # §5.3.2) — without this the nested join's withColumn would
+    # silently overwrite the scalar column (round-9 review finding)
+    key_kinds: dict[str, tuple[str, str]] = {}
     for sub in selection:
+        kind = "nested" if sub.selection else "scalar"
+        prev_kind = key_kinds.setdefault(sub.out, (kind, sub.name))
+        if prev_kind != (kind, sub.name):
+            raise GraphQLError(
+                f"response key {sub.out!r} selects conflicting "
+                f"fields {prev_kind[1]!r} and {sub.name!r} (spec "
+                "§5.3.2 field merging)"
+            )
         if sub.selection:
             nested.append(sub)
         else:

@@ -697,7 +697,53 @@ def q167_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q171_rid_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RID-literal addressing (`SELECT FROM #bucket:pos`) round-trip —
+    the last commonly-typed ArcadeDB SQL form (pom.xml:104-108 [B];
+    RIDs are how Studio deep-links records). Force-builds the small
+    Region/Nation workspace, echoes ``@rid`` for three nations through
+    one dialect SELECT, then fetches each back through a RID-literal
+    FROM (one also composes a WHERE) and returns the re-read
+    (natural_key, n_name) rows. Divergence documented at
+    workspace.RID_BUCKET_LABELS: bucket = manifest node-type order,
+    pos = content-derived node_id — the echo round-trip is the
+    contract, not ArcadeDB's physical page:slot. The per-RID lookup
+    compiles to `n_Nation WHERE node_id = <p>` — a pushed-down point
+    predicate on the 8-byte id column, the same plan shape an indexed
+    point read keeps at 100 TB."""
+    import hashlib
+    import os
+
+    from biodwh2_arcadedb_server_spark import workspace as ws
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    wdir = os.path.join("/tmp", f"biodwh2_rid_probe_{tag}")
+    node_specs = [s for s in ws.NODE_SPECS if s.label in ("Region", "Nation")]
+    edge_specs = [s for s in ws.EDGE_SPECS if s.label == "IN_REGION"]
+    ws.build_workspace(
+        spark, sf_dir, wdir, force=True,
+        node_specs=node_specs, edge_specs=edge_specs,
+    )
+    ws.load_workspace(spark, wdir)
+    bucket = ws.RID_BUCKET_LABELS.index("Nation")
+    echoed = arcadesql.execute(
+        spark,
+        "SELECT natural_key, @rid AS rid FROM Nation "
+        "WHERE natural_key IN [3, 5, 9]",
+    ).collect()  # bounded: 3 rows (the interactive deep-link shape)
+    out = None
+    for r in sorted(echoed, key=lambda x: x.natural_key):
+        stmt = f"SELECT natural_key, n_name FROM #{bucket}:{r.rid}"
+        if r.natural_key == 5:
+            # WHERE composes with the RID predicate
+            stmt += " WHERE n_name IS NOT NULL"
+        got = arcadesql.execute(spark, stmt)
+        out = got if out is None else out.unionByName(got)
+    return out.orderBy("natural_key")
+
+
 QUERIES = {
+    "q171_rid_lookup": q171_rid_lookup,
     "q151_graphql_variables": q151_graphql_variables,
     "q167_parameterized_query": q167_parameterized_query,
     "q164_correlated_let_dialect": q164_correlated_let_dialect,
@@ -726,6 +772,11 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q171_rid_lookup": """
+        SELECT CAST(n_nationkey AS BIGINT) AS natural_key, n_name
+        FROM nation WHERE n_nationkey IN (3, 5, 9)
+        ORDER BY natural_key
+    """,
     "q167_parameterized_query": """
         SELECT c_mktsegment, count(*) AS n, avg(c_acctbal) AS avg_bal
         FROM customer

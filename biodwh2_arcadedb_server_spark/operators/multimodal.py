@@ -7,13 +7,18 @@ the DECODE is real too for the self-describing formats a pure-Python
 environment can parse: **PPM (P6) images** (header parse + pixel
 stats) and **PCM WAV audio** (stdlib ``wave`` + sample stats). The
 test corpus encodes genuine PPM/WAV payloads deterministically from
-the documents table, so decode output is oracle-able. Compressed
-codecs (JPEG/PNG/MP4/Opus) still sit behind a clearly-marked
+the documents table, so decode output is oracle-able. Round 9 closes
+the seam for a REAL compressed codec with zero new dependencies:
+**PNG** (8-bit truecolor, zlib inflate + full per-scanline
+None/Sub/Up/Average/Paeth unfiltering, chunk CRC verification).
+Remaining compressed codecs (JPEG/MP4/Opus) and PNG variants
+(palette/16-bit/Adam7) still sit behind a clearly-marked
 NotImplementedError seam — that is where `PIL.Image.open` /
 `soundfile.read` / pyav plug in on a real deployment; the dispatch,
-schema, and batch shape they inherit are exercised by the PPM/WAV
-paths. ``decode_stub=True`` keeps the old byte-statistics fake for
-comparison and for payloads of unknown type.
+schema, and batch shape they inherit are exercised by the
+PPM/PNG/WAV paths. ``decode_stub=True`` keeps the old
+byte-statistics fake for comparison and for payloads of unknown
+type.
 
 Design for 100 TB of media:
 - Binary payloads ride in Parquet as ``BinaryType`` next to their
@@ -150,6 +155,172 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, pixels
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import binascii
+    import struct
+
+    return (
+        struct.pack(">I", len(data)) + tag + data
+        + struct.pack(">I", binascii.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png(pixels: bytes, width: int, height: int) -> bytes:
+    """Encode raw RGB bytes as a REAL (stdlib-only) 8-bit truecolor
+    PNG: zlib-deflated scanlines, each prefixed with a filter byte.
+    Row r uses filter type r % 5, so a corpus taller than 4 rows
+    exercises EVERY unfilter path (None/Sub/Up/Average/Paeth) in the
+    decoder — the point of the fixture."""
+    import struct
+    import zlib
+
+    bpp, stride = 3, width * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        row = pixels[r * stride:(r + 1) * stride]
+        ft = r % 5
+        raw.append(ft)
+        for i in range(stride):
+            left = row[i - bpp] if i >= bpp else 0
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = row[i]
+            elif ft == 1:
+                v = row[i] - left
+            elif ft == 2:
+                v = row[i] - prev[i]
+            elif ft == 3:
+                v = row[i] - (left + prev[i]) // 2
+            else:
+                v = row[i] - _paeth(left, prev[i], ul)
+            raw.append(v & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an 8-bit truecolor (RGB / RGBA) non-interlaced PNG with
+    nothing but the stdlib: chunk walk with CRC verification, IDAT
+    concatenation + zlib inflate, then per-scanline unfiltering
+    (None/Sub/Up/Average/Paeth). Returns (width, height, channels,
+    raw pixel bytes). This closes the C5 compressed-codec seam for a
+    REAL deflate-compressed format; palette/16-bit/interlaced
+    variants still raise NotImplementedError naming where
+    PIL.Image.open plugs in."""
+    import binascii
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"not a PNG (signature {payload[:8]!r})")
+    pos, idat = 8, bytearray()
+    w = h = channels = None
+    while pos + 12 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        crc = int.from_bytes(payload[pos + 8 + ln:pos + 12 + ln], "big")
+        if binascii.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in (2, 6):
+                raise NotImplementedError(
+                    f"only 8-bit RGB/RGBA PNG decoded here (depth "
+                    f"{depth}, color type {ctype}) — PIL.Image.open "
+                    "plugs in for palette/grayscale/16-bit"
+                )
+            if interlace:
+                raise NotImplementedError(
+                    "Adam7 interlaced PNG — PIL.Image.open plugs in here"
+                )
+            channels = 3 if ctype == 2 else 4
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = channels, w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"inflated scanline data {len(raw)} != {h * (stride + 1)}"
+        )
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)])
+        if ft not in (0, 1, 2, 3, 4):
+            raise ValueError(f"bad PNG filter type {ft} on row {r}")
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ft == 1:
+                line[i] = (line[i] + left) & 0xFF
+            elif ft == 2:
+                line[i] = (line[i] + prev[i]) & 0xFF
+            elif ft == 3:
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+            elif ft == 4:
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        prev = bytes(line)
+        out += line
+    return w, h, channels, bytes(out)
+
+
+def to_png_table(documents: DataFrame, width: int = PPM_W, height: int = PPM_H) -> DataFrame:
+    """Build a media table of REAL deflate-compressed PNGs whose pixel
+    bytes are the SAME deterministic text-derived bytes as
+    ``to_media_table``'s PPMs — so the decoded-stat oracle is shared —
+    encoded through mapInPandas (zlib is Python-side; Arrow batches
+    bound memory like every other media op)."""
+    n_px = width * height * 3
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _encode_png(
+                    (text[:n_px] + "x" * n_px)[:n_px].encode("utf-8", "replace")[:n_px],
+                    width, height,
+                )
+                for text in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        op, schema="doc_id long, media_type string, payload binary"
+    )
+
+
 def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Per-item features from binary payloads via mapInPandas (Arrow
     batches in, Arrow batches out — the sanctioned Python path).
@@ -171,12 +342,15 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             else:
                 n_bytes, byte_mean, entropy = [], [], []
                 for mt, payload in zip(pdf["media_type"], pdf["payload"]):
-                    if mt != "image/ppm":
+                    if mt == "image/ppm":
+                        _, _, px = _decode_ppm(bytes(payload))
+                    elif mt == "image/png":
+                        _, _, _, px = _decode_png(bytes(payload))
+                    else:
                         raise NotImplementedError(
                             f"no pure-Python decoder for {mt!r} — plug "
                             "PIL.Image.open / soundfile.read in here"
                         )
-                    _, _, px = _decode_ppm(bytes(payload))
                     n_bytes.append(len(px))
                     byte_mean.append(sum(px) / len(px) if px else 0.0)
                     entropy.append(len(set(px)) / 256.0 if px else 0.0)

@@ -222,6 +222,13 @@ class TransactionManager:
                 os.rename(shadow, base)
             shutil.rmtree(old)
         except Exception:
+            # If the first rename (base→old) succeeded but the second
+            # (shadow→base) failed, base is gone — restore it from old
+            # BEFORE deleting the shadow, or the live workspace is
+            # stranded at the __txn_old_ path and load_workspace below
+            # masks the real error with FileNotFoundError
+            if not os.path.isdir(base) and os.path.isdir(old):
+                os.rename(old, base)
             if os.path.isdir(shadow):
                 shutil.rmtree(shadow)
             # views were never repointed (refresh_views=False), but a

@@ -70,6 +70,16 @@ class EdgeSpec:
     distinct: bool = False
 
 
+# RID bucket registry (ArcadeDB SQL record-id addressing,
+# `SELECT FROM #bucket:pos`): bucket index = the label's position in
+# the manifest's node-type insertion order — stable under additions
+# (new types append) and refreshed by every load_workspace. pos is
+# the content-derived node_id (our documented divergence from
+# ArcadeDB's physical page:slot positions). Session-global like the
+# registered views it addresses.
+RID_BUCKET_LABELS: list[str] = []
+
+
 # The TPC-H star schema viewed as a labeled property graph — the same
 # shape the reference ETLs out of a BioDWH2 workspace (per-label node
 # and edge sets with typed properties).
@@ -495,6 +505,13 @@ def update_nodes(
         )
     path = os.path.join(ws_dir, "nodes", label)
     cur = spark.read.parquet(path)
+    unknown = sorted(set(assignments) - set(cur.columns))
+    if unknown:
+        raise ValueError(
+            f"unknown propert{'ies' if len(unknown) > 1 else 'y'} "
+            f"{unknown} on vertex type {label!r} — declare with "
+            "CREATE PROPERTY first"
+        )
     touched = cur.where(predicate).count()
     out = cur
     for col_name, expr in assignments.items():
@@ -611,6 +628,13 @@ def update_edges(
         manifest = json.load(mh)
     path = manifest["edges"][label]["path"]
     cur = spark.read.parquet(path)
+    unknown = sorted(set(assignments) - set(cur.columns))
+    if unknown:
+        raise ValueError(
+            f"unknown propert{'ies' if len(unknown) > 1 else 'y'} "
+            f"{unknown} on edge type {label!r} — declare with "
+            "CREATE PROPERTY first"
+        )
     touched = cur.where(predicate).count()
     out = cur
     for col_name, expr in assignments.items():
@@ -1077,6 +1101,7 @@ def load_workspace(spark: SparkSession, ws_dir: str) -> dict:
     without widening every label to a common schema."""
     with open(os.path.join(ws_dir, "manifest.json")) as mh:
         manifest = json.load(mh)
+    RID_BUCKET_LABELS[:] = list(manifest["nodes"])
 
     def _read(info):
         # The manifest carries the authoritative schema (written at

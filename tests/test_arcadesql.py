@@ -1238,14 +1238,25 @@ def test_traverse_while_depth(graph_ws):
         "node_id = 1) WHILE $depth <= 2",
     )
     assert _ids(df) == [1, 2, 3, 4]
-    # degenerate: < 0 keeps nothing beyond... maxdepth clamps at 0,
-    # i.e. the roots only
+    # degenerate: < 1 keeps the roots only (depth 0 passes, depth 1
+    # fails the inclusion gate)
     df = execute(
         graph_ws,
         "TRAVERSE out('KNOWS') FROM (SELECT FROM Person WHERE "
         "node_id = 1) WHILE $depth < 1",
     )
     assert _ids(df) == [1]
+    # a bound FALSE at depth 0 excludes the roots too — the condition
+    # is evaluated on every visited record including the anchors
+    # (round-9 advice finding: clamping to MAXDEPTH 0 wrongly kept
+    # them)
+    for cond in ("$depth < 0", "$depth <= -1"):
+        df = execute(
+            graph_ws,
+            "TRAVERSE out('KNOWS') FROM (SELECT FROM Person WHERE "
+            f"node_id = 1) WHILE {cond}",
+        )
+        assert _ids(df) == []
 
 
 def test_traverse_while_non_depth_rejected(graph_ws):

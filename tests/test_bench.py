@@ -1,0 +1,33 @@
+"""Bench-harness invariants (no Spark needed): segment restarts must
+never split a shared-cache probe family (VERDICT r8 "next" #3 — the
+r8 q106 +1.0s "regression" was a session restart landing mid-family
+and re-deriving the cached shingle/pair tables)."""
+
+from __future__ import annotations
+
+import bench
+
+
+def test_segment_breaks_avoid_cache_family():
+    breaks = bench.segment_breaks(bench.HEADLINE)
+    fam_idx = [
+        i for i, n in enumerate(bench.HEADLINE) if n in bench.CACHE_FAMILY
+    ]
+    assert fam_idx, "cache family missing from HEADLINE"
+    # family probes are contiguous in HEADLINE (one segment pays the
+    # session caches once)
+    assert fam_idx == list(range(fam_idx[0], fam_idx[-1] + 1))
+    # no restart strictly inside the family block
+    assert all(not (fam_idx[0] < b <= fam_idx[-1]) for b in breaks)
+
+
+def test_segment_breaks_synthetic():
+    fam = {"f1", "f2", "f3"}
+    # family straddles the nominal boundary at index 4: the break must
+    # defer to the first post-family probe
+    names = ["a", "b", "c", "f1", "f2", "f3", "d", "e"]
+    got = bench.segment_breaks(names, segment=4, family=fam)
+    assert got == {6}
+    # no family: plain every-N restart
+    got = bench.segment_breaks(["a", "b", "c", "d", "e"], segment=2, family=set())
+    assert got == {2, 4}

@@ -676,3 +676,44 @@ def test_delete_edge_between_endpoints(spark, sf_small, tmp_path_factory):
     # nothing between an unrelated pair
     res3 = run("DELETE EDGE IN_REGION FROM 3 TO 4").collect()[0]
     assert res3["count"] == 0
+
+
+def test_rid_literals(spark, sf_small, tmp_path_factory):
+    """ArcadeDB RID addressing (B): `SELECT FROM #bucket:pos` fetches
+    the one record whose node_id the same session's `SELECT @rid`
+    echoed; bucket = manifest node-type order. WHERE composes;
+    expression position (`@rid = #b:p`) compiles to the id literal;
+    out-of-range buckets error loudly (round-9, VERDICT r8 next #4)."""
+    from biodwh2_arcadedb_server_spark import workspace as ws_mod
+    from biodwh2_arcadedb_server_spark.arcadesql import execute as ex
+
+    ws = str(tmp_path_factory.mktemp("rid_ws") / "ws")
+    build_workspace(spark, sf_small, ws, force=True)
+    load_workspace(spark, ws)
+    bucket = ws_mod.RID_BUCKET_LABELS.index("Nation")
+    rid = ex(
+        spark, "SELECT @rid AS rid FROM Nation WHERE natural_key = 5"
+    ).collect()[0].rid
+    rows = ex(spark, f"SELECT FROM #{bucket}:{rid}").collect()
+    assert len(rows) == 1 and rows[0].natural_key == 5
+    # WHERE composes with the RID predicate (and can veto the row)
+    assert ex(
+        spark, f"SELECT FROM #{bucket}:{rid} WHERE natural_key = 5"
+    ).count() == 1
+    assert ex(
+        spark, f"SELECT FROM #{bucket}:{rid} WHERE natural_key = 6"
+    ).count() == 0
+    # expression position: @rid = #b:p
+    got = ex(
+        spark,
+        f"SELECT natural_key FROM Nation WHERE @rid = #{bucket}:{rid}",
+    ).collect()
+    assert [r.natural_key for r in got] == [5]
+    # out-of-range bucket is a loud error, not an empty result
+    with pytest.raises(ArcadeSQLError, match="out of range"):
+        ex(spark, f"SELECT FROM #99:{rid}")
+    with pytest.raises(ArcadeSQLError, match="out of range"):
+        ex(spark, f"SELECT FROM Nation WHERE @rid = #99:{rid}")
+    # a RID whose position matches no record returns empty (valid
+    # bucket, absent id) — ArcadeDB's not-found read shape
+    assert ex(spark, f"SELECT FROM #{bucket}:1").count() == 0

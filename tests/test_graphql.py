@@ -472,3 +472,18 @@ def test_duplicate_response_key_conflicting_fields_rejected(spark, ws):
     # same key, same field: merges fine (spec-sanctioned)
     df = execute(spark, "{ Customer(natural_key: 1) { k: c_acctbal k: c_acctbal } }")
     assert df.columns == ["k"]
+    # an aliased SCALAR and a NESTED relationship under one response
+    # key is just as unmergeable — the nested join must not silently
+    # overwrite the scalar column (round-9 advice finding)
+    with _pytest.raises(GraphQLError, match="conflicting"):
+        execute(
+            spark,
+            "{ Customer(natural_key: 1) "
+            "{ placed: c_acctbal placed { o_orderkey } } }",
+        )
+    with _pytest.raises(GraphQLError, match="conflicting"):
+        execute(
+            spark,
+            "{ Customer(natural_key: 1) "
+            "{ placed { o_orderkey } placed: c_acctbal } }",
+        )
