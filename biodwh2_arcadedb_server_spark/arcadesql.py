@@ -1939,6 +1939,56 @@ def _apply_unwind(sql: str, sel: _Select) -> str:
     )
 
 
+def _explain_dml(stmt: "_DML") -> str:
+    """One-string staged-write summary for EXPLAIN <dml> (round 9):
+    names the operation, target dataset, predicate, and payload shape
+    so an interactive user can inspect the mutation BEFORE flipping
+    the writes gate. Mirrors what _execute_dml will do — a dataset
+    recompute + atomic swap, never an in-place record edit."""
+    lines = [f"operation: {stmt.kind.upper()} on {stmt.label}"]
+    if stmt.where:
+        lines.append(f"predicate: {stmt.where}")
+    if stmt.assignments:
+        cols = ", ".join(c for c, _ in stmt.assignments)
+        lines.append(f"assignments: {cols}")
+    if stmt.rows:
+        lines.append(f"rows staged: {len(stmt.rows)}")
+    if stmt.edge_from is not None:
+        lines.append(
+            f"endpoints: FROM {stmt.edge_from} TO {stmt.edge_to} "
+            "(left_semi validated; dangling skipped)"
+        )
+    if stmt.ddl:
+        lines.append(f"ddl: {stmt.ddl}")
+    lines.append(
+        "execution: predicate-matched dataset recompute + atomic swap "
+        "(gated by allow_writes; session views re-registered after)"
+    )
+    return "\n".join(lines)
+
+
+def _explain_traverse(stmt: "_Traverse") -> str:
+    """BFS plan summary for EXPLAIN TRAVERSE: depth bound and the
+    per-step edge legs (direction + label) the frontier join unions
+    each round."""
+    legs = ", ".join(
+        f"{d}({lbl!r})" if lbl else f"{d}()" for d, lbl in stmt.steps
+    )
+    if stmt.maxdepth is None:
+        bound = "unbounded (until frontier exhausts)"
+    elif stmt.maxdepth < 0:
+        bound = "empty result (WHILE bound false at depth 0)"
+    else:
+        bound = f"maxdepth {stmt.maxdepth}"
+    return (
+        "operation: TRAVERSE (iterative frontier BFS, roots at depth 0)\n"
+        f"edge legs: {legs}\n"
+        f"depth bound: {bound}\n"
+        "execution: per-round frontier join against the unified edges "
+        "view, localCheckpoint-truncated lineage, visited-set anti-join"
+    )
+
+
 def _rid_bucket_label(bucket: int) -> str:
     """Resolve a RID literal's bucket index to its node label via the
     manifest-recorded bucket order (workspace.RID_BUCKET_LABELS,
@@ -2805,14 +2855,23 @@ def execute(
         ip = _Parser(inner)
         istmt = ip.parse()
         if isinstance(istmt, _DML):
-            raise ArcadeSQLError(
-                "EXPLAIN supports SELECT / MATCH (DML routes to the "
-                "workspace API — no single SQL plan to show)"
+            # staged-write summary (round 9): what WOULD run, so a
+            # user can inspect before enabling the writes gate —
+            # ArcadeDB's EXPLAIN covers DML the same way
+            return spark.createDataFrame(
+                [(_explain_dml(istmt),)], "plan string"
             )
         if isinstance(istmt, _Traverse):
-            raise ArcadeSQLError(
-                "EXPLAIN supports SELECT / MATCH (TRAVERSE executes "
-                "an iterative BFS, not one SQL plan)"
+            # BFS plan summary + the roots' physical plan (the one
+            # SQL leg a TRAVERSE compiles; the frontier expansion is
+            # the iterative operator described in the header)
+            header = _explain_traverse(istmt)
+            roots_plan = spark.sql(
+                f"EXPLAIN FORMATTED {_compile_select(istmt.inner)}"
+            ).collect()[0][0]
+            return spark.createDataFrame(
+                [(f"{header}\nroots physical plan:\n{roots_plan}",)],
+                "plan string",
             )
         _register_shortest_path_views(spark, ip.shortest_paths)
         compiled = (

@@ -135,6 +135,17 @@ class QueryServer:
         )
 
         self.transactions = TransactionManager()
+        # Server-management registry (POST /api/v1/server create/drop
+        # database): name → workspace dir. The reference creates
+        # exactly one database ('biodwh2' — ArcadeDBService.java
+        # createDatabase) and this server's query routing stays bound
+        # to it; created databases are empty managed workspaces a
+        # client can enumerate/drop through the wire-compatible
+        # management routes.
+        import time as _time
+
+        self._started = _time.monotonic()
+        self.databases: dict[str, str | None] = {"biodwh2": workspace_dir}
 
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> int:
@@ -184,20 +195,41 @@ class QueryServer:
                     self.end_headers()
                 elif self.path == "/api/v1/databases":
                     # ArcadeDB: list of database names (clients call
-                    # this right after connect). One engine, one
-                    # database — the reference creates exactly
-                    # 'biodwh2' (ArcadeDBService.java createDatabase)
+                    # this right after connect). The reference creates
+                    # exactly 'biodwh2' (ArcadeDBService.java
+                    # createDatabase); management-created databases
+                    # join the list.
                     if not self._authorized():
                         self._challenge()
                         return
-                    self._reply(200, {"result": ["biodwh2"]})
+                    self._reply(200, {"result": sorted(server.databases)})
+                elif self.path == "/api/v1/server":
+                    # ArcadeDB server-status route (read-only
+                    # management surface): clients poll it for
+                    # version/uptime/database inventory right after
+                    # connect.
+                    if not self._authorized():
+                        self._challenge()
+                        return
+                    import time as _time
+
+                    self._reply(200, {
+                        "user": server.username,
+                        "version": "biodwh2-arcadedb-server-spark/0.9",
+                        "serverName": "biodwh2-spark",
+                        "uptimeSeconds": int(
+                            _time.monotonic() - server._started
+                        ),
+                        "databases": sorted(server.databases),
+                        "readOnly": not server.allow_writes,
+                    })
                 elif self.path.startswith("/api/v1/exists/"):
                     # ArcadeDB: {"result": true|false} per database
                     if not self._authorized():
                         self._challenge()
                         return
                     db = self.path.rsplit("/", 1)[-1]
-                    self._reply(200, {"result": db == "biodwh2"})
+                    self._reply(200, {"result": db in server.databases})
                 elif self.path in ("/", "/index.html"):
                     # Studio-analog console — served behind the basic-
                     # auth challenge so the page's fetch() calls reuse
@@ -458,18 +490,87 @@ class QueryServer:
                 except TransactionError as exc:
                     self._reply(400, {"error": str(exc)})
 
+            def _server_command(self) -> None:
+                """``POST /api/v1/server`` — ArcadeDB's server-level
+                management command route. Supported: ``create database
+                <name>`` (an empty managed workspace: manifest with no
+                types, ready for CREATE VERTEX TYPE) and ``drop
+                database <name>``. Both are writes — 403 on a
+                read-only server; query routing stays bound to the
+                primary 'biodwh2' database, like the reference."""
+                import os
+                import shutil
+                import tempfile
+
+                if not server.allow_writes:
+                    self._reply(403, {
+                        "error": "server management commands are "
+                                 "disabled on a read-only server "
+                                 "(start with --allow-writes)",
+                    })
+                    return
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                m = re.fullmatch(
+                    r"\s*(create|drop)\s+database\s+([A-Za-z_][\w-]*)\s*",
+                    req.get("command", ""), re.I,
+                )
+                if m is None:
+                    self._reply(400, {
+                        "error": "unsupported server command — expected "
+                                 "'create database <name>' or "
+                                 "'drop database <name>'",
+                    })
+                    return
+                verb, name = m.group(1).lower(), m.group(2)
+                if verb == "create":
+                    if name in server.databases:
+                        self._reply(400, {"error": f"database {name!r} already exists"})
+                        return
+                    dbdir = os.path.join(
+                        tempfile.gettempdir(), f"biodwh2_db_{name}"
+                    )
+                    os.makedirs(dbdir, exist_ok=True)
+                    with open(os.path.join(dbdir, "manifest.json"), "w") as fh:
+                        json.dump({"nodes": {}, "edges": {}}, fh)
+                    server.databases[name] = dbdir
+                    self._reply(200, {"result": "ok"})
+                    return
+                if name == "biodwh2":
+                    self._reply(400, {
+                        "error": "cannot drop the serving database "
+                                 "'biodwh2' — it backs this server's "
+                                 "query routing",
+                    })
+                    return
+                dbdir = server.databases.pop(name, None)
+                if dbdir is None:
+                    self._reply(400, {"error": f"unknown database {name!r}"})
+                    return
+                shutil.rmtree(dbdir, ignore_errors=True)
+                self._reply(200, {"result": "ok"})
+
             def do_POST(self):
                 api = re.fullmatch(r"/api/v1/(query|command)/[^/]+", self.path)
                 txn = re.fullmatch(
                     r"/api/v1/(begin|commit|rollback)/[^/]+", self.path
                 )
+                mgmt = self.path == "/api/v1/server"
                 if self.path not in ("/query", "/graphql") and not (
-                    api or txn
+                    api or txn or mgmt
                 ):
                     self._reply(404, {"error": "not found"})
                     return
                 if not self._authorized():
                     self._challenge()
+                    return
+                if mgmt:
+                    try:
+                        self._server_command()
+                    except Exception as exc:  # noqa: BLE001
+                        self._reply(
+                            400, {"error": f"{type(exc).__name__}: {exc}"[:500]}
+                        )
                     return
                 if txn:
                     try:

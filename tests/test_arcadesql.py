@@ -1285,10 +1285,55 @@ def test_explain_match_and_rejections(graph_ws):
         "RETURN p.name",
     )
     assert "Physical Plan" in df.collect()[0].plan
-    with pytest.raises(ArcadeSQLError, match="TRAVERSE"):
-        execute(graph_ws, "EXPLAIN TRAVERSE out() FROM (SELECT FROM Person)")
-    with pytest.raises(ArcadeSQLError, match="DML"):
-        execute(graph_ws, "EXPLAIN UPDATE Person SET name = 'x'")
+
+
+def test_explain_traverse_names_depth_and_legs(graph_ws):
+    """Round 9 (VERDICT r8 next #8): EXPLAIN TRAVERSE emits the BFS
+    plan — depth bound, per-step edge legs, and the roots' physical
+    plan — instead of rejecting."""
+    df = execute(
+        graph_ws,
+        "EXPLAIN TRAVERSE out('KNOWS'), in('LIVES_IN') FROM "
+        "(SELECT FROM Person WHERE age > 20) MAXDEPTH 3",
+    )
+    assert df.columns == ["plan"]
+    plan = df.collect()[0].plan
+    assert "maxdepth 3" in plan
+    assert "out('KNOWS')" in plan and "in('LIVES_IN')" in plan
+    assert "roots physical plan:" in plan and "Physical Plan" in plan
+    # unbounded spelled out; WHILE-false-at-0 named as empty
+    plan2 = execute(
+        graph_ws, "EXPLAIN TRAVERSE out() FROM (SELECT FROM Person)"
+    ).collect()[0].plan
+    assert "unbounded" in plan2
+    plan3 = execute(
+        graph_ws,
+        "EXPLAIN TRAVERSE out() FROM (SELECT FROM Person) WHILE $depth < 0",
+    ).collect()[0].plan
+    assert "empty result" in plan3
+
+
+def test_explain_dml_staged_write_summary(graph_ws):
+    """EXPLAIN <dml> returns the staged-write summary — inspectable
+    WITHOUT the writes gate (nothing executes)."""
+    plan = execute(
+        graph_ws,
+        "EXPLAIN UPDATE Person SET name = 'x', age = 1 WHERE age > 30",
+    ).collect()[0].plan
+    assert "UPDATE on Person" in plan
+    assert "predicate:" in plan and "age > 30" in plan
+    assert "assignments: name, age" in plan
+    assert "atomic swap" in plan and "allow_writes" in plan
+    plan2 = execute(
+        graph_ws,
+        "EXPLAIN INSERT INTO Person (natural_key, name) "
+        "VALUES (90, 'a'), (91, 'b')",
+    ).collect()[0].plan
+    assert "INSERT on Person" in plan2 and "rows staged: 2" in plan2
+    plan3 = execute(
+        graph_ws, "EXPLAIN DELETE VERTEX Person WHERE age = 10"
+    ).collect()[0].plan
+    assert "DELETE on Person" in plan3
 
 
 # ------------------------------------------------------------ sqlscript

@@ -792,3 +792,88 @@ def test_v1_api_databases_and_exists(spark, sf_small):
             assert e.code == 401
     finally:
         srv.stop()
+
+
+def test_v1_server_management_surface(spark, sf_small):
+    """ArcadeDB management wire shape (round 9): GET /api/v1/server
+    reports status (user/version/uptime/databases/readOnly); POST
+    /api/v1/server executes 'create database' / 'drop database' —
+    403 on a read-only server, database inventory reflected in
+    /databases and /exists, serving database protected from drop."""
+    import base64
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from biodwh2_arcadedb_server_spark.server import QueryServer
+    from biodwh2_arcadedb_server_spark.sources.registry import register_tables
+
+    register_tables(spark, sf_small)
+
+    def client(srv, port):
+        auth = base64.b64encode(
+            f"{srv.username}:{srv.password}".encode()
+        ).decode()
+
+        def get(path):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                headers={"Authorization": f"Basic {auth}"},
+            )
+            with urllib.request.urlopen(req) as resp:
+                return _json.loads(resp.read())
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=_json.dumps(payload).encode(),
+                headers={"Authorization": f"Basic {auth}"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as resp:
+                return _json.loads(resp.read())
+
+        return get, post
+
+    # read-only server: status works, management is 403
+    srv = QueryServer(spark)
+    port = srv.start()
+    get, post = client(srv, port)
+    try:
+        status = get("/api/v1/server")
+        assert status["user"] == srv.username
+        assert status["databases"] == ["biodwh2"]
+        assert status["readOnly"] is True
+        assert status["uptimeSeconds"] >= 0
+        try:
+            post("/api/v1/server", {"command": "create database extra"})
+            raise AssertionError("expected 403")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+    finally:
+        srv.stop()
+
+    # write-enabled: create → listed/exists → drop → gone; serving db
+    # and unknown names are clean 400s
+    srv = QueryServer(spark, allow_writes=True)
+    port = srv.start()
+    get, post = client(srv, port)
+    try:
+        assert post("/api/v1/server", {"command": "create database extra"}) == {"result": "ok"}
+        assert get("/api/v1/databases") == {"result": ["biodwh2", "extra"]}
+        assert get("/api/v1/exists/extra") == {"result": True}
+        for bad in (
+            {"command": "create database extra"},   # duplicate
+            {"command": "drop database biodwh2"},   # serving db
+            {"command": "drop database ghost"},     # unknown
+            {"command": "shutdown"},                # unsupported verb
+        ):
+            try:
+                post("/api/v1/server", bad)
+                raise AssertionError(f"expected 400 for {bad}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        assert post("/api/v1/server", {"command": "drop database extra"}) == {"result": "ok"}
+        assert get("/api/v1/exists/extra") == {"result": False}
+    finally:
+        srv.stop()
