@@ -1240,6 +1240,34 @@ class _Parser:
             return f"(NOT {self._not(sel)})"
         return self._cmp(sel)
 
+    _RID_MARK = re.compile(r"^/\*RID:(\d+)\*/(.+)$")
+
+    def _rid_equality(self, left: str, right: str, op: str) -> str | None:
+        """ArcadeDB RID equality includes the BUCKET: `@rid = #b:p`
+        must constrain both the position (node_id) and the bucket's
+        type, matching the FROM-position path (`SELECT FROM #b:p`) —
+        otherwise a wrong-bucket RID (e.g. Region's bucket with a
+        Nation node_id) would still match (ADVICE r9). Returns the
+        compiled predicate when one side is a bare RID literal and
+        the other is @rid; None defers to the generic comparison
+        (pos-only — also the no-workspace fallback, where buckets
+        cannot resolve to labels)."""
+        for rid_side, other in ((right, left), (left, right)):
+            m = self._RID_MARK.match(rid_side)
+            if m is None:
+                continue
+            if other != "node_id" and not other.endswith(".node_id"):
+                return None  # RID compared against a non-@rid expr
+            from biodwh2_arcadedb_server_spark import workspace as ws
+
+            if not ws.RID_BUCKET_LABELS:
+                return None
+            label = _rid_bucket_label(int(m.group(1)))
+            label_col = other[: -len("node_id")] + "label"
+            eq = f"({other} = {m.group(2)} AND {label_col} = '{label}')"
+            return eq if op == "=" else f"(NOT {eq})"
+        return None
+
     def _cmp(self, sel: _Select) -> str:
         left = self._add(sel)
         t = self.peek()
@@ -1257,7 +1285,12 @@ class _Parser:
             op = self.next().text
             if op == "!=":
                 op = "<>"
-            return f"({left} {op} {self._add(sel)})"
+            right = self._add(sel)
+            if op in ("=", "<>"):
+                rid_eq = self._rid_equality(left, right, op)
+                if rid_eq is not None:
+                    return rid_eq
+            return f"({left} {op} {right})"
         if t.kind == "kw" and t.text == "like":
             self.next()
             return f"({left} LIKE {self._add(sel)})"
@@ -1463,11 +1496,15 @@ class _Parser:
             return self.next().text
         if t.kind == "rid":
             # RID literal in expression position (`WHERE @rid = #b:p`):
-            # the position component IS the node_id (globally unique
-            # content-derived hash), so it compiles to the bigint
-            # literal; the bucket is validated for range when a
-            # workspace is loaded (out-of-range RIDs error loudly,
-            # matching `SELECT FROM #b:p`).
+            # the position component is the node_id (globally unique
+            # content-derived hash); the bucket component is carried
+            # through a marker comment so the equality compiler can
+            # ALSO constrain the record's type — ArcadeDB RID equality
+            # includes the bucket, and the FROM-position path
+            # (`SELECT FROM #b:p`) resolves the bucket to a label, so
+            # the two forms must agree (ADVICE r9). The marker is a
+            # valid SQL bracketed comment, so any unhandled position
+            # (arithmetic, IN lists) degrades to the pos-only compare.
             b, p = self.next().text[1:].split(":")
             from biodwh2_arcadedb_server_spark import workspace as ws
 
@@ -1478,7 +1515,7 @@ class _Parser:
                     f"RID bucket {b} out of range — this workspace has "
                     f"buckets 0..{len(ws.RID_BUCKET_LABELS) - 1}"
                 )
-            return f"CAST({p} AS BIGINT)"
+            return f"/*RID:{b}*/CAST({p} AS BIGINT)"
         if t.kind == "string":
             return self.next().text  # keep quoted — valid Spark literal
         if t.kind == "kw" and t.text in ("true", "false", "null"):
@@ -2006,9 +2043,17 @@ def _rid_bucket_label(bucket: int) -> str:
         raise ArcadeSQLError(
             f"RID bucket {bucket} out of range — this workspace has "
             f"buckets 0..{len(ws.RID_BUCKET_LABELS) - 1} "
-            f"({', '.join(ws.RID_BUCKET_LABELS)})"
+            f"({', '.join(l or '<dropped>' for l in ws.RID_BUCKET_LABELS)})"
         )
-    return ws.RID_BUCKET_LABELS[bucket]
+    label = ws.RID_BUCKET_LABELS[bucket]
+    if label is None:
+        # manifest tombstone: DROP TYPE keeps the slot so later
+        # buckets never shift (previously-echoed RIDs stay stable —
+        # ADVICE r9); addressing the dropped slot errors loudly
+        raise ArcadeSQLError(
+            f"RID bucket {bucket} addresses a dropped type"
+        )
+    return label
 
 
 def _compile_select(sel: _Select) -> str:
@@ -2458,7 +2503,9 @@ def _register_shortest_path_views(spark: SparkSession, specs: list[dict]) -> Non
 # could interleave rmtree/os.replace on the same dataset. One process-
 # wide lock serializes them (reads stay lock-free — they only see
 # either the old or the new swapped dataset, never a partial one).
-_DML_LOCK = __import__("threading").Lock()
+# Reentrant: DML paths hold it across helper calls that themselves
+# take it (load_workspace guards the RID bucket-order swap — ADVICE r9)
+_DML_LOCK = __import__("threading").RLock()
 
 
 def _endpoint_df(spark, ws, expr: str, side_label: str, out: str):

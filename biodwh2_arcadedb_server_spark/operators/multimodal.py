@@ -60,14 +60,34 @@ PPM_W, PPM_H = 8, 8  # test-corpus image geometry (8x8 RGB = 192 px bytes)
 def to_media_table(documents: DataFrame, width: int = PPM_W, height: int = PPM_H) -> DataFrame:
     """Build a media table of REAL P6 PPM images from the documents
     table: ``P6\\n<w> <h>\\n255\\n`` header + w*h*3 pixel bytes drawn
-    deterministically from the document text (ASCII corpus; padded
-    with 'x'). Entirely JVM-side expressions — no Python in the
-    encode path — so the scan prunes and pushes down like any other
-    binary column."""
+    deterministically from the document text (padded with 'x').
+    Pixel contract (ADVICE r9): byte[i] = codepoint(char[i]) % 256 —
+    for a pure-ASCII row that is exactly the UTF-8 encode (the cheap
+    fast path below); non-ASCII rows take the explicit per-character
+    codepoint fold, so the decoded-stat oracle (``ord(...) % 256`` in
+    DuckDB) holds for ARBITRARY corpora, not just ASCII. Entirely
+    JVM-side expressions — no Python in the encode path — so the scan
+    prunes and pushes down like any other binary column."""
     n_px = width * height * 3
-    pixels = F.encode(
-        F.rpad(F.substring(F.col("text"), 1, n_px), n_px, "x"), "UTF-8"
+    padded = F.rpad(F.substring(F.col("text"), 1, n_px), n_px, "x")
+    # char(cp % 256) re-encoded ISO-8859-1 maps each codepoint to the
+    # single byte cp % 256 (Latin-1 is the identity on 0..255)
+    cp_bytes = F.encode(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n_px)),
+                lambda i: F.char(F.ascii(padded.substr(i, F.lit(1))) % 256),
+            ),
+            "",
+        ),
+        "ISO-8859-1",
     )
+    pixels = F.when(
+        # octet_length == char count ⟺ every char is one UTF-8 byte
+        # (ASCII) — the common corpus takes the zero-overhead path
+        F.octet_length(padded) == n_px,
+        F.encode(padded, "UTF-8"),
+    ).otherwise(cp_bytes)
     header = F.encode(F.lit(f"P6\n{width} {height}\n255\n"), "UTF-8")
     payload = F.concat(header, pixels)
     return documents.select(
@@ -96,11 +116,22 @@ def to_audio_table(documents: DataFrame, sample_rate: int = 8000, n_samples: int
         for pdf in batches:
             payloads = []
             for text in pdf["text"]:
-                raw = (text[:n_samples] + "x" * n_samples)[:n_samples].encode(
-                    "utf-8", "replace"
-                )[:n_samples]
+                # codepoint % 256 per CHARACTER (not UTF-8 bytes):
+                # matches the DuckDB oracle's ord() fold on arbitrary
+                # corpora, identical to the old byte fold on ASCII
+                # (ADVICE r9)
+                raw = [
+                    ord(c) % 256
+                    for c in (text[:n_samples] + "x" * n_samples)[:n_samples]
+                ]
+                # wrap to int16 (codepoints ≥ 226 would overflow the
+                # PCM sample width); the oracle applies the same wrap
                 samples = struct.pack(
-                    f"<{len(raw)}h", *[(b - 97) * 256 for b in raw]
+                    f"<{len(raw)}h",
+                    *[
+                        ((b - 97) * 256 + 32768) % 65536 - 32768
+                        for b in raw
+                    ],
                 )
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as w:
@@ -294,16 +325,21 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
 def to_png_table(documents: DataFrame, width: int = PPM_W, height: int = PPM_H) -> DataFrame:
     """Build a media table of REAL deflate-compressed PNGs whose pixel
     bytes are the SAME deterministic text-derived bytes as
-    ``to_media_table``'s PPMs — so the decoded-stat oracle is shared —
-    encoded through mapInPandas (zlib is Python-side; Arrow batches
-    bound memory like every other media op)."""
+    ``to_media_table``'s PPMs — byte[i] = codepoint(char[i]) % 256
+    (ADVICE r9: the codepoint fold, not UTF-8 bytes, so the shared
+    decoded-stat oracle holds for non-ASCII corpora too) — encoded
+    through mapInPandas (zlib is Python-side; Arrow batches bound
+    memory like every other media op)."""
     n_px = width * height * 3
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
                 _encode_png(
-                    (text[:n_px] + "x" * n_px)[:n_px].encode("utf-8", "replace")[:n_px],
+                    bytes(
+                        ord(c) % 256
+                        for c in (text[:n_px] + "x" * n_px)[:n_px]
+                    ),
                     width, height,
                 )
                 for text in pdf["text"]

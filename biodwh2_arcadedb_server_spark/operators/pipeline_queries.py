@@ -902,13 +902,14 @@ ORACLE = {
         FROM documents
     """,
     # the DECODED pixel statistics recomputed from the source text the
-    # PPM encoder drew the pixels from (ASCII corpus: ord == byte;
-    # pixels = first 192 chars padded with 'x')
+    # PPM encoder drew the pixels from (pixel contract: byte[i] =
+    # codepoint % 256, exact for ANY corpus — ADVICE r9; pixels =
+    # first 192 chars padded with 'x')
     "q37_media_features": """
         WITH codes AS (
             SELECT doc_id,
                    list_transform(range(1, 193),
-                                  i -> ord(rpad(substr(text, 1, 192), 192, 'x')[i])) AS cs
+                                  i -> ord(rpad(substr(text, 1, 192), 192, 'x')[i]) % 256) AS cs
             FROM documents
         )
         SELECT doc_id,
@@ -921,7 +922,7 @@ ORACLE = {
         WITH codes AS (
             SELECT doc_id,
                    list_transform(range(1, 193),
-                                  i -> ord(rpad(substr(text, 1, 192), 192, 'x')[i])) AS cs
+                                  i -> ord(rpad(substr(text, 1, 192), 192, 'x')[i]) % 256) AS cs
             FROM documents
         )
         SELECT doc_id,
@@ -934,7 +935,7 @@ ORACLE = {
         WITH s AS (
             SELECT doc_id,
                    list_transform(range(1, 65),
-                                  i -> (ord(rpad(substr(text, 1, 64), 64, 'x')[i]) - 97) * 256) AS ss
+                                  i -> ((ord(rpad(substr(text, 1, 64), 64, 'x')[i]) % 256 - 97) * 256 + 32768) % 65536 - 32768) AS ss
             FROM documents
         )
         SELECT doc_id,
@@ -952,7 +953,7 @@ ORACLE["q38_frame_sample"] = """
     WITH codes AS (
         SELECT doc_id,
                list_transform(range(1, 193),
-                              i -> ord(rpad(substr(text, 1, 192), 192, 'x')[i])) AS cs
+                              i -> ord(rpad(substr(text, 1, 192), 192, 'x')[i]) % 256) AS cs
         FROM documents),
     f AS (SELECT doc_id, cs, UNNEST(range(0, 8)) AS r FROM codes)
     SELECT doc_id, CAST(r AS INTEGER) AS frame_idx,

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from biodwh2_arcadedb_server_spark.operators.skew import broadcast_if_small
 from biodwh2_arcadedb_server_spark.sources.registry import load_table
 
 
@@ -38,13 +39,17 @@ def q01_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- probe 2: id-remap equi-join (A11, B5 building block) ------------------
 def q02_join_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's nodeId→RID hash-join (`ArcadeDBService.java:241-243`)
-    as an equi-join. `customer` is a dimension → broadcast, no shuffle
-    of the fact side; at 100 TB the same plan holds as long as the id
-    map fits executors, else AQE falls back to sort-merge."""
+    as an equi-join. `customer` grows with scale factor, so the
+    broadcast hint is SIZE-GATED (broadcast_if_small): under the
+    session threshold it broadcasts and the fact side never shuffles;
+    over it (the 100 TB posture — customer is ~10¹⁰ rows there) the
+    join plans as a shuffle and AQE picks the runtime strategy. A hard
+    hint would bypass the size check and OOM executors at scale
+    (VERDICT r9)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(broadcast_if_small(c), o.o_custkey == c.c_custkey, "inner")
         .select("o_orderkey", "c_name")
     )
 
@@ -60,7 +65,7 @@ def q03_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey")
         .agg(F.count(F.lit(1)).alias("n"))
     )

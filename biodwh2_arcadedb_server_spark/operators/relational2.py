@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from biodwh2_arcadedb_server_spark.operators.skew import broadcast_if_small
 from biodwh2_arcadedb_server_spark.sources.registry import load_table
 from biodwh2_arcadedb_server_spark.workspace import node_id
 
@@ -98,7 +99,7 @@ def q43_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         # side (15-22% at sf3); SMJ stays the engine default — the
         # iterative probes measured SLOWER under a global preference
         l.join(o.hint("shuffle_hash"), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .where(F.col("o_orderdate") < F.lit("2024-06-01").cast("timestamp"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(revenue, 4).alias("revenue"))
@@ -123,8 +124,12 @@ def q44_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the nation-equality filter rides the supplier broadcast
     join condition. 2 broadcast probes on the 18M-row stream vs the
     naive plan's 4 — measured 4.06s→3.62s at sf3 (same-session
-    min-of-3). At 100 TB the same rewrite holds: one fact shuffle,
-    dimension work pushed to the smaller side."""
+    min-of-3). customer/supplier grow with scale factor, so their
+    hints are SIZE-GATED (broadcast_if_small, VERDICT r9): at 100 TB
+    the gate leaves them unhinted and the fold-customer-into-orders
+    step becomes a second key shuffle — still one fact-table shuffle,
+    with dimension work pushed to the smaller side; nation/region
+    are fixed-size (25/5 rows) and keep the hard hint."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -137,7 +142,7 @@ def q44_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = c.select("c_custkey", "c_nationkey")
     o2 = (
         o.select("o_orderkey", "o_custkey")
-        .join(F.broadcast(c2), F.col("o_custkey") == c2.c_custkey)
+        .join(broadcast_if_small(c2), F.col("o_custkey") == c2.c_custkey)
         .select("o_orderkey", "c_nationkey")
     )
     s2 = s.select("s_suppkey", "s_nationkey")
@@ -148,7 +153,7 @@ def q44_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l2.join(o2.hint("shuffle_hash"), l2.l_orderkey == o2.o_orderkey)
         .join(
-            F.broadcast(s2),
+            broadcast_if_small(s2),
             (l2.l_suppkey == s2.s_suppkey)
             & (F.col("c_nationkey") == s2.s_nationkey),
         )

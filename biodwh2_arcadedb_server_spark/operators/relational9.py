@@ -5,11 +5,14 @@ through the embedded server (`pom.xml:104-108` [B]); q162/q163 pin
 two more standard snowflake shapes beside q04/q43/q44 (TPC-H Q1/Q3/Q5
 analogs): the returned-items customer report (Q10 shape) and the
 bi-nation shipping-volume report (Q7 shape). Both follow the SCALE.md
-join contract: dims broadcast, ONE big-big shuffle (lineitem⋈orders),
-selective filters pushed to the parquet scan, top-k as
-TakeOrderedAndProject, and the big-big exchange hinted shuffle_hash
-(no sort on either side; the engine default stays SMJ — see
-session.py note).
+join contract: fixed dims (nation: 25 rows at every SF) broadcast
+hard; SF-GROWING sides (customer, supplier) go through the size-gated
+broadcast_if_small (VERDICT r9 — a hard hint bypasses the planner's
+size check and OOMs at the 100 TB north star), ONE big-big shuffle
+(lineitem⋈orders), selective filters pushed to the parquet scan,
+top-k as TakeOrderedAndProject, and the big-big exchange hinted
+shuffle_hash (no sort on either side; the engine default stays SMJ —
+see session.py note).
 """
 
 from __future__ import annotations
@@ -17,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from biodwh2_arcadedb_server_spark.operators.skew import broadcast_if_small
 from biodwh2_arcadedb_server_spark.sources.registry import load_table
 
 
@@ -34,7 +38,7 @@ def q162_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.where(F.col("l_returnflag") == "R")
         .join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast_if_small(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(revenue, 4).alias("revenue"))
@@ -55,8 +59,8 @@ def q163_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         l.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast_if_small(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast_if_small(c), F.col("o_custkey") == F.col("c_custkey"))
         .where(F.col("s_nationkey") != F.col("c_nationkey"))
         .groupBy(
             F.col("s_nationkey").alias("supp_nation"),

@@ -527,12 +527,33 @@ class QueryServer:
                     if name in server.databases:
                         self._reply(400, {"error": f"database {name!r} already exists"})
                         return
-                    dbdir = os.path.join(
-                        tempfile.gettempdir(), f"biodwh2_db_{name}"
-                    )
-                    os.makedirs(dbdir, exist_ok=True)
+                    # Managed databases live next to the serving
+                    # workspace (not a fixed, predictable path in the
+                    # shared tmpdir — symlink-followable and silently
+                    # reusable across runs, ADVICE r9); a pre-existing
+                    # directory is REJECTED rather than adopted.
+                    if server.workspace_dir:
+                        parent = os.path.dirname(
+                            os.path.abspath(server.workspace_dir)
+                        )
+                    else:
+                        parent = tempfile.mkdtemp(prefix="biodwh2_dbs_")
+                    dbdir = os.path.join(parent, f"biodwh2_db_{name}")
+                    try:
+                        os.makedirs(dbdir, exist_ok=False)
+                    except FileExistsError:
+                        self._reply(400, {
+                            "error": f"database directory {dbdir!r} "
+                                     "already exists (stale from a "
+                                     "prior run?) — remove it or pick "
+                                     "another name",
+                        })
+                        return
                     with open(os.path.join(dbdir, "manifest.json"), "w") as fh:
-                        json.dump({"nodes": {}, "edges": {}}, fh)
+                        json.dump(
+                            {"nodes": {}, "edges": {}, "rid_buckets": []},
+                            fh,
+                        )
                     server.databases[name] = dbdir
                     self._reply(200, {"result": "ok"})
                     return

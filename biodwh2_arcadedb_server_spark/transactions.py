@@ -219,16 +219,18 @@ class TransactionManager:
                         "conflict, retry"
                     )
                 os.rename(base, old)
-                os.rename(shadow, base)
+                try:
+                    os.rename(shadow, base)
+                except BaseException:
+                    # restore INSIDE the critical section: the base
+                    # path must never be observably absent to another
+                    # lock holder (a concurrent DML/reader acquiring
+                    # the lock between the failed swap and the restore
+                    # would see the workspace missing — ADVICE r9)
+                    os.rename(old, base)
+                    raise
             shutil.rmtree(old)
         except Exception:
-            # If the first rename (base→old) succeeded but the second
-            # (shadow→base) failed, base is gone — restore it from old
-            # BEFORE deleting the shadow, or the live workspace is
-            # stranded at the __txn_old_ path and load_workspace below
-            # masks the real error with FileNotFoundError
-            if not os.path.isdir(base) and os.path.isdir(old):
-                os.rename(old, base)
             if os.path.isdir(shadow):
                 shutil.rmtree(shadow)
             # views were never repointed (refresh_views=False), but a

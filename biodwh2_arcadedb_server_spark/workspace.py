@@ -389,6 +389,19 @@ def build_workspace(
             "count": _dataset_row_count(spark, out),
         }
 
+    # RID bucket order is RECORDED in the manifest at build time
+    # (ADVICE r9): stable per workspace across rebuilds — labels keep
+    # their prior slot, removed labels become None tombstones (indices
+    # never shift), new labels append. DDL maintains the same list.
+    prev_buckets = old.get("rid_buckets") or list(old.get("nodes", {}))
+    buckets: list = [
+        b if b in manifest["nodes"] else None for b in prev_buckets
+    ]
+    buckets.extend(
+        lbl for lbl in manifest["nodes"] if lbl not in prev_buckets
+    )
+    manifest["rid_buckets"] = buckets
+
     with open(manifest_file, "w") as mh:
         json.dump(manifest, mh, indent=2)
     with open(checksum_file, "w") as fh:
@@ -748,6 +761,11 @@ def create_node_type(spark: SparkSession, ws_dir: str, label: str) -> None:
         manifest = json.load(mh)
     if label in manifest["nodes"]:
         raise ValueError(f"node type {label!r} already exists")
+    # new types APPEND to the recorded bucket order (never reuse a
+    # tombstoned slot — previously-echoed RIDs must stay stable)
+    buckets = manifest.get("rid_buckets") or list(manifest["nodes"])
+    buckets.append(label)
+    manifest["rid_buckets"] = buckets
     path = os.path.join(ws_dir, "nodes", label)
     empty = spark.createDataFrame(
         [], "node_id long, natural_key long, label string"
@@ -897,6 +915,13 @@ def drop_type(spark: SparkSession, ws_dir: str, label: str, unsafe: bool = False
                 "use DROP TYPE ... UNSAFE to drop it with its records"
             )
         shutil.rmtree(info["path"])
+        # tombstone the bucket slot (None) instead of shifting later
+        # buckets — RID indices recorded in the manifest stay stable
+        # after DROP TYPE (ADVICE r9)
+        buckets = manifest.get("rid_buckets") or list(manifest["nodes"])
+        if label in buckets:
+            buckets[buckets.index(label)] = None
+        manifest["rid_buckets"] = buckets
         del manifest["nodes"][label]
     else:
         raise ValueError(f"unknown type {label!r}")
@@ -1043,6 +1068,11 @@ def rename_type(spark: SparkSession, ws_dir: str, label: str, new_label: str) ->
     renamed.write.mode("overwrite").parquet(new_path)
     shutil.rmtree(info["path"])
     info["path"] = new_path
+    # a rename keeps its bucket slot — RID indices stay stable
+    buckets = manifest.get("rid_buckets") or list(manifest["nodes"])
+    if label in buckets:
+        buckets[buckets.index(label)] = new_label
+    manifest["rid_buckets"] = buckets
     manifest["nodes"][new_label] = info
     del manifest["nodes"][label]
     drop_cols = ["_old", "_new"] + (["_old2", "_new2"] if two_lane else [])
@@ -1101,7 +1131,19 @@ def load_workspace(spark: SparkSession, ws_dir: str) -> dict:
     without widening every label to a common schema."""
     with open(os.path.join(ws_dir, "manifest.json")) as mh:
         manifest = json.load(mh)
-    RID_BUCKET_LABELS[:] = list(manifest["nodes"])
+    # bucket order comes from the manifest (recorded at build time,
+    # maintained by DDL: drops tombstone, renames keep their slot,
+    # creates append — ADVICE r9), not from dict insertion order.
+    # Mutation is guarded by the engine DML lock so concurrent server
+    # threads never race a compile against a half-swapped list; the
+    # slice assignment itself is a single atomic CPython op, so
+    # lock-free readers see either the old or the new list whole.
+    from biodwh2_arcadedb_server_spark import arcadesql as _asql
+
+    with _asql._DML_LOCK:
+        RID_BUCKET_LABELS[:] = manifest.get("rid_buckets") or list(
+            manifest["nodes"]
+        )
 
     def _read(info):
         # The manifest carries the authoritative schema (written at

@@ -1,0 +1,209 @@
+"""Round-10 advice regressions: RID equality must include the bucket
+(ArcadeDB RID semantics — a wrong-bucket RID never matches), the RID
+bucket order is manifest-recorded and DROP-stable (tombstones, no
+index shifts), managed server databases reject pre-existing
+directories, and the media pixel contract is codepoint %% 256 so the
+decoded-stat oracles hold for non-ASCII corpora."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from biodwh2_arcadedb_server_spark import workspace as ws_mod
+from biodwh2_arcadedb_server_spark.arcadesql import ArcadeSQLError, execute
+from biodwh2_arcadedb_server_spark.workspace import (
+    build_workspace,
+    load_workspace,
+)
+
+
+@pytest.fixture()
+def rid_ws(spark, sf_small, tmp_path_factory):
+    ws = str(tmp_path_factory.mktemp("advice_r10") / "ws")
+    node_specs = [
+        s for s in ws_mod.NODE_SPECS if s.label in ("Region", "Nation")
+    ]
+    edge_specs = [s for s in ws_mod.EDGE_SPECS if s.label == "IN_REGION"]
+    build_workspace(
+        spark, sf_small, ws, force=True,
+        node_specs=node_specs, edge_specs=edge_specs,
+    )
+    load_workspace(spark, ws)
+    return ws
+
+
+def test_rid_equality_includes_bucket(spark, rid_ws):
+    """`@rid = #b:p` must constrain the bucket's TYPE as well as the
+    position, matching the FROM-position path — previously the bucket
+    was range-checked but never matched, so Region's bucket index with
+    a Nation node_id still matched (round-10 advice, medium)."""
+    nb = ws_mod.RID_BUCKET_LABELS.index("Nation")
+    rb = ws_mod.RID_BUCKET_LABELS.index("Region")
+    rid = execute(
+        spark, "SELECT @rid AS rid FROM Nation WHERE natural_key = 3"
+    ).collect()[0].rid
+    # right bucket matches
+    got = execute(
+        spark, f"SELECT natural_key FROM Nation WHERE @rid = #{nb}:{rid}"
+    ).collect()
+    assert [r.natural_key for r in got] == [3]
+    # wrong bucket (Region's index, Nation's node_id) must NOT match
+    assert execute(
+        spark, f"SELECT FROM Nation WHERE @rid = #{rb}:{rid}"
+    ).count() == 0
+    # <> is the negation of the bucket-aware equality
+    n = execute(
+        spark, f"SELECT count(*) AS n FROM Nation WHERE @rid <> #{nb}:{rid}"
+    ).collect()[0].n
+    assert n == 24
+    n = execute(
+        spark, f"SELECT count(*) AS n FROM Nation WHERE @rid <> #{rb}:{rid}"
+    ).collect()[0].n
+    assert n == 25
+    # reversed operand order gets the same treatment
+    got = execute(
+        spark, f"SELECT natural_key FROM Nation WHERE #{nb}:{rid} = @rid"
+    ).collect()
+    assert [r.natural_key for r in got] == [3]
+
+
+def test_rid_buckets_manifest_recorded_and_drop_stable(
+    spark, rid_ws
+):
+    """Bucket order lives in the manifest (round-10 advice): CREATE
+    appends, DROP tombstones its slot (later indices never shift),
+    RENAME keeps the slot, and addressing a dropped slot errors
+    loudly in both FROM and expression position."""
+    man = json.load(open(os.path.join(rid_ws, "manifest.json")))
+    assert man["rid_buckets"] == ["Region", "Nation"]
+
+    run = lambda s: execute(
+        spark, s, workspace_dir=rid_ws, allow_writes=True
+    ).collect()
+    run("CREATE VERTEX TYPE Probe")
+    assert ws_mod.RID_BUCKET_LABELS == ["Region", "Nation", "Probe"]
+    run("DROP TYPE Probe")
+    assert ws_mod.RID_BUCKET_LABELS == ["Region", "Nation", None]
+    # the tombstone is persisted, and a NEW type appends after it —
+    # the dropped slot is never reused
+    run("CREATE VERTEX TYPE Probe2")
+    man = json.load(open(os.path.join(rid_ws, "manifest.json")))
+    assert man["rid_buckets"] == ["Region", "Nation", None, "Probe2"]
+    with pytest.raises(ArcadeSQLError, match="dropped type"):
+        execute(spark, "SELECT FROM #2:42")
+    with pytest.raises(ArcadeSQLError, match="dropped type"):
+        execute(spark, "SELECT FROM Region WHERE @rid = #2:42")
+    # rename keeps the slot index
+    run("ALTER TYPE Probe2 NAME Probe3")
+    assert ws_mod.RID_BUCKET_LABELS == ["Region", "Nation", None, "Probe3"]
+
+
+def test_media_pixel_contract_non_ascii(spark):
+    """Pixel/sample contract byte[i] = codepoint(char[i]) %% 256 on
+    BOTH the PPM (JVM expressions) and PNG/WAV (Python) encode paths —
+    identical to UTF-8 bytes on ASCII, and oracle-exact (ord %% 256)
+    on non-ASCII corpora too (round-10 advice)."""
+    from biodwh2_arcadedb_server_spark.operators.multimodal import (
+        extract_features,
+        to_audio_table,
+        to_media_table,
+        to_png_table,
+    )
+
+    texts = {
+        1: "plain ascii body",
+        2: "héllo wörld ünïcode ÿ€☃",  # Latin-1 + >255 codepoints
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+
+    def expected_codes(text, n):
+        padded = (text[:n] + "x" * n)[:n]
+        return [ord(c) % 256 for c in padded]
+
+    # PPM: raw trailing 192 payload bytes ARE the codepoint bytes
+    for r in to_media_table(docs).collect():
+        assert list(bytes(r.payload)[-192:]) == expected_codes(
+            texts[r.doc_id], 192
+        )
+    # PNG: decoded feature stats equal the codepoint-fold recompute
+    feats = {
+        r.doc_id: r
+        for r in extract_features(
+            to_png_table(docs), decode_stub=False
+        ).collect()
+    }
+    for did, text in texts.items():
+        cs = expected_codes(text, 192)
+        assert feats[did].n_bytes == 192
+        assert feats[did].byte_mean == pytest.approx(sum(cs) / 192)
+    # WAV: 16-bit samples are (codepoint %% 256 - 97) * 256
+    import io
+    import struct
+    import wave
+
+    for r in to_audio_table(docs).collect():
+        with wave.open(io.BytesIO(bytes(r.payload))) as w:
+            frames = w.readframes(w.getnframes())
+        samples = list(struct.unpack(f"<{len(frames) // 2}h", frames))
+        assert samples == [
+            ((c - 97) * 256 + 32768) % 65536 - 32768
+            for c in expected_codes(texts[r.doc_id], 64)
+        ]
+
+
+def test_managed_database_dir_rejects_preexisting(spark, tmp_path):
+    """POST /api/v1/server 'create database' places the directory
+    next to the serving workspace and REJECTS a pre-existing one
+    instead of silently adopting stale content (round-10 advice)."""
+    import base64
+    import urllib.error
+    import urllib.request
+
+    from biodwh2_arcadedb_server_spark.server import QueryServer
+
+    ws_dir = tmp_path / "serving_ws"
+    ws_dir.mkdir()
+    stale = tmp_path / "biodwh2_db_mydb"
+    stale.mkdir()
+    (stale / "leftover.txt").write_text("stale")
+
+    srv = QueryServer(
+        spark, workspace_dir=str(ws_dir), allow_writes=True
+    )
+    port = srv.start()
+    auth = base64.b64encode(
+        f"{srv.username}:{srv.password}".encode()
+    ).decode()
+
+    def post(payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/server",
+            data=json.dumps(payload).encode(),
+            headers={"Authorization": f"Basic {auth}"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+
+    try:
+        # stale directory from a "prior run" → clean 400, content kept
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post({"command": "create database mydb"})
+        assert exc.value.code == 400
+        assert (stale / "leftover.txt").exists()
+        # a fresh name lands NEXT TO the workspace, not in the shared
+        # tmpdir, and starts from an empty manifest
+        assert post({"command": "create database fresh"}) == {
+            "result": "ok"
+        }
+        dbdir = tmp_path / "biodwh2_db_fresh"
+        assert dbdir.is_dir()
+        man = json.loads((dbdir / "manifest.json").read_text())
+        assert man == {"nodes": {}, "edges": {}, "rid_buckets": []}
+    finally:
+        srv.stop()
