@@ -195,6 +195,7 @@ HEADLINE = [
     "q38_frame_sample",
     "q152_wav_decode",
     "q172_png_decode",
+    "q173_png_palette_decode",
     "q157_graphql_inline_fragments",
     "q158_ddl_readback",
     "q159_match_edge_alias",
@@ -290,6 +291,11 @@ def main() -> None:
             pass  # a probe that fails at warmup still gets timed (and fails loudly)
 
     errors: dict[str, str] = {}
+    # every timing sample per probe, in run order — published in
+    # bench/last_run.json so the min-of-2 application is AUDITABLE
+    # (VERDICT r9 next #1: the r9 drift couldn't be attributed because
+    # run counts weren't recorded)
+    samples: dict[str, list[float]] = {}
 
     def run_one(s, name: str) -> float | None:
         fn = queries.get(name)
@@ -300,7 +306,9 @@ def main() -> None:
         # zero the whole round's bench — record the error, go on.
         try:
             fn(s, sf_dir).write.format("noop").mode("overwrite").save()
-            return round(time.perf_counter() - t0, 3)
+            t = round(time.perf_counter() - t0, 3)
+            samples.setdefault(name, []).append(t)
+            return t
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             return None
@@ -357,6 +365,9 @@ def main() -> None:
         "streaming": stream_times,
         "streaming_total_sec": round(sum(stream_times.values()), 3),
         "sf": sf,
+        # raw per-probe timing samples in run order; len > 1 ⟺ the
+        # min-of-2 rerun fired for that probe (published = min)
+        "samples": samples,
     }
     if errors:
         payload["errors"] = errors

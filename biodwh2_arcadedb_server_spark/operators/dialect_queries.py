@@ -34,7 +34,22 @@ from biodwh2_arcadedb_server_spark import arcadesql
 from biodwh2_arcadedb_server_spark.sources.registry import load_table
 
 
+_STAR_CACHE: dict = {}
+
+
 def _register_star_workspace(spark: SparkSession, sf_dir: str) -> None:
+    """Memoized per (applicationId, sf_dir, view epoch): 23 dialect /
+    GraphQL probes call this, and re-registering the identical views
+    cost ~0.5s per probe (q154 profile, round 10 — HALF that probe's
+    wall time was view registration, the conflict-check suspect cost
+    ~0). workspace.VIEW_EPOCH invalidates the memo whenever
+    load_workspace displaces the session views (e.g. q171's RID probe
+    or a DML probe loading a real workspace mid-run)."""
+    from biodwh2_arcadedb_server_spark import workspace as ws
+
+    key = (spark.sparkContext.applicationId, sf_dir, ws.VIEW_EPOCH)
+    if _STAR_CACHE.get("key") == key:
+        return
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -91,6 +106,13 @@ def _register_star_workspace(spark: SparkSession, sf_dir: str) -> None:
         .withColumn("props", F.create_map())
     )
     nodes.createOrReplaceTempView("nodes")
+    # the star views just displaced whatever was registered; bump the
+    # epoch so OTHER consumers (and a stale memo) can tell, then pin
+    # the memo to the post-registration epoch
+    ws.VIEW_EPOCH += 1
+    _STAR_CACHE["key"] = (
+        spark.sparkContext.applicationId, sf_dir, ws.VIEW_EPOCH,
+    )
 
 
 # --- B6: MATCH pattern chain through the dialect ---------------------------------

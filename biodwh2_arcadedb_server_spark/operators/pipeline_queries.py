@@ -528,6 +528,25 @@ def q172_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q173_png_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed-color (palette) PNG decode through the same C5 seam
+    (VERDICT r9 next #6 — palette is the most common web PNG flavor):
+    the corpus is re-encoded as color-type-3 PNGs (PLTE chunk, 1-byte
+    index scanlines, filters cycling all five types over the 1-byte
+    stride), then ``extract_features(decode_stub=False)`` CRC-walks,
+    inflates, unfilters, and EXPANDS the indices through the palette.
+    The expanded pixels are byte-identical to q172's truecolor PNGs
+    and q37's PPMs by the shared codepoint %% 256 contract, so the
+    oracle recomputes the stats from the source text — byte-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(
+        multimodal.to_png_palette_table(d), decode_stub=False
+    ).select(
+        "doc_id", "n_bytes", F.round("byte_mean", 4).alias("byte_mean"),
+        F.round("byte_entropy_proxy", 4).alias("byte_entropy_proxy"),
+    )
+
+
 # --- C5: REAL frame decode fan-out (oracle-able) -------------------------------------------------
 def q38_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode_stub=False: one frame per decoded pixel ROW with its
@@ -610,6 +629,7 @@ QUERIES = {
     "q36_multimodal_meta": q36_multimodal_meta,
     "q37_media_features": q37_media_features,
     "q172_png_decode": q172_png_decode,
+    "q173_png_palette_decode": q173_png_palette_decode,
     "q38_frame_sample": q38_frame_sample,
     "q152_wav_decode": q152_wav_decode,
 }
@@ -919,6 +939,21 @@ ORACLE = {
         FROM codes
     """,
     "q172_png_decode": """
+        WITH codes AS (
+            SELECT doc_id,
+                   list_transform(range(1, 193),
+                                  i -> ord(rpad(substr(text, 1, 192), 192, 'x')[i]) % 256) AS cs
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(192 AS BIGINT) AS n_bytes,
+               ROUND(list_sum(cs) * 1.0 / 192, 4) AS byte_mean,
+               ROUND(len(list_distinct(cs)) / 256.0, 4) AS byte_entropy_proxy
+        FROM codes
+    """,
+    # palette PNG expands back to the SAME pixel bytes (shared
+    # codepoint % 256 contract) — identical oracle fold
+    "q173_png_palette_decode": """
         WITH codes AS (
             SELECT doc_id,
                    list_transform(range(1, 193),

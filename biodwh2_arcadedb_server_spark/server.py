@@ -80,6 +80,13 @@ MATCH / TRAVERSE), or GraphQL.</p>
 <option value="graphql">GraphQL</option></select>
 <button onclick="run()">Run</button>
 <div id="err"></div><div id="out"></div>
+<h3>Explore a record</h3>
+<p>Paste a <code>@rid</code> (e.g. from <code>SELECT @rid FROM
+Nation</code>) to see the record and its 1-hop neighborhood.</p>
+<input id="rid" placeholder="#1:42" style="font-family:monospace">
+<button onclick="explore()">Explore</button>
+<div id="nerr" style="color:#b00;white-space:pre-wrap"></div>
+<div id="nout"></div>
 <script>
 async function run(){
   const q=document.getElementById('q').value;
@@ -96,6 +103,31 @@ async function run(){
   for(const row of j.rows)
     h+='<tr>'+row.map(v=>'<td>'+(v===null?'<i>null</i>':esc(v))+'</td>').join('')+'</tr>';
   document.getElementById('out').innerHTML=h+'</table>';
+}
+async function explore(){
+  const esc=s=>String(s).replace(/[&<>]/g,c=>({'&':'&amp;','<':'&lt;','>':'&gt;'}[c]));
+  const rid=document.getElementById('rid').value.trim();
+  document.getElementById('nerr').textContent='';
+  const r=await fetch('/api/v1/neighborhood/'+encodeURIComponent(rid));
+  const j=await r.json();
+  if(!r.ok){document.getElementById('nerr').textContent=j.error||r.status;
+            document.getElementById('nout').innerHTML='';return;}
+  let h='<h4>'+esc(j.type)+' '+esc(j.rid)+'</h4><table>';
+  for(const k in j.record)
+    h+='<tr><th>'+esc(k)+'</th><td>'+(j.record[k]===null?'<i>null</i>':esc(j.record[k]))+'</td></tr>';
+  h+='</table>';
+  const hop=(title,list,trunc)=>{
+    let s='<h4>'+title+' ('+list.length+(trunc?'+, truncated':'')+')</h4>';
+    if(!list.length)return s+'<i>none</i>';
+    s+='<table><tr><th>edge</th><th>type</th><th>rid</th><th>natural_key</th></tr>';
+    for(const e of list)
+      s+='<tr><td>'+esc(e.edge)+'</td><td>'+esc(e.type)+'</td><td>'
+        +(e.rid?'<a href="#" onclick="document.getElementById(\\'rid\\').value=\\''+esc(e.rid)+'\\';explore();return false">'+esc(e.rid)+'</a>':'<i>?</i>')
+        +'</td><td>'+esc(e.natural_key)+'</td></tr>';
+    return s+'</table>';
+  };
+  h+=hop('Outgoing',j.out,j.truncated.out)+hop('Incoming',j['in'],j.truncated['in']);
+  document.getElementById('nout').innerHTML=h;
 }
 </script></body></html>
 """
@@ -230,6 +262,16 @@ class QueryServer:
                         return
                     db = self.path.rsplit("/", 1)[-1]
                     self._reply(200, {"result": db in server.databases})
+                elif self.path.startswith("/api/v1/neighborhood/"):
+                    if not self._authorized():
+                        self._challenge()
+                        return
+                    import urllib.parse
+
+                    rid = urllib.parse.unquote(
+                        self.path[len("/api/v1/neighborhood/"):]
+                    ).lstrip("#")
+                    self._neighborhood(rid)
                 elif self.path in ("/", "/index.html"):
                     # Studio-analog console — served behind the basic-
                     # auth challenge so the page's fetch() calls reuse
@@ -245,6 +287,115 @@ class QueryServer:
                     self.wfile.write(body)
                 else:
                     self._reply(404, {"error": "not found"})
+
+            def _neighborhood(self, rid: str) -> None:
+                """``GET /api/v1/neighborhood/{rid}`` — the Studio
+                explore-workflow analog (the reference's README
+                workflow is "explore the graph in ArcadeDB Studio",
+                README.md:19-26): one record plus its 1-hop in/out
+                edges as JSON, rendered by the console page. The node
+                read is a pushed-down point predicate on the typed
+                view; each direction is a point predicate on the
+                unified edges view (edges are written repartitioned
+                by src, so the out-hop reads co-located data) joined
+                to ``nodes`` for neighbor identity — the tiny filtered
+                edge set is the build side. Both directions are capped
+                (``truncated`` flags say so) — an interactive explore
+                never pulls an unbounded supernode fan-out."""
+                from pyspark.sql import functions as F
+
+                from biodwh2_arcadedb_server_spark import (
+                    arcadesql,
+                    workspace as ws_mod,
+                )
+
+                CAP = 200
+                m = re.fullmatch(r"(\d+):(-?\d+)", rid)
+                if m is None:
+                    self._reply(400, {
+                        "error": f"bad RID {rid!r} — expected "
+                                 "#<bucket>:<position>",
+                    })
+                    return
+                bucket, p = int(m.group(1)), int(m.group(2))
+                try:
+                    label = arcadesql._rid_bucket_label(bucket)
+                except arcadesql.ArcadeSQLError as exc:
+                    self._reply(400, {"error": str(exc)})
+                    return
+
+                def _safe(v):
+                    if v is None or isinstance(v, (bool, int, float, str)):
+                        return v
+                    return str(v)
+
+                try:
+                    spark = server.spark
+                    rec = (
+                        spark.table(f"n_{label}")
+                        .where(F.col("node_id") == p)
+                        .limit(1)
+                        .collect()
+                    )
+                    if not rec:
+                        self._reply(404, {
+                            "error": f"no {label} record at #{rid}",
+                        })
+                        return
+                    record = {
+                        k: _safe(v) for k, v in rec[0].asDict().items()
+                    }
+                    edges = spark.table("edges")
+                    nodes = spark.table("nodes").select(
+                        "node_id", F.col("label").alias("n_label"),
+                        "natural_key",
+                    )
+
+                    def _hop(key_col: str, far_col: str) -> list[dict]:
+                        hop = (
+                            edges.where(F.col(key_col) == p)
+                            .join(
+                                nodes,
+                                F.col(far_col) == nodes.node_id,
+                            )
+                            .select(
+                                F.col("label").alias("edge"),
+                                "n_label", "natural_key", "node_id",
+                            )
+                            .limit(CAP + 1)
+                            .collect()
+                        )
+                        out = []
+                        for r in hop[:CAP]:
+                            try:
+                                nb = ws_mod.RID_BUCKET_LABELS.index(
+                                    r.n_label
+                                )
+                                nrid = f"#{nb}:{r.node_id}"
+                            except ValueError:
+                                nrid = None
+                            out.append({
+                                "edge": r.edge,
+                                "rid": nrid,
+                                "type": r.n_label,
+                                "natural_key": _safe(r.natural_key),
+                            })
+                        return out, len(hop) > CAP
+
+                    out_e, out_trunc = _hop("src", "dst")
+                    in_e, in_trunc = _hop("dst", "src")
+                except Exception as exc:
+                    self._reply(400, {"error": str(exc)})
+                    return
+                self._reply(200, {
+                    "rid": f"#{rid}",
+                    "type": label,
+                    "record": record,
+                    "out": out_e,
+                    "in": in_e,
+                    "truncated": {"out": out_trunc, "in": in_trunc},
+                    "cap": CAP,
+                })
 
             def _arcade_api(self, verb: str) -> None:
                 """ArcadeDB-compatible wire surface (the literal REST

@@ -456,6 +456,57 @@ def run_finite_sessionize(
 # close over a StatefulProcessorHandle) is where richer semantics
 # (multiple state vars, timer-driven emission) slot in.
 
+def _ensure_protobuf_runtime() -> None:
+    """Make a REAL protobuf runtime importable when none is pip-
+    installed: some hosts ship one with the system google-cloud-sdk
+    (the App Engine platform bundle). If found, append it to sys.path
+    and — because pyspark 4.1's generated StateMessage_pb2 carries a
+    6.33 gencode stamp while the bundled runtime may be one minor
+    older — relax ONLY the same-major newer-gencode case of the
+    gencode/runtime version check (StateMessage.proto uses no
+    6.33-only features; wire format is unchanged within a major).
+    Runs at module import, so executor Python workers unpickling the
+    processor class install the same shim before the API client's
+    lazy ``StateMessage_pb2`` import. Raises ImportError when no
+    runtime exists anywhere — the capability gate below catches it."""
+    try:
+        # probe for a REAL runtime, not a bare `google` namespace
+        # package (Spark's runner processes can see an empty one,
+        # which makes `import google.protobuf` succeed vacuously)
+        from google.protobuf import descriptor  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    import sys
+
+    sdk = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+    if not os.path.isdir(os.path.join(sdk, "google", "protobuf")):
+        raise ImportError("no protobuf runtime available")
+    if sdk not in sys.path:
+        sys.path.append(sdk)
+    # drop any cached empty-namespace modules so the re-import scans
+    # the freshly-appended path (google is a namespace package in the
+    # SDK bundle too — protobuf under it is a regular package)
+    for _m in ("google.protobuf", "google"):
+        mod = sys.modules.get(_m)
+        if mod is not None and getattr(mod, "__file__", None) is None:
+            del sys.modules[_m]
+    from google.protobuf import runtime_version as _rv
+
+    _orig = _rv.ValidateProtobufRuntimeVersion
+
+    def _lenient(domain, major, minor, patch, suffix, location):
+        try:
+            _orig(domain, major, minor, patch, suffix, location)
+        except _rv.VersionError:
+            if major == _rv.MAJOR and (minor, patch) >= (_rv.MINOR, _rv.PATCH):
+                return  # same-major newer gencode: tolerated (see above)
+            raise
+
+    _rv.ValidateProtobufRuntimeVersion = _lenient
+
+
 try:  # pragma: no cover - environment-dependent surface
     # The TWS Python driver worker speaks protobuf to the JVM state
     # server; without the google.protobuf package the query crashes at
@@ -464,6 +515,7 @@ try:  # pragma: no cover - environment-dependent surface
     # this twin refuses with a RuntimeError (asserted by the parity
     # test — no skip) and any protobuf-equipped deployment runs the
     # full batch-parity check unchanged.
+    _ensure_protobuf_runtime()
     from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -496,8 +548,12 @@ try:  # pragma: no cover - environment-dependent surface
             pass
 
     HAS_TRANSFORM_WITH_STATE = True
-except ImportError:  # pragma: no cover
+    TWS_UNAVAILABLE_REASON: str | None = None
+except ImportError as _exc:  # pragma: no cover
     HAS_TRANSFORM_WITH_STATE = False
+    # kept for the capability error below AND for debugging worker
+    # processes, where this block runs again on unpickle
+    TWS_UNAVAILABLE_REASON = str(_exc)
 
 
 def running_user_stats_tws(events: DataFrame) -> DataFrame:
@@ -510,7 +566,7 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
         raise RuntimeError(
             "transformWithState requires pyspark>=4 with google.protobuf "
             "available to the Python worker; use running_user_stats "
-            "(applyInPandasWithState) instead"
+            f"(applyInPandasWithState) instead [{TWS_UNAVAILABLE_REASON}]"
         )
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_RunningStatsProcessor(),

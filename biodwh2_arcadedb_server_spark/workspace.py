@@ -79,6 +79,13 @@ class EdgeSpec:
 # registered views it addresses.
 RID_BUCKET_LABELS: list[str] = []
 
+# Bumped every time load_workspace (re)registers the session views —
+# lets probe-side view caches (dialect_queries._register_star_workspace)
+# know their temp views were displaced and must re-register (round 10:
+# 23 dialect/GraphQL probes were paying ~0.5s of identical view
+# registration EACH per bench run).
+VIEW_EPOCH = 0
+
 
 # The TPC-H star schema viewed as a labeled property graph — the same
 # shape the reference ETLs out of a BioDWH2 workspace (per-label node
@@ -1129,6 +1136,8 @@ def load_workspace(spark: SparkSession, ws_dir: str) -> dict:
     view carries them as a ``props map<string,string>`` so label-
     agnostic queries (`WHERE props['name'] LIKE …`) stay expressible
     without widening every label to a common schema."""
+    global VIEW_EPOCH
+    VIEW_EPOCH += 1
     with open(os.path.join(ws_dir, "manifest.json")) as mh:
         manifest = json.load(mh)
     # bucket order comes from the manifest (recorded at build time,

@@ -207,3 +207,72 @@ def test_managed_database_dir_rejects_preexisting(spark, tmp_path):
         assert man == {"nodes": {}, "edges": {}, "rid_buckets": []}
     finally:
         srv.stop()
+
+
+def test_neighborhood_endpoint(spark, rid_ws):
+    """GET /api/v1/neighborhood/{rid} (round-10: the Studio
+    explore-workflow analog): returns the record plus capped 1-hop
+    in/out edge lists with clickable neighbor RIDs; bad / unknown /
+    dropped-bucket RIDs are clean 400/404s; the console page carries
+    the explore panel."""
+    import base64
+    import urllib.error
+    import urllib.request
+
+    from biodwh2_arcadedb_server_spark.arcadesql import execute
+    from biodwh2_arcadedb_server_spark.server import QueryServer
+
+    srv = QueryServer(spark, workspace_dir=rid_ws)
+    port = srv.start()
+    auth = base64.b64encode(
+        f"{srv.username}:{srv.password}".encode()
+    ).decode()
+
+    def get(path, raw=False):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            headers={"Authorization": f"Basic {auth}"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            body = resp.read()
+            return body.decode() if raw else json.loads(body)
+
+    try:
+        nb = ws_mod.RID_BUCKET_LABELS.index("Nation")
+        rb = ws_mod.RID_BUCKET_LABELS.index("Region")
+        rid = execute(
+            spark, "SELECT @rid AS rid FROM Nation WHERE natural_key = 3"
+        ).collect()[0].rid
+        j = get(f"/api/v1/neighborhood/%23{nb}:{rid}")
+        assert j["type"] == "Nation"
+        assert j["record"]["natural_key"] == 3
+        # Nation 3 -IN_REGION-> its region: one outgoing edge whose
+        # neighbor rid points into Region's bucket
+        assert len(j["out"]) == 1
+        assert j["out"][0]["edge"] == "IN_REGION"
+        assert j["out"][0]["type"] == "Region"
+        assert j["out"][0]["rid"].startswith(f"#{rb}:")
+        assert j["in"] == []
+        assert j["truncated"] == {"out": False, "in": False}
+        # follow the neighbor rid like the console's click-through
+        region = get(
+            "/api/v1/neighborhood/"
+            + j["out"][0]["rid"].replace("#", "%23")
+        )
+        assert region["type"] == "Region"
+        # incoming side lists nations, capped flag off at this SF
+        assert any(e["edge"] == "IN_REGION" for e in region["in"])
+        # errors: malformed, unknown position, out-of-range bucket
+        for path, code in (
+            ("/api/v1/neighborhood/xyz", 400),
+            (f"/api/v1/neighborhood/%23{nb}:999999", 404),
+            ("/api/v1/neighborhood/%2399:1", 400),
+        ):
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                get(path)
+            assert exc.value.code == code
+        # console page carries the explore panel
+        page = get("/", raw=True)
+        assert "neighborhood" in page and "Explore" in page
+    finally:
+        srv.stop()

@@ -31,3 +31,27 @@ def test_segment_breaks_synthetic():
     # no family: plain every-N restart
     got = bench.segment_breaks(["a", "b", "c", "d", "e"], segment=2, family=set())
     assert got == {2, 4}
+
+
+def test_verify_all_sweep_covers_registry():
+    """VERDICT r9 next #4: the committed all-probe sweep must cover
+    EVERY registered probe — bench/verify_all.json predating a probe
+    registration (169 vs 171 in r9) hid two probes from the sweep.
+    Run bench/verify_all.py after any registry change."""
+    import json
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench", "verify_all.json",
+    )
+    sweep = json.load(open(path))
+    registered = entry_mod.queries()
+    assert sweep["probes"] == len(registered), (
+        f"verify_all.json sweep covers {sweep['probes']} probes but "
+        f"{len(registered)} are registered — re-run bench/verify_all.py"
+    )
+    assert set(sweep["results"]) == set(registered)
+    assert sweep["fail"] == 0

@@ -582,3 +582,75 @@ def test_png_roundtrip_and_reference_decode(spark, sf_small):
     assert set(png_stats) == set(ppm_stats)
     for k in png_stats:
         assert tuple(png_stats[k]) == tuple(ppm_stats[k])
+
+
+def test_png_palette_roundtrip_and_reference_decode(spark, sf_small):
+    """Indexed-color PNG codec (round 10): (a) encode→decode
+    round-trips pixel bytes exactly across all five row filters on the
+    1-byte index stride; (b) the decoder reads a palette PNG from an
+    INDEPENDENT reference encoder (filter-0, PLTE written from the
+    spec in this test); (c) >256 distinct colors is a loud encoder
+    error; (d) a palette PNG missing PLTE errors loudly; (e) the Spark
+    path's decoded stats are identical to the truecolor-PNG and PPM
+    twins (shared codepoint %% 256 contract)."""
+    import binascii
+    import struct
+    import zlib
+
+    px = bytes((i * 37 + 11) % 256 for i in range(8 * 8 * 3))
+    w, h, ch, got = multimodal._decode_png(
+        multimodal._encode_png_palette(px, 8, 8)
+    )
+    assert (w, h, ch, got) == (8, 8, 3, px)
+
+    def ref_palette_png(pixels, width, height):
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", binascii.crc32(tag + data) & 0xFFFFFFFF)
+            )
+        triples = [pixels[i:i + 3] for i in range(0, len(pixels), 3)]
+        palette = sorted(set(triples))
+        idx = {t: i for i, t in enumerate(palette)}
+        raw = b"".join(
+            b"\x00" + bytes(idx[t] for t in triples[r * width:(r + 1) * width])
+            for r in range(height)
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", b"".join(palette))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    assert multimodal._decode_png(ref_palette_png(px, 8, 8))[3] == px
+
+    # 272 DISTINCT triples (17×16 image) exceed the 256-entry palette
+    many = b"".join(
+        bytes((i % 256, i // 256, 7)) for i in range(17 * 16)
+    )
+    with pytest.raises(ValueError, match="256"):
+        multimodal._encode_png_palette(many, 17, 16)
+    # palette PNG with the PLTE chunk stripped errors loudly
+    payload = multimodal._encode_png_palette(px, 8, 8)
+    plte_at = payload.index(b"PLTE") - 4
+    plte_len = int.from_bytes(payload[plte_at:plte_at + 4], "big")
+    stripped = payload[:plte_at] + payload[plte_at + 12 + plte_len:]
+    with pytest.raises(ValueError, match="PLTE"):
+        multimodal._decode_png(stripped)
+
+    d = load_table(spark, sf_small, "documents").limit(5)
+    pal_stats = {
+        r.doc_id: tuple(r)
+        for r in multimodal.extract_features(
+            multimodal.to_png_palette_table(d), decode_stub=False
+        ).collect()
+    }
+    png_stats = {
+        r.doc_id: tuple(r)
+        for r in multimodal.extract_features(
+            multimodal.to_png_table(d), decode_stub=False
+        ).collect()
+    }
+    assert pal_stats == png_stats
