@@ -196,6 +196,7 @@ HEADLINE = [
     "q152_wav_decode",
     "q172_png_decode",
     "q173_png_palette_decode",
+    "q174_png_adam7_decode",
     "q157_graphql_inline_fragments",
     "q158_ddl_readback",
     "q159_match_edge_alias",

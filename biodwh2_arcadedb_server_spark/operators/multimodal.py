@@ -300,74 +300,113 @@ def _encode_png_palette(pixels: bytes, width: int, height: int) -> bytes:
     )
 
 
-def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode an 8-bit non-interlaced PNG with nothing but the stdlib:
-    chunk walk with CRC verification, IDAT concatenation + zlib
-    inflate, per-scanline unfiltering (None/Sub/Up/Average/Paeth),
-    and — for color type 3 (indexed, the most common web PNG flavor;
-    round 10) — PLTE expansion of the index bytes to RGB. Returns
-    (width, height, channels, raw pixel bytes). This closes the C5
-    compressed-codec seam for truecolor, truecolor+alpha AND palette
-    PNGs; grayscale/16-bit/interlaced variants still raise
-    NotImplementedError naming where PIL.Image.open plugs in."""
-    import binascii
+def _filter_rows(
+    pixels: bytes, width: int, height: int, bpp: int
+) -> bytearray:
+    """Apply PNG row filters (row r gets type r %% 5, so every
+    unfilter path is exercised) over a raster of ``width`` pixels ×
+    ``bpp`` bytes — shared by the straight, Adam7-pass and 16-bit
+    encoders."""
+    stride = width * bpp
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        row = pixels[r * stride:(r + 1) * stride]
+        ft = r % 5
+        raw.append(ft)
+        for i in range(stride):
+            left = row[i - bpp] if i >= bpp else 0
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = row[i]
+            elif ft == 1:
+                v = row[i] - left
+            elif ft == 2:
+                v = row[i] - prev[i]
+            elif ft == 3:
+                v = row[i] - (left + prev[i]) // 2
+            else:
+                v = row[i] - _paeth(left, prev[i], ul)
+            raw.append(v & 0xFF)
+        prev = row
+    return raw
+
+
+def _encode_png_adam7(pixels: bytes, width: int, height: int) -> bytes:
+    """Encode raw RGB bytes as an Adam7-INTERLACED truecolor PNG
+    (round 10 — the last deterministic PNG variant behind the seam):
+    the raster splits into the seven §2.6 sub-images, each filtered
+    independently (filters still cycle r %% 5 within a pass), all
+    passes deflate as one IDAT stream."""
     import struct
     import zlib
 
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError(f"not a PNG (signature {payload[:8]!r})")
-    pos, idat = 8, bytearray()
-    w = h = channels = None
-    ctype = None
-    plte: bytes | None = None
-    while pos + 12 <= len(payload):
-        ln = int.from_bytes(payload[pos:pos + 4], "big")
-        tag = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + ln]
-        crc = int.from_bytes(payload[pos + 8 + ln:pos + 12 + ln], "big")
-        if binascii.crc32(tag + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG CRC mismatch in {tag!r} chunk")
-        if tag == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8 or ctype not in (2, 3, 6):
-                raise NotImplementedError(
-                    f"only 8-bit RGB/RGBA/palette PNG decoded here "
-                    f"(depth {depth}, color type {ctype}) — "
-                    "PIL.Image.open plugs in for grayscale/16-bit"
-                )
-            if interlace:
-                raise NotImplementedError(
-                    "Adam7 interlaced PNG — PIL.Image.open plugs in here"
-                )
-            # filtering operates on the ENCODED pixel width: one
-            # index byte for palette images, 3/4 for truecolor
-            channels = {2: 3, 3: 1, 6: 4}[ctype]
-        elif tag == b"PLTE":
-            if ln % 3:
-                raise ValueError(f"PLTE length {ln} not divisible by 3")
-            plte = bytes(data)
-        elif tag == b"IDAT":
-            idat += data
-        elif tag == b"IEND":
-            break
-        pos += 12 + ln
-    if w is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT chunks")
-    if ctype == 3 and plte is None:
-        raise ValueError("palette PNG missing its PLTE chunk")
-    raw = zlib.decompress(bytes(idat))
-    bpp, stride = channels, w * channels
-    if len(raw) != h * (stride + 1):
+    bpp = 3
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub = bytearray()
+        for j in range(ph):
+            for i in range(pw):
+                src = ((y0 + j * dy) * width + (x0 + i * dx)) * bpp
+                sub += pixels[src:src + bpp]
+        raw += _filter_rows(bytes(sub), pw, ph, bpp)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _encode_png_gray16(
+    samples: list[int], width: int, height: int
+) -> bytes:
+    """Encode 16-bit samples as a grayscale depth-16 PNG (color type
+    0) — big-endian sample pairs, filters over the 2-byte pixel
+    stride."""
+    import struct
+    import zlib
+
+    if len(samples) != width * height:
         raise ValueError(
-            f"inflated scanline data {len(raw)} != {h * (stride + 1)}"
+            f"{len(samples)} samples for a {width}x{height} image"
+        )
+    pixels = b"".join(struct.pack(">H", s & 0xFFFF) for s in samples)
+    raw = _filter_rows(pixels, width, height, 2)
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _unfilter_scanlines(
+    raw: bytes, width: int, height: int, bpp: int, offset: int = 0
+) -> tuple[bytearray, int]:
+    """Undo PNG row filters (None/Sub/Up/Average/Paeth, RFC 2083 §6)
+    over ``height`` scanlines of ``width`` pixels × ``bpp`` bytes,
+    starting at ``offset`` into the inflated stream. Returns the
+    reconstructed pixel bytes and the next offset (Adam7 passes call
+    this once per pass — each pass is filtered independently)."""
+    stride = width * bpp
+    need = height * (stride + 1)
+    if len(raw) - offset < need:
+        raise ValueError(
+            f"inflated scanline data {len(raw) - offset} < {need}"
         )
     out = bytearray()
     prev = bytes(stride)
-    for r in range(h):
-        ft = raw[r * (stride + 1)]
-        line = bytearray(raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)])
+    for r in range(height):
+        base = offset + r * (stride + 1)
+        ft = raw[base]
+        line = bytearray(raw[base + 1:base + 1 + stride])
         if ft not in (0, 1, 2, 3, 4):
             raise ValueError(f"bad PNG filter type {ft} on row {r}")
         for i in range(stride):
@@ -383,6 +422,104 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
                 line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
         prev = bytes(line)
         out += line
+    return out, offset + need
+
+
+# Adam7 pass grid (RFC 2083 §2.6): (x0, y0, dx, dy) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG with nothing but the stdlib: chunk walk with CRC
+    verification, IDAT concatenation + zlib inflate, per-scanline
+    unfiltering (None/Sub/Up/Average/Paeth), PLTE expansion for color
+    type 3 (indexed — the most common web PNG flavor; round 10),
+    Adam7 DEINTERLACING (each pass unfiltered independently, pixels
+    scattered back on the §2.6 grid), and 8- or 16-bit sample depth
+    (16-bit samples return as big-endian byte pairs). Returns
+    (width, height, channels, raw pixel bytes) — channels counts
+    SAMPLES per pixel (gray 1, gray+alpha 2, RGB 3, RGBA 4; palette
+    expands to 3). This closes the C5 compressed-codec seam for every
+    deterministic PNG variant; only sub-byte depths (1/2/4-bit) still
+    raise NotImplementedError naming where PIL.Image.open plugs in."""
+    import binascii
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"not a PNG (signature {payload[:8]!r})")
+    pos, idat = 8, bytearray()
+    w = h = channels = None
+    ctype = depth = interlace = None
+    plte: bytes | None = None
+    while pos + 12 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        crc = int.from_bytes(payload[pos + 8 + ln:pos + 12 + ln], "big")
+        if binascii.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if ctype not in (0, 2, 3, 4, 6):
+                raise ValueError(f"bad PNG color type {ctype}")
+            if depth not in (8, 16) or (ctype == 3 and depth != 8):
+                raise NotImplementedError(
+                    f"sub-byte sample depth (depth {depth}, color "
+                    f"type {ctype}) — PIL.Image.open plugs in for "
+                    "1/2/4-bit images"
+                )
+            if interlace not in (0, 1):
+                raise ValueError(f"bad interlace method {interlace}")
+            # filtering operates on the ENCODED pixel width: one
+            # index byte for palette images, samples × depth/8 else
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        elif tag == b"PLTE":
+            if ln % 3:
+                raise ValueError(f"PLTE length {ln} not divisible by 3")
+            plte = bytes(data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing its PLTE chunk")
+    raw = zlib.decompress(bytes(idat))
+    bpp = channels * (depth // 8)
+    if not interlace:
+        out, end = _unfilter_scanlines(raw, w, h, bpp)
+        if end != len(raw):
+            raise ValueError(
+                f"inflated scanline data {len(raw)} != {end}"
+            )
+    else:
+        # Adam7: seven independently-filtered sub-images scatter back
+        # onto the full raster (progressive rendering's storage cost)
+        out = bytearray(w * h * bpp)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = _unfilter_scanlines(raw, pw, ph, bpp, off)
+            for j in range(ph):
+                for i in range(pw):
+                    src = (j * pw + i) * bpp
+                    dst = ((y0 + j * dy) * w + (x0 + i * dx)) * bpp
+                    out[dst:dst + bpp] = sub[src:src + bpp]
+        if off != len(raw):
+            raise ValueError(
+                f"inflated scanline data {len(raw)} != {off}"
+            )
     if ctype == 3:
         # expand palette indices to RGB triples (RFC 2083 §4.1.2)
         n_colors = len(plte) // 3
@@ -446,6 +583,40 @@ def to_png_palette_table(
         for pdf in batches:
             payloads = [
                 _encode_png_palette(
+                    bytes(
+                        ord(c) % 256
+                        for c in (text[:n_px] + "x" * n_px)[:n_px]
+                    ),
+                    width, height,
+                )
+                for text in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        op, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+def to_png_adam7_table(
+    documents: DataFrame, width: int = PPM_W, height: int = PPM_H
+) -> DataFrame:
+    """Build a media table of Adam7-INTERLACED truecolor PNGs carrying
+    the same codepoint %% 256 pixel contract as the other media
+    fixtures — the deinterlacing decode path shares their decoded-stat
+    oracle."""
+    n_px = width * height * 3
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _encode_png_adam7(
                     bytes(
                         ord(c) % 256
                         for c in (text[:n_px] + "x" * n_px)[:n_px]

@@ -547,6 +547,24 @@ def q173_png_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q174_png_adam7_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-interlaced PNG decode through the C5 seam (round 10 —
+    the last deterministic PNG variant): the corpus re-encodes as
+    interlace-method-1 truecolor PNGs (seven independently-filtered
+    sub-images, filters cycling within each pass), and
+    ``extract_features(decode_stub=False)`` CRC-walks, inflates,
+    unfilters each pass and SCATTERS the pixels back onto the raster.
+    Deinterlaced pixels are byte-identical to q172/q173 by the shared
+    codepoint %% 256 contract — same byte-exact oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(
+        multimodal.to_png_adam7_table(d), decode_stub=False
+    ).select(
+        "doc_id", "n_bytes", F.round("byte_mean", 4).alias("byte_mean"),
+        F.round("byte_entropy_proxy", 4).alias("byte_entropy_proxy"),
+    )
+
+
 # --- C5: REAL frame decode fan-out (oracle-able) -------------------------------------------------
 def q38_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode_stub=False: one frame per decoded pixel ROW with its
@@ -630,6 +648,7 @@ QUERIES = {
     "q37_media_features": q37_media_features,
     "q172_png_decode": q172_png_decode,
     "q173_png_palette_decode": q173_png_palette_decode,
+    "q174_png_adam7_decode": q174_png_adam7_decode,
     "q38_frame_sample": q38_frame_sample,
     "q152_wav_decode": q152_wav_decode,
 }
@@ -951,8 +970,21 @@ ORACLE = {
                ROUND(len(list_distinct(cs)) / 256.0, 4) AS byte_entropy_proxy
         FROM codes
     """,
-    # palette PNG expands back to the SAME pixel bytes (shared
-    # codepoint % 256 contract) — identical oracle fold
+    # palette and Adam7 PNGs decode back to the SAME pixel bytes
+    # (shared codepoint % 256 contract) — identical oracle fold
+    "q174_png_adam7_decode": """
+        WITH codes AS (
+            SELECT doc_id,
+                   list_transform(range(1, 193),
+                                  i -> ord(rpad(substr(text, 1, 192), 192, 'x')[i]) % 256) AS cs
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(192 AS BIGINT) AS n_bytes,
+               ROUND(list_sum(cs) * 1.0 / 192, 4) AS byte_mean,
+               ROUND(len(list_distinct(cs)) / 256.0, 4) AS byte_entropy_proxy
+        FROM codes
+    """,
     "q173_png_palette_decode": """
         WITH codes AS (
             SELECT doc_id,

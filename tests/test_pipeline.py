@@ -654,3 +654,55 @@ def test_png_palette_roundtrip_and_reference_decode(spark, sf_small):
         ).collect()
     }
     assert pal_stats == png_stats
+
+
+def test_png_adam7_and_gray16_roundtrip(spark, sf_small):
+    """Round 10 — the remaining deterministic PNG variants: (a) Adam7
+    interlace round-trips exactly on geometries that exercise empty
+    and ragged passes; (b) deinterlaced pixels equal the straight
+    encoding's; (c) 16-bit grayscale round-trips big-endian sample
+    pairs; (d) sub-byte depths keep the documented seam error; (e)
+    the Spark Adam7 path's decoded stats equal the truecolor twin."""
+    import struct
+
+    px = bytes((i * 37 + 11) % 256 for i in range(8 * 8 * 3))
+    for (w, h) in [(8, 8), (5, 3), (1, 1), (13, 7), (16, 9)]:
+        p = bytes((i * 31 + 5) % 256 for i in range(w * h * 3))
+        assert multimodal._decode_png(
+            multimodal._encode_png_adam7(p, w, h)
+        ) == (w, h, 3, p)
+    assert (
+        multimodal._decode_png(multimodal._encode_png_adam7(px, 8, 8))[3]
+        == multimodal._decode_png(multimodal._encode_png(px, 8, 8))[3]
+    )
+    samples = [(i * 2571 + 99) % 65536 for i in range(64)]
+    w, h, ch, out = multimodal._decode_png(
+        multimodal._encode_png_gray16(samples, 8, 8)
+    )
+    assert (w, h, ch) == (8, 8, 1)
+    assert list(struct.unpack(f">{len(out) // 2}H", out)) == samples
+    with pytest.raises(NotImplementedError, match="sub-byte"):
+        import zlib
+
+        bad_ihdr = struct.pack(">IIBBBBB", 8, 8, 4, 0, 0, 0, 0)
+        multimodal._decode_png(
+            b"\x89PNG\r\n\x1a\n"
+            + multimodal._png_chunk(b"IHDR", bad_ihdr)
+            + multimodal._png_chunk(b"IDAT", zlib.compress(b"\x00" * 40))
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+
+    d = load_table(spark, sf_small, "documents").limit(5)
+    adam = {
+        r.doc_id: tuple(r)
+        for r in multimodal.extract_features(
+            multimodal.to_png_adam7_table(d), decode_stub=False
+        ).collect()
+    }
+    png = {
+        r.doc_id: tuple(r)
+        for r in multimodal.extract_features(
+            multimodal.to_png_table(d), decode_stub=False
+        ).collect()
+    }
+    assert adam == png
