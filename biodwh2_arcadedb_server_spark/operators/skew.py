@@ -60,12 +60,17 @@ def broadcast_if_small(df: DataFrame, threshold: int | None = None) -> DataFrame
         conf = spark.conf.get(
             "spark.sql.autoBroadcastJoinThreshold", "10485760"
         )
-        # the conf accepts byte-suffixed strings ("10MB"); parse with
-        # Spark's own util so the gate and the planner agree
-        threshold = int(
-            spark._jvm.org.apache.spark.network.util.JavaUtils
-            .byteStringAsBytes(conf)
-        )
+        # the conf accepts plain ints INCLUDING "-1" (auto-broadcast
+        # disabled) and byte-suffixed strings ("10MB"); parse with
+        # Spark's own util for the suffixed form so the gate and the
+        # planner agree
+        try:
+            threshold = int(conf.rstrip("b"))
+        except ValueError:
+            threshold = int(
+                spark._jvm.org.apache.spark.network.util.JavaUtils
+                .byteStringAsBytes(conf)
+            )
     if threshold <= 0:  # auto-broadcast disabled → never hint
         return df
     est = int(

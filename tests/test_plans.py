@@ -271,6 +271,9 @@ def test_broadcast_gate_hints_small_and_releases_large(spark, sf_medium):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        # the session conf itself says "-1" (auto-broadcast disabled):
+        # the gate must parse that legal value and never hint
+        assert broadcast_if_small(c) is c
         gated = broadcast_if_small(c, threshold=1024)
         assert gated is c  # unhinted frame, not a broadcast wrapper
         j2 = o.join(gated, o.o_custkey == c.c_custkey)
