@@ -220,6 +220,7 @@ HEADLINE = [
 # queries where the floor amortizes per-trigger.
 STREAMING = [
     "q56_stateful_running_stats",
+    "q175_tws_running_stats",
     "q62_stream_enrich",
     "q127_stream_stream_join",
     "q69_stream_ingest",

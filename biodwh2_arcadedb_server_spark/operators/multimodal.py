@@ -363,6 +363,68 @@ def _encode_png_adam7(pixels: bytes, width: int, height: int) -> bytes:
     )
 
 
+def _encode_png_sub_byte(
+    samples: list[int],
+    width: int,
+    height: int,
+    depth: int,
+    ctype: int = 0,
+    palette: bytes | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode 1/2/4-bit samples (gray ctype 0, or palette indices
+    ctype 3 with ``palette`` as packed RGB triples) — rows pack
+    MSB-first with zero pad, filters run over the packed bytes
+    (bpp=1), optional Adam7 (each pass packs its own rows)."""
+    import struct
+    import zlib
+
+    if depth not in (1, 2, 4):
+        raise ValueError(f"sub-byte depth must be 1/2/4, got {depth}")
+    if len(samples) != width * height:
+        raise ValueError(
+            f"{len(samples)} samples for a {width}x{height} image"
+        )
+    if not interlace:
+        packed_rows = [
+            bytes(_pack_bits(samples[r * width:(r + 1) * width], depth))
+            for r in range(height)
+        ]
+        raw = _filter_rows(
+            b"".join(packed_rows), len(packed_rows[0]), height, 1
+        )
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows = []
+            for j in range(ph):
+                rows.append(bytes(_pack_bits(
+                    [
+                        samples[(y0 + j * dy) * width + (x0 + i * dx)]
+                        for i in range(pw)
+                    ],
+                    depth,
+                )))
+            raw += _filter_rows(b"".join(rows), len(rows[0]), ph, 1)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, ctype, 0, 0, int(interlace)
+    )
+    chunks = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette PNG needs its PLTE triples")
+        chunks += _png_chunk(b"PLTE", palette)
+    return (
+        chunks
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _encode_png_gray16(
     samples: list[int], width: int, height: int
 ) -> bytes:
@@ -431,6 +493,36 @@ _ADAM7 = (
     (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
 )
 
+# Valid (color type → sample depths) combinations, RFC 2083 §6.1.
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+    4: (8, 16), 6: (8, 16),
+}
+
+
+def _unpack_bits(row: bytes, width: int, depth: int) -> bytearray:
+    """Unpack a sub-byte scanline (1/2/4-bit samples, MSB-first with
+    trailing pad bits) into one sample per byte."""
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    out = bytearray(width)
+    for i in range(width):
+        out[i] = (
+            row[i // per_byte] >> (8 - depth * (i % per_byte + 1))
+        ) & mask
+    return out
+
+
+def _pack_bits(samples, depth: int) -> bytearray:
+    """Pack sub-byte samples into a scanline (MSB-first, zero pad)."""
+    per_byte = 8 // depth
+    out = bytearray((len(samples) * depth + 7) // 8)
+    for i, s in enumerate(samples):
+        out[i // per_byte] |= (s & ((1 << depth) - 1)) << (
+            8 - depth * (i % per_byte + 1)
+        )
+    return out
+
 
 def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG with nothing but the stdlib: chunk walk with CRC
@@ -442,9 +534,11 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     (16-bit samples return as big-endian byte pairs). Returns
     (width, height, channels, raw pixel bytes) — channels counts
     SAMPLES per pixel (gray 1, gray+alpha 2, RGB 3, RGBA 4; palette
-    expands to 3). This closes the C5 compressed-codec seam for every
-    deterministic PNG variant; only sub-byte depths (1/2/4-bit) still
-    raise NotImplementedError naming where PIL.Image.open plugs in."""
+    expands to 3), sub-byte grayscale scales to 8-bit full range.
+    This closes the C5 compressed-codec seam for EVERY spec-valid PNG
+    shape (all five color types, depths 1/2/4/8/16, both interlace
+    methods) — the remaining NotImplementedError seam is only the
+    genuinely lossy codecs (JPEG/MP4/Opus) in extract_features."""
     import binascii
     import struct
     import zlib
@@ -466,13 +560,12 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if ctype not in (0, 2, 3, 4, 6):
+            if ctype not in _PNG_DEPTHS:
                 raise ValueError(f"bad PNG color type {ctype}")
-            if depth not in (8, 16) or (ctype == 3 and depth != 8):
-                raise NotImplementedError(
-                    f"sub-byte sample depth (depth {depth}, color "
-                    f"type {ctype}) — PIL.Image.open plugs in for "
-                    "1/2/4-bit images"
+            if depth not in _PNG_DEPTHS[ctype]:
+                raise ValueError(
+                    f"depth {depth} invalid for color type {ctype} "
+                    f"(spec allows {_PNG_DEPTHS[ctype]})"
                 )
             if interlace not in (0, 1):
                 raise ValueError(f"bad interlace method {interlace}")
@@ -493,33 +586,79 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     if ctype == 3 and plte is None:
         raise ValueError("palette PNG missing its PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    bpp = channels * (depth // 8)
-    if not interlace:
-        out, end = _unfilter_scanlines(raw, w, h, bpp)
-        if end != len(raw):
-            raise ValueError(
-                f"inflated scanline data {len(raw)} != {end}"
-            )
+    if depth >= 8:
+        bpp = channels * (depth // 8)
+        if not interlace:
+            out, end = _unfilter_scanlines(raw, w, h, bpp)
+            if end != len(raw):
+                raise ValueError(
+                    f"inflated scanline data {len(raw)} != {end}"
+                )
+        else:
+            # Adam7: seven independently-filtered sub-images scatter
+            # back onto the full raster (progressive rendering's cost)
+            out = bytearray(w * h * bpp)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                sub, off = _unfilter_scanlines(raw, pw, ph, bpp, off)
+                for j in range(ph):
+                    for i in range(pw):
+                        src = (j * pw + i) * bpp
+                        dst = ((y0 + j * dy) * w + (x0 + i * dx)) * bpp
+                        out[dst:dst + bpp] = sub[src:src + bpp]
+            if off != len(raw):
+                raise ValueError(
+                    f"inflated scanline data {len(raw)} != {off}"
+                )
     else:
-        # Adam7: seven independently-filtered sub-images scatter back
-        # onto the full raster (progressive rendering's storage cost)
-        out = bytearray(w * h * bpp)
-        off = 0
-        for x0, y0, dx, dy in _ADAM7:
-            pw = (w - x0 + dx - 1) // dx
-            ph = (h - y0 + dy - 1) // dy
-            if pw <= 0 or ph <= 0:
-                continue
-            sub, off = _unfilter_scanlines(raw, pw, ph, bpp, off)
-            for j in range(ph):
-                for i in range(pw):
-                    src = (j * pw + i) * bpp
-                    dst = ((y0 + j * dy) * w + (x0 + i * dx)) * bpp
-                    out[dst:dst + bpp] = sub[src:src + bpp]
-        if off != len(raw):
-            raise ValueError(
-                f"inflated scanline data {len(raw)} != {off}"
-            )
+        # sub-byte depths (1/2/4-bit gray or palette — round 10, the
+        # last PNG variant): filters act on the PACKED scanline bytes
+        # (bpp rounds up to 1 per §6.2); samples unpack MSB-first
+        # after unfiltering, per scanline (and per Adam7 pass — each
+        # pass pads its own rows)
+        if not interlace:
+            stride = (w * depth + 7) // 8
+            packed, end = _unfilter_scanlines(raw, stride, h, 1)
+            if end != len(raw):
+                raise ValueError(
+                    f"inflated scanline data {len(raw)} != {end}"
+                )
+            out = bytearray()
+            for r in range(h):
+                out += _unpack_bits(
+                    packed[r * stride:(r + 1) * stride], w, depth
+                )
+        else:
+            out = bytearray(w * h)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                pstride = (pw * depth + 7) // 8
+                packed, off = _unfilter_scanlines(
+                    raw, pstride, ph, 1, off
+                )
+                for j in range(ph):
+                    rowsamp = _unpack_bits(
+                        packed[j * pstride:(j + 1) * pstride], pw, depth
+                    )
+                    for i in range(pw):
+                        out[(y0 + j * dy) * w + (x0 + i * dx)] = rowsamp[i]
+            if off != len(raw):
+                raise ValueError(
+                    f"inflated scanline data {len(raw)} != {off}"
+                )
+        if ctype == 0:
+            # grayscale sub-byte samples scale to 8-bit full range
+            # (§7.2: 1-bit 1 → 255, 2-bit 3 → 255, 4-bit 15 → 255)
+            mx = (1 << depth) - 1
+            out = bytearray(s * 255 // mx for s in out)
     if ctype == 3:
         # expand palette indices to RGB triples (RFC 2083 §4.1.2)
         n_colors = len(plte) // 3

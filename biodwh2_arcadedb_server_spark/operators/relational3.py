@@ -221,7 +221,65 @@ def q56_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q175_tws_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q56's twin through the Spark 4 ``transformWithStateInPandas``
+    API (named ValueState on the RocksDB state-store provider — the
+    100 TB posture: billions of keys live off-heap/on-disk, not in
+    executor memory). Same finite drive, same final-state fold, SAME
+    batch-aggregate oracle — so the TWS leg is driver-oracled, not
+    just pytest-pinned (VERDICT r9 next #5 follow-through: the leg
+    now executes via the protobuf runtime fallback in
+    streaming/stateful.py)."""
+    from biodwh2_arcadedb_server_spark.streaming import state_partitions
+    from biodwh2_arcadedb_server_spark.streaming.events import read_events_stream
+    from biodwh2_arcadedb_server_spark.streaming.stateful import (
+        running_user_stats_tws,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        with state_partitions(spark):
+            stream = read_events_stream(spark, sf_dir).select(
+                "user_id", "ts", "value"
+            )
+            q = (
+                running_user_stats_tws(stream)
+                .writeStream.format("memory")
+                .queryName("q175_user_stats_tws")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    final = F.max_by(
+        F.struct("n_events", "sum_value", "last_ts"), "n_events"
+    ).alias("s")
+    return (
+        spark.table("q175_user_stats_tws")
+        .groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.round("s.sum_value", 4).alias("sum_value"),
+            F.col("s.last_ts").alias("last_ts"),
+        )
+    )
+
+
 QUERIES = {
+    "q175_tws_running_stats": q175_tws_running_stats,
     "q48_window_analytics": q48_window_analytics,
     "q49_asof_join": q49_asof_join,
     "q50_range_join": q50_range_join,
@@ -312,6 +370,13 @@ ORACLE = {
         GROUP BY c_nationkey
     """,
     "q56_stateful_running_stats": """
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value,
+               MAX(ts) AS last_ts
+        FROM events GROUP BY user_id
+    """,
+    # the TWS twin's final state must equal the same batch aggregate
+    "q175_tws_running_stats": """
         SELECT user_id, COUNT(*) AS n_events,
                ROUND(SUM(value), 4) AS sum_value,
                MAX(ts) AS last_ts

@@ -681,10 +681,11 @@ def test_png_adam7_and_gray16_roundtrip(spark, sf_small):
     )
     assert (w, h, ch) == (8, 8, 1)
     assert list(struct.unpack(f">{len(out) // 2}H", out)) == samples
-    with pytest.raises(NotImplementedError, match="sub-byte"):
+    # spec-invalid depth/color-type combos are loud errors
+    with pytest.raises(ValueError, match="invalid for color type"):
         import zlib
 
-        bad_ihdr = struct.pack(">IIBBBBB", 8, 8, 4, 0, 0, 0, 0)
+        bad_ihdr = struct.pack(">IIBBBBB", 8, 8, 4, 2, 0, 0, 0)
         multimodal._decode_png(
             b"\x89PNG\r\n\x1a\n"
             + multimodal._png_chunk(b"IHDR", bad_ihdr)
@@ -706,3 +707,42 @@ def test_png_adam7_and_gray16_roundtrip(spark, sf_small):
         ).collect()
     }
     assert adam == png
+
+
+def test_png_sub_byte_depths_roundtrip():
+    """Round 10 — 1/2/4-bit PNGs (the final spec-valid variants):
+    gray samples scale to 8-bit full range (1-bit 1 → 255), palette
+    indices expand through PLTE, Adam7 packs each pass's rows
+    independently, ragged widths exercise the per-scanline pad bits,
+    and spec-invalid depth/color-type combos error loudly."""
+    import random
+
+    rng = random.Random(7)
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        for (w, h) in [(8, 8), (5, 3), (13, 7), (1, 1), (3, 9)]:
+            samples = [rng.randint(0, mx) for _ in range(w * h)]
+            want = bytes(s * 255 // mx for s in samples)
+            for il in (False, True):
+                assert multimodal._decode_png(
+                    multimodal._encode_png_sub_byte(
+                        samples, w, h, depth, interlace=il
+                    )
+                ) == (w, h, 1, want)
+            palette = b"".join(
+                bytes((i * 17 % 256, i * 29 % 256, i * 43 % 256))
+                for i in range(mx + 1)
+            )
+            want_rgb = b"".join(
+                palette[s * 3:s * 3 + 3] for s in samples
+            )
+            assert multimodal._decode_png(
+                multimodal._encode_png_sub_byte(
+                    samples, w, h, depth, ctype=3, palette=palette
+                )
+            ) == (w, h, 3, want_rgb)
+    assert bytes(
+        multimodal._decode_png(
+            multimodal._encode_png_sub_byte([0, 1, 1, 0], 2, 2, 1)
+        )[3]
+    ) == b"\x00\xff\xff\x00"
