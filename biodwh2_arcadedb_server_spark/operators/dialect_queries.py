@@ -108,11 +108,18 @@ def _register_star_workspace(spark: SparkSession, sf_dir: str) -> None:
     nodes.createOrReplaceTempView("nodes")
     # the star views just displaced whatever was registered; bump the
     # epoch so OTHER consumers (and a stale memo) can tell, then pin
-    # the memo to the post-registration epoch
-    ws.VIEW_EPOCH += 1
-    _STAR_CACHE["key"] = (
-        spark.sparkContext.applicationId, sf_dir, ws.VIEW_EPOCH,
-    )
+    # the memo to the post-registration epoch. The bump takes the
+    # engine DML lock: load_workspace's bump is lock-guarded, and an
+    # unsynchronized read-modify-write here could lose one of the two
+    # increments and leave the memo pinned at a wrongly-current epoch
+    # (round-10 review).
+    from biodwh2_arcadedb_server_spark import arcadesql as _asql
+
+    with _asql._DML_LOCK:
+        ws.VIEW_EPOCH += 1
+        _STAR_CACHE["key"] = (
+            spark.sparkContext.applicationId, sf_dir, ws.VIEW_EPOCH,
+        )
 
 
 # --- B6: MATCH pattern chain through the dialect ---------------------------------

@@ -45,6 +45,7 @@ from biodwh2_arcadedb_server_spark.operators.graph import (
     strongly_connected_components,
     triangle_count,
 )
+from biodwh2_arcadedb_server_spark.operators.skew import broadcast_if_small
 from biodwh2_arcadedb_server_spark.sources.registry import load_table
 
 _NATION_GRAPH_SQL = """
@@ -59,15 +60,18 @@ _NATION_GRAPH_SQL = """
 
 
 def nation_graph(spark: SparkSession, sf_dir: str, mod: int) -> DataFrame:
-    """Sparse deterministic nation-adjacency edge list (src, dst)."""
+    """Sparse deterministic nation-adjacency edge list (src, dst).
+    customer/supplier grow with scale factor, so their hints go
+    through the size gate like the relational probes (round-10
+    review: these were the last hard hints on SF-growing tables)."""
     l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % mod == 0)
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_if_small(s), l.l_suppkey == s.s_suppkey)
         .select(
             F.col("c_nationkey").cast("long").alias("src"),
             F.col("s_nationkey").cast("long").alias("dst"),

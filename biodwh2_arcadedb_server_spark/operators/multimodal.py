@@ -257,7 +257,6 @@ def _encode_png_palette(pixels: bytes, width: int, height: int) -> bytes:
     import struct
     import zlib
 
-    stride = width * 3
     triples = [
         pixels[i:i + 3] for i in range(0, width * height * 3, 3)
     ]
@@ -267,29 +266,8 @@ def _encode_png_palette(pixels: bytes, width: int, height: int) -> bytes:
             f"{len(palette)} distinct colors — palette PNG holds ≤256"
         )
     index_of = {t: i for i, t in enumerate(palette)}
-    raw = bytearray()
-    prev = bytes(width)
-    for r in range(height):
-        row = bytes(
-            index_of[t] for t in triples[r * width:(r + 1) * width]
-        )
-        ft = r % 5
-        raw.append(ft)
-        for i in range(width):  # bpp = 1: left neighbor is i-1
-            left = row[i - 1] if i >= 1 else 0
-            ul = prev[i - 1] if i >= 1 else 0
-            if ft == 0:
-                v = row[i]
-            elif ft == 1:
-                v = row[i] - left
-            elif ft == 2:
-                v = row[i] - prev[i]
-            elif ft == 3:
-                v = row[i] - (left + prev[i]) // 2
-            else:
-                v = row[i] - _paeth(left, prev[i], ul)
-            raw.append(v & 0xFF)
-        prev = row
+    indices = bytes(index_of[t] for t in triples)
+    raw = _filter_rows(indices, width, height, 1)  # bpp=1 index bytes
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"

@@ -81,9 +81,10 @@ MATCH / TRAVERSE), or GraphQL.</p>
 <button onclick="run()">Run</button>
 <div id="err"></div><div id="out"></div>
 <h3>Explore a record</h3>
-<p>Paste a <code>@rid</code> (e.g. from <code>SELECT @rid FROM
-Nation</code>) to see the record and its 1-hop neighborhood.</p>
-<input id="rid" placeholder="#1:42" style="font-family:monospace">
+<p>Paste the id <code>SELECT @rid FROM Nation</code> echoes (a bare
+record id) or a full <code>#bucket:pos</code> RID to see the record
+and its 1-hop neighborhood.</p>
+<input id="rid" placeholder="#1:42 or 531961617338…" style="font-family:monospace">
 <button onclick="explore()">Explore</button>
 <div id="nerr" style="color:#b00;white-space:pre-wrap"></div>
 <div id="nout"></div>
@@ -311,17 +312,51 @@ class QueryServer:
 
                 CAP = 200
                 m = re.fullmatch(r"(\d+):(-?\d+)", rid)
-                if m is None:
+                if m is not None:
+                    bucket, p = int(m.group(1)), int(m.group(2))
+                    try:
+                        label = arcadesql._rid_bucket_label(bucket)
+                    except arcadesql.ArcadeSQLError as exc:
+                        self._reply(400, {"error": str(exc)})
+                        return
+                elif re.fullmatch(r"-?\d+", rid):
+                    # bare id, exactly what `SELECT @rid FROM T`
+                    # echoes (round-10 review: the console told users
+                    # to paste that echo, which has no bucket prefix).
+                    # node_id is globally unique content-derived hash,
+                    # so the label resolves from the unified view.
+                    p = int(rid)
+                    try:
+                        hit = (
+                            server.spark.table("nodes")
+                            .where(F.col("node_id") == p)
+                            .select("label")
+                            .limit(1)
+                            .collect()
+                        )
+                    except Exception as exc:
+                        self._reply(500, {"error": str(exc)})
+                        return
+                    if not hit:
+                        self._reply(404, {
+                            "error": f"no record with id {p}",
+                        })
+                        return
+                    label = hit[0].label
+                    try:
+                        from biodwh2_arcadedb_server_spark import (
+                            workspace as _ws,
+                        )
+
+                        rid = f"{_ws.RID_BUCKET_LABELS.index(label)}:{p}"
+                    except ValueError:
+                        rid = f"?:{p}"  # star views have no buckets
+                else:
                     self._reply(400, {
                         "error": f"bad RID {rid!r} — expected "
-                                 "#<bucket>:<position>",
+                                 "#<bucket>:<position> or a bare "
+                                 "record id",
                     })
-                    return
-                bucket, p = int(m.group(1)), int(m.group(2))
-                try:
-                    label = arcadesql._rid_bucket_label(bucket)
-                except arcadesql.ArcadeSQLError as exc:
-                    self._reply(400, {"error": str(exc)})
                     return
 
                 def _safe(v):
@@ -385,7 +420,10 @@ class QueryServer:
                     out_e, out_trunc = _hop("src", "dst")
                     in_e, in_trunc = _hop("dst", "src")
                 except Exception as exc:
-                    self._reply(400, {"error": str(exc)})
+                    # server-side fault (missing views, dead session,
+                    # failed job) — NOT a malformed request (round-10
+                    # review: 4xx-vs-5xx misattribution)
+                    self._reply(500, {"error": str(exc)})
                     return
                 self._reply(200, {
                     "rid": f"#{rid}",
@@ -688,7 +726,16 @@ class QueryServer:
                             os.path.abspath(server.workspace_dir)
                         )
                     else:
-                        parent = tempfile.mkdtemp(prefix="biodwh2_dbs_")
+                        # ONE fallback parent per server instance —
+                        # a per-request mkdtemp would leak a fresh
+                        # directory every create AND defeat the
+                        # stale-dir rejection below (round-10 review)
+                        parent = getattr(server, "_managed_parent", None)
+                        if parent is None:
+                            parent = tempfile.mkdtemp(
+                                prefix="biodwh2_dbs_"
+                            )
+                            server._managed_parent = parent
                     dbdir = os.path.join(parent, f"biodwh2_db_{name}")
                     try:
                         os.makedirs(dbdir, exist_ok=False)

@@ -480,7 +480,15 @@ def _ensure_protobuf_runtime() -> None:
         pass
     import sys
 
-    sdk = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+    # configurable (round-10 review: don't bake one deployment's
+    # filesystem into import side effects): SPARK_GRAFT_PROTOBUF_PATH
+    # points at a directory containing google/protobuf; the
+    # google-cloud-sdk App Engine bundle is the known-good default
+    # candidate where present.
+    sdk = os.environ.get(
+        "SPARK_GRAFT_PROTOBUF_PATH",
+        "/usr/lib/google-cloud-sdk/platform/google_appengine",
+    )
     if not os.path.isdir(os.path.join(sdk, "google", "protobuf")):
         raise ImportError("no protobuf runtime available")
     if sdk not in sys.path:

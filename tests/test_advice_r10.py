@@ -271,6 +271,16 @@ def test_neighborhood_endpoint(spark, rid_ws):
             with pytest.raises(urllib.error.HTTPError) as exc:
                 get(path)
             assert exc.value.code == code
+        # the BARE id `SELECT @rid` echoes works too (the console
+        # panel's advertised paste workflow — round-10 self-review):
+        # label resolves from the unified view, echo carries a full
+        # #bucket:pos RID
+        bare = get(f"/api/v1/neighborhood/{rid}")
+        assert bare["type"] == "Nation"
+        assert bare["rid"] == f"#{nb}:{rid}"
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            get("/api/v1/neighborhood/12345")  # unknown bare id
+        assert exc.value.code == 404
         # console page carries the explore panel
         page = get("/", raw=True)
         assert "neighborhood" in page and "Explore" in page
