@@ -28,7 +28,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Structural reasons a probe can't beat DuckDB on micro data no matter
 # the plan; everything else >2x is worth a plan look.
-STREAMING = {"q16", "q56", "q62", "q63", "q69", "q84", "q90"}
+STREAMING = {"q16", "q56", "q62", "q63", "q69", "q84", "q90", "q127", "q175"}
 ITERATIVE = {
     "q21", "q22", "q24", "q25", "q65", "q76", "q80", "q81", "q83", "q85",
     "q86", "q97", "q77",
@@ -116,9 +116,19 @@ def main() -> None:
         lines = [l for l in open(path) if l.startswith("{")]
         runs.append(json.loads(lines[-1]))
     spark_run = runs[0]
+    # HEADLINE ∪ STREAMING (round 10: streaming probes were previously
+    # left out of the two-sided audit even though they carry oracles)
+    def _all_times(r):
+        return {**r.get("queries", {}), **r.get("streaming", {})}
+
+    names = set()
+    for r in runs:
+        names |= set(_all_times(r))
     spark_times = {
-        name: min(r["queries"][name] for r in runs if name in r["queries"])
-        for name in spark_run["queries"]
+        name: min(
+            _all_times(r)[name] for r in runs if name in _all_times(r)
+        )
+        for name in names
     }
 
     con = duckdb.connect()
