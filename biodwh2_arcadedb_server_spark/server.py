@@ -263,6 +263,34 @@ class QueryServer:
                         return
                     db = self.path.rsplit("/", 1)[-1]
                     self._reply(200, {"result": db in server.databases})
+                elif re.fullmatch(
+                    r"/api/v1/query/[^/]+/[^/]+/.+", self.path
+                ):
+                    # ArcadeDB GET query form:
+                    # GET /api/v1/query/{db}/{language}/{command}
+                    # (URL-encoded command) — the idempotent wire
+                    # twin of POST /api/v1/query/{db}; same read-only
+                    # routing, same response shape (round 10).
+                    if not self._authorized():
+                        self._challenge()
+                        return
+                    import urllib.parse
+
+                    _, _, _, _, _db, lang, cmd = self.path.split("/", 6)
+                    self._get_form_request = {
+                        "language": urllib.parse.unquote(lang),
+                        "command": urllib.parse.unquote(cmd),
+                    }
+                    try:
+                        self._arcade_api("query")
+                    except Exception as exc:  # noqa: BLE001
+                        # same statement-failure wrapping as the POST
+                        # route — a bad query is a 400, not a dropped
+                        # connection
+                        self._reply(
+                            400,
+                            {"error": f"{type(exc).__name__}: {exc}"[:500]},
+                        )
                 elif self.path.startswith("/api/v1/neighborhood/"):
                     if not self._authorized():
                         self._challenge()
@@ -452,8 +480,12 @@ class QueryServer:
 
                 from biodwh2_arcadedb_server_spark import arcadesql
 
-                n = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(n) or b"{}")
+                req = getattr(self, "_get_form_request", None)
+                if req is None:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                else:
+                    self._get_form_request = None
                 cmd = req.get("command") or req.get("query")
                 if not cmd:
                     self._reply(400, {"error": "missing 'command'"})

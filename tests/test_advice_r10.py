@@ -286,3 +286,58 @@ def test_neighborhood_endpoint(spark, rid_ws):
         assert "neighborhood" in page and "Explore" in page
     finally:
         srv.stop()
+
+
+def test_get_form_query_route(spark, rid_ws):
+    """ArcadeDB's idempotent GET query form (round 10):
+    GET /api/v1/query/{db}/{language}/{command} with a URL-encoded
+    command — same routing and response shape as the POST twin, DML
+    rejected, statement failures are clean 400s that don't kill the
+    connection, auth required."""
+    import base64
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    from biodwh2_arcadedb_server_spark.server import QueryServer
+
+    srv = QueryServer(spark, workspace_dir=rid_ws)
+    port = srv.start()
+    auth = base64.b64encode(
+        f"{srv.username}:{srv.password}".encode()
+    ).decode()
+
+    def get(path, authed=True):
+        headers = {"Authorization": f"Basic {auth}"} if authed else {}
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", headers=headers
+        )
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+
+    q = lambda s: "/api/v1/query/biodwh2/sql/" + urllib.parse.quote(
+        s, safe=""
+    )
+    try:
+        j = get(q("SELECT count(*) AS n FROM Region"))
+        assert j == {"result": [{"n": 5}]}
+        # dialect MATCH routes the same way
+        j = get(q(
+            "SELECT natural_key FROM Nation WHERE natural_key = 3"
+        ))
+        assert j == {"result": [{"natural_key": 3}]}
+        # non-idempotent statements are rejected on /query
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            get(q("DELETE FROM Nation"))
+        assert exc.value.code == 400
+        # a failing statement is a 400, and the server stays up
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            get(q("SELECT FROM NoSuchType"))
+        assert exc.value.code == 400
+        assert get(q("SELECT count(*) AS n FROM Region"))["result"][0]["n"] == 5
+        # auth required
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            get(q("SELECT count(*) AS n FROM Region"), authed=False)
+        assert exc.value.code == 401
+    finally:
+        srv.stop()
