@@ -179,6 +179,9 @@ class QueryServer:
 
         self._started = _time.monotonic()
         self.databases: dict[str, str | None] = {"biodwh2": workspace_dir}
+        # guards the lazy creation of the workspace-less managed-db
+        # parent directory (one per server instance)
+        self._managed_parent_lock = __import__("threading").Lock()
 
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> int:
@@ -264,19 +267,23 @@ class QueryServer:
                     db = self.path.rsplit("/", 1)[-1]
                     self._reply(200, {"result": db in server.databases})
                 elif re.fullmatch(
-                    r"/api/v1/query/[^/]+/[^/]+/.+", self.path
+                    r"/api/v1/query/[^/]+/[^/]+/.+",
+                    self.path.split("?", 1)[0],
                 ):
                     # ArcadeDB GET query form:
                     # GET /api/v1/query/{db}/{language}/{command}
                     # (URL-encoded command) — the idempotent wire
                     # twin of POST /api/v1/query/{db}; same read-only
-                    # routing, same response shape (round 10).
+                    # routing, same response shape (round 10). A
+                    # trailing ?query=string is stripped, never folded
+                    # into the command text (second review pass).
                     if not self._authorized():
                         self._challenge()
                         return
                     import urllib.parse
 
-                    _, _, _, _, _db, lang, cmd = self.path.split("/", 6)
+                    route = self.path.split("?", 1)[0]
+                    _, _, _, _, _db, lang, cmd = route.split("/", 6)
                     self._get_form_request = {
                         "language": urllib.parse.unquote(lang),
                         "command": urllib.parse.unquote(cmd),
@@ -372,11 +379,7 @@ class QueryServer:
                         return
                     label = hit[0].label
                     try:
-                        from biodwh2_arcadedb_server_spark import (
-                            workspace as _ws,
-                        )
-
-                        rid = f"{_ws.RID_BUCKET_LABELS.index(label)}:{p}"
+                        rid = f"{ws_mod.RID_BUCKET_LABELS.index(label)}:{p}"
                     except ValueError:
                         rid = f"?:{p}"  # star views have no buckets
                 else:
@@ -761,13 +764,19 @@ class QueryServer:
                         # ONE fallback parent per server instance —
                         # a per-request mkdtemp would leak a fresh
                         # directory every create AND defeat the
-                        # stale-dir rejection below (round-10 review)
-                        parent = getattr(server, "_managed_parent", None)
-                        if parent is None:
-                            parent = tempfile.mkdtemp(
-                                prefix="biodwh2_dbs_"
+                        # stale-dir rejection below (round-10 review).
+                        # Creation is lock-guarded: two concurrent
+                        # creates on the ThreadingHTTPServer must not
+                        # each mkdtemp (second review pass TOCTOU).
+                        with server._managed_parent_lock:
+                            parent = getattr(
+                                server, "_managed_parent", None
                             )
-                            server._managed_parent = parent
+                            if parent is None:
+                                parent = tempfile.mkdtemp(
+                                    prefix="biodwh2_dbs_"
+                                )
+                                server._managed_parent = parent
                     dbdir = os.path.join(parent, f"biodwh2_db_{name}")
                     try:
                         os.makedirs(dbdir, exist_ok=False)

@@ -1137,7 +1137,6 @@ def load_workspace(spark: SparkSession, ws_dir: str) -> dict:
     agnostic queries (`WHERE props['name'] LIKE …`) stay expressible
     without widening every label to a common schema."""
     global VIEW_EPOCH
-    VIEW_EPOCH += 1
     with open(os.path.join(ws_dir, "manifest.json")) as mh:
         manifest = json.load(mh)
     # bucket order comes from the manifest (recorded at build time,
@@ -1150,6 +1149,11 @@ def load_workspace(spark: SparkSession, ws_dir: str) -> dict:
     from biodwh2_arcadedb_server_spark import arcadesql as _asql
 
     with _asql._DML_LOCK:
+        # the epoch bump lives INSIDE the lock — an unguarded
+        # read-modify-write here races _register_star_workspace's
+        # locked bump and a lost increment would let a stale view
+        # memo pass as current (round-10 second review pass)
+        VIEW_EPOCH += 1
         RID_BUCKET_LABELS[:] = manifest.get("rid_buckets") or list(
             manifest["nodes"]
         )
