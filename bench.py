@@ -166,6 +166,7 @@ HEADLINE = [
     "q106_cosine_neardup_clusters",
     "q156_semdedup_ann_clusters",
     "q30_knn_topk",
+    "q176_kmeans_embeddings",
     "q128_rag_retrieval",
     "q77_ivf_topk",
     "q116_pq_topk",

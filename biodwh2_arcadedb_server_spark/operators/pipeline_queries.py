@@ -1045,3 +1045,87 @@ ORACLE["q73_curation_pipeline"] = f"""
         FROM rep
     )
 """
+
+
+# --- C3/C4: distributed k-means clustering (oracle: unrolled Lloyd CTEs) -----
+_KM_K, _KM_ITER, _KM_DIM = 4, 3, 64
+
+
+def q176_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus fixed-iteration Lloyd k-means (similarity.
+    kmeans_assign) — the cluster-then-balance step SemDeDup-style
+    pipelines run before in-cluster dedup / per-cluster sampling.
+    Map-only assignment against a broadcast centroid literal + one
+    groupBy(k) per round; centroids round to 8 decimals each round so
+    DuckDB's unrolled-CTE replay is bit-exact (see kmeans_assign)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign(
+        e, k=_KM_K, iterations=_KM_ITER, dim=_KM_DIM
+    ).orderBy("vec_id")
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    """Generate the unrolled Lloyd SQL (same device as the PageRank
+    oracle): c0 = the k smallest-id vectors rounded to 8dp; each round
+    r assigns by argmin squared distance (ties to the lower cluster)
+    and recomputes per-dimension rounded means, empty clusters keeping
+    their previous centroid via LEFT JOIN + COALESCE; the answer is
+    the assignment under the final centroids."""
+    dist = (
+        "list_sum(list_transform(range(1, {n}), i -> "
+        "(CAST(e.embedding[i] AS DOUBLE) - c.cent[i]) * "
+        "(CAST(e.embedding[i] AS DOUBLE) - c.cent[i])))"
+    ).format(n=dim + 1)
+
+    def assign(name: str, csrc: str) -> str:
+        return f"""{name} AS (
+        SELECT vec_id, embedding, cluster FROM (
+            SELECT e.vec_id, e.embedding, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {dist}, c.cluster
+                   ) AS rn
+            FROM embeddings e CROSS JOIN {csrc} c
+        ) WHERE rn = 1
+    )"""
+
+    avgs = ", ".join(
+        f"round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 8)"
+        for i in range(dim)
+    )
+    parts = [
+        f"""init AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+               embedding
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {k})
+    )""",
+        """c0 AS (
+        SELECT cluster,
+               list_transform(range(1, %d),
+                              i -> round(CAST(embedding[i] AS DOUBLE), 8)) AS cent
+        FROM init
+    )""" % (dim + 1),
+    ]
+    for r in range(iters):
+        parts.append(assign(f"a{r}", f"c{r}"))
+        parts.append(
+            f"""g{r + 1} AS (
+        SELECT cluster, [{avgs}] AS cent FROM a{r} GROUP BY cluster
+    )"""
+        )
+        parts.append(
+            f"""c{r + 1} AS (
+        SELECT c{r}.cluster, COALESCE(g{r + 1}.cent, c{r}.cent) AS cent
+        FROM c{r} LEFT JOIN g{r + 1} USING (cluster)
+    )"""
+        )
+    parts.append(assign("afinal", f"c{iters}"))
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + "\n    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster "
+        "FROM afinal ORDER BY vec_id"
+    )
+
+
+QUERIES["q176_kmeans_embeddings"] = q176_kmeans_embeddings
+ORACLE["q176_kmeans_embeddings"] = _kmeans_oracle(_KM_K, _KM_ITER, _KM_DIM)

@@ -734,3 +734,80 @@ def cosine_near_dup_pairs_ann(
         out.dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", F.round("sim_raw", 4).alias("sim"))
     )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed fixed-iteration Lloyd k-means over the FULL corpus
+    — the cluster-then-balance step of large-scale curation pipelines
+    (SemDeDup clusters embeddings with exactly this before in-cluster
+    dedup; domain-mixture balancing samples per cluster). The
+    sample-trained spherical centroids above (`_train_spherical_
+    centroids`) serve ANN cell layout; this is the full-data
+    assignment+update iteration, oracle-replayable.
+
+    Per iteration: assignment is MAP-ONLY (argmin over a broadcast
+    centroid literal via JVM higher-order functions — no crossJoin,
+    no shuffle of the corpus), and the update is ONE groupBy(k)
+    aggregation whose per-dimension partial avgs combine map-side —
+    at 100 TB each iteration shuffles k×dim doubles per partition,
+    nothing else. Centroids (k×dim, a few KB) collect to the driver
+    and re-broadcast per round — the documented bounded collect this
+    module already uses for IVF.
+
+    Determinism device (oracle-exact across engines): initial
+    centroids are the k vectors with the smallest ids, and every
+    updated centroid coordinate is ROUNDED to 8 decimals before the
+    next assignment — float32 inputs widen to double exactly, both
+    engines then fold identical doubles in identical element order,
+    so assignments (integer argmin, ties to the lower cluster id)
+    hash-match DuckDB's unrolled-CTE replay bit-for-bit."""
+    def _assign(cents: list[list[float]]) -> DataFrame:
+        cent_lit = F.array(*[
+            F.array(*[F.lit(float(v)) for v in c]) for c in cents
+        ])
+        vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        dists = F.transform(
+            cent_lit,
+            lambda c, j: F.struct(
+                F.aggregate(
+                    F.zip_with(vec_d, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                j.alias("cluster"),
+            ),
+        )
+        best = F.array_min(dists)
+        return emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            best["cluster"].alias("cluster"),
+        )
+
+    init = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    if len(init) < k:
+        raise ValueError(f"need at least {k} vectors, got {len(init)}")
+    cents = [[round(float(x), 8) for x in r[0]] for r in init]
+    for _ in range(iterations):
+        assigned = _assign(cents)
+        agg = assigned.groupBy("cluster").agg(*[
+            F.round(
+                F.avg(F.element_at(F.col(vec_col), i + 1)), 8
+            ).alias(f"c{i}")
+            for i in range(dim)
+        ]).collect()  # bounded: k rows of dim doubles
+        new = {
+            int(r["cluster"]): [float(r[f"c{i}"]) for i in range(dim)]
+            for r in agg
+        }
+        # an empty cluster keeps its previous centroid (mirrored by
+        # the oracle's LEFT JOIN + COALESCE)
+        cents = [new.get(j, cents[j]) for j in range(k)]
+    return _assign(cents).select(id_col, "cluster")

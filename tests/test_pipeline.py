@@ -746,3 +746,60 @@ def test_png_sub_byte_depths_roundtrip():
             multimodal._encode_png_sub_byte([0, 1, 1, 0], 2, 2, 1)
         )[3]
     ) == b"\x00\xff\xff\x00"
+
+
+def test_kmeans_assign_matches_numpy_and_handles_empty_cluster(spark, sf_small):
+    """Distributed Lloyd k-means (round 10): (a) assignments equal a
+    numpy replay of the same contract (smallest-id init, 8dp-rounded
+    centroids, squared-distance argmin with ties to the lower
+    cluster); (b) duplicate init vectors leave a cluster permanently
+    empty — it keeps its previous centroid (COALESCE semantics) and
+    the op doesn't crash or emit it."""
+    import numpy as np
+
+    e = load_table(spark, sf_small, "embeddings")
+    got = {
+        r.vec_id: r.cluster
+        for r in similarity.kmeans_assign(
+            e, k=4, iterations=3, dim=64
+        ).collect()
+    }
+    rows = sorted(
+        e.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    cents = np.round(X[:4].copy(), 8)
+
+    def assign(C):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)  # argmin ties to the lower index
+
+    for _ in range(3):
+        a = assign(cents)
+        for j in range(4):
+            if (a == j).any():
+                cents[j] = np.round(X[a == j].mean(axis=0), 8)
+    want = dict(zip(ids.tolist(), assign(cents).tolist()))
+    assert got == want
+
+    dup = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [5.0, 5.0]),
+            (4, [0.1, 0.0]), (5, [5.0, 5.1]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.vec_id: r.cluster
+        for r in similarity.kmeans_assign(
+            dup, k=3, iterations=2, dim=2
+        ).collect()
+    }
+    # c0 and c1 start identical; round-1 ties all go to the LOWER id,
+    # leaving cluster 1 empty — it must KEEP its [0,0] centroid
+    # (COALESCE semantics, not NaN/crash). c0's update then drifts to
+    # the mean of its members, so in later rounds the kept centroid
+    # legitimately recaptures the exact [0,0] points: 1,2 → c1,
+    # 4 ([0.1,0]) → c0 (whose centroid settled on it), 3,5 → c2.
+    assert out == {1: 1, 2: 1, 3: 2, 4: 0, 5: 2}

@@ -287,3 +287,19 @@ def test_broadcast_gate_hints_small_and_releases_large(spark, sf_medium):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     # disabled auto-broadcast (threshold<=0) never hints
     assert broadcast_if_small(c, threshold=-1) is c
+
+
+def test_q176_kmeans_assignment_is_map_only(spark, sf_medium):
+    """Distributed k-means (round 10): the per-round assignment is an
+    argmin over a BROADCAST centroid literal — JVM higher-order
+    functions, no cartesian/cross join, no Python evaluation; the only
+    exchanges are the groupBy(k) update and the probe's final sort."""
+    from biodwh2_arcadedb_server_spark.operators.pipeline_queries import (
+        q176_kmeans_embeddings,
+    )
+
+    df = q176_kmeans_embeddings(spark, sf_medium)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
