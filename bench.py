@@ -167,6 +167,7 @@ HEADLINE = [
     "q156_semdedup_ann_clusters",
     "q30_knn_topk",
     "q176_kmeans_embeddings",
+    "q177_cluster_balanced_sample",
     "q128_rag_retrieval",
     "q77_ivf_topk",
     "q116_pq_topk",

@@ -1129,3 +1129,57 @@ def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
 
 QUERIES["q176_kmeans_embeddings"] = q176_kmeans_embeddings
 ORACLE["q176_kmeans_embeddings"] = _kmeans_oracle(_KM_K, _KM_ITER, _KM_DIM)
+
+
+_KM_SAMPLE_PER_CLUSTER = 50
+
+
+def q177_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The balancing DECISION q176's clusters exist for: keep at most
+    N embeddings per k-means cluster, ranked by the same
+    md5-deterministic key the split/cap staples use (q70/q105) — a
+    semantic-diversity subset instead of a source-frequency one
+    (over-represented regions of embedding space are downsampled,
+    sparse regions kept whole). Rank is a per-cluster window (k
+    partitions — never a global sort); reruns and appends keep prior
+    decisions for surviving rows (pure key function, no rand()). At
+    100 TB with small k the per-cluster sort skews: the scale path
+    swaps the exact window for a map-only filter against each
+    cluster's approx Nth-smallest md5 key (percentile_approx per
+    cluster — one tiny agg, then `key <= threshold` filters in place;
+    same uniform-key contract, N within sketch error)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = similarity.kmeans_assign(
+        e, k=_KM_K, iterations=_KM_ITER, dim=_KM_DIM
+    )
+    rank_key = F.substring(
+        F.md5(F.concat(F.lit("cb:"), F.col("vec_id").cast("string"))), 1, 8
+    )
+    w = Window.partitionBy("cluster").orderBy(rank_key, "vec_id")
+    return (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .select(
+            "vec_id", "cluster",
+            (F.col("rk") <= _KM_SAMPLE_PER_CLUSTER).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+QUERIES["q177_cluster_balanced_sample"] = q177_cluster_balanced_sample
+ORACLE["q177_cluster_balanced_sample"] = (
+    _kmeans_oracle(_KM_K, _KM_ITER, _KM_DIM)
+    .replace(
+        "SELECT vec_id, CAST(cluster AS INTEGER) AS cluster "
+        "FROM afinal ORDER BY vec_id",
+        f"""SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+           row_number() OVER (
+               PARTITION BY cluster
+               ORDER BY substr(md5('cb:' || CAST(vec_id AS VARCHAR)), 1, 8),
+                        vec_id
+           ) <= {_KM_SAMPLE_PER_CLUSTER} AS kept
+    FROM afinal ORDER BY vec_id""",
+    )
+)
