@@ -44,6 +44,12 @@ ITERATIVE = {
     # round-7: SELECT over a TRAVERSE subquery materializes the same
     # frontier-join BFS before the relational part runs
     "q160",
+    # round-10: distributed Lloyd k-means = 3 sequential
+    # assignment+update rounds, each a Spark job + a k×dim centroid
+    # collect/re-broadcast (q177 composes q176's clusters) — the same
+    # rounds × job-scheduling floor as PageRank, amortizing the same
+    # way (assignment is map-only; the update shuffles k rows)
+    "q176", "q177",
 }
 
 # Dialect DML probes: ~25 sequential tiny jobs (force-build + per-
