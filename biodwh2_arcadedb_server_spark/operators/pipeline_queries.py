@@ -1058,10 +1058,22 @@ def q176_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only assignment against a broadcast centroid literal + one
     groupBy(k) per round; centroids round to 8 decimals each round so
     DuckDB's unrolled-CTE replay is bit-exact (see kmeans_assign)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return similarity.kmeans_assign(
-        e, k=_KM_K, iterations=_KM_ITER, dim=_KM_DIM
-    ).orderBy("vec_id")
+    return _kmeans_assigned(spark, sf_dir).orderBy("vec_id")
+
+
+def _kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached k-means assignment (same VERDICT-r5 device as
+    the shingle/pair caches above): q176 and q177 share one Lloyd run
+    per session instead of each paying the 3 assignment+update
+    rounds."""
+    return _cached_ckpt(
+        spark,
+        ("kmeans", sf_dir, _KM_K, _KM_ITER, _KM_DIM),
+        lambda: similarity.kmeans_assign(
+            load_table(spark, sf_dir, "embeddings"),
+            k=_KM_K, iterations=_KM_ITER, dim=_KM_DIM,
+        ),
+    )
 
 
 def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
@@ -1150,10 +1162,7 @@ def q177_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     same uniform-key contract, N within sketch error)."""
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
-    assigned = similarity.kmeans_assign(
-        e, k=_KM_K, iterations=_KM_ITER, dim=_KM_DIM
-    )
+    assigned = _kmeans_assigned(spark, sf_dir)
     rank_key = F.substring(
         F.md5(F.concat(F.lit("cb:"), F.col("vec_id").cast("string"))), 1, 8
     )
