@@ -1076,7 +1076,9 @@ def _kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+def _kmeans_oracle(
+    k: int, iters: int, dim: int, final_select: str | None = None
+) -> str:
     """Generate the unrolled Lloyd SQL (same device as the PageRank
     oracle): c0 = the k smallest-id vectors rounded to 8dp; each round
     r assigns by argmin squared distance (ties to the lower cluster)
@@ -1132,11 +1134,12 @@ def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
     )"""
         )
     parts.append(assign("afinal", f"c{iters}"))
-    return (
-        "WITH " + ",\n    ".join(parts)
-        + "\n    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster "
-        "FROM afinal ORDER BY vec_id"
-    )
+    if final_select is None:
+        final_select = (
+            "SELECT vec_id, CAST(cluster AS INTEGER) AS cluster "
+            "FROM afinal ORDER BY vec_id"
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final_select
 
 
 QUERIES["q176_kmeans_embeddings"] = q176_kmeans_embeddings
@@ -1153,13 +1156,17 @@ def q177_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic-diversity subset instead of a source-frequency one
     (over-represented regions of embedding space are downsampled,
     sparse regions kept whole). Rank is a per-cluster window (k
-    partitions — never a global sort); reruns and appends keep prior
-    decisions for surviving rows (pure key function, no rand()). At
-    100 TB with small k the per-cluster sort skews: the scale path
-    swaps the exact window for a map-only filter against each
-    cluster's approx Nth-smallest md5 key (percentile_approx per
-    cluster — one tiny agg, then `key <= threshold` filters in place;
-    same uniform-key contract, N within sketch error)."""
+    partitions — never a global sort) over a pure key function (no
+    rand()): RERUNS on the same data reproduce identical decisions.
+    Appends are NOT decision-stable in this exact-window form — a new
+    row can displace rank N, and new data moves the centroids
+    themselves (third review pass; the cap staples q105/q110 share
+    this property). At 100 TB with small k the per-cluster sort also
+    skews, so the scale path swaps the window for a map-only filter
+    against each cluster's approx Nth-smallest md5 key
+    (percentile_approx — one tiny agg, then `key <= threshold`
+    filters in place), which IS append-stable for surviving rows at
+    a fixed threshold, with N within sketch error."""
     from pyspark.sql.window import Window
 
     assigned = _kmeans_assigned(spark, sf_dir)
@@ -1178,17 +1185,13 @@ def q177_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q177_cluster_balanced_sample"] = q177_cluster_balanced_sample
-ORACLE["q177_cluster_balanced_sample"] = (
-    _kmeans_oracle(_KM_K, _KM_ITER, _KM_DIM)
-    .replace(
-        "SELECT vec_id, CAST(cluster AS INTEGER) AS cluster "
-        "FROM afinal ORDER BY vec_id",
-        f"""SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+ORACLE["q177_cluster_balanced_sample"] = _kmeans_oracle(
+    _KM_K, _KM_ITER, _KM_DIM,
+    final_select=f"""SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
            row_number() OVER (
                PARTITION BY cluster
                ORDER BY substr(md5('cb:' || CAST(vec_id AS VARCHAR)), 1, 8),
                         vec_id
            ) <= {_KM_SAMPLE_PER_CLUSTER} AS kept
     FROM afinal ORDER BY vec_id""",
-    )
 )

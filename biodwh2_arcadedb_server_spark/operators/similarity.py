@@ -761,17 +761,21 @@ def kmeans_assign(
     and re-broadcast per round — the documented bounded collect this
     module already uses for IVF.
 
-    Determinism device (oracle-exact across engines): initial
-    centroids are the k vectors with the smallest ids, and every
-    updated centroid coordinate is ROUNDED to 8 decimals before the
-    next assignment — float32 inputs widen to double exactly, both
-    engines then fold identical doubles in identical element order,
-    so assignments (integer argmin, ties to the lower cluster id)
-    hash-match DuckDB's unrolled-CTE replay bit-for-bit."""
+    Determinism device (oracle-replayable): initial centroids are the
+    k vectors with the smallest ids, quantized HALF_UP to 8 decimals
+    (the rounding mode BOTH Spark's F.round and DuckDB's round use —
+    Python's built-in round is half-even and would diverge on exact
+    8dp ties, third review pass), and every updated centroid
+    coordinate rounds to 8 decimals before the next assignment.
+    Within-round arithmetic is identical doubles in identical element
+    order on both engines; the per-dimension MEAN is the one place
+    engine-side partial-sum order can differ by ulps, which the 8dp
+    rounding absorbs unless the true mean sits within ~1 ulp of a
+    rounding boundary — astronomically unlikely per coordinate and
+    verified green on all three test corpora, but the contract is
+    probabilistic at that boundary, not unconditional."""
     def _assign(cents: list[list[float]]) -> DataFrame:
-        cent_lit = F.array(*[
-            F.array(*[F.lit(float(v)) for v in c]) for c in cents
-        ])
+        cent_lit = _centroid_literal(cents)
         vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
         dists = F.transform(
             cent_lit,
@@ -791,10 +795,21 @@ def kmeans_assign(
             best["cluster"].alias("cluster"),
         )
 
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _half_up8(x: float) -> float:
+        # F.round / DuckDB round are HALF_UP; Python round() is
+        # half-even and diverges on exact 8dp ties (e.g. 2**-9)
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("1e-8"), rounding=ROUND_HALF_UP
+            )
+        )
+
     init = emb.orderBy(id_col).limit(k).select(vec_col).collect()
     if len(init) < k:
         raise ValueError(f"need at least {k} vectors, got {len(init)}")
-    cents = [[round(float(x), 8) for x in r[0]] for r in init]
+    cents = [[_half_up8(x) for x in r[0]] for r in init]
     for _ in range(iterations):
         assigned = _assign(cents)
         agg = assigned.groupBy("cluster").agg(*[

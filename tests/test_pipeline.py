@@ -769,7 +769,20 @@ def test_kmeans_assign_matches_numpy_and_handles_empty_cluster(spark, sf_small):
     )
     ids = np.array([r.vec_id for r in rows])
     X = np.array([r.embedding for r in rows], dtype=np.float64)
-    cents = np.round(X[:4].copy(), 8)
+
+    def r8(arr):
+        # HALF_UP like F.round/DuckDB — np.round is half-even and
+        # would diverge on exact 8dp ties (third review pass)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return np.array([
+            float(Decimal(repr(float(v))).quantize(
+                Decimal("1e-8"), rounding=ROUND_HALF_UP
+            ))
+            for v in arr
+        ])
+
+    cents = np.stack([r8(row) for row in X[:4]])
 
     def assign(C):
         d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
@@ -779,7 +792,7 @@ def test_kmeans_assign_matches_numpy_and_handles_empty_cluster(spark, sf_small):
         a = assign(cents)
         for j in range(4):
             if (a == j).any():
-                cents[j] = np.round(X[a == j].mean(axis=0), 8)
+                cents[j] = r8(X[a == j].mean(axis=0))
     want = dict(zip(ids.tolist(), assign(cents).tolist()))
     assert got == want
 
@@ -803,3 +816,42 @@ def test_kmeans_assign_matches_numpy_and_handles_empty_cluster(spark, sf_small):
     # legitimately recaptures the exact [0,0] points: 1,2 → c1,
     # 4 ([0.1,0]) → c0 (whose centroid settled on it), 3,5 → c2.
     assert out == {1: 1, 2: 1, 3: 2, 4: 0, 5: 2}
+
+
+def test_kmeans_init_rounding_matches_duckdb_on_8dp_ties():
+    """Round-10 third review pass: the k-means init path must quantize
+    HALF_UP like F.round/DuckDB round — Python's built-in round() is
+    half-even and diverges on exact 8dp ties (2**-9 is float32-
+    representable), which would flip assignments vs the oracle."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    # the operator's input domain is float32 widenings (embeddings
+    # are array<float>); raw double literals like 1.5e-8 belong to a
+    # shortest-repr-tie class that float32 widenings never produce
+    vals = [
+        float(np.float32(v))
+        for v in [
+            2 ** -9, -(2 ** -9), 1.5e-8, 0.5e-8, 0.123456785,
+            2 ** -27, 3.5e-8, 1.000000005,
+        ]
+    ]
+    duck = [
+        r[0]
+        for r in duckdb.connect().execute(
+            "SELECT round(CAST(x AS DOUBLE), 8) "
+            "FROM (SELECT unnest(?) AS x)", [vals]
+        ).fetchall()
+    ]
+    ours = [
+        float(Decimal(repr(float(v))).quantize(
+            Decimal("1e-8"), rounding=ROUND_HALF_UP
+        ))
+        for v in vals
+    ]
+    assert ours == duck
+    # the defect the fix closes: banker's rounding loses the exact
+    # binary tie 2**-9 = 0.001953125
+    assert round(2 ** -9, 8) != duck[0]
