@@ -69,7 +69,13 @@ def to_media_table(documents: DataFrame, width: int = PPM_W, height: int = PPM_H
     JVM-side expressions — no Python in the encode path — so the scan
     prunes and pushes down like any other binary column."""
     n_px = width * height * 3
-    padded = F.rpad(F.substring(F.col("text"), 1, n_px), n_px, "x")
+    # NULL text encodes as the all-padding image, deliberately
+    # (ADVICE r10: without the coalesce a NULL text fell through the
+    # when/otherwise into the codepoint fold, whose array_join drops
+    # the null chars and silently emits a header-only 0-pixel PPM)
+    padded = F.rpad(
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, n_px), n_px, "x"
+    )
     # char(cp % 256) re-encoded ISO-8859-1 maps each codepoint to the
     # single byte cp % 256 (Latin-1 is the identity on 0..255)
     cp_bytes = F.encode(

@@ -776,7 +776,12 @@ def kmeans_assign(
     probabilistic at that boundary, not unconditional."""
     def _assign(cents: list[list[float]]) -> DataFrame:
         cent_lit = _centroid_literal(cents)
-        vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        # slice to dim so a longer embedding clusters on its first
+        # dim coordinates (matching the init truncation above) rather
+        # than zip_with null-padding the shorter centroid
+        vec_d = F.transform(
+            F.slice(F.col(vec_col), 1, dim), lambda x: x.cast("double")
+        )
         dists = F.transform(
             cent_lit,
             lambda c, j: F.struct(
@@ -809,7 +814,17 @@ def kmeans_assign(
     init = emb.orderBy(id_col).limit(k).select(vec_col).collect()
     if len(init) < k:
         raise ValueError(f"need at least {k} vectors, got {len(init)}")
-    cents = [[_half_up8(x) for x in r[0]] for r in init]
+    for r in init:
+        # fail loudly up front (ADVICE r10): a dim larger than the
+        # real embedding length used to surface as an opaque
+        # TypeError (float(None)) from the null per-dimension avgs
+        if r[0] is None or len(r[0]) < dim:
+            got = 0 if r[0] is None else len(r[0])
+            raise ValueError(
+                f"kmeans_assign: {vec_col} has length {got} but dim={dim}; "
+                "pass dim <= the embedding length"
+            )
+    cents = [[_half_up8(x) for x in r[0][:dim]] for r in init]
     for _ in range(iterations):
         assigned = _assign(cents)
         agg = assigned.groupBy("cluster").agg(*[

@@ -284,12 +284,19 @@ class QueryServer:
 
                     route = self.path.split("?", 1)[0]
                     _, _, _, _, _db, lang, cmd = route.split("/", 6)
-                    self._get_form_request = {
-                        "language": urllib.parse.unquote(lang),
-                        "command": urllib.parse.unquote(cmd),
-                    }
+                    # the request dict travels as an explicit argument
+                    # (ADVICE r10: instance state survived a raising
+                    # _arcade_api on a keep-alive socket, so a later
+                    # POST on the same connection could replay the
+                    # stale GET command and never read its own body)
                     try:
-                        self._arcade_api("query")
+                        self._arcade_api(
+                            "query",
+                            form_request={
+                                "language": urllib.parse.unquote(lang),
+                                "command": urllib.parse.unquote(cmd),
+                            },
+                        )
                     except Exception as exc:  # noqa: BLE001
                         # same statement-failure wrapping as the POST
                         # route — a bad query is a 400, not a dropped
@@ -466,7 +473,7 @@ class QueryServer:
                     "cap": CAP,
                 })
 
-            def _arcade_api(self, verb: str) -> None:
+            def _arcade_api(self, verb: str, form_request: dict | None = None) -> None:
                 """ArcadeDB-compatible wire surface (the literal REST
                 shape the reference's embedded server exposes —
                 public HTTP API of arcadedb-server 22.x):
@@ -483,12 +490,10 @@ class QueryServer:
 
                 from biodwh2_arcadedb_server_spark import arcadesql
 
-                req = getattr(self, "_get_form_request", None)
+                req = form_request
                 if req is None:
                     n = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(n) or b"{}")
-                else:
-                    self._get_form_request = None
                 cmd = req.get("command") or req.get("query")
                 if not cmd:
                     self._reply(400, {"error": "missing 'command'"})
