@@ -168,6 +168,7 @@ HEADLINE = [
     "q30_knn_topk",
     "q176_kmeans_embeddings",
     "q177_cluster_balanced_sample",
+    "q178_cluster_threshold_sample",
     "q128_rag_retrieval",
     "q77_ivf_topk",
     "q116_pq_topk",

@@ -1162,11 +1162,13 @@ def q177_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     row can displace rank N, and new data moves the centroids
     themselves (third review pass; the cap staples q105/q110 share
     this property). At 100 TB with small k the per-cluster sort also
-    skews, so the scale path swaps the window for a map-only filter
-    against each cluster's approx Nth-smallest md5 key
-    (percentile_approx — one tiny agg, then `key <= threshold`
-    filters in place), which IS append-stable for surviving rows at
-    a fixed threshold, with N within sketch error."""
+    skews, so the PRODUCTION scale path is q178 /
+    similarity.cluster_threshold_sample: a map-only filter against
+    each cluster's approx Nth-smallest md5 key (percentile_approx —
+    one tiny agg, then `key <= threshold` filters in place), which IS
+    append-stable for surviving rows at a fixed threshold, with N
+    within sketch error. This exact-window form stays as the
+    small-k/exact-N twin and the cross-check reference."""
     from pyspark.sql.window import Window
 
     assigned = _kmeans_assigned(spark, sf_dir)
@@ -1194,4 +1196,53 @@ ORACLE["q177_cluster_balanced_sample"] = _kmeans_oracle(
                         vec_id
            ) <= {_KM_SAMPLE_PER_CLUSTER} AS kept
     FROM afinal ORDER BY vec_id""",
+)
+
+
+def q178_cluster_threshold_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q177's PRODUCTION scale form (VERDICT r10 #1): cluster-balanced
+    sampling as a MAP-ONLY threshold filter —
+    ``similarity.cluster_threshold_sample`` computes each cluster's
+    approximate Nth-smallest md5 rank key with ONE tiny
+    ``groupBy(cluster)`` percentile_approx aggregation and keeps
+    ``key <= threshold`` in place. No per-cluster window, no sort of
+    the corpus (the plan gate in tests/test_plans.py asserts the
+    Window-free shape), and survivors are append-stable at a fixed
+    threshold. Tolerance-contract probe (the q26/q144 device): the
+    hashed output is the per-cluster exact sizes — DuckDB-computable
+    from the unrolled-Lloyd oracle — plus ``kept_ok``, the measured
+    |kept − min(N, n)| ≤ max(3, ceil(n/1000)) bound the operator's
+    docstring derives from grid + sketch error; the oracle asserts
+    TRUE. The exact kept SET is cross-checked against q177's window
+    form in pytest (recall ≥ 0.9 at two SFs)."""
+    assigned = _kmeans_assigned(spark, sf_dir)
+    per_row = similarity.cluster_threshold_sample(
+        assigned, _KM_SAMPLE_PER_CLUSTER
+    )
+    tol = F.greatest(
+        F.lit(3).cast("long"), F.ceil(F.col("n_total") / 1000.0)
+    )
+    return (
+        per_row.groupBy("cluster", "n_total", "n_target")
+        .agg(F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("_n_kept"))
+        .select(
+            "cluster",
+            "n_total",
+            "n_target",
+            (F.abs(F.col("_n_kept") - F.col("n_target")) <= tol).alias(
+                "kept_ok"
+            ),
+        )
+        .orderBy("cluster")
+    )
+
+
+QUERIES["q178_cluster_threshold_sample"] = q178_cluster_threshold_sample
+ORACLE["q178_cluster_threshold_sample"] = _kmeans_oracle(
+    _KM_K, _KM_ITER, _KM_DIM,
+    final_select=f"""SELECT CAST(cluster AS INTEGER) AS cluster,
+           count(*) AS n_total,
+           least({_KM_SAMPLE_PER_CLUSTER}, count(*)) AS n_target,
+           TRUE AS kept_ok
+    FROM afinal GROUP BY cluster ORDER BY cluster""",
 )

@@ -841,3 +841,83 @@ def kmeans_assign(
         # the oracle's LEFT JOIN + COALESCE)
         cents = [new.get(j, cents[j]) for j in range(k)]
     return _assign(cents).select(id_col, "cluster")
+
+
+def cluster_threshold_sample(
+    assigned: DataFrame,
+    n_per_cluster: int,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    salt: str = "cb:",
+    grid: int = 2000,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Cluster-balanced sampling, the 100 TB form: keep ~N rows per
+    cluster via a MAP-ONLY filter against each cluster's approximate
+    Nth-smallest rank key — no per-cluster window, no sort of the
+    corpus (the exact-window form in pipeline_queries.q177
+    concentrates the whole corpus onto k sort partitions; with k=4
+    that is a skew hazard at scale, VERDICT r10 #1).
+
+    Mechanics: the rank key is the same md5-deterministic device the
+    split/cap staples use (``conv(substr(md5('cb:'||id),1,8),16,10)``
+    — uniform, rerun-stable, no rand()). One tiny ``groupBy(cluster)``
+    aggregation computes each cluster's size and a
+    ``percentile_approx`` sketch of the key evaluated on a fixed
+    ``grid`` of quantiles (the percentage argument must be foldable,
+    so per-cluster p = N/|cluster| is realized by indexing the grid at
+    ``round(p*grid)``); the k-row threshold table broadcast-joins back
+    and ``key <= threshold`` filters in place. Survivor stability:
+    for a FIXED threshold value the kept set is append-stable (a new
+    row never displaces a survivor — it only lands above or below the
+    threshold), unlike the exact window where a new row can push rank
+    N out.
+
+    Accuracy contract: |kept − min(N, n)| is bounded by the grid
+    half-step (n/(2·grid) rows) plus the sketch's rank error
+    (n/accuracy rows) plus key ties (negligible for md5 keys). With
+    the defaults that is under ~n/1000 rows — the probe's tolerance.
+    At corpus sizes where n/grid approaches N, size ``grid``/
+    ``accuracy`` up (both are driver-side literals; the sketch cost
+    is one mergeable aggregation either way) — the operator is a
+    sketch-threshold device, not an exact top-N."""
+    rkey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = assigned.withColumn("_rkey", rkey)
+    pgrid = [i / grid for i in range(grid + 1)]
+    idx = F.round(F.col("n_target") / F.col("n_total") * grid).cast("int")
+    thr = (
+        keyed.groupBy(cluster_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.percentile_approx("_rkey", pgrid, accuracy).alias("_percs"),
+        )
+        .select(
+            cluster_col,
+            "n_total",
+            F.least(
+                F.lit(n_per_cluster).cast("long"), F.col("n_total")
+            ).alias("n_target"),
+            "_percs",
+        )
+        .select(
+            cluster_col,
+            "n_total",
+            "n_target",
+            F.element_at(
+                "_percs", F.greatest(F.lit(1), F.least(idx, F.lit(grid))) + 1
+            ).alias("_thr"),
+        )
+    )
+    return keyed.join(F.broadcast(thr), cluster_col).select(
+        id_col,
+        cluster_col,
+        "n_total",
+        "n_target",
+        (F.col("_rkey") <= F.col("_thr")).alias("kept"),
+    )

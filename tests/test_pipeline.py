@@ -855,3 +855,44 @@ def test_kmeans_init_rounding_matches_duckdb_on_8dp_ties():
     # the defect the fix closes: banker's rounding loses the exact
     # binary tie 2**-9 = 0.001953125
     assert round(2 ** -9, 8) != duck[0]
+
+
+def test_cluster_threshold_sample_tracks_exact_window(spark, sf_small, sf_medium):
+    """The map-only threshold sampler (q178) must agree with the
+    exact per-cluster window (q177) up to its documented sketch
+    error: per-cluster |kept - min(N, n)| <= max(3, ceil(n/1000)),
+    and the kept SET overlaps the exact top-N set with recall >= 0.9
+    at both test SFs. Every kept row trivially satisfies
+    key <= threshold by construction; this pins the threshold's
+    placement."""
+    from pyspark.sql.window import Window
+
+    for sf in (sf_small, sf_medium):
+        e = load_table(spark, sf, "embeddings")
+        assigned = similarity.kmeans_assign(e, k=4, iterations=3, dim=64)
+        per_row = similarity.cluster_threshold_sample(assigned, 50)
+        got = per_row.collect()
+        by_cluster: dict[int, list] = {}
+        for r in got:
+            by_cluster.setdefault(r.cluster, []).append(r)
+        # exact-window reference (q177's form)
+        rank_key = F.substring(
+            F.md5(F.concat(F.lit("cb:"), F.col("vec_id").cast("string"))), 1, 8
+        )
+        w = Window.partitionBy("cluster").orderBy(rank_key, "vec_id")
+        exact = {
+            (r.vec_id, r.cluster)
+            for r in assigned.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 50)
+            .collect()
+        }
+        for cluster, rows in by_cluster.items():
+            n_total = rows[0].n_total
+            n_target = rows[0].n_target
+            assert n_target == min(50, n_total)
+            kept = {(r.vec_id, cluster) for r in rows if r.kept}
+            tol = max(3, -(-n_total // 1000))
+            assert abs(len(kept) - n_target) <= tol, (sf, cluster, len(kept))
+            exact_c = {p for p in exact if p[1] == cluster}
+            recall = len(kept & exact_c) / max(1, len(exact_c))
+            assert recall >= 0.9, (sf, cluster, recall)

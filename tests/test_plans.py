@@ -303,3 +303,22 @@ def test_q176_kmeans_assignment_is_map_only(spark, sf_medium):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_q178_threshold_sample_is_window_free(spark, sf_medium):
+    """q177's production scale form (round 11): the balanced-sample
+    keep decision is a map-only threshold filter — NO Window, no
+    row_number, no per-cluster sort of the corpus (the k-partition
+    sort skew hazard VERDICT r10 named); the k-row threshold table
+    joins back as a broadcast."""
+    from biodwh2_arcadedb_server_spark.operators.pipeline_queries import (
+        q178_cluster_threshold_sample,
+    )
+
+    df = q178_cluster_threshold_sample(spark, sf_medium)
+    plan = explain_str(df)
+    assert "Window" not in plan
+    assert "row_number" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert has_broadcast_hash_join(df)
