@@ -1246,3 +1246,41 @@ ORACLE["q178_cluster_threshold_sample"] = _kmeans_oracle(
            TRUE AS kept_ok
     FROM afinal GROUP BY cluster ORDER BY cluster""",
 )
+
+
+def q179_tws_session_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q90's session semantics through the Spark 4
+    ``transformWithStateInPandas`` API with NAMED ListState + per-key
+    EVENT-TIME TIMERS (streaming/stateful.py::_SessionCloseProcessor)
+    — the first operator here only TWS expresses cleanly: every
+    emission is timer-driven (fires when the watermark passes
+    session_end + gap), the data path emits nothing, so sessions are
+    final by the watermark's definition and intra-watermark disorder
+    merges correctly instead of corrupting an early emission.
+    Two data chunks + the sentinel = three triggers: sessions open in
+    batch 0, extend across the batch-1 boundary, and drain in the
+    trailing timer batch the sentinel's watermark forces — the
+    exactly-once ListState/timer contract under test, on the RocksDB
+    provider (the 100 TB posture: state off-heap/on-disk). Same
+    gaps-and-islands oracle as q90; pytest additionally pins the
+    shuffled-chunk drain byte-equal to the ordered one
+    (tests/test_stateful_streaming.py)."""
+    from biodwh2_arcadedb_server_spark.streaming.stateful import (
+        run_finite_sessionize_tws,
+    )
+
+    out = run_finite_sessionize_tws(
+        spark, sf_dir, SESSION_GAP_MS, n_chunks=2, name="q179_sessions",
+        state_parts=8,
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+QUERIES["q179_tws_session_close"] = q179_tws_session_close
+ORACLE["q179_tws_session_close"] = ORACLE["q90_stream_sessionize"]

@@ -586,6 +586,129 @@ try:  # pragma: no cover - environment-dependent surface
         def close(self) -> None:
             pass
 
+    # --- timer-driven session close (ListState + event-time timers) ----
+    #
+    # The first operator here that ONLY transformWithState expresses
+    # cleanly. ``applyInPandasWithState`` gives one opaque state tuple
+    # and one timeout per key, so the sessionizer above must assume
+    # time-ordered input and emit superseded sessions from inside the
+    # data path. This processor instead NEVER emits from the data
+    # path: pending session aggregates accumulate in a named ListState
+    # and every emission is driven by an event-time timer firing when
+    # the watermark passes ``session_end + gap`` — so a session is
+    # final *by the watermark's definition of final*, and intra-
+    # watermark disorder (events arriving out of order across
+    # micro-batches, as long as they beat the watermark) merges into
+    # the correct session instead of corrupting a prematurely-emitted
+    # one. State per key is a bounded list of 4-scalar aggregates —
+    # sessions still inside the watermark horizon — on the RocksDB
+    # provider (the 100 TB posture: state lives off-heap/on-disk).
+
+    class _SessionCloseProcessor(StatefulProcessor):
+        """Per-user session windows, watermark-finalized.
+
+        ListState "sessions": pending (start, end, n, s) aggregates,
+        disjoint by >= gap, kept sorted. One event-time timer per key,
+        armed at min(end)+gap — the earliest instant any pending
+        session can become final. handleExpiredTimer emits the prefix
+        the watermark has passed and re-arms for the remainder."""
+
+        def __init__(self, gap_ms: int) -> None:
+            self._gap_ms = gap_ms
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sessions = handle.getListState(
+                "sessions", "start timestamp, end timestamp, n bigint, s double"
+            )
+
+        def _load(self) -> list[tuple]:
+            if not self._sessions.exists():
+                return []
+            return [
+                (pd.Timestamp(r[0]), pd.Timestamp(r[1]), int(r[2]), float(r[3]))
+                for r in self._sessions.get()
+            ]
+
+        def _rearm(self, sessions: list[tuple], fired: int | None = None) -> None:
+            """Point the key's single timer at the earliest possible
+            close; pending list is sorted so that is sessions[0].
+            ``fired``: the expiry that just fired — the runtime has
+            already removed it, so deleting it again only warns."""
+            for t in list(self._handle.listTimers()):
+                if t != fired:
+                    self._handle.deleteTimer(t)
+            if sessions:
+                expiry = int(sessions[0][1].value // 1_000_000) + self._gap_ms
+                # an expiry the watermark already passed still fires:
+                # event-time timers are checked against the watermark
+                # each micro-batch, not scheduled on a clock
+                self._handle.registerTimer(expiry)
+
+        def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+            gap = pd.Timedelta(milliseconds=self._gap_ms)
+            intervals = self._load()
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values("ts", ignore_index=True)
+                brk = pdf["ts"].diff() >= gap
+                g = pdf.groupby(brk.cumsum()).agg(
+                    start=("ts", "min"), end=("ts", "max"),
+                    n=("ts", "size"), s=("value", "sum"),
+                )
+                intervals.extend(
+                    (r.start, r.end, int(r.n), float(r.s))
+                    for r in g.itertuples(index=False)
+                )
+            intervals.sort(key=lambda t: t[0])
+            merged: list[tuple] = []
+            for iv in intervals:
+                if merged and iv[0] - merged[-1][1] < gap:
+                    p = merged[-1]
+                    merged[-1] = (
+                        p[0], max(p[1], iv[1]), p[2] + iv[2], p[3] + iv[3]
+                    )
+                else:
+                    merged.append(iv)
+            self._sessions.put(merged)
+            self._rearm(merged)
+            return iter(())  # emission is timer-driven only
+
+        # parameter names match the ABC exactly — the runtime invokes
+        # this hook with keyword arguments (stateful_processor_util.py)
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+            wm = timerValues.getCurrentWatermarkInMs()
+            sessions = self._load()
+            final = [
+                s for s in sessions
+                if int(s[1].value // 1_000_000) + self._gap_ms <= wm
+            ]
+            still_open = sessions[len(final):]
+            if still_open:
+                self._sessions.put(still_open)
+            else:
+                self._sessions.clear()
+            self._rearm(still_open, fired=expiredTimerInfo.getExpiryTimeInMs())
+            if not final:
+                return iter(())
+            return iter(
+                [
+                    pd.DataFrame(
+                        {
+                            "user_id": [key[0]] * len(final),
+                            "session_start": [s[0] for s in final],
+                            "session_end": [s[1] for s in final],
+                            "n_events": [s[2] for s in final],
+                            "sum_value": [s[3] for s in final],
+                        }
+                    )
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
     HAS_TRANSFORM_WITH_STATE = True
     TWS_UNAVAILABLE_REASON: str | None = None
 except ImportError as _exc:  # pragma: no cover
@@ -613,3 +736,108 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def sessionize_tws(
+    events: DataFrame, gap_ms: int, watermark: str = "1 minute"
+) -> DataFrame:
+    """Session windows where EVERY emission is event-time-timer-driven
+    (see ``_SessionCloseProcessor``): a session row appears exactly
+    once, when the watermark passes its end + gap. Same session
+    semantics as ``sessionize`` / ``F.session_window`` (strict-<
+    gap extension), so the same batch gaps-and-islands aggregate is
+    the oracle; unlike ``sessionize`` it tolerates event disorder
+    across micro-batches up to the watermark delay, because nothing
+    is finalized off the data path. Requires the RocksDB state-store
+    provider (transformWithState contract)."""
+    if not HAS_TRANSFORM_WITH_STATE:
+        raise RuntimeError(
+            "transformWithState requires pyspark>=4 with google.protobuf "
+            "available to the Python worker; use sessionize "
+            f"(applyInPandasWithState) instead [{TWS_UNAVAILABLE_REASON}]"
+        )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_SessionCloseProcessor(gap_ms),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
+def run_finite_sessionize_tws(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_ms: int,
+    n_chunks: int = 2,
+    name: str = "sessionize_tws_out",
+    state_parts: int | None = None,
+    shuffle_within_chunks: bool = False,
+) -> DataFrame:
+    """Drain the chunked events stream through ``sessionize_tws`` to
+    completion and return the emitted sessions for real users. The
+    far-future sentinel advances the watermark past every real
+    session's end + gap, so the trailing timer batch fires every
+    pending timer and drains the ListState.
+
+    ``shuffle_within_chunks`` permutes each chunk's rows (seeded) —
+    the disorder-tolerance demonstration: emission is watermark-
+    driven, so the output is identical to the ordered drain (pinned
+    by tests/test_stateful_streaming.py)."""
+    from biodwh2_arcadedb_server_spark.streaming import (
+        STREAM_STATE_PARTITIONS,
+        state_partitions,
+    )
+
+    src = chunked_event_files(sf_dir, n_chunks)
+    if shuffle_within_chunks:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(42)
+        for f in sorted(os.listdir(src))[:-1]:  # keep the sentinel file intact
+            path = os.path.join(src, f)
+            st = os.stat(path)
+            pdf = pq.read_table(path).to_pandas()
+            pdf = pdf.iloc[rng.permutation(len(pdf))].reset_index(drop=True)
+            import pyarrow as pa
+
+            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+            os.utime(path, (st.st_atime, st.st_mtime))
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    try:
+        with state_partitions(spark, state_parts or STREAM_STATE_PARTITIONS):
+            stream = (
+                spark.readStream.schema("user_id long, ts timestamp, value double")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            out = sessionize_tws(stream, gap_ms)
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix="sessionize_tws_ckpt_", dir=ckpt_base),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return spark.table(name).filter(F.col("user_id") >= 0)

@@ -167,3 +167,64 @@ def test_running_user_stats_transform_with_state_matches_batch(spark, sf_small):
         .collect()
     }
     assert got == want
+
+
+def test_tws_session_close_matches_batch_and_tolerates_disorder(spark, sf_small):
+    """Timer-driven TWS sessionizer (ListState + event-time timers):
+    the emitted session set must equal the batch F.session_window
+    aggregate at two trigger cadences, and — because emission is
+    watermark-driven, never data-path-driven — a drain whose chunks
+    are internally SHUFFLED must emit the identical set. Same
+    capability contract as the running-stats TWS twin: without
+    protobuf the operator refuses with a clear error, no skip."""
+    import pytest
+
+    from biodwh2_arcadedb_server_spark.streaming.stateful import (
+        HAS_TRANSFORM_WITH_STATE,
+        run_finite_sessionize_tws,
+        sessionize_tws,
+    )
+
+    GAP_MS = 4 * 3600 * 1000
+    if not HAS_TRANSFORM_WITH_STATE:
+        stream = se.read_events_stream(spark, sf_small).select("user_id", "ts", "value")
+        with pytest.raises(RuntimeError, match="transformWithState requires"):
+            sessionize_tws(stream, GAP_MS)
+        return
+
+    def emitted(n_chunks, name, shuffled=False):
+        rows = run_finite_sessionize_tws(
+            spark, sf_small, GAP_MS, n_chunks=n_chunks, name=name,
+            shuffle_within_chunks=shuffled,
+        ).collect()
+        return {
+            (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 4))
+            for r in rows
+        }
+
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 4))
+        for r in (
+            load_table(spark, sf_small, "events")
+            .groupBy(F.session_window("ts", "4 hours").alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+                F.max("ts").alias("last_ts"),
+            )
+            .select(
+                F.col("w.start").alias("session_start"),
+                F.col("last_ts").alias("session_end"),
+                "user_id",
+                "n_events",
+                "sum_value",
+            )
+            .collect()
+        )
+    }
+    assert emitted(2, "tws_sess_c2") == batch
+    assert emitted(4, "tws_sess_c4") == batch
+    # intra-watermark disorder: rows permuted within each chunk still
+    # merge into the same sessions (the applyInPandasWithState
+    # sessionizer REQUIRES ordered input; this one does not)
+    assert emitted(2, "tws_sess_shuf", shuffled=True) == batch
