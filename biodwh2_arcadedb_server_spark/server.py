@@ -129,9 +129,97 @@ async function explore(){
   };
   h+=hop('Outgoing',j.out,j.truncated.out)+hop('Incoming',j['in'],j.truncated['in']);
   document.getElementById('nout').innerHTML=h;
+  // node-link sketch: the server renders the same payload as SVG
+  const sv=await fetch('/api/v1/neighborhood/'+encodeURIComponent(rid)+'?format=svg');
+  if(sv.ok){
+    const d=document.createElement('div');
+    d.innerHTML=await sv.text();
+    // click a neighbor box to explore it (texts carry '#b:p …')
+    d.querySelectorAll('text').forEach(t=>{
+      const m=/^(#\\d+:-?\\d+)/.exec(t.textContent);
+      if(m){t.style.cursor='pointer';
+            t.onclick=()=>{document.getElementById('rid').value=m[1];explore();};}
+    });
+    document.getElementById('nout').prepend(d);
+  }
 }
 </script></body></html>
 """
+
+def render_neighborhood_svg(payload: dict) -> str:
+    """Node-link sketch of a ``/api/v1/neighborhood`` payload — the
+    Studio graph-panel analog for the console's explore workflow
+    (reference workflow: explore the graph in ArcadeDB Studio,
+    /root/reference/README.md:19-26). Deterministic ladder layout:
+    the focus record in the middle, incoming neighbors stacked left,
+    outgoing stacked right, edge labels on the links; every neighbor
+    node carries its RID (the console's click-through key). Pure
+    string rendering over the already-capped payload — no extra
+    Spark work."""
+    import html as _html
+
+    def esc(v) -> str:
+        return _html.escape(str(v), quote=True)
+
+    out_e, in_e = payload.get("out", []), payload.get("in", [])
+    ROW, TOP = 34, 56
+    height = max(240, TOP + ROW * max(len(out_e), len(in_e), 1) + 40)
+    width = 920
+    cx, cy = width // 2, height // 2
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" viewBox="0 0 {width} {height}" '
+        'font-family="system-ui,sans-serif" font-size="12">',
+        '<style>.n{fill:#eef;stroke:#447} .f{fill:#ffe9c9;stroke:#b60}'
+        ' .e{stroke:#999;fill:none} .t{fill:#222}'
+        ' .lab{fill:#666;font-size:10px}</style>',
+    ]
+
+    def node(x: int, y: int, rid: str | None, label: str, focus: bool = False):
+        w = 190
+        parts.append(
+            f'<rect class="{"f" if focus else "n"}" x="{x - w // 2}" '
+            f'y="{y - 14}" width="{w}" height="28" rx="6"/>'
+        )
+        text = f"{rid or '?'} {label}"
+        parts.append(
+            f'<text class="t" x="{x}" y="{y + 4}" '
+            f'text-anchor="middle">{esc(text[:30])}</text>'
+        )
+
+    def link(x1, y1, x2, y2, label):
+        parts.append(
+            f'<path class="e" d="M {x1} {y1} L {x2} {y2}"/>'
+        )
+        mx, my = (x1 + x2) // 2, (y1 + y2) // 2 - 4
+        parts.append(
+            f'<text class="lab" x="{mx}" y="{my}" '
+            f'text-anchor="middle">{esc(str(label)[:24])}</text>'
+        )
+
+    def column(entries, x, inbound):
+        for i, e in enumerate(entries):
+            y = TOP + ROW * i
+            if inbound:
+                link(x + 95, y, cx - 95, cy, e.get("edge", ""))
+            else:
+                link(cx + 95, cy, x - 95, y, e.get("edge", ""))
+            node(x, y, e.get("rid"),
+                 f'{e.get("type", "?")}({e.get("natural_key", "")})')
+
+    column(in_e, 140, inbound=True)
+    column(out_e, width - 140, inbound=False)
+    node(cx, cy, payload.get("rid"), payload.get("type", "?"), focus=True)
+    trunc = payload.get("truncated", {})
+    if trunc.get("out") or trunc.get("in"):
+        parts.append(
+            f'<text class="lab" x="{cx}" y="{height - 12}" '
+            f'text-anchor="middle">truncated at cap='
+            f'{payload.get("cap")}</text>'
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
 
 _log = engine_logger("http-server")
 
@@ -182,6 +270,89 @@ class QueryServer:
         # guards the lazy creation of the workspace-less managed-db
         # parent directory (one per server instance)
         self._managed_parent_lock = __import__("threading").Lock()
+        # Server event ring buffer (ArcadeDB's server-events analog:
+        # Studio's event panel reads the same kind of bounded log).
+        # Bounded deque — an unbounded event log on a long-lived
+        # server is a slow leak; 256 entries cover an interactive
+        # session's history.
+        from collections import deque
+
+        self._events: deque = deque(maxlen=256)
+        self._events_lock = __import__("threading").Lock()
+        # settings defaults snapshot: captured once at construction so
+        # "overridden" in the settings report means "changed since
+        # this server came up", not a guess at Spark's own defaults
+        self._settings_defaults = {
+            s["key"]: s["value"] for s in self.settings_snapshot()
+        }
+
+    def record_event(
+        self, event_type: str, component: str, message: str
+    ) -> None:
+        """Append to the bounded server-event ring buffer (read back
+        through POST /api/v1/server {"command": "get server events"})."""
+        import datetime as _dt
+
+        with self._events_lock:
+            self._events.append({
+                "time": _dt.datetime.now(_dt.timezone.utc).isoformat(
+                    timespec="seconds"
+                ),
+                "type": event_type,
+                "component": component,
+                "message": message[:300],
+            })
+
+    def settings_snapshot(self) -> list[dict]:
+        """Read-only engine/server settings for GET /api/v1/server
+        (mode=default): the Spark session confs that govern this
+        engine's execution posture plus the server's own knobs —
+        the ArcadeDB settings-report shape (key/value/description/
+        default/overridden), values as strings."""
+        def conf(key: str) -> str:
+            try:
+                return str(self.spark.conf.get(key))
+            except Exception:  # noqa: BLE001 — unset conf, no default
+                return ""
+
+        rows = [
+            ("spark.master", self.spark.sparkContext.master,
+             "cluster manager / local mode"),
+            ("spark.sql.shuffle.partitions",
+             conf("spark.sql.shuffle.partitions"),
+             "exchange partition count for joins/aggregations"),
+            ("spark.sql.adaptive.enabled",
+             conf("spark.sql.adaptive.enabled"),
+             "AQE runtime re-planning (skew joins, coalesced shuffle)"),
+            ("spark.sql.session.timeZone",
+             conf("spark.sql.session.timeZone"),
+             "session time zone for timestamp semantics"),
+            ("spark.sql.autoBroadcastJoinThreshold",
+             conf("spark.sql.autoBroadcastJoinThreshold"),
+             "max build-side size for automatic broadcast joins"),
+            ("spark.sql.files.maxPartitionBytes",
+             conf("spark.sql.files.maxPartitionBytes"),
+             "max bytes per file-scan partition"),
+            ("server.name", "biodwh2-spark", "server display name"),
+            ("server.readOnly", str(not self.allow_writes),
+             "write statements rejected unless started with "
+             "--allow-writes"),
+            ("server.workspaceDir", self.workspace_dir or "",
+             "serving workspace directory"),
+            ("server.queryRowLimit", str(MAX_ROWS),
+             "default result-row cap per HTTP query"),
+        ]
+        defaults = getattr(self, "_settings_defaults", {})
+        return [
+            {
+                "key": k,
+                "value": v,
+                "description": d,
+                "default": defaults.get(k, v),
+                "overridden": defaults.get(k, v) != v,
+            }
+            for k, v, d in rows
+        ]
 
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> int:
@@ -239,17 +410,24 @@ class QueryServer:
                         self._challenge()
                         return
                     self._reply(200, {"result": sorted(server.databases)})
-                elif self.path == "/api/v1/server":
+                elif self.path.split("?", 1)[0] == "/api/v1/server":
                     # ArcadeDB server-status route (read-only
                     # management surface): clients poll it for
                     # version/uptime/database inventory right after
-                    # connect.
+                    # connect. ?mode=basic returns the status header
+                    # only; the default mode adds the read-only
+                    # settings report (ArcadeDB's mode semantics).
                     if not self._authorized():
                         self._challenge()
                         return
                     import time as _time
+                    import urllib.parse
 
-                    self._reply(200, {
+                    qs = urllib.parse.parse_qs(
+                        urllib.parse.urlsplit(self.path).query
+                    )
+                    mode = (qs.get("mode") or ["default"])[0]
+                    payload = {
                         "user": server.username,
                         "version": "biodwh2-arcadedb-server-spark/0.9",
                         "serverName": "biodwh2-spark",
@@ -258,7 +436,10 @@ class QueryServer:
                         ),
                         "databases": sorted(server.databases),
                         "readOnly": not server.allow_writes,
-                    })
+                    }
+                    if mode != "basic":
+                        payload["settings"] = server.settings_snapshot()
+                    self._reply(200, payload)
                 elif self.path.startswith("/api/v1/exists/"):
                     # ArcadeDB: {"result": true|false} per database
                     if not self._authorized():
@@ -311,10 +492,13 @@ class QueryServer:
                         return
                     import urllib.parse
 
+                    route, _, query = self.path.partition("?")
                     rid = urllib.parse.unquote(
-                        self.path[len("/api/v1/neighborhood/"):]
+                        route[len("/api/v1/neighborhood/"):]
                     ).lstrip("#")
-                    self._neighborhood(rid)
+                    fmt = (urllib.parse.parse_qs(query).get("format")
+                           or ["json"])[0]
+                    self._neighborhood(rid, fmt=fmt)
                 elif self.path in ("/", "/index.html"):
                     # Studio-analog console — served behind the basic-
                     # auth challenge so the page's fetch() calls reuse
@@ -331,7 +515,7 @@ class QueryServer:
                 else:
                     self._reply(404, {"error": "not found"})
 
-            def _neighborhood(self, rid: str) -> None:
+            def _neighborhood(self, rid: str, fmt: str = "json") -> None:
                 """``GET /api/v1/neighborhood/{rid}`` — the Studio
                 explore-workflow analog (the reference's README
                 workflow is "explore the graph in ArcadeDB Studio",
@@ -463,7 +647,7 @@ class QueryServer:
                     # review: 4xx-vs-5xx misattribution)
                     self._reply(500, {"error": str(exc)})
                     return
-                self._reply(200, {
+                payload = {
                     "rid": f"#{rid}",
                     "type": label,
                     "record": record,
@@ -471,7 +655,18 @@ class QueryServer:
                     "in": in_e,
                     "truncated": {"out": out_trunc, "in": in_trunc},
                     "cap": CAP,
-                })
+                }
+                if fmt == "svg":
+                    body = render_neighborhood_svg(payload).encode()
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "image/svg+xml; charset=utf-8"
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                self._reply(200, payload)
 
             def _arcade_api(self, verb: str, form_request: dict | None = None) -> None:
                 """ArcadeDB-compatible wire surface (the literal REST
@@ -644,6 +839,10 @@ class QueryServer:
                     # statement special case
                     for s in stmts:
                         df = _run_one(s)
+                        if verb == "command" and arcadesql.claims_statement(s):
+                            # DML/DDL that actually ran (not staged,
+                            # not a read) lands in the event buffer
+                            server.record_event("INFO", "Command", s.strip())
                 else:
                     self._reply(400, {"error": f"unknown language {lang!r}"})
                     return
@@ -702,6 +901,10 @@ class QueryServer:
                             server.spark, sid,
                             allow_writes=server.allow_writes,
                         )
+                        server.record_event(
+                            "INFO", "Transaction",
+                            f"commit {sid}: {n} statement(s) applied",
+                        )
                         self._reply(
                             200,
                             {"result": [{"operation": "commit",
@@ -726,11 +929,24 @@ class QueryServer:
                 types, ready for CREATE VERTEX TYPE) and ``drop
                 database <name>``. Both are writes — 403 on a
                 read-only server; query routing stays bound to the
-                primary 'biodwh2' database, like the reference."""
+                primary 'biodwh2' database, like the reference.
+                ``get server events`` reads the bounded event ring
+                buffer (DML/DDL/build/management events) — a read,
+                allowed on read-only servers."""
                 import os
                 import shutil
                 import tempfile
 
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if re.fullmatch(
+                    r"\s*get\s+server\s+events\s*",
+                    req.get("command", ""), re.I,
+                ):
+                    with server._events_lock:
+                        events = list(server._events)
+                    self._reply(200, {"result": events})
+                    return
                 if not server.allow_writes:
                     self._reply(403, {
                         "error": "server management commands are "
@@ -738,8 +954,6 @@ class QueryServer:
                                  "(start with --allow-writes)",
                     })
                     return
-                n = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(n) or b"{}")
                 m = re.fullmatch(
                     r"\s*(create|drop)\s+database\s+([A-Za-z_][\w-]*)\s*",
                     req.get("command", ""), re.I,
@@ -799,6 +1013,9 @@ class QueryServer:
                             fh,
                         )
                     server.databases[name] = dbdir
+                    server.record_event(
+                        "INFO", "Management", f"create database {name}"
+                    )
                     self._reply(200, {"result": "ok"})
                     return
                 if name == "biodwh2":
@@ -813,6 +1030,9 @@ class QueryServer:
                     self._reply(400, {"error": f"unknown database {name!r}"})
                     return
                 shutil.rmtree(dbdir, ignore_errors=True)
+                server.record_event(
+                    "INFO", "Management", f"drop database {name}"
+                )
                 self._reply(200, {"result": "ok"})
 
             def do_POST(self):
@@ -946,6 +1166,11 @@ class QueryServer:
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
+        self.record_event(
+            "INFO", "Server",
+            f"server started on {self.host}:{self.port}"
+            + ("" if self.allow_writes else " (read-only)"),
+        )
         return self.port
 
     def stop(self) -> None:

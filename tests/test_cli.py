@@ -877,3 +877,120 @@ def test_v1_server_management_surface(spark, sf_small):
         assert get("/api/v1/exists/extra") == {"result": False}
     finally:
         srv.stop()
+
+
+def test_v1_server_settings_events_and_svg(spark, sf_small, tmp_path_factory):
+    """Round-11 wire surface (VERDICT r10 #5/#6): GET /api/v1/server
+    reports the read-only settings block (mode=basic omits it), POST
+    /api/v1/server 'get server events' reads the bounded event ring
+    buffer on read-only AND write servers, and the neighborhood
+    route's ?format=svg renders the node-link sketch carrying every
+    neighbor RID (the console embeds it)."""
+    import base64
+    import json as _json
+    import urllib.request
+
+    from biodwh2_arcadedb_server_spark.server import QueryServer
+    from biodwh2_arcadedb_server_spark.workspace import (
+        build_workspace,
+        load_workspace,
+    )
+
+    ws = str(tmp_path_factory.mktemp("v1svg") / "ws")
+    build_workspace(spark, sf_small, ws, force=True)
+    load_workspace(spark, ws)
+
+    def client(srv, port):
+        auth = base64.b64encode(
+            f"{srv.username}:{srv.password}".encode()
+        ).decode()
+
+        def get(path, raw=False):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                headers={"Authorization": f"Basic {auth}"},
+            )
+            with urllib.request.urlopen(req) as resp:
+                body = resp.read()
+                ctype = resp.headers.get("Content-Type", "")
+                return (body, ctype) if raw else _json.loads(body)
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=_json.dumps(payload).encode(),
+                headers={"Authorization": f"Basic {auth}"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as resp:
+                return _json.loads(resp.read())
+
+        return get, post
+
+    # read-only server: settings visible, events readable (a read)
+    srv = QueryServer(spark, workspace_dir=ws)
+    port = srv.start()
+    get, post = client(srv, port)
+    try:
+        status = get("/api/v1/server")
+        keys = {s["key"]: s for s in status["settings"]}
+        assert keys["server.readOnly"]["value"] == "True"
+        assert keys["spark.sql.shuffle.partitions"]["value"]
+        assert "description" in keys["spark.sql.adaptive.enabled"]
+        assert keys["server.name"]["overridden"] is False
+        assert "settings" not in get("/api/v1/server?mode=basic")
+        ev = post("/api/v1/server", {"command": "get server events"})
+        assert any(
+            e["component"] == "Server" and "server started" in e["message"]
+            and "read-only" in e["message"]
+            for e in ev["result"]
+        )
+    finally:
+        srv.stop()
+
+    # write server: management + DML events land in the buffer;
+    # neighborhood SVG carries the neighbor RIDs
+    srv = QueryServer(spark, workspace_dir=ws, allow_writes=True)
+    port = srv.start()
+    get, post = client(srv, port)
+    try:
+        post("/api/v1/server", {"command": "create database evdb"})
+        post(
+            "/api/v1/command/biodwh2",
+            {"language": "sql",
+             "command": "INSERT INTO Nation SET natural_key = 991, "
+                        "n_name = 'EVENTLAND'"},
+        )
+        ev = post("/api/v1/server", {"command": "get server events"})[
+            "result"
+        ]
+        assert any(
+            e["component"] == "Management"
+            and e["message"] == "create database evdb" for e in ev
+        )
+        assert any(
+            e["component"] == "Command"
+            and e["message"].startswith("INSERT INTO Nation") for e in ev
+        )
+
+        rid_rows = post(
+            "/api/v1/query/biodwh2",
+            {"language": "sql",
+             "command": "SELECT @rid AS rid FROM Nation "
+                        "WHERE natural_key = 3"},
+        )["result"]
+        rid = str(rid_rows[0]["rid"])
+        hood = get(f"/api/v1/neighborhood/{rid}")
+        n_rids = [e["rid"] for e in hood["out"] + hood["in"] if e["rid"]]
+        assert n_rids, "expected 1-hop neighbors for Nation 3"
+        body, ctype = get(
+            f"/api/v1/neighborhood/{rid}?format=svg", raw=True
+        )
+        svg = body.decode()
+        assert ctype.startswith("image/svg+xml")
+        assert svg.startswith("<svg") and svg.endswith("</svg>")
+        assert hood["rid"] in svg
+        for nr in n_rids:
+            assert nr in svg, f"neighbor {nr} missing from the sketch"
+    finally:
+        srv.stop()
