@@ -709,6 +709,58 @@ try:  # pragma: no cover - environment-dependent surface
         def close(self) -> None:
             pass
 
+    class _FirstSeenProcessor(StatefulProcessor):
+        """Streaming exact-dedup / first-occurrence suppression on
+        named MapState — the third TWS state kind (ValueState: running
+        stats q175; ListState: session close q179). Per user, a map
+        fingerprint → first-seen timestamp; a row whose fingerprint is
+        already present emits nothing. This is the streaming leg of
+        the exact-dedup staple (C1): at 100 TB the map lives on the
+        RocksDB provider keyed off-heap/on-disk, and the fingerprint
+        is whatever content hash the batch dedup uses — here a small
+        modulus so the test corpus actually collides."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getMapState("seen", "fp bigint", "ts timestamp")
+
+        def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+            out_fp: list[int] = []
+            out_ts: list = []
+            batch_new: dict[int, object] = {}
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values("ts", kind="stable", ignore_index=True)
+                # one containsKey round-trip per UNIQUE candidate:
+                # drop in-batch repeats first (keep='first' preserves
+                # the earliest ts), then probe the state map
+                pdf = pdf.drop_duplicates(subset=["fp"], keep="first")
+                for fp, ts in zip(pdf["fp"], pdf["ts"]):
+                    fp = int(fp)
+                    if fp in batch_new or self._seen.containsKey((fp,)):
+                        continue
+                    batch_new[fp] = ts
+                    out_fp.append(fp)
+                    out_ts.append(ts)
+            for fp, ts in batch_new.items():
+                self._seen.updateValue((fp,), (ts,))
+            if not out_fp:
+                return iter(())
+            return iter(
+                [
+                    pd.DataFrame(
+                        {
+                            "user_id": [key[0]] * len(out_fp),
+                            "fp": out_fp,
+                            "first_ts": out_ts,
+                        }
+                    )
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
     HAS_TRANSFORM_WITH_STATE = True
     TWS_UNAVAILABLE_REASON: str | None = None
 except ImportError as _exc:  # pragma: no cover
@@ -766,6 +818,95 @@ def sessionize_tws(
             timeMode="EventTime",
         )
     )
+
+
+FIRST_SEEN_OUTPUT_SCHEMA = "user_id long, fp bigint, first_ts timestamp"
+
+
+def stream_first_seen(events: DataFrame) -> DataFrame:
+    """First-occurrence-only emission per (user, fingerprint) via
+    named MapState (``_FirstSeenProcessor``): the streaming exact-
+    dedup leg. Input columns: (user_id, ts, fp). Append mode, no
+    timers — a fingerprint's first sighting is final by definition on
+    a time-ordered stream; replays and late duplicates are suppressed
+    by the state map. Requires the RocksDB provider."""
+    if not HAS_TRANSFORM_WITH_STATE:
+        raise RuntimeError(
+            "transformWithState requires pyspark>=4 with google.protobuf "
+            "available to the Python worker; deduplicate in batch via "
+            f"operators.dedup instead [{TWS_UNAVAILABLE_REASON}]"
+        )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_FirstSeenProcessor(),
+        outputStructType=FIRST_SEEN_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+def run_finite_first_seen(
+    spark: SparkSession,
+    sf_dir: str,
+    modulus: int = 97,
+    n_chunks: int = 3,
+    name: str = "first_seen_out",
+    state_parts: int | None = None,
+) -> DataFrame:
+    """Drain the chunked events stream through ``stream_first_seen``:
+    fingerprint = floor(value·10) mod ``modulus`` (small on purpose —
+    the test corpus must actually collide for the suppression path to
+    be exercised; a production run uses the content hash). Multiple
+    chunks make duplicates arrive in LATER micro-batches than their
+    first sighting — the cross-batch MapState suppression under
+    test."""
+    from biodwh2_arcadedb_server_spark.streaming import (
+        STREAM_STATE_PARTITIONS,
+        state_partitions,
+    )
+
+    src = chunked_event_files(sf_dir, n_chunks)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    try:
+        with state_partitions(spark, state_parts or STREAM_STATE_PARTITIONS):
+            stream = (
+                spark.readStream.schema("user_id long, ts timestamp, value double")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .select(
+                    "user_id",
+                    "ts",
+                    (
+                        F.floor(F.col("value") * 10).cast("long")
+                        % F.lit(modulus)
+                    ).alias("fp"),
+                )
+            )
+            q = (
+                stream_first_seen(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix="first_seen_ckpt_", dir=ckpt_base),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return spark.table(name).filter(F.col("user_id") >= 0)
 
 
 def run_finite_sessionize_tws(

@@ -228,3 +228,51 @@ def test_tws_session_close_matches_batch_and_tolerates_disorder(spark, sf_small)
     # merge into the same sessions (the applyInPandasWithState
     # sessionizer REQUIRES ordered input; this one does not)
     assert emitted(2, "tws_sess_shuf", shuffled=True) == batch
+
+
+def test_tws_first_seen_suppresses_cross_batch_duplicates(spark, sf_small):
+    """MapState streaming exact-dedup: the emitted (user, fp,
+    first_ts) set equals the batch GROUP BY / MIN(ts) aggregate and is
+    invariant to trigger cadence — a duplicate arriving three
+    micro-batches after its first sighting must be suppressed by the
+    state map, not re-emitted. Capability contract: without protobuf
+    the operator refuses with a clear error, no skip."""
+    import pytest
+
+    from biodwh2_arcadedb_server_spark.streaming.stateful import (
+        HAS_TRANSFORM_WITH_STATE,
+        run_finite_first_seen,
+        stream_first_seen,
+    )
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        stream = se.read_events_stream(spark, sf_small).select(
+            "user_id", "ts", F.lit(0).alias("fp")
+        )
+        with pytest.raises(RuntimeError, match="transformWithState requires"):
+            stream_first_seen(stream)
+        return
+
+    def emitted(n_chunks, name):
+        rows = run_finite_first_seen(
+            spark, sf_small, modulus=97, n_chunks=n_chunks, name=name
+        ).collect()
+        got = {(r.user_id, r.fp): r.first_ts for r in rows}
+        assert len(got) == len(rows), "a (user, fp) pair emitted twice"
+        return got
+
+    batch = {
+        (r.user_id, r.fp): r.first_ts
+        for r in (
+            load_table(spark, sf_small, "events")
+            .select(
+                "user_id", "ts",
+                (F.floor(F.col("value") * 10).cast("long") % 97).alias("fp"),
+            )
+            .groupBy("user_id", "fp")
+            .agg(F.min("ts").alias("first_ts"))
+            .collect()
+        )
+    }
+    assert emitted(3, "fs_c3") == batch
+    assert emitted(1, "fs_c1") == batch
