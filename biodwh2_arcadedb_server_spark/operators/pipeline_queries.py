@@ -1401,3 +1401,36 @@ ORACLE["q181_tws_stream_first_seen"] = """
     FROM events
     GROUP BY user_id, fp
 """
+
+
+def q182_tws_warm_start_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch→stream dedup handoff via TWS INITIAL STATE (streaming/
+    stateful.py::run_warm_start_first_seen): the pre-cutoff corpus is
+    deduplicated in batch, its per-user seen-sets load through
+    handleInitialState before the stream's first micro-batch, and the
+    post-cutoff stream emits only fingerprints the batch era never
+    saw — the restart/bootstrap pattern every production streaming
+    dedup needs (and the last Spark 4 TWS API feature the q175/q179/
+    q181 trio left uncovered). Oracle: pairs whose global first
+    occurrence is at/after the midpoint-epoch cutoff, computed
+    identically by both engines from MIN/MAX epoch-µs."""
+    from biodwh2_arcadedb_server_spark.streaming.stateful import (
+        run_warm_start_first_seen,
+    )
+
+    return run_warm_start_first_seen(
+        spark, sf_dir, modulus=97, n_chunks=2,
+        name="q182_warm_first_seen", state_parts=8,
+    ).select("user_id", "fp", "first_ts")
+
+
+QUERIES["q182_tws_warm_start_dedup"] = q182_tws_warm_start_dedup
+ORACLE["q182_tws_warm_start_dedup"] = """
+    SELECT user_id,
+           CAST(FLOOR(value * 10) AS BIGINT) % 97 AS fp,
+           MIN(ts) AS first_ts
+    FROM events
+    GROUP BY user_id, fp
+    HAVING MIN(epoch_us(ts)) >=
+           (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 FROM events)
+"""

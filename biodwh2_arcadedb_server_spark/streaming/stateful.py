@@ -342,6 +342,7 @@ def chunked_event_files(
     n_chunks: int = 4,
     out_dir: str | None = None,
     sentinel_cells: int = 1,
+    min_ts_us: int | None = None,
 ) -> str:
     """Write the events table as ``n_chunks`` time-ordered parquet
     chunks plus a far-future sentinel file, mtimes ascending, so a
@@ -358,7 +359,9 @@ def chunked_event_files(
     (event-time mode); ``eos_flush`` drains need one punctuation per
     cell (``sentinel_cells=n_cells``); ``0`` writes NO sentinel —
     for timeMode=None operators (q181) whose emission needs no
-    watermark, saving a whole trigger."""
+    watermark, saving a whole trigger. ``min_ts_us`` keeps only
+    events at/after that epoch-µs instant — the warm-start harness
+    streams the post-cutoff era only (q182)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -374,6 +377,12 @@ def chunked_event_files(
         tbl.column("ts").cast(pa.timestamp("us"), safe=False),
     )
     df = tbl.to_pandas().sort_values("ts", ignore_index=True)
+    if min_ts_us is not None:
+        # the arrow table was cast to timestamp[us] above, so the
+        # pandas int64 view IS epoch-µs already
+        df = df[
+            df["ts"].astype("datetime64[us]").astype("int64") >= min_ts_us
+        ].reset_index(drop=True)
     out = out_dir or tempfile.mkdtemp(prefix="sessionize_chunks_")
     bounds = [round(i * len(df) / n_chunks) for i in range(n_chunks + 1)]
     sentinel = pd.DataFrame(
@@ -832,6 +841,16 @@ try:  # pragma: no cover - environment-dependent surface
                 self._seen.updateValue((int(user),), (sorted(seen),))
             return iter(out) if out else iter(())
 
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            """Warm start (q182): the batch-computed seen-sets load
+            into the cell's map before the first input batch — one
+            updateValue per bootstrapped user, a one-time cost. Rows:
+            (user_id, fps array) for this cell."""
+            for r in initialState.itertuples(index=False):
+                self._seen.updateValue(
+                    (int(r.user_id),), (sorted(int(x) for x in r.fps),)
+                )
+
         def close(self) -> None:
             pass
 
@@ -908,7 +927,9 @@ def sessionize_tws(
 FIRST_SEEN_OUTPUT_SCHEMA = "user_id long, fp bigint, first_ts timestamp"
 
 
-def stream_first_seen(events: DataFrame, n_cells: int = 32) -> DataFrame:
+def stream_first_seen(
+    events: DataFrame, n_cells: int = 32, initial_state=None
+) -> DataFrame:
     """First-occurrence-only emission per (user, fingerprint) via
     named MapState (``_FirstSeenProcessor``): the streaming exact-
     dedup leg. Input columns: (user_id, ts, fp). Append mode, no
@@ -931,6 +952,10 @@ def stream_first_seen(events: DataFrame, n_cells: int = 32) -> DataFrame:
             outputStructType=FIRST_SEEN_OUTPUT_SCHEMA,
             outputMode="Append",
             timeMode="None",
+            # a batch GroupedData keyed by the SAME cell column:
+            # handleInitialState loads each cell's rows before the
+            # first input batch (the warm-start bootstrap, q182)
+            initialState=initial_state,
         )
     )
 
@@ -989,6 +1014,99 @@ def run_finite_first_seen(
                 .option(
                     "checkpointLocation",
                     tempfile.mkdtemp(prefix="first_seen_ckpt_", dir=ckpt_base),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+def run_warm_start_first_seen(
+    spark: SparkSession,
+    sf_dir: str,
+    modulus: int = 97,
+    n_chunks: int = 2,
+    name: str = "warm_first_seen_out",
+    state_parts: int | None = None,
+    n_cells: int = 32,
+) -> DataFrame:
+    """The batch→stream HANDOFF a production dedup pipeline runs:
+    the corpus up to a cutoff is deduplicated in batch, the stream
+    continues from the cutoff with the batch seen-sets loaded as TWS
+    INITIAL STATE (handleInitialState — the last API feature the
+    q175/q179/q181 trio left uncovered). Cutoff = the midpoint
+    epoch-µs of the events span, computed identically by the DuckDB
+    twin; only pairs whose FIRST occurrence is at/after the cutoff
+    may emit — a stream-era replay of a batch-era fingerprint must be
+    suppressed by the bootstrapped map, which is exactly what the
+    oracle's HAVING MIN(ts) >= cutoff checks."""
+    from biodwh2_arcadedb_server_spark.sources.registry import load_table
+    from biodwh2_arcadedb_server_spark.streaming import (
+        STREAM_STATE_PARTITIONS,
+        state_partitions,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        (F.floor(F.col("value") * 10).cast("long") % F.lit(modulus)).alias("fp"),
+    )
+    # ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP — the cast is
+    # an identity on the wall-clock under the repo's UTC session
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lo, hi = ev.agg(F.min(us), F.max(us)).collect()[0]
+    cutoff_us = (int(lo) + int(hi)) // 2
+    # batch era: per-user distinct fingerprints, packed per cell —
+    # the SAME layout handleInitialState writes into the map
+    boot = (
+        ev.where(us < cutoff_us)
+        .select("user_id", "fp")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("fp")).alias("fps"))
+        .withColumn("_cell", F.pmod(F.col("user_id"), F.lit(n_cells)))
+        .groupBy("_cell")
+    )
+    src = chunked_event_files(
+        sf_dir, n_chunks, sentinel_cells=0, min_ts_us=cutoff_us
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    try:
+        with state_partitions(spark, state_parts or STREAM_STATE_PARTITIONS):
+            stream = (
+                spark.readStream.schema("user_id long, ts timestamp, value double")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .select(
+                    "user_id",
+                    "ts",
+                    (
+                        F.floor(F.col("value") * 10).cast("long")
+                        % F.lit(modulus)
+                    ).alias("fp"),
+                )
+            )
+            q = (
+                stream_first_seen(stream, n_cells=n_cells, initial_state=boot)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix="warm_fs_ckpt_", dir=ckpt_base),
                 )
                 .trigger(availableNow=True)
                 .start()

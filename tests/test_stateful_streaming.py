@@ -276,3 +276,55 @@ def test_tws_first_seen_suppresses_cross_batch_duplicates(spark, sf_small):
     }
     assert emitted(3, "fs_c3") == batch
     assert emitted(1, "fs_c1") == batch
+
+
+def test_tws_warm_start_initial_state_suppresses_batch_era(spark, sf_small):
+    """Initial-state bootstrap (q182): the warm-started stream must
+    emit exactly the pairs a cold FULL drain emits at/after the
+    cutoff — and strictly fewer than a cold drain over only the
+    post-cutoff era (which re-emits batch-era fingerprints the
+    bootstrap is there to suppress)."""
+    import pytest
+
+    from biodwh2_arcadedb_server_spark.streaming.stateful import (
+        HAS_TRANSFORM_WITH_STATE,
+        run_finite_first_seen,
+        run_warm_start_first_seen,
+        stream_first_seen,
+    )
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        stream = se.read_events_stream(spark, sf_small).select(
+            "user_id", "ts", F.lit(0).alias("fp")
+        )
+        with pytest.raises(RuntimeError, match="transformWithState requires"):
+            stream_first_seen(stream)
+        return
+
+    import pandas as pd
+
+    warm = {
+        (r.user_id, r.fp): r.first_ts
+        for r in run_warm_start_first_seen(
+            spark, sf_small, n_chunks=2, name="ws_warm"
+        ).collect()
+    }
+    ev = load_table(spark, sf_small, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lo, hi = ev.agg(F.min(us), F.max(us)).collect()[0]
+    cutoff = (int(lo) + int(hi)) // 2
+    cold_full = {
+        (r.user_id, r.fp): r.first_ts
+        for r in run_finite_first_seen(
+            spark, sf_small, n_chunks=2, name="ws_cold"
+        ).collect()
+    }
+    want = {
+        k: ts
+        for k, ts in cold_full.items()
+        if ts.replace(tzinfo=None) >= pd.Timestamp(cutoff, unit="us")
+    }
+    assert warm == want
+    # the bootstrap did real work: batch-era pairs exist whose
+    # stream-era replays were suppressed
+    assert len(warm) < len(cold_full)
