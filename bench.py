@@ -169,6 +169,7 @@ HEADLINE = [
     "q176_kmeans_embeddings",
     "q177_cluster_balanced_sample",
     "q178_cluster_threshold_sample",
+    "q180_kmeanspp_assign",
     "q128_rag_retrieval",
     "q77_ivf_topk",
     "q116_pq_topk",
@@ -229,6 +230,9 @@ STREAMING = [
     "q69_stream_ingest",
     "q84_stream_neardup",
     "q90_stream_sessionize",
+    "q179_tws_session_close",
+    "q181_tws_stream_first_seen",
+    "q182_tws_warm_start_dedup",
 ]
 
 

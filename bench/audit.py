@@ -28,7 +28,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Structural reasons a probe can't beat DuckDB on micro data no matter
 # the plan; everything else >2x is worth a plan look.
-STREAMING = {"q16", "q56", "q62", "q63", "q69", "q84", "q90", "q127", "q175"}
+STREAMING = {
+    "q16", "q56", "q62", "q63", "q69", "q84", "q90", "q127", "q175",
+    # round-11 TWS drains: 3-4 triggers x RocksDB open/commit x state
+    # partitions — per-trigger runtime floor, independent of key count
+    # after cell-packing (streaming/stateful.py)
+    "q179", "q181", "q182",
+}
 ITERATIVE = {
     "q21", "q22", "q24", "q25", "q65", "q76", "q80", "q81", "q83", "q85",
     "q86", "q97", "q77",
@@ -50,6 +56,10 @@ ITERATIVE = {
     # rounds × job-scheduling floor as PageRank, amortizing the same
     # way (assignment is map-only; the update shuffles k rows)
     "q176", "q177",
+    # round-11: kmeans++ selection is k-1 sequential D² scan + 1-row
+    # max_by rounds before the Lloyd rounds — same rounds × scheduling
+    # shape as q176
+    "q180",
 }
 
 # Dialect DML probes: ~25 sequential tiny jobs (force-build + per-
