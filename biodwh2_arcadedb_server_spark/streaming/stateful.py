@@ -624,7 +624,9 @@ try:  # pragma: no cover - environment-dependent surface
         named-state operation is a socket round-trip to the JVM state
         server, so state-op count must scale with CELLS, not users —
         measured at sf0.1 (1500 users, 4 triggers): per-user keys
-        25.9s, 32 cells ~3s, identical output. ListState "sessions"
+        25.9s, 32 cells ~8s (the remaining cost is the
+        per-trigger RocksDB+proto-worker cycle, key-count-independent),
+        identical output. ListState "sessions"
         holds the cell's pending (user, start, end, n, s) aggregates,
         disjoint per user by >= gap; ONE event-time timer per cell,
         armed at the cell's min(end)+gap — the earliest instant any
@@ -902,7 +904,7 @@ def sessionize_tws(
     Keyed by ``user_id % n_cells``, NOT the raw user: every named-
     state/timer call is a round-trip to the JVM state server, so the
     op count must scale with cells (see _SessionCloseProcessor —
-    per-user keys measured 2.7× slower than 32 cells at a mere 1500
+    per-user keys measured ~3× slower than 32 cells at a mere 1500
     users; at 10^8 users per-user keys are untenable, cells size by
     the q90 rule: thousands of users / KBs of state per cell)."""
     if not HAS_TRANSFORM_WITH_STATE:
