@@ -1323,7 +1323,7 @@ def _kmpp_c0_parts(k: int, dim: int, seed: int) -> list[str]:
     )""",
         f"""sel0 AS (
         SELECT 0 AS cluster, {r8vec} AS cent
-        FROM uu e ORDER BY e.u DESC LIMIT 1
+        FROM uu e ORDER BY e.u DESC, e.vec_id ASC LIMIT 1
     )""",
     ]
     for j in range(1, k):
@@ -1335,7 +1335,7 @@ def _kmpp_c0_parts(k: int, dim: int, seed: int) -> list[str]:
         SELECT {j} AS cluster, {r8vec} AS cent
         FROM dd{j} d JOIN uu e USING (vec_id)
         WHERE d.d2 > 0
-        ORDER BY ln(e.u) / d.d2 DESC LIMIT 1
+        ORDER BY ln(e.u) / d.d2 DESC, e.vec_id ASC LIMIT 1
     )""")
         parts.append(f"""sel{j} AS (
         SELECT * FROM sel{j - 1} UNION ALL SELECT * FROM pp{j}

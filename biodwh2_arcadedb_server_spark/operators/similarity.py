@@ -880,8 +880,18 @@ def kmeans_assign(
         vec_d = F.transform(
             F.slice(F.col(vec_col), 1, dim), lambda x: x.cast("double")
         )
+        # deterministic tiebreak (review finding): u is a 32-bit md5
+        # prefix, so exact collisions are rare but possible at corpus
+        # scale — ties go to the SMALLER id on both engines (struct
+        # ordering here, ORDER BY ... , vec_id in the DuckDB twin),
+        # matching the numpy replay's first-max-index argmax
+        def _tiebreak(key):
+            return F.struct(key.alias("k"), (-F.col(id_col)).alias("t"))
+
         # first centroid: plain uniform sample = argmax u (one 1-row agg)
-        first = emb.select(F.max_by(vec_d, u).alias("c")).collect()[0]["c"]
+        first = emb.select(
+            F.max_by(vec_d, _tiebreak(u)).alias("c")
+        ).collect()[0]["c"]
         cents = [[_half_up8(x) for x in first]]
         while len(cents) < k:
             # D²-weighted sample without replacement: Efraimidis–
@@ -891,7 +901,7 @@ def kmeans_assign(
             d2 = _best_struct(cents)["d"]
             cand = (
                 emb.where(d2 > 0)
-                .select(F.max_by(vec_d, F.log(u) / d2).alias("c"))
+                .select(F.max_by(vec_d, _tiebreak(F.log(u) / d2)).alias("c"))
                 .collect()
             )
             if not cand or cand[0]["c"] is None:

@@ -962,60 +962,57 @@ def stream_first_seen(
     )
 
 
-def run_finite_first_seen(
+def _event_fp(modulus: int):
+    """floor(value·10) mod ``modulus`` — the test-corpus fingerprint
+    shared by the first-seen drains (small on purpose: the corpus
+    must actually collide for suppression to be exercised; production
+    uses the content hash)."""
+    return (F.floor(F.col("value") * 10).cast("long") % F.lit(modulus)).alias("fp")
+
+
+def _drain_finite(
     spark: SparkSession,
-    sf_dir: str,
-    modulus: int = 97,
-    n_chunks: int = 3,
-    name: str = "first_seen_out",
-    state_parts: int | None = None,
+    src: str,
+    build,
+    name: str,
+    state_parts: int | None,
+    ckpt_prefix: str,
 ) -> DataFrame:
-    """Drain the chunked events stream through ``stream_first_seen``:
-    fingerprint = floor(value·10) mod ``modulus`` (small on purpose —
-    the test corpus must actually collide for the suppression path to
-    be exercised; a production run uses the content hash). Multiple
-    chunks make duplicates arrive in LATER micro-batches than their
-    first sighting — the cross-batch MapState suppression under
-    test."""
+    """Shared RocksDB finite-drain harness for the TWS runners
+    (review finding: three hand-kept copies): pin the provider +
+    state partitions, replay ``src`` one file per trigger through
+    ``build(stream)``, drain availableNow into a memory sink
+    (checkpoint on tmpfs — scratch, not durability), restore confs,
+    return real-user rows. The provider conf is set INSIDE the
+    restore scope so an exception anywhere still restores it."""
     from biodwh2_arcadedb_server_spark.streaming import (
         STREAM_STATE_PARTITIONS,
         state_partitions,
     )
 
-    # timeMode=None needs no watermark advance — skip the sentinel
-    # file and its whole trigger
-    src = chunked_event_files(sf_dir, n_chunks, sentinel_cells=0)
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
     ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     try:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         with state_partitions(spark, state_parts or STREAM_STATE_PARTITIONS):
             stream = (
                 spark.readStream.schema("user_id long, ts timestamp, value double")
                 .option("maxFilesPerTrigger", 1)
                 .parquet(src)
-                .select(
-                    "user_id",
-                    "ts",
-                    (
-                        F.floor(F.col("value") * 10).cast("long")
-                        % F.lit(modulus)
-                    ).alias("fp"),
-                )
             )
             q = (
-                stream_first_seen(stream)
+                build(stream)
                 .writeStream.format("memory")
                 .queryName(name)
                 .outputMode("append")
                 .option(
                     "checkpointLocation",
-                    tempfile.mkdtemp(prefix="first_seen_ckpt_", dir=ckpt_base),
+                    tempfile.mkdtemp(prefix=ckpt_prefix, dir=ckpt_base),
                 )
                 .trigger(availableNow=True)
                 .start()
@@ -1027,6 +1024,46 @@ def run_finite_first_seen(
         else:
             spark.conf.set(provider_key, prev)
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+def run_finite_first_seen(    spark: SparkSession,
+    sf_dir: str,
+    modulus: int = 97,
+    n_chunks: int = 3,
+    name: str = "first_seen_out",
+    state_parts: int | None = None,
+) -> DataFrame:
+    """Drain the chunked events stream through ``stream_first_seen``.
+    Multiple chunks make duplicates arrive in LATER micro-batches
+    than their first sighting — the cross-batch MapState suppression
+    under test. timeMode=None needs no watermark advance, so the
+    sentinel file (and its whole trigger) is skipped."""
+    src = chunked_event_files(sf_dir, n_chunks, sentinel_cells=0)
+    return _drain_finite(
+        spark,
+        src,
+        lambda stream: stream_first_seen(
+            stream.select("user_id", "ts", _event_fp(modulus))
+        ),
+        name,
+        state_parts,
+        "first_seen_ckpt_",
+    )
+
+
+def events_midpoint_us(sf_dir: str) -> int:
+    """Midpoint of the events table's ts span in RAW epoch-µs — the
+    same ns→µs truncation as chunked_event_files and DuckDB's
+    TIMESTAMP_NS coercion, with no session-timezone involvement
+    anywhere (the NTZ wall-clock IS the epoch domain here)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    col = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+    ).column("ts").cast(pa.timestamp("us"), safe=False)
+    return (pc.min(col).value + pc.max(col).value) // 2
 
 
 def run_warm_start_first_seen(
@@ -1049,25 +1086,22 @@ def run_warm_start_first_seen(
     suppressed by the bootstrapped map, which is exactly what the
     oracle's HAVING MIN(ts) >= cutoff checks."""
     from biodwh2_arcadedb_server_spark.sources.registry import load_table
-    from biodwh2_arcadedb_server_spark.streaming import (
-        STREAM_STATE_PARTITIONS,
-        state_partitions,
-    )
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "ts",
         (F.floor(F.col("value") * 10).cast("long") % F.lit(modulus)).alias("fp"),
     )
-    # ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP — the cast is
-    # an identity on the wall-clock under the repo's UTC session
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    lo, hi = ev.agg(F.min(us), F.max(us)).collect()[0]
-    cutoff_us = (int(lo) + int(hi)) // 2
+    cutoff_us = events_midpoint_us(sf_dir)
+    # ts is TIMESTAMP_NTZ: compare against a NAIVE literal so the
+    # split is timezone-free and lands on the identical instant as
+    # chunked_event_files' raw-µs filter and the oracle's epoch_us
+    # (review finding: unix_micros(cast) is session-tz-shifted)
+    cutoff_lit = F.lit(pd.Timestamp(cutoff_us, unit="us").to_pydatetime())
     # batch era: per-user distinct fingerprints, packed per cell —
     # the SAME layout handleInitialState writes into the map
     boot = (
-        ev.where(us < cutoff_us)
+        ev.where(F.col("ts") < cutoff_lit)
         .select("user_id", "fp")
         .distinct()
         .groupBy("user_id")
@@ -1078,48 +1112,18 @@ def run_warm_start_first_seen(
     src = chunked_event_files(
         sf_dir, n_chunks, sentinel_cells=0, min_ts_us=cutoff_us
     )
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
+    return _drain_finite(
+        spark,
+        src,
+        lambda stream: stream_first_seen(
+            stream.select("user_id", "ts", _event_fp(modulus)),
+            n_cells=n_cells,
+            initial_state=boot,
+        ),
+        name,
+        state_parts,
+        "warm_fs_ckpt_",
     )
-    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    try:
-        with state_partitions(spark, state_parts or STREAM_STATE_PARTITIONS):
-            stream = (
-                spark.readStream.schema("user_id long, ts timestamp, value double")
-                .option("maxFilesPerTrigger", 1)
-                .parquet(src)
-                .select(
-                    "user_id",
-                    "ts",
-                    (
-                        F.floor(F.col("value") * 10).cast("long")
-                        % F.lit(modulus)
-                    ).alias("fp"),
-                )
-            )
-            q = (
-                stream_first_seen(stream, n_cells=n_cells, initial_state=boot)
-                .writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .option(
-                    "checkpointLocation",
-                    tempfile.mkdtemp(prefix="warm_fs_ckpt_", dir=ckpt_base),
-                )
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
-    return spark.table(name).filter(F.col("user_id") >= 0)
 
 
 def run_finite_sessionize_tws(
@@ -1142,11 +1146,6 @@ def run_finite_sessionize_tws(
     the disorder-tolerance demonstration: emission is watermark-
     driven, so the output is identical to the ordered drain (pinned
     by tests/test_stateful_streaming.py)."""
-    from biodwh2_arcadedb_server_spark.streaming import (
-        STREAM_STATE_PARTITIONS,
-        state_partitions,
-    )
-
     src = chunked_event_files(sf_dir, n_chunks)
     if shuffle_within_chunks:
         import numpy as np
@@ -1162,37 +1161,11 @@ def run_finite_sessionize_tws(
 
             pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
             os.utime(path, (st.st_atime, st.st_mtime))
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
+    return _drain_finite(
+        spark,
+        src,
+        lambda stream: sessionize_tws(stream, gap_ms, n_cells=n_cells),
+        name,
+        state_parts,
+        "sessionize_tws_ckpt_",
     )
-    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    try:
-        with state_partitions(spark, state_parts or STREAM_STATE_PARTITIONS):
-            stream = (
-                spark.readStream.schema("user_id long, ts timestamp, value double")
-                .option("maxFilesPerTrigger", 1)
-                .parquet(src)
-            )
-            out = sessionize_tws(stream, gap_ms, n_cells=n_cells)
-            q = (
-                out.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .option(
-                    "checkpointLocation",
-                    tempfile.mkdtemp(prefix="sessionize_tws_ckpt_", dir=ckpt_base),
-                )
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
-    return spark.table(name).filter(F.col("user_id") >= 0)

@@ -309,10 +309,11 @@ def test_tws_warm_start_initial_state_suppresses_batch_era(spark, sf_small):
             spark, sf_small, n_chunks=2, name="ws_warm"
         ).collect()
     }
-    ev = load_table(spark, sf_small, "events")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    lo, hi = ev.agg(F.min(us), F.max(us)).collect()[0]
-    cutoff = (int(lo) + int(hi)) // 2
+    from biodwh2_arcadedb_server_spark.streaming.stateful import (
+        events_midpoint_us,
+    )
+
+    cutoff = events_midpoint_us(sf_small)
     cold_full = {
         (r.user_id, r.fp): r.first_ts
         for r in run_finite_first_seen(
