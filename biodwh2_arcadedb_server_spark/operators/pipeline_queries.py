@@ -1295,14 +1295,18 @@ ORACLE["q179_tws_session_close"] = ORACLE["q90_stream_sessionize"]
 
 def _kmpp_c0_parts(k: int, dim: int, seed: int) -> list[str]:
     """CTE chain replaying the kmeans++ init EXACTLY as
-    similarity.kmeans_assign(init="kmeans++") computes it: u(id) is
-    the md5 uniform in (0,1], the first centroid is argmax u, and
-    each subsequent round picks argmax ln(u)/D² over rows with D²>0
-    (Efraimidis–Spirakis weighted sampling without replacement),
-    rounding the chosen vector HALF_UP to 8dp. D² values can differ
-    from Spark's fold order by ulps — a key-order flip requires two
-    candidates within one ulp of each other, the same probabilistic
-    boundary the Lloyd rounding contract already documents."""
+    similarity.kmeans_assign(init="kmeans++") computes it: u_r(id) is
+    a FRESH md5 uniform in (0,1] per selection round (keyed
+    ``kmpp:{seed}:{round}:{id}`` — ADVICE r11: E–S sampling with
+    round-varying D² weights requires fresh uniforms; a fixed u(id)
+    favors high-u rows every round), the first centroid is argmax u₀,
+    and each subsequent round j picks argmax ln(u_j)/D² over rows
+    with D²>0 (Efraimidis–Spirakis weighted sampling without
+    replacement), rounding the chosen vector HALF_UP to 8dp. D²
+    values can differ from Spark's fold order by ulps — a key-order
+    flip requires two candidates within one ulp of each other, the
+    same probabilistic boundary the Lloyd rounding contract already
+    documents."""
     n = dim + 1
     dist = (
         f"list_sum(list_transform(range(1, {n}), i -> "
@@ -1313,17 +1317,19 @@ def _kmpp_c0_parts(k: int, dim: int, seed: int) -> list[str]:
         f"list_transform(range(1, {n}), "
         "i -> round(CAST(e.embedding[i] AS DOUBLE), 8))"
     )
+
+    def u(rnd: int) -> str:
+        return (
+            f"((('0x' || substr(md5('kmpp:{seed}:{rnd}:' || "
+            "CAST(e.vec_id AS VARCHAR)), 1, 8))::BIGINT + 1) "
+            "/ 4294967296.0)"
+        )
+
     parts = [
-        f"""uu AS (
-        SELECT vec_id, embedding,
-               ((('0x' || substr(md5('kmpp:{seed}:' ||
-                   CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT + 1)
-                / 4294967296.0) AS u
-        FROM embeddings
-    )""",
+        "uu AS (SELECT vec_id, embedding FROM embeddings)",
         f"""sel0 AS (
         SELECT 0 AS cluster, {r8vec} AS cent
-        FROM uu e ORDER BY e.u DESC, e.vec_id ASC LIMIT 1
+        FROM uu e ORDER BY {u(0)} DESC, e.vec_id ASC LIMIT 1
     )""",
     ]
     for j in range(1, k):
@@ -1335,7 +1341,7 @@ def _kmpp_c0_parts(k: int, dim: int, seed: int) -> list[str]:
         SELECT {j} AS cluster, {r8vec} AS cent
         FROM dd{j} d JOIN uu e USING (vec_id)
         WHERE d.d2 > 0
-        ORDER BY ln(e.u) / d.d2 DESC, e.vec_id ASC LIMIT 1
+        ORDER BY ln({u(j)}) / d.d2 DESC, e.vec_id ASC LIMIT 1
     )""")
         parts.append(f"""sel{j} AS (
         SELECT * FROM sel{j - 1} UNION ALL SELECT * FROM pp{j}

@@ -782,8 +782,10 @@ def kmeans_assign(
     seed-deterministic numpy replay, no fixed-round oracle):
     ``init="kmeans++"`` seeds by D²-weighted sampling without
     replacement — the Efraimidis–Spirakis device the sampling staples
-    already use, with ``u(id)`` a deterministic md5 uniform keyed by
-    ``seed``, so the "random" init replays exactly. Each of the k−1
+    already use, with ``u_r(id)`` a deterministic md5 uniform keyed by
+    ``(seed, round, id)`` — fresh per selection round, as E–S sampling
+    with round-varying D² weights requires — so the "random" init
+    replays exactly. Each of the k−1
     selection rounds is one MAP-ONLY D² scan against the broadcast
     chosen-so-far literal plus a single-row ``max_by`` aggregation —
     k passes total, the classic k-means++ cost, no corpus shuffle.
@@ -857,26 +859,31 @@ def kmeans_assign(
     if init == "min-id":
         cents = [[_half_up8(x) for x in r[0][:dim]] for r in probe]
     elif init == "kmeans++":
-        # deterministic uniform in (0, 1] keyed by (seed, id): the
-        # same md5 device every sampling staple here uses — no rand(),
-        # rerun- and replay-stable
-        u = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"kmpp:{seed}:"),
-                            F.col(id_col).cast("string"),
-                        )
+        # deterministic uniform in (0, 1] keyed by (seed, ROUND, id):
+        # the same md5 device every sampling staple here uses — no
+        # rand(), rerun- and replay-stable. The round index is part of
+        # the key (ADVICE r11): Efraimidis–Spirakis sampling draws a
+        # FRESH uniform per selection round; a fixed u(id) reused
+        # against round-varying D² weights systematically favors
+        # high-u rows in every round, biasing seed quality.
+        def _u(rnd: int) -> F.Column:
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"kmpp:{seed}:{rnd}:"),
+                                F.col(id_col).cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
                     ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("double")
-            + 1.0
-        ) / 4294967296.0
+                    16,
+                    10,
+                ).cast("double")
+                + 1.0
+            ) / 4294967296.0
         vec_d = F.transform(
             F.slice(F.col(vec_col), 1, dim), lambda x: x.cast("double")
         )
@@ -888,20 +895,25 @@ def kmeans_assign(
         def _tiebreak(key):
             return F.struct(key.alias("k"), (-F.col(id_col)).alias("t"))
 
-        # first centroid: plain uniform sample = argmax u (one 1-row agg)
+        # first centroid: plain uniform sample = argmax u₀ (one 1-row agg)
         first = emb.select(
-            F.max_by(vec_d, _tiebreak(u)).alias("c")
+            F.max_by(vec_d, _tiebreak(_u(0))).alias("c")
         ).collect()[0]["c"]
         cents = [[_half_up8(x) for x in first]]
         while len(cents) < k:
             # D²-weighted sample without replacement: Efraimidis–
-            # Spirakis key log(u)/D² maximized — one map-only scan +
-            # one 1-row agg per round; D²=0 rows (exact duplicates of
-            # a chosen centroid) carry zero weight and are excluded
+            # Spirakis key log(u_r)/D² maximized — one map-only scan +
+            # one 1-row agg per round with a fresh per-round uniform;
+            # D²=0 rows (exact duplicates of a chosen centroid) carry
+            # zero weight and are excluded
             d2 = _best_struct(cents)["d"]
             cand = (
                 emb.where(d2 > 0)
-                .select(F.max_by(vec_d, _tiebreak(F.log(u) / d2)).alias("c"))
+                .select(
+                    F.max_by(
+                        vec_d, _tiebreak(F.log(_u(len(cents))) / d2)
+                    ).alias("c")
+                )
                 .collect()
             )
             if not cand or cand[0]["c"] is None:

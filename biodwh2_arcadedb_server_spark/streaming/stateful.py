@@ -258,7 +258,13 @@ def _sessionize_cell(
         # punctuation drains the state instead)
         if not eos_flush:
             state.setTimeoutTimestamp(
-                int(still_open["end"].astype("int64").min() // 1_000_000) + gap_ms
+                int(
+                    still_open["end"]
+                    .astype("datetime64[ms]")
+                    .astype("int64")
+                    .min()
+                )
+                + gap_ms
             )
     else:
         state.remove()
@@ -683,8 +689,19 @@ try:  # pragma: no cover - environment-dependent surface
                 )
             else:
                 self._sessions.clear()
+            # unit-explicit epoch-ms (ADVICE r11): astype('int64')
+            # alone assumes the arrow bridge delivered datetime64[ns];
+            # converting through datetime64[ms] first makes the math
+            # correct at any pandas datetime resolution (ns today via
+            # coerce_temporal_nanoseconds, us under a future pandas-2
+            # native default)
             want = (
-                int(pending["end"].astype("int64").min() // 1_000_000)
+                int(
+                    pending["end"]
+                    .astype("datetime64[ms]")
+                    .astype("int64")
+                    .min()
+                )
                 + self._gap_ms
                 if len(pending)
                 else None
@@ -756,7 +773,8 @@ try:  # pragma: no cover - environment-dependent surface
                 )
                 return iter(())
             expired = (
-                pending["end"].astype("int64") // 1_000_000 + self._gap_ms
+                pending["end"].astype("datetime64[ms]").astype("int64")
+                + self._gap_ms
             ) <= wm
             final = pending[expired]
             self._store_and_rearm(pending[~expired], fired=fired)
@@ -801,15 +819,26 @@ try:  # pragma: no cover - environment-dependent surface
         the Python MapState API costs one JVM round-trip per call, so
         per-ENTRY map keys (fp as the map key) pay one write per new
         fingerprint — measured 15.9s at sf0.1 (72k first-sights).
-        Packing each user's set as ONE map value makes the write
-        count scale with users-with-input per batch instead (one
-        getValue + one updateValue each). Bounded here by the
-        fingerprint modulus; an unbounded production set shards the
-        fp-space into sub-keys (u, fp >> b) at the same accounting."""
+        Packing a user's set as ONE map value makes the op count
+        scale with users-with-input per batch, but rewrites the whole
+        set per update — unbounded write amplification as the set
+        grows on a long-lived stream (ADVICE r11). The shipped layout
+        shards each user's fp-space into SUB-KEY BLOCKS
+        ``(u, fp >> shard_shift)`` (arithmetic shift, default 58 →
+        at most 64 blocks for uniform 64-bit content hashes): per
+        batch, one getValue + at most one updateValue per TOUCHED
+        block, and each write serializes only that block's ~set/64
+        slice — bounded amplification at the packed layout's op
+        count. For the bounded test modulus (fp < 97) every fp lands
+        in block 0, degenerating to the single-value layout, so the
+        q181/q182 outputs and measured floors are unchanged."""
+
+        def __init__(self, shard_shift: int = 58) -> None:
+            self._shift = shard_shift
 
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._seen = handle.getMapState(
-                "seen", "u bigint", "fps array<bigint>"
+                "seen", "u bigint, blk bigint", "fps array<bigint>"
             )
 
         def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
@@ -821,11 +850,16 @@ try:  # pragma: no cover - environment-dependent surface
             )
             # collapse in-batch repeats pandas-side (keep='first'
             # preserves the earliest ts) — the state store then sees
-            # one read + at most one write per user in the batch
+            # one read + at most one write per touched (user, block)
             pdf = pdf.drop_duplicates(subset=["user_id", "fp"], keep="first")
+            # floor-division IS the arithmetic right shift (pandas has
+            # no Series >>); matches handleInitialState's Python >>
+            blk = pdf["fp"].astype("int64") // (1 << self._shift)
             out: list[pd.DataFrame] = []
-            for user, grp in pdf.groupby("user_id", sort=False):
-                old = self._seen.getValue((int(user),))
+            for (user, b), grp in pdf.groupby(
+                [pdf["user_id"], blk], sort=False
+            ):
+                old = self._seen.getValue((int(user), int(b)))
                 seen = set(old[0]) if old is not None else set()
                 news = grp[~grp["fp"].isin(seen)]
                 if not len(news):
@@ -840,18 +874,24 @@ try:  # pragma: no cover - environment-dependent surface
                     )
                 )
                 seen.update(int(f) for f in news["fp"])
-                self._seen.updateValue((int(user),), (sorted(seen),))
+                self._seen.updateValue(
+                    (int(user), int(b)), (sorted(seen),)
+                )
             return iter(out) if out else iter(())
 
         def handleInitialState(self, key, initialState, timerValues) -> None:
             """Warm start (q182): the batch-computed seen-sets load
             into the cell's map before the first input batch — one
-            updateValue per bootstrapped user, a one-time cost. Rows:
-            (user_id, fps array) for this cell."""
+            updateValue per bootstrapped (user, block), a one-time
+            cost. Rows: (user_id, fps array) for this cell."""
             for r in initialState.itertuples(index=False):
-                self._seen.updateValue(
-                    (int(r.user_id),), (sorted(int(x) for x in r.fps),)
-                )
+                by_block: dict[int, list[int]] = {}
+                for f in sorted(int(x) for x in r.fps):
+                    by_block.setdefault(f >> self._shift, []).append(f)
+                for b, fps in by_block.items():
+                    self._seen.updateValue(
+                        (int(r.user_id), int(b)), (fps,)
+                    )
 
         def close(self) -> None:
             pass
@@ -930,7 +970,10 @@ FIRST_SEEN_OUTPUT_SCHEMA = "user_id long, fp bigint, first_ts timestamp"
 
 
 def stream_first_seen(
-    events: DataFrame, n_cells: int = 32, initial_state=None
+    events: DataFrame,
+    n_cells: int = 32,
+    initial_state=None,
+    shard_shift: int = 58,
 ) -> DataFrame:
     """First-occurrence-only emission per (user, fingerprint) via
     named MapState (``_FirstSeenProcessor``): the streaming exact-
@@ -950,7 +993,7 @@ def stream_first_seen(
         events.withColumn("_cell", F.pmod(F.col("user_id"), F.lit(n_cells)))
         .groupBy("_cell")
         .transformWithStateInPandas(
-            statefulProcessor=_FirstSeenProcessor(),
+            statefulProcessor=_FirstSeenProcessor(shard_shift),
             outputStructType=FIRST_SEEN_OUTPUT_SCHEMA,
             outputMode="Append",
             timeMode="None",
@@ -1032,6 +1075,7 @@ def run_finite_first_seen(    spark: SparkSession,
     n_chunks: int = 3,
     name: str = "first_seen_out",
     state_parts: int | None = None,
+    shard_shift: int = 58,
 ) -> DataFrame:
     """Drain the chunked events stream through ``stream_first_seen``.
     Multiple chunks make duplicates arrive in LATER micro-batches
@@ -1043,7 +1087,8 @@ def run_finite_first_seen(    spark: SparkSession,
         spark,
         src,
         lambda stream: stream_first_seen(
-            stream.select("user_id", "ts", _event_fp(modulus))
+            stream.select("user_id", "ts", _event_fp(modulus)),
+            shard_shift=shard_shift,
         ),
         name,
         state_parts,

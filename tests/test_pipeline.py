@@ -935,15 +935,30 @@ def test_kmeans_plusplus_and_convergence_match_numpy(spark, sf_small):
             for v in arr
         ])
 
-    u = np.array([
-        (int(hashlib.md5(f"kmpp:{SEED}:{i}".encode()).hexdigest()[:8], 16) + 1)
-        / 4294967296.0
-        for i in ids.tolist()
-    ])
-    cents = [r8(X[int(u.argmax())])]
+    def u(rnd):
+        # fresh uniform per selection round (ADVICE r11: E–S sampling
+        # draws a new u each round), matching the Spark/DuckDB key
+        return np.array([
+            (
+                int(
+                    hashlib.md5(
+                        f"kmpp:{SEED}:{rnd}:{i}".encode()
+                    ).hexdigest()[:8],
+                    16,
+                )
+                + 1
+            )
+            / 4294967296.0
+            for i in ids.tolist()
+        ])
+
+    cents = [r8(X[int(u(0).argmax())])]
     while len(cents) < K:
         d2 = ((X[:, None, :] - np.stack(cents)[None, :, :]) ** 2).sum(2).min(1)
-        key = np.where(d2 > 0, np.log(u) / np.where(d2 > 0, d2, 1.0), -math.inf)
+        ur = u(len(cents))
+        key = np.where(
+            d2 > 0, np.log(ur) / np.where(d2 > 0, d2, 1.0), -math.inf
+        )
         cents.append(r8(X[int(key.argmax())]))
     C = np.stack(cents)
 
