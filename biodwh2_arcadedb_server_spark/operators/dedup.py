@@ -717,3 +717,154 @@ def same_length_typo_pairs(
         .where(F.col("edits") <= max_edits)
         .select("id_a", "id_b", "edits")
     )
+
+
+# --- C2: exact-substring dedup (Lee et al. 2022 shape) ------------------------
+def positional_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """(_id, pos, gh) — one row per TOKEN POSITION: the hashed k-gram
+    starting at 1-based ``pos``. Unlike ``shingle_table`` (distinct
+    set-valued shingles for Jaccard/MinHash), positions are kept:
+    this is the inverted index of the exact-substring pass, the Spark
+    substitute for Lee et al.'s suffix array — both are O(corpus
+    tokens) entries; the equi-join on the gram hash plays the role of
+    the suffix-array interval scan. Same two-step projection rule as
+    shingle_table (materialize the token array first — an inline
+    expression re-evaluates per gram inside the HOF lambda)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toked = df.repartition(par, id_col).select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    n = F.size("_toks")
+    structs = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.xxhash64(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))).alias(
+                "gh"
+            ),
+        ),
+    )
+    return toked.select("_id", F.explode(structs).alias("_g")).select(
+        "_id", F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh")
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_len: int = 20,
+    max_df: int = 16,
+) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING duplicate spans — the bounded-
+    window form of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better", ExactSubstr): any token run of
+    ≥ ``min_len`` tokens shared verbatim between two documents is a
+    removal candidate. Their single-node suffix array is replaced by
+    the positional k-gram inverted index above: a shared run of
+    length L ≥ min_len ≥ k contains L−k+1 aligned anchor matches, so
+    maximal runs are recovered exactly from anchors — no suffix
+    structure needed, everything is equi-joins + windows Catalyst
+    can shuffle-plan.
+
+    Pipeline (per stage, all JVM-side):
+    1. anchors: self-equi-join of the positional index on the gram
+       hash (``da < db``) — the ONLY corpus-sized join, and it is an
+       equi-join on an 8-byte key. Grams seen in more than ``max_df``
+       distinct docs are dropped first (boilerplate/stop-gram cap —
+       the posting-list truncation every inverted-index join at scale
+       needs; a gram in m docs yields O(m²) anchor pairs).
+    2. runs: anchors at equal alignment ``diag = pa − pb`` with
+       consecutive ``pa`` are one duplicated run (gaps-and-islands:
+       ``pa − row_number()`` per (da, db, diag) window — fine-grained
+       partitions, no skew).
+    3. removal spans: the run's token interval IN THE LARGER doc_id
+       (canonical-keep mirrors exact_dedup_by_content: the smallest
+       doc keeps its copy; with A=B=C the spans land on B and C).
+    4. per-doc merge of overlapping/adjacent spans (second
+       gaps-and-islands, partitioned by doc).
+
+    Returns (doc_id, span_start, span_end, span_tokens), 1-based
+    inclusive token positions. Within-doc self-repeats are out of
+    scope (da < db); the 64-bit gram hash stands in for string
+    equality (a false anchor needs an xxhash64 collision between two
+    corpus grams — ~n²/2⁶⁴).
+
+    100 TB posture: the index is O(tokens) rows of 24 bytes; all
+    shuffles hash on gh / (da, db, diag) / doc — no nested loop, no
+    window over the corpus (plan-gated in tests/test_plans.py). The
+    df-cap agg and the join shuffle on the same key. min_len=20
+    mirrors Lee et al.'s 50-BPE-token threshold at this corpus's
+    word granularity."""
+    sh = positional_shingles(df, id_col, text_col, k)
+    keep = (
+        sh.groupBy("gh")
+        .agg(F.count_distinct("_id").alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("gh")
+    )
+    capped = sh.join(keep, "gh")
+    a = capped.select(
+        "gh", F.col("_id").alias("da"), F.col("pos").alias("pa")
+    )
+    b = capped.select(
+        "gh", F.col("_id").alias("db"), F.col("pos").alias("pb")
+    )
+    anchors = (
+        a.join(b, "gh").where(F.col("da") < F.col("db")).drop("gh")
+    )
+
+    from pyspark.sql import Window
+
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w_run = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    runs = anchors.select("da", "db", "pa", "pb", diag).withColumn(
+        "island", F.col("pa") - F.row_number().over(w_run)
+    )
+    spans = (
+        runs.groupBy("da", "db", "diag", "island")
+        .agg(
+            F.min("pb").alias("span_start"),
+            (F.max("pb") + F.lit(k - 1)).alias("span_end"),
+            (F.max("pa") - F.min("pa") + F.lit(k)).alias("_run_len"),
+        )
+        .where(F.col("_run_len") >= min_len)
+        .select(F.col("db").alias("doc_id"), "span_start", "span_end")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_start", "span_end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = spans.withColumn(
+        "brk",
+        F.when(
+            F.col("span_start")
+            > F.coalesce(F.max("span_end").over(w_prev), F.lit(-2)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w_run2 = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_start", "span_end")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = isl.withColumn("gid", F.sum("brk").over(w_run2))
+    return (
+        grp.groupBy("doc_id", "gid")
+        .agg(
+            F.min("span_start").alias("span_start"),
+            F.max("span_end").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )

@@ -139,3 +139,94 @@ ORACLE = {
         FROM embeddings v LEFT JOIN comp c ON c.node = v.vec_id
     """,
 }
+
+
+# Exact-substring operating point (VERDICT r11 #1 / Lee et al. 2022):
+# 8-token anchors, 20-token minimum duplicated run, stop-gram df-cap
+# 16 docs. min_len mirrors the paper's 50-BPE-token threshold at this
+# corpus's whitespace-word granularity.
+_ES_K, _ES_MINLEN, _ES_MAXDF = 8, 20, 16
+
+
+def q183_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022 ExactSubstr, the one
+    LLM-dedup modality dedup.py lacked): per-doc merged token spans
+    duplicated verbatim (≥ 20 tokens) in a smaller-id document —
+    ``dedup.exact_substring_spans``. The suffix array is replaced by
+    a positional k-gram inverted index (same O(tokens) footprint);
+    anchors → aligned-run islands → per-doc interval merge, all
+    equi-joins + fine-grained windows (plan-gated: no nested loop, no
+    corpus-wide window). The DuckDB twin replays the identical
+    positional-gram SQL, so the whole removal-decision surface is
+    hash-checked."""
+    return dedup.exact_substring_spans(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=_ES_K,
+        min_len=_ES_MINLEN,
+        max_df=_ES_MAXDF,
+    ).orderBy("doc_id", "span_start")
+
+
+QUERIES["q183_exact_substring_spans"] = q183_exact_substring_spans
+ORACLE["q183_exact_substring_spans"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(tk[i:i+{_ES_K}-1], ' ') AS gram
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, len(tk)-{_ES_K}+2)) AS i) t
+    ),
+    keep AS (
+      SELECT gram FROM grams
+      GROUP BY gram HAVING count(DISTINCT doc_id) <= {_ES_MAXDF}
+    ),
+    g AS (SELECT grams.* FROM grams JOIN keep USING (gram)),
+    anchors AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+      FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT da, db, pa - pb AS diag,
+             pa - row_number() OVER (
+               PARTITION BY da, db, pa - pb ORDER BY pa) AS island,
+             pa, pb
+      FROM anchors
+    ),
+    spans AS (
+      SELECT db AS doc_id, min(pb) AS span_start,
+             max(pb) + {_ES_K} - 1 AS span_end
+      FROM runs GROUP BY da, db, diag, island
+      HAVING max(pa) - min(pa) + {_ES_K} >= {_ES_MINLEN}
+    ),
+    isl AS (
+      SELECT doc_id, span_start, span_end,
+             CASE WHEN span_start > coalesce(max(span_end) OVER (
+                    PARTITION BY doc_id ORDER BY span_start, span_end
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -2) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM spans
+    ),
+    grp AS (
+      SELECT doc_id, span_start, span_end,
+             sum(brk) OVER (
+               PARTITION BY doc_id ORDER BY span_start, span_end
+               ROWS UNBOUNDED PRECEDING) AS gid
+      FROM isl
+    ),
+    merged AS (
+      SELECT doc_id, min(span_start) AS span_start,
+             max(span_end) AS span_end
+      FROM grp GROUP BY doc_id, gid
+    )
+    SELECT doc_id, span_start, span_end,
+           span_end - span_start + 1 AS span_tokens
+    FROM merged ORDER BY doc_id, span_start
+"""

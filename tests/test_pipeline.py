@@ -1027,3 +1027,46 @@ def test_kmeans_wide_dim_256(spark):
             if (a == j).any():
                 C[j] = r8(Xd[a == j].mean(axis=0))
     assert got == {i: int(c) for i, c in enumerate(assign(C))}
+
+
+def test_exact_substring_spans_known_corpus(spark):
+    """Hand-built corpus with KNOWN duplicated runs (Lee et al. 2022
+    semantics): a >=min_len verbatim run emits a merged span on the
+    larger doc_id only (canonical-keep); short overlaps stay silent;
+    two runs sharing tokens in one doc merge to one interval."""
+    from biodwh2_arcadedb_server_spark.operators import dedup
+
+    passage = " ".join(f"w{i}" for i in range(25))       # 25-token run
+    short = " ".join(f"s{i}" for i in range(10))         # below min_len
+    docs = [
+        (1, f"alpha beta {passage} gamma"),              # keeper (min id)
+        (2, f"x0 x1 x2 {passage} y0 y1"),                # dup of 1
+        (3, f"{short} z0 z1 z2 z3 z4 z5 z6 z7 z8 z9 q0 q1"),
+        (4, f"{short} r0 r1 r2 r3 r4 r5 r6 r7 r8 r9 q2 q3"),  # only short shared
+        # doc 5 shares passage with 1 AND 2: spans vs both merge to one
+        (5, f"m0 {passage} m1 m2"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in dedup.exact_substring_spans(
+            df, "doc_id", "text", k=8, min_len=20, max_df=16
+        ).collect()
+    }
+    # doc 2: passage occupies token positions 4..28; doc 5: 2..26
+    assert got == {(2, 4, 28, 25), (5, 2, 26, 25)}
+
+    # adjacency merge: doc 6 carries the passage twice back-to-back —
+    # one merged span covering both copies (islands are per-diagonal,
+    # the interval merge unifies them)
+    df2 = spark.createDataFrame(
+        docs + [(6, f"{passage} {passage}")], "doc_id long, text string"
+    )
+    got6 = {
+        (r.span_start, r.span_end)
+        for r in dedup.exact_substring_spans(
+            df2, "doc_id", "text", k=8, min_len=20, max_df=16
+        ).collect()
+        if r.doc_id == 6
+    }
+    assert got6 == {(1, 50)}

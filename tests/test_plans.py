@@ -322,3 +322,23 @@ def test_q178_threshold_sample_is_window_free(spark, sf_medium):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert has_broadcast_hash_join(df)
+
+
+def test_q183_exact_substring_plan_no_nested_loop(spark, sf_medium):
+    """The anchor self-join must be an equi-join on the gram hash and
+    the windows must partition on fine-grained keys — a nested-loop
+    fallback or a corpus-wide (unpartitioned) window is the O(n²)
+    failure mode of the substring pass at scale."""
+    from biodwh2_arcadedb_server_spark.operators import dedup
+    from biodwh2_arcadedb_server_spark.sources.registry import load_table
+
+    df = dedup.exact_substring_spans(
+        load_table(spark, sf_medium, "documents"), "doc_id", "text"
+    )
+    plan = explain_str(df)
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # every window partitions on something (no global sort of spans)
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "doc_id" in spec or "da" in spec, spec
