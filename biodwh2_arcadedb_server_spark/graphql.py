@@ -531,6 +531,12 @@ def _build(
         if sub.selection:
             nested.append(sub)
         else:
+            if sub.name == "__typename":
+                # meta-field (spec §4.4): the enclosing type's name as
+                # a literal — every real client (Apollo normalized
+                # caches, GraphiQL) sprinkles this into selections
+                scalars.setdefault(sub.out, "__typename")
+                continue
             if sub.name not in df.columns:
                 raise GraphQLError(f"unknown field {sub.name!r} on type {label!r}")
             # response key is the alias when present (spec §2.7);
@@ -551,7 +557,11 @@ def _build(
 
     # column pruning before any join: only requested fields travel
     df = df.select(
-        "node_id", *[F.col(src).alias(out) for out, src in scalars.items()]
+        "node_id",
+        *[
+            (F.lit(label) if src == "__typename" else F.col(src)).alias(out)
+            for out, src in scalars.items()
+        ],
     )
     # row limit applies at the ROOT only; on nested fields the caller
     # slices each parent's collected array instead (per-parent
@@ -624,6 +634,14 @@ def execute(
             spark, root, workspace_dir=workspace_dir, allow_writes=allow_writes
         )
     if root.name == "__schema":
+        # a bare `{ __schema { types } }` keeps the compact one-row-
+        # per-type discovery shape; any nested selection (what a real
+        # client document always carries) gets the spec-shaped answer
+        if any(
+            s.selection or s.name in ("queryType", "mutationType")
+            for s in root.selection
+        ):
+            return _introspect_full(spark, rels, root)
         return _introspect(spark, rels)
     if root.name == "__type":
         return _introspect_type(spark, rels, root)
@@ -739,6 +757,258 @@ def _introspect_type(
         "relationships array<struct<name string, target string, "
         "direction string, edge string>>",
     )
+
+
+_GQL_SCALAR = {
+    "string": "String",
+    "int": "Int",
+    "bigint": "Long",
+    "smallint": "Int",
+    "tinyint": "Int",
+    "double": "Float",
+    "float": "Float",
+    "boolean": "Boolean",
+    "date": "Date",
+    "timestamp": "DateTime",
+    "timestamp_ntz": "DateTime",
+    "binary": "Base64",
+}
+
+
+def _typeref(spark_type: str) -> dict:
+    """Spark SQL type string → GraphQL __Type reference (kind, name,
+    ofType). Arrays become LIST-of; everything else is a named SCALAR
+    (String fallback, the typemap's own rule)."""
+    if spark_type.startswith("array<") and spark_type.endswith(">"):
+        return {
+            "kind": "LIST",
+            "name": None,
+            "ofType": _typeref(spark_type[6:-1]),
+        }
+    return {
+        "kind": "SCALAR",
+        "name": _GQL_SCALAR.get(spark_type, "String"),
+        "ofType": None,
+    }
+
+
+def _schema_model(
+    spark: SparkSession, rels: dict[str, dict[str, Rel]]
+) -> dict:
+    """Full introspection value tree (catalog metadata only): OBJECT
+    types from the ``n_<Label>`` views (scalar columns + relationship
+    fields), the synthetic Query/Mutation roots (one query field per
+    label; create/update/delete mutations returning MutationResult),
+    and the referenced SCALAR types."""
+    case = {k.lower(): k for k in rels}
+    objects, scalars_used = [], set()
+    for tbl in sorted(spark.catalog.listTables(), key=lambda t: t.name):
+        if not tbl.name.startswith("n_"):
+            continue
+        label = case.get(tbl.name[2:], tbl.name[2:])
+        flds = []
+        for f in spark.table(tbl.name).schema.fields:
+            tr = _typeref(f.dataType.simpleString())
+            t = tr
+            while t is not None:
+                if t["kind"] == "SCALAR":
+                    scalars_used.add(t["name"])
+                t = t["ofType"]
+            flds.append({"name": f.name, "type": tr})
+        for rn, r in sorted(rels.get(label, {}).items()):
+            flds.append(
+                {
+                    "name": rn,
+                    "type": {
+                        "kind": "LIST",
+                        "name": None,
+                        "ofType": {
+                            "kind": "OBJECT",
+                            "name": r.target,
+                            "ofType": None,
+                        },
+                    },
+                }
+            )
+        objects.append({"kind": "OBJECT", "name": label, "fields": flds})
+    if not objects:
+        raise GraphQLError("no workspace views registered (n_<Label>)")
+    labels = [o["name"] for o in objects]
+    list_of = lambda name: {  # noqa: E731
+        "kind": "LIST",
+        "name": None,
+        "ofType": {"kind": "OBJECT", "name": name, "ofType": None},
+    }
+    query = {
+        "kind": "OBJECT",
+        "name": "Query",
+        "fields": [{"name": lb, "type": list_of(lb)} for lb in labels],
+    }
+    mut_result = {
+        "kind": "OBJECT",
+        "name": "MutationResult",
+        "fields": [
+            {"name": "operation", "type": _typeref("string")},
+            {"name": "label", "type": _typeref("string")},
+            {"name": "count", "type": _typeref("bigint")},
+        ],
+    }
+    mutation = {
+        "kind": "OBJECT",
+        "name": "Mutation",
+        "fields": [
+            {
+                "name": f"{verb}{lb}",
+                "type": {
+                    "kind": "OBJECT",
+                    "name": "MutationResult",
+                    "ofType": None,
+                },
+            }
+            for lb in labels
+            for verb in ("create", "update", "delete")
+        ],
+    }
+    scalars_used.update({"String", "Long"})
+    types = sorted(
+        objects + [query, mutation, mut_result],
+        key=lambda t: t["name"],
+    ) + [
+        {"kind": "SCALAR", "name": s, "fields": None}
+        for s in sorted(scalars_used)
+    ]
+    return {
+        "queryType": {"kind": "OBJECT", "name": "Query", "ofType": None},
+        "mutationType": {
+            "kind": "OBJECT",
+            "name": "Mutation",
+            "ofType": None,
+        },
+        "types": types,
+    }
+
+
+# introspection contexts: known sub-fields per level and how to render
+# them; anything else projects as a typed NULL so a stock client
+# document (GraphiQL sends description/args/interfaces/...) runs
+# instead of erroring — null is the honest answer for metadata this
+# engine does not model. The ofType recursion is bounded by the
+# client document's own depth (GraphiQL's TypeRef fragment: 7).
+
+
+def _proj_typeref(sel: list[Field], value: dict | None):
+    ddl_parts, row = [], []
+    for sub in sel:
+        if sub.name == "kind":
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append(None if value is None else value["kind"])
+        elif sub.name == "name":
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append(None if value is None else value["name"])
+        elif sub.name == "ofType" and sub.selection:
+            d, r = _proj_typeref(
+                sub.selection, None if value is None else value["ofType"]
+            )
+            ddl_parts.append(f"`{sub.out}`: {d}")
+            row.append(r)
+        elif sub.name == "__typename":
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append("__Type")
+        else:
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append(None)
+    return "struct<" + ", ".join(ddl_parts) + ">", tuple(row)
+
+
+def _proj_field(sel: list[Field], value: dict | None):
+    ddl_parts, row = [], []
+    for sub in sel:
+        if sub.name == "name":
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append(None if value is None else value["name"])
+        elif sub.name == "type" and sub.selection:
+            d, r = _proj_typeref(
+                sub.selection, None if value is None else value["type"]
+            )
+            ddl_parts.append(f"`{sub.out}`: {d}")
+            row.append(r)
+        elif sub.name == "isDeprecated":
+            ddl_parts.append(f"`{sub.out}`: boolean")
+            row.append(False)
+        elif sub.name == "args" and sub.selection:
+            # fields declare no formal arguments (filters are ad-hoc
+            # equality args) — an EMPTY list, typed by the selection
+            d, _ = _proj_typeref(sub.selection, None)
+            ddl_parts.append(f"`{sub.out}`: array<{d}>")
+            row.append([])
+        elif sub.name == "__typename":
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append("__Field")
+        else:
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append(None)
+    return "struct<" + ", ".join(ddl_parts) + ">", tuple(row)
+
+
+def _proj_type(sel: list[Field], value: dict | None):
+    ddl_parts, row = [], []
+    for sub in sel:
+        if sub.name in ("kind", "name"):
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append(None if value is None else value[sub.name])
+        elif sub.name == "fields":
+            if not sub.selection:
+                raise GraphQLError(
+                    "__Type.fields requires a selection set"
+                )
+            d, _ = _proj_field(sub.selection, None)
+            ddl_parts.append(f"`{sub.out}`: array<{d}>")
+            flds = None if value is None else value.get("fields")
+            row.append(
+                None
+                if flds is None
+                else [_proj_field(sub.selection, f)[1] for f in flds]
+            )
+        elif sub.name == "__typename":
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append("__Type")
+        else:
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append(None)
+    return "struct<" + ", ".join(ddl_parts) + ">", tuple(row)
+
+
+def _introspect_full(
+    spark: SparkSession, rels: dict[str, dict[str, Rel]], root: Field
+) -> DataFrame:
+    """Spec-shaped ``__schema`` introspection (spec §4.5): ONE row
+    whose columns mirror the client's selection — ``queryType`` /
+    ``mutationType`` as type-ref structs, ``types`` as an
+    array<struct> of every OBJECT/SCALAR type with per-field type
+    references (LIST/SCALAR/OBJECT with ``ofType`` chains), so a
+    stock GraphiQL/Apollo introspection document round-trips.
+    Unmodeled metadata (descriptions, directives, interfaces …)
+    projects as typed NULLs. Catalog metadata only; no table scans."""
+    model = _schema_model(spark, rels)
+    ddl_parts, row = [], []
+    for sub in root.selection:
+        if sub.name in ("queryType", "mutationType") and sub.selection:
+            d, r = _proj_typeref(sub.selection, model[sub.name])
+            ddl_parts.append(f"`{sub.out}`: {d}")
+            row.append(r)
+        elif sub.name == "types" and sub.selection:
+            d, _ = _proj_type(sub.selection, None)
+            ddl_parts.append(f"`{sub.out}`: array<{d}>")
+            row.append(
+                [_proj_type(sub.selection, t)[1] for t in model["types"]]
+            )
+        elif sub.name == "__typename":
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append("__Schema")
+        else:
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append(None)
+    return spark.createDataFrame([tuple(row)], ", ".join(ddl_parts))
 
 
 def _introspect(spark: SparkSession, rels: dict[str, dict[str, Rel]]) -> DataFrame:

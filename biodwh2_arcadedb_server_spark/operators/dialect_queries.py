@@ -1082,3 +1082,75 @@ ORACLE = {
         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.node_id = p.node_id
     """,
 }
+
+
+def q184_graphql_mutation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphQL mutations through the gated DML machinery + a
+    ``__typename``-bearing readback — the B20 closure item (VERDICT
+    r11 #2; the reference bundles arcadedb-graphql, pom.xml:109-113,
+    whose endpoint real clients drive with exactly this create/
+    update/delete + re-query pattern). q147's device, GraphQL-side:
+    force-build a Region+Nation workspace, then createNation (one
+    literal, one via variables — the client path), updateNation with
+    ``_set``, deleteNation, and read the end state back through a
+    GraphQL query with ``__typename`` and the in_region relationship.
+    Mutations are partition-parallel dataset recomputes + atomic view
+    swaps (the Spark-native model, no in-place edits at 100 TB);
+    writes are opt-in per call (allow_writes), mirroring the
+    reference's read-only default.
+
+    Bench floor note: like q147, scale-independent (fixed-size dims)
+    and composed of ~20 tiny sequential jobs — a job-count floor,
+    not plan cost."""
+    import hashlib
+    import os
+
+    from biodwh2_arcadedb_server_spark import graphql
+    from biodwh2_arcadedb_server_spark import workspace as ws
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    wdir = os.path.join("/tmp", f"biodwh2_gqlmut_probe_{tag}")
+    node_specs = [s for s in ws.NODE_SPECS if s.label in ("Region", "Nation")]
+    edge_specs = [s for s in ws.EDGE_SPECS if s.label == "IN_REGION"]
+    ws.build_workspace(
+        spark, sf_dir, wdir, force=True,
+        node_specs=node_specs, edge_specs=edge_specs,
+    )
+    ws.load_workspace(spark, wdir)
+    for doc, var in (
+        ('mutation { createNation(natural_key: 990, n_name: "ATLANTIS") }', None),
+        (
+            'mutation ($k: Int!) { createNation(natural_key: $k, n_name: "MU") }',
+            {"k": 991},
+        ),
+        ('mutation { updateNation(natural_key: 2, _set: {n_name: "deux"}) }', None),
+        ("mutation { deleteNation(natural_key: 7) }", None),
+    ):
+        graphql.execute(
+            spark, doc, variables=var, workspace_dir=wdir, allow_writes=True
+        )
+    out = graphql.execute(
+        spark,
+        "{ Nation { __typename natural_key n_name in_region { r_name } } }",
+    )
+    return out.select(
+        F.col("__typename").alias("typename"),
+        "natural_key",
+        "n_name",
+        F.concat_ws(
+            ";", F.transform("in_region", lambda s: s["r_name"])
+        ).alias("region_repr"),
+    )
+
+
+QUERIES["q184_graphql_mutation_roundtrip"] = q184_graphql_mutation_roundtrip
+ORACLE["q184_graphql_mutation_roundtrip"] = """
+    SELECT 'Nation' AS typename,
+           CAST(n.n_nationkey AS VARCHAR) AS natural_key,
+           CASE WHEN n.n_nationkey = 2 THEN 'deux' ELSE n.n_name END AS n_name,
+           r.r_name AS region_repr
+    FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE n.n_nationkey <> 7
+    UNION ALL SELECT 'Nation', '990', 'ATLANTIS', ''
+    UNION ALL SELECT 'Nation', '991', 'MU', ''
+"""

@@ -153,3 +153,67 @@ def test_graphql_endpoint_aliases_and_directives(spark, ws):
         assert out2["columns"] == ["name"]
     finally:
         srv.stop()
+
+
+def test_graphql_endpoint_real_introspection_document(spark, ws):
+    """A stock client-opening introspection document (the GraphiQL
+    shape: operation name, queryType/mutationType, per-type field
+    type refs with a 3-deep ofType chain, plus metadata this engine
+    doesn't model) must round-trip over the wire — spec-shaped
+    single row, unmodeled fields as nulls, no 400."""
+    srv = QueryServer(spark)
+    port = srv.start()
+    auth = base64.b64encode(f"{srv.username}:{srv.password}".encode()).decode()
+    doc = """
+    query IntrospectionQuery {
+      __schema {
+        queryType { name }
+        mutationType { name }
+        types {
+          kind
+          name
+          description
+          fields {
+            name
+            isDeprecated
+            args { kind name }
+            type { kind name ofType { kind name ofType { kind name } } }
+          }
+        }
+      }
+    }
+    """
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/graphql",
+        data=json.dumps({"query": doc}).encode(),
+        headers={"Authorization": f"Basic {auth}"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            out = json.loads(resp.read())
+        assert out["columns"] == ["queryType", "mutationType", "types"]
+        assert len(out["rows"]) == 1
+        qt, mt, types = out["rows"][0]
+        assert "Query" in str(qt) and "Mutation" in str(mt)
+        s = str(types)
+        # object types, scalars, LIST refs and null descriptions all
+        # serialized through the wire format
+        for frag in ("Customer", "Nation", "MutationResult", "SCALAR", "LIST"):
+            assert frag in s, frag
+    finally:
+        srv.stop()
+
+
+def test_graphql_typename_meta_field(spark, ws):
+    """__typename (spec §4.4) at root and nested levels — the
+    meta-field every Apollo-style normalized cache adds."""
+    from biodwh2_arcadedb_server_spark import graphql
+
+    row = graphql.execute(
+        spark,
+        "{ Nation(natural_key: 3) { __typename n_name "
+        "in_region { __typename r_name } } }",
+    ).collect()[0]
+    assert row["__typename"] == "Nation"
+    assert row.in_region[0]["__typename"] == "Region"
