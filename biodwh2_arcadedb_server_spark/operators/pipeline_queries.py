@@ -1440,3 +1440,150 @@ ORACLE["q182_tws_warm_start_dedup"] = """
     HAVING MIN(epoch_us(ts)) >=
            (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 FROM events)
 """
+
+
+def _kmll_c0_parts(
+    k: int, dim: int, seed: int, l: float, rounds: int
+) -> list[str]:
+    """CTE chain replaying the k-means|| init (Bahmani et al. 2012)
+    EXACTLY as similarity.kmeans_assign(init="kmeans||") computes it:
+    candidate 0 is argmax u₀; each oversampling round r selects every
+    row with D²>0 and u_r < min(1, ℓ·D²/φ) (independent coin flips on
+    the fresh per-round md5 uniform — a SET per round, not an
+    argmax); candidates order by (round, vec_id); Voronoi weights
+    come from the corpus assignment (ties to the lower candidate
+    ord); and the weighted kmeans++ finishing chain picks k seeds by
+    argmax ln(u'_j)/w (j=0) then ln(u'_j)/(w·D²) — the same
+    Efraimidis–Spirakis device with weight w·D². Float boundaries
+    carry the q180 probabilistic-ulp contract."""
+    n = dim + 1
+
+    def dist(vec: str, cent: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {n}), i -> "
+            f"(CAST({vec}[i] AS DOUBLE) - {cent}[i]) * "
+            f"(CAST({vec}[i] AS DOUBLE) - {cent}[i])))"
+        )
+
+    r8vec = (
+        f"list_transform(range(1, {n}), "
+        "i -> round(CAST(e.embedding[i] AS DOUBLE), 8))"
+    )
+
+    def u(rnd: int) -> str:
+        return (
+            f"((('0x' || substr(md5('kmll:{seed}:{rnd}:' || "
+            "CAST(e.vec_id AS VARCHAR)), 1, 8))::BIGINT + 1) "
+            "/ 4294967296.0)"
+        )
+
+    def uw(rnd: int, id_expr: str) -> str:
+        return (
+            f"((('0x' || substr(md5('kmllw:{seed}:{rnd}:' || "
+            f"CAST({id_expr} AS VARCHAR)), 1, 8))::BIGINT + 1) "
+            "/ 4294967296.0)"
+        )
+
+    parts = [
+        "uu AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings)",
+        f"""kc0 AS MATERIALIZED (
+        SELECT 0 AS rnd, e.vec_id, {r8vec} AS cent
+        FROM uu e ORDER BY {u(0)} DESC, e.vec_id ASC LIMIT 1
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""kd{r} AS MATERIALIZED (
+        SELECT e.vec_id, min({dist('e.embedding', 's.cent')}) AS d2
+        FROM uu e CROSS JOIN kc{r - 1} s GROUP BY e.vec_id
+    )""")
+        parts.append(
+            f"kp{r} AS (SELECT sum(d2) AS phi FROM kd{r})"
+        )
+        parts.append(f"""kn{r} AS (
+        SELECT {r} AS rnd, e.vec_id, {r8vec} AS cent
+        FROM kd{r} d JOIN uu e USING (vec_id) CROSS JOIN kp{r}
+        WHERE d.d2 > 0 AND {u(r)} < least(1.0, {l!r} * d.d2 / phi)
+    )""")
+        parts.append(f"""kc{r} AS MATERIALIZED (
+        SELECT * FROM kc{r - 1} UNION ALL SELECT * FROM kn{r}
+    )""")
+    parts.append(f"""kcand AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY rnd, vec_id) - 1 AS ord,
+               vec_id, cent
+        FROM kc{rounds}
+    )""")
+    parts.append(f"""kassign AS (
+        SELECT vec_id, ord FROM (
+            SELECT e.vec_id, c.ord,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {dist('e.embedding', 'c.cent')}, c.ord
+                   ) AS rn
+            FROM uu e CROSS JOIN kcand c
+        ) WHERE rn = 1
+    )""")
+    parts.append("""kw AS MATERIALIZED (
+        SELECT c.ord, c.vec_id, c.cent, count(a.vec_id) AS w
+        FROM kcand c LEFT JOIN kassign a USING (ord)
+        GROUP BY c.ord, c.vec_id, c.cent
+    )""")
+    parts.append(f"""ss0 AS MATERIALIZED (
+        SELECT 0 AS cluster, vec_id, cent FROM kw WHERE w > 0
+        ORDER BY ln({uw(0, 'kw.vec_id')}) / w DESC, vec_id ASC LIMIT 1
+    )""")
+    cdist = (
+        f"list_sum(list_transform(range(1, {n}), i -> "
+        "(c.cent[i] - s.cent[i]) * (c.cent[i] - s.cent[i])))"
+    )
+    for j in range(1, k):
+        parts.append(f"""sd{j} AS (
+        SELECT c.ord, c.vec_id, c.cent, c.w, min({cdist}) AS d2
+        FROM kw c CROSS JOIN ss{j - 1} s
+        GROUP BY c.ord, c.vec_id, c.cent, c.w
+    )""")
+        parts.append(f"""sp{j} AS (
+        SELECT {j} AS cluster, vec_id, cent FROM sd{j}
+        WHERE w > 0 AND d2 > 0
+        ORDER BY ln({uw(j, f'sd{j}.vec_id')}) / (w * d2) DESC,
+                 vec_id ASC LIMIT 1
+    )""")
+        parts.append(f"""ss{j} AS MATERIALIZED (
+        SELECT * FROM ss{j - 1} UNION ALL SELECT * FROM sp{j}
+    )""")
+    parts.append(f"c0 AS (SELECT cluster, cent FROM ss{k - 1})")
+    return parts
+
+
+_KMLL_ITER, _KMLL_SEED, _KMLL_ROUNDS, _KMLL_L = 2, 0, 2, 8.0
+
+
+def q185_kmeans_parallel_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALABLE k-means init (VERDICT r11 #3 — Bahmani et al.
+    2012 "Scalable k-means++"): q180's sequential kmeans++ is k full
+    corpus scans; k-means|| oversamples ℓ candidates per round for
+    O(log n) rounds (here 2 rounds × ℓ=8 — each round ONE map-only D²
+    scan + a 1-row φ agg + a bounded candidate collect), weights the
+    ~ℓ·R+1 candidates by Voronoi cell size (one groupBy agg), and
+    finishes with driver-side weighted kmeans++ over that bounded
+    list. The DuckDB twin unrolls ALL of it — oversampling coin
+    flips, candidate ordering, weight assignment, weighted selection
+    chain, and 2 Lloyd rounds — so the whole production path is
+    hash-checked like q180, not just pytest-pinned."""
+    return (
+        similarity.kmeans_assign(
+            load_table(spark, sf_dir, "embeddings"),
+            k=_KM_K, iterations=_KMLL_ITER, dim=_KM_DIM,
+            init="kmeans||", seed=_KMLL_SEED,
+            init_rounds=_KMLL_ROUNDS, oversample=_KMLL_L,
+        )
+        .orderBy("vec_id")
+    )
+
+
+QUERIES["q185_kmeans_parallel_assign"] = q185_kmeans_parallel_assign
+ORACLE["q185_kmeans_parallel_assign"] = _kmeans_oracle(
+    _KM_K, _KMLL_ITER, _KM_DIM,
+    c0_parts=_kmll_c0_parts(
+        _KM_K, _KM_DIM, _KMLL_SEED, _KMLL_L, _KMLL_ROUNDS
+    ),
+)

@@ -746,6 +746,8 @@ def kmeans_assign(
     init: str = "min-id",
     tol: float | None = None,
     seed: int = 0,
+    init_rounds: int = 3,
+    oversample: float | None = None,
 ) -> DataFrame:
     """Distributed fixed-iteration Lloyd k-means over the FULL corpus
     — the cluster-then-balance step of large-scale curation pipelines
@@ -922,8 +924,145 @@ def kmeans_assign(
                     "in the corpus — cannot seed kmeans++"
                 )
             cents.append([_half_up8(x) for x in cand[0]["c"]])
+    elif init == "kmeans||":
+        # Bahmani et al. 2012, "Scalable k-means++": the sequential
+        # kmeans++ chain above is k FULL corpus scans — at 100 TB with
+        # k in the hundreds the init dominates. k-means|| oversamples
+        # ~ℓ candidates per round for only ``init_rounds`` (≈O(log n))
+        # scans — each round ONE map-only D² pass + a 1-row φ agg + a
+        # bounded collect of the independently-selected points
+        # (P[select x] = min(1, ℓ·D²(x)/φ), decided by the fresh
+        # per-round md5 uniform, so the draw replays exactly) — then
+        # weights each candidate by its Voronoi cell size (one
+        # groupBy(|C|) agg) and finishes with WEIGHTED kmeans++ on the
+        # ~ℓ·R+1 candidates DRIVER-SIDE (Efraimidis–Spirakis with
+        # weight w·D², pure python over a bounded list — the paper's
+        # "recluster the candidates" step).
+        import hashlib
+        import math
+
+        l = float(oversample if oversample is not None else 2 * k)
+        vec_d = F.transform(
+            F.slice(F.col(vec_col), 1, dim), lambda x: x.cast("double")
+        )
+
+        def _u2(rnd: int) -> F.Column:
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"kmll:{seed}:{rnd}:"),
+                                F.col(id_col).cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                + 1.0
+            ) / 4294967296.0
+
+        def _tiebreak2(key):
+            return F.struct(key.alias("k"), (-F.col(id_col)).alias("t"))
+
+        r0 = emb.select(
+            F.max_by(
+                F.struct(F.col(id_col).alias("i"), vec_d.alias("v")),
+                _tiebreak2(_u2(0)),
+            ).alias("c")
+        ).collect()[0]["c"]
+        cands: list[tuple[int, list[float]]] = [
+            (int(r0["i"]), [_half_up8(x) for x in r0["v"]])
+        ]
+        for r in range(1, init_rounds + 1):
+            d2 = _best_struct([c for _, c in cands])["d"]
+            phi = emb.select(F.sum(d2).alias("s")).collect()[0]["s"]
+            if not phi or phi <= 0:
+                break  # every point coincides with a candidate
+            sel = (
+                emb.where(
+                    (d2 > 0)
+                    & (
+                        _u2(r)
+                        < F.least(F.lit(1.0), F.lit(l) * d2 / F.lit(float(phi)))
+                    )
+                )
+                .select(F.col(id_col).alias("i"), vec_d.alias("v"))
+                .orderBy("i")
+                .collect()  # bounded: E[rows] = min(ℓ, n) per round
+            )
+            cands.extend(
+                (int(row["i"]), [_half_up8(x) for x in row["v"]])
+                for row in sel
+            )
+        # Voronoi weights: ONE map-only assignment + one groupBy(|C|)
+        word = {
+            int(r["ord"]): int(r["count"])
+            for r in emb.select(
+                _best_struct([c for _, c in cands])["cluster"].alias("ord")
+            )
+            .groupBy("ord")
+            .count()
+            .collect()  # bounded: ≤ |candidates| rows
+        }
+
+        def _uw(j: int, i: int) -> float:
+            return (
+                int(
+                    hashlib.md5(
+                        f"kmllw:{seed}:{j}:{i}".encode()
+                    ).hexdigest()[:8],
+                    16,
+                )
+                + 1
+            ) / 4294967296.0
+
+        avail = [
+            (i, v, word.get(o, 0)) for o, (i, v) in enumerate(cands)
+        ]
+        eligible = [(i, v, w) for i, v, w in avail if w > 0]
+        if len(eligible) < k:
+            raise ValueError(
+                f"kmeans_assign: k-means|| produced {len(eligible)} "
+                f"weighted candidates < k={k} — raise oversample/"
+                "init_rounds"
+            )
+        first_i, first_v, _ = max(
+            eligible, key=lambda c: (math.log(_uw(0, c[0])) / c[2], -c[0])
+        )
+        cents = [first_v]
+        chosen_ids = {first_i}
+        while len(cents) < k:
+            j = len(cents)
+
+            def _d2c(v: list[float]) -> float:
+                return min(
+                    sum((a - b) * (a - b) for a, b in zip(v, c))
+                    for c in cents
+                )
+
+            pick = max(
+                (
+                    (math.log(_uw(j, i)) / (w * d), -i, v)
+                    for i, v, w in eligible
+                    if i not in chosen_ids and (d := _d2c(v)) > 0
+                ),
+                default=None,
+            )
+            if pick is None:
+                raise ValueError(
+                    f"kmeans_assign: fewer than k={k} distinct weighted "
+                    "candidates — cannot seed k-means||"
+                )
+            cents.append(pick[2])
+            chosen_ids.add(-pick[1])
     else:
-        raise ValueError(f"unknown init {init!r}: use 'min-id' or 'kmeans++'")
+        raise ValueError(
+            f"unknown init {init!r}: use 'min-id', 'kmeans++' or 'kmeans||'"
+        )
     for _ in range(iterations):
         assigned = _assign(cents)
         agg = assigned.groupBy("cluster").agg(*[

@@ -1070,3 +1070,114 @@ def test_exact_substring_spans_known_corpus(spark):
         if r.doc_id == 6
     }
     assert got6 == {(1, 50)}
+
+
+def test_kmeans_parallel_matches_numpy_k16(spark, sf_small):
+    """k-means|| (Bahmani et al. 2012) at k=16 — the scale regime the
+    init exists for — must equal a numpy replay of the identical
+    contract: per-round oversampling coin flips on fresh md5
+    uniforms, (round, vec_id) candidate order, Voronoi weights with
+    lowest-ord tiebreak, weighted-kmeans++ finishing, Lloyd with
+    8dp-rounded means."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    SEED, K, DIM, L, ROUNDS, ITER = 0, 16, 64, 32.0, 3, 2
+    e = load_table(spark, sf_small, "embeddings")
+    got = {
+        r.vec_id: r.cluster
+        for r in similarity.kmeans_assign(
+            e, k=K, iterations=ITER, dim=DIM, init="kmeans||",
+            seed=SEED, init_rounds=ROUNDS, oversample=L,
+        ).collect()
+    }
+
+    rows = sorted(
+        e.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+
+    def r8(arr):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return np.array([
+            float(Decimal(repr(float(v))).quantize(
+                Decimal("1e-8"), rounding=ROUND_HALF_UP
+            ))
+            for v in arr
+        ])
+
+    def u(prefix, rnd):
+        return np.array([
+            (
+                int(
+                    hashlib.md5(
+                        f"{prefix}:{SEED}:{rnd}:{i}".encode()
+                    ).hexdigest()[:8],
+                    16,
+                )
+                + 1
+            )
+            / 4294967296.0
+            for i in ids.tolist()
+        ])
+
+    cands = [(int(ids[int(u("kmll", 0).argmax())]),
+              r8(X[int(u("kmll", 0).argmax())]))]
+    for r in range(1, ROUNDS + 1):
+        C = np.stack([v for _, v in cands])
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2).min(1)
+        phi = d2.sum()
+        ur = u("kmll", r)
+        sel = (d2 > 0) & (ur < np.minimum(1.0, L * d2 / phi))
+        cands.extend(
+            (int(i), r8(X[ids.tolist().index(int(i))]))
+            for i in sorted(ids[sel].tolist())
+        )
+    C = np.stack([v for _, v in cands])
+    ords = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2).argmin(1)
+    w = {o: int((ords == o).sum()) for o in set(ords.tolist())}
+
+    def uw(j, i):
+        return (
+            int(
+                hashlib.md5(f"kmllw:{SEED}:{j}:{i}".encode()).hexdigest()[:8],
+                16,
+            )
+            + 1
+        ) / 4294967296.0
+
+    eligible = [
+        (i, v, w.get(o, 0)) for o, (i, v) in enumerate(cands) if w.get(o, 0)
+    ]
+    pick = max(eligible, key=lambda c: (math.log(uw(0, c[0])) / c[2], -c[0]))
+    cents, chosen = [pick[1]], {pick[0]}
+    while len(cents) < K:
+        j = len(cents)
+        best, best_key = None, None
+        for i, v, wt in eligible:
+            if i in chosen:
+                continue
+            d = min(((v - c) ** 2).sum() for c in cents)
+            if d <= 0:
+                continue
+            key = (math.log(uw(j, i)) / (wt * d), -i)
+            if best_key is None or key > best_key:
+                best, best_key = (i, v), key
+        cents.append(best[1])
+        chosen.add(best[0])
+    C = np.stack(cents)
+
+    def assign(C):
+        return ((X[:, None, :] - C[None, :, :]) ** 2).sum(2).argmin(1)
+
+    for _ in range(ITER):
+        a = assign(C)
+        for j in range(K):
+            if (a == j).any():
+                C[j] = r8(X[a == j].mean(axis=0))
+    want = dict(zip(ids.tolist(), assign(C).tolist()))
+    assert got == want
