@@ -170,6 +170,7 @@ HEADLINE = [
     "q177_cluster_balanced_sample",
     "q178_cluster_threshold_sample",
     "q180_kmeanspp_assign",
+    "q185_kmeans_parallel_assign",
     "q128_rag_retrieval",
     "q77_ivf_topk",
     "q116_pq_topk",
@@ -185,6 +186,7 @@ HEADLINE = [
     "q140_expand_dialect",
     "q141_agg_dialect",
     "q142_typo_pairs",
+    "q183_exact_substring_spans",
     "q143_dataset_card",
     "q145_graphql",
     "q146_shortestpath_dialect",
@@ -203,11 +205,13 @@ HEADLINE = [
     "q174_png_adam7_decode",
     "q157_graphql_inline_fragments",
     "q158_ddl_readback",
+    "q186_ddl_rename_128bit_readback",
     "q159_match_edge_alias",
     "q160_select_over_traverse",
     "q161_collection_agg_dialect",
     "q164_correlated_let_dialect",
     "q165_graphql_aliases_directives",
+    "q184_graphql_mutation_roundtrip",
     "q166_dml_return_after_before",
     "q167_parameterized_query",
     "q168_gopher_repetition",

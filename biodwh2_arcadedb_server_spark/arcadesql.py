@@ -2750,7 +2750,8 @@ def _execute_dml_locked(
         e_schema = spark.read.parquet(info["path"]).schema
         props = stmt.rows[0]
         unknown = set(props) - {
-            f.name for f in e_schema.fields if f.name not in ("src", "dst", "label")
+            f.name for f in e_schema.fields
+            if f.name not in ("src", "src2", "dst", "dst2", "label")
         }
         if unknown:
             raise ArcadeSQLError(
@@ -2765,7 +2766,13 @@ def _execute_dml_locked(
         # the requested semantics, not an accident.
         rows = src_df.crossJoin(F.broadcast(dst_df))
         for f in e_schema.fields:
-            if f.name in ("src", "dst", "label"):
+            if f.name in ("src", "src2", "dst", "dst2", "label"):
+                # structural columns, never statement-settable; on a
+                # 128-bit workspace materializing src2/dst2 here (as
+                # NULL) would suppress insert_edges' second-lane
+                # derivation from the endpoint node tables — the
+                # appended edge would then dodge every pair-keyed
+                # remap (round-12 finding via q186)
                 continue
             rows = rows.withColumn(
                 f.name,

@@ -1154,3 +1154,62 @@ ORACLE["q184_graphql_mutation_roundtrip"] = """
     UNION ALL SELECT 'Nation', '990', 'ATLANTIS', ''
     UNION ALL SELECT 'Nation', '991', 'MU', ''
 """
+
+
+def q186_ddl_rename_128bit_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 128-bit DML completion probe (VERDICT r11 #4): the q147
+    statement battery plus ``ALTER TYPE ... NAME`` on an
+    ``id_bits=128`` workspace — INSERT, UPDATE, DELETE VERTEX (edge
+    cascade), CREATE EDGE with the second lane derived from the
+    endpoint node tables (src2/dst2 — the dialect feeds first-lane
+    rows only), then the rename's TWO-LANE remap (both ids recomputed
+    from (new_label, natural_key); edge endpoints remapped via the
+    16-byte pair join so a first-lane collision cannot cross-wire),
+    and a degree readback through the renamed label. The oracle
+    recomputes the end state from the raw tables — identical to
+    q147's because the id scheme is invisible to the relational
+    surface, which is exactly the property under test.
+
+    Bench floor note: like q147, scale-independent fixed-size dims,
+    ~25 tiny sequential jobs — a job-count floor, not plan cost."""
+    import hashlib
+    import os
+
+    from biodwh2_arcadedb_server_spark import workspace as ws
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    wdir = os.path.join("/tmp", f"biodwh2_dml128_probe_{tag}")
+    node_specs = [s for s in ws.NODE_SPECS if s.label in ("Region", "Nation")]
+    edge_specs = [s for s in ws.EDGE_SPECS if s.label == "IN_REGION"]
+    ws.build_workspace(
+        spark, sf_dir, wdir, force=True,
+        node_specs=node_specs, edge_specs=edge_specs, id_bits=128,
+    )
+    ws.load_workspace(spark, wdir)
+    for stmt in (
+        "INSERT INTO Nation (natural_key, n_name) VALUES (990, 'ATLANTIS')",
+        "UPDATE Nation SET n_name = lower(n_name) WHERE natural_key < 5",
+        "DELETE VERTEX Nation WHERE natural_key = 7",
+        "CREATE EDGE IN_REGION FROM 0 TO 1",
+        "ALTER TYPE Nation NAME Country",
+    ):
+        arcadesql.execute(spark, stmt, workspace_dir=wdir, allow_writes=True)
+    out = arcadesql.execute(
+        spark,
+        "SELECT natural_key, n_name, both().size() AS degree "
+        "FROM Country ORDER BY natural_key",
+    )
+    return out.withColumn("degree", F.col("degree").cast("int"))
+
+
+QUERIES["q186_ddl_rename_128bit_readback"] = q186_ddl_rename_128bit_readback
+ORACLE["q186_ddl_rename_128bit_readback"] = """
+    SELECT CAST(n.n_nationkey AS BIGINT) AS natural_key,
+           CASE WHEN n.n_nationkey < 5 THEN lower(n.n_name)
+                ELSE n.n_name END AS n_name,
+           CAST(1 + CASE WHEN n.n_nationkey = 0 THEN 1 ELSE 0 END
+                AS INT) AS degree
+    FROM nation n WHERE n.n_nationkey <> 7
+    UNION ALL SELECT 990, 'ATLANTIS', 0
+    ORDER BY natural_key
+"""
