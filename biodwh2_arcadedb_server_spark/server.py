@@ -166,13 +166,27 @@ def render_neighborhood_svg(payload: dict) -> str:
     height = max(240, TOP + ROW * max(len(out_e), len(in_e), 1) + 40)
     width = 920
     cx, cy = width // 2, height // 2
+    # deterministic edge-type → color assignment (sorted label order
+    # into a fixed palette) + a legend — the Studio graph panel's
+    # edge-color affordance (round-12 polish)
+    _PALETTE = [
+        "#c0392b", "#2471a3", "#1e8449", "#b7950b",
+        "#7d3c98", "#d35400", "#148f77", "#5d6d7e",
+    ]
+    edge_types = sorted(
+        {e.get("edge", "") for e in out_e + in_e if e.get("edge")}
+    )
+    color_of = {
+        t: _PALETTE[i % len(_PALETTE)] for i, t in enumerate(edge_types)
+    }
     parts = [
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
         f'height="{height}" viewBox="0 0 {width} {height}" '
         'font-family="system-ui,sans-serif" font-size="12">',
         '<style>.n{fill:#eef;stroke:#447} .f{fill:#ffe9c9;stroke:#b60}'
-        ' .e{stroke:#999;fill:none} .t{fill:#222}'
-        ' .lab{fill:#666;font-size:10px}</style>',
+        ' .e{fill:none} .t{fill:#222}'
+        ' .lab{fill:#666;font-size:10px}'
+        ' .leg{fill:#333;font-size:10px}</style>',
     ]
 
     def node(x: int, y: int, rid: str | None, label: str, focus: bool = False):
@@ -188,8 +202,10 @@ def render_neighborhood_svg(payload: dict) -> str:
         )
 
     def link(x1, y1, x2, y2, label):
+        color = color_of.get(str(label), "#999")
         parts.append(
-            f'<path class="e" d="M {x1} {y1} L {x2} {y2}"/>'
+            f'<path class="e" stroke="{color}" '
+            f'd="M {x1} {y1} L {x2} {y2}"/>'
         )
         mx, my = (x1 + x2) // 2, (y1 + y2) // 2 - 4
         parts.append(
@@ -210,12 +226,27 @@ def render_neighborhood_svg(payload: dict) -> str:
     column(in_e, 140, inbound=True)
     column(out_e, width - 140, inbound=False)
     node(cx, cy, payload.get("rid"), payload.get("type", "?"), focus=True)
+    for i, t in enumerate(edge_types):
+        y = 16 + 14 * i
+        parts.append(
+            f'<path stroke="{color_of[t]}" stroke-width="3" '
+            f'd="M 10 {y - 3} L 34 {y - 3}"/>'
+        )
+        parts.append(
+            f'<text class="leg" x="40" y="{y}">{esc(t[:28])}</text>'
+        )
     trunc = payload.get("truncated", {})
     if trunc.get("out") or trunc.get("in"):
         parts.append(
             f'<text class="lab" x="{cx}" y="{height - 12}" '
             f'text-anchor="middle">truncated at cap='
             f'{payload.get("cap")}</text>'
+        )
+    if payload.get("hops2"):
+        parts.append(
+            f'<text class="lab" x="{cx}" y="{height - 26}" '
+            f'text-anchor="middle">+{len(payload["hops2"])} second-hop '
+            "edges (?depth=2)</text>"
         )
     parts.append("</svg>")
     return "".join(parts)
@@ -496,9 +527,16 @@ class QueryServer:
                     rid = urllib.parse.unquote(
                         route[len("/api/v1/neighborhood/"):]
                     ).lstrip("#")
-                    fmt = (urllib.parse.parse_qs(query).get("format")
-                           or ["json"])[0]
-                    self._neighborhood(rid, fmt=fmt)
+                    qs = urllib.parse.parse_qs(query)
+                    fmt = (qs.get("format") or ["json"])[0]
+                    depth_s = (qs.get("depth") or ["1"])[0]
+                    if depth_s not in ("1", "2"):
+                        self._reply(400, {
+                            "error": f"depth must be 1 or 2, got "
+                                     f"{depth_s!r}",
+                        })
+                        return
+                    self._neighborhood(rid, fmt=fmt, depth=int(depth_s))
                 elif self.path in ("/", "/index.html"):
                     # Studio-analog console — served behind the basic-
                     # auth challenge so the page's fetch() calls reuse
@@ -515,7 +553,9 @@ class QueryServer:
                 else:
                     self._reply(404, {"error": "not found"})
 
-            def _neighborhood(self, rid: str, fmt: str = "json") -> None:
+            def _neighborhood(
+                self, rid: str, fmt: str = "json", depth: int = 1
+            ) -> None:
                 """``GET /api/v1/neighborhood/{rid}`` — the Studio
                 explore-workflow analog (the reference's README
                 workflow is "explore the graph in ArcadeDB Studio",
@@ -641,6 +681,74 @@ class QueryServer:
 
                     out_e, out_trunc = _hop("src", "dst")
                     in_e, in_trunc = _hop("dst", "src")
+                    hops2, hops2_trunc = [], False
+                    if depth == 2:
+                        # batched SECOND hop (?depth=2 — the console's
+                        # multi-hop expand): ONE filtered pass per
+                        # direction over the already-capped frontier
+                        # ids, not a query per neighbor; its own cap
+                        # keeps a supernode frontier bounded. The
+                        # focus node is excluded from the far side
+                        # (those are the 1-hop edges again).
+                        frontier = {}
+                        for e in out_e + in_e:
+                            if e["rid"] is not None:
+                                nid = int(e["rid"].split(":")[1])
+                                frontier[nid] = e["rid"]
+                        ids = list(frontier)
+                        CAP2 = 200
+
+                        def _hop2(key_col, far_col):
+                            if not ids:
+                                return [], False
+                            h = (
+                                edges.where(
+                                    F.col(key_col).isin(ids)
+                                    & (F.col(far_col) != p)
+                                )
+                                .join(
+                                    nodes,
+                                    F.col(far_col) == nodes.node_id,
+                                )
+                                .select(
+                                    F.col(key_col).alias("near"),
+                                    F.col("label").alias("edge"),
+                                    "n_label", "natural_key",
+                                    "node_id",
+                                )
+                                .limit(CAP2 + 1)
+                                .collect()
+                            )
+                            rows2 = []
+                            for r in h[:CAP2]:
+                                try:
+                                    nb = ws_mod.RID_BUCKET_LABELS.index(
+                                        r.n_label
+                                    )
+                                    nrid = f"#{nb}:{r.node_id}"
+                                except ValueError:
+                                    nrid = None
+                                rows2.append({
+                                    "from_rid": frontier.get(
+                                        int(r.near)
+                                    ),
+                                    "edge": r.edge,
+                                    "rid": nrid,
+                                    "type": r.n_label,
+                                    "natural_key": _safe(
+                                        r.natural_key
+                                    ),
+                                    "direction": (
+                                        "out"
+                                        if key_col == "src"
+                                        else "in"
+                                    ),
+                                })
+                            return rows2, len(h) > CAP2
+
+                        o2, o2t = _hop2("src", "dst")
+                        i2, i2t = _hop2("dst", "src")
+                        hops2, hops2_trunc = o2 + i2, o2t or i2t
                 except Exception as exc:
                     # server-side fault (missing views, dead session,
                     # failed job) — NOT a malformed request (round-10
@@ -656,6 +764,10 @@ class QueryServer:
                     "truncated": {"out": out_trunc, "in": in_trunc},
                     "cap": CAP,
                 }
+                if depth == 2:
+                    payload["depth"] = 2
+                    payload["hops2"] = hops2
+                    payload["truncated"]["hops2"] = hops2_trunc
                 if fmt == "svg":
                     body = render_neighborhood_svg(payload).encode()
                     self.send_response(200)

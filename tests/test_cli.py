@@ -994,3 +994,82 @@ def test_v1_server_settings_events_and_svg(spark, sf_small, tmp_path_factory):
             assert nr in svg, f"neighbor {nr} missing from the sketch"
     finally:
         srv.stop()
+
+
+def test_neighborhood_depth2_and_svg_legend(spark, sf_small, tmp_path_factory):
+    """Round-12 console polish (VERDICT r11 #7): ?depth=2 returns a
+    batched second-hop payload (entries anchored to their 1-hop
+    neighbor via from_rid, own cap + truncated flag, depth=3
+    rejected), and the SVG sketch carries a deterministic edge-type
+    color legend (one .leg entry per distinct edge label, links
+    stroked with the legend color)."""
+    import base64
+    import json as _json
+    import re as _re
+    import urllib.error
+    import urllib.request
+
+    from biodwh2_arcadedb_server_spark.server import QueryServer
+    from biodwh2_arcadedb_server_spark.workspace import (
+        build_workspace,
+        load_workspace,
+    )
+
+    ws = str(tmp_path_factory.mktemp("hood2") / "ws")
+    build_workspace(spark, sf_small, ws, force=True)
+    load_workspace(spark, ws)
+    srv = QueryServer(spark, workspace_dir=ws)
+    port = srv.start()
+    auth = base64.b64encode(
+        f"{srv.username}:{srv.password}".encode()
+    ).decode()
+
+    def get(path, raw=False):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            headers={"Authorization": f"Basic {auth}"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            body = resp.read()
+            return body if raw else _json.loads(body)
+
+    try:
+        from pyspark.sql import functions as F
+
+        nid = (
+            spark.table("n_Nation")
+            .where(F.col("natural_key") == 3)
+            .select("node_id")
+            .collect()[0][0]
+        )
+        base = f"/api/v1/neighborhood/{nid}"
+        h1 = get(base)
+        h2 = get(base + "?depth=2")
+        assert h2["depth"] == 2 and "hops2" in h2
+        assert h2["out"] == h1["out"] and h2["in"] == h1["in"]
+        assert h2["hops2"], "Nation 3 has 2-hop neighbors via Region"
+        one_rids = {e["rid"] for e in h2["out"] + h2["in"]}
+        for e in h2["hops2"]:
+            assert e["from_rid"] in one_rids
+            assert e["direction"] in ("out", "in")
+            assert e["rid"] != h2["rid"]  # focus excluded from hop 2
+        assert "hops2" in h2["truncated"]
+        # depth cap enforced
+        try:
+            get(base + "?depth=3")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 400
+
+        svg = get(base + "?format=svg", raw=True).decode()
+        edge_types = sorted(
+            {e["edge"] for e in h1["out"] + h1["in"] if e.get("edge")}
+        )
+        assert edge_types, "Nation 3 should touch typed edges"
+        legend = _re.findall(r'<text class="leg"[^>]*>([^<]+)</text>', svg)
+        assert legend == edge_types
+        # every link is stroked with a legend color (no grey default)
+        strokes = set(_re.findall(r'<path class="e" stroke="(#\w+)"', svg))
+        assert strokes and "#999" not in strokes
+    finally:
+        srv.stop()
