@@ -187,6 +187,7 @@ HEADLINE = [
     "q141_agg_dialect",
     "q142_typo_pairs",
     "q183_exact_substring_spans",
+    "q187_exact_substring_removal",
     "q143_dataset_card",
     "q145_graphql",
     "q146_shortestpath_dialect",

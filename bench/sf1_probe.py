@@ -326,46 +326,72 @@ def main() -> None:
             json.dump({"note": results_note(), "probes": results}, f, indent=1)
         print(f"sf1 q178: {s_base}->{s_sf1}s", flush=True)
 
-    # kmeans init scaling: sequential kmeans++ pays k full D² scans;
-    # k-means|| pays init_rounds+2 scans regardless of k. Timed at
-    # k=16 / iterations=0 on the 10x corpus so the anchor measures the
-    # INIT (the part q185 exists to fix), not the shared Lloyd rounds.
+    # kmeans init scaling: sequential kmeans++ pays k full D² scans
+    # (flops ≈ Σj·dim·n ≈ k²/2·dim·n); k-means|| pays init_rounds+2
+    # scans against a candidate literal of ≈ ℓ·r (flops ≈ R²ℓ/2·dim·n
+    # + the weights pass). Locally BOTH are CPU-bound on the HOF
+    # argmin, so the flop model — not the pass count — predicts wall
+    # time: at small k with heavy oversampling kmeans|| LOSES (the
+    # k=16, ℓ=32, R=3 point measured 43s vs 70s — kept, honestly);
+    # the init exists for LARGE k, where k²/2 ≫ R²ℓ/2 — the k=64
+    # point (MLlib's ℓ=2k, R=2 operating point) shows the crossover.
+    # On a cluster the pass count dominates either way (each scan is
+    # a full corpus read at 100 TB: 64 reads vs 4).
     if want("kmeans_init_scaling"):
         from biodwh2_arcadedb_server_spark.operators import similarity as _sim2
         from biodwh2_arcadedb_server_spark.sources.registry import (
             load_table as _lt2,
         )
 
-        K16 = 16
-        timings2 = {}
-        for label, init, kw in (
-            ("kmeanspp", "kmeans++", {}),
-            ("kmeansll", "kmeans||", {"init_rounds": 3, "oversample": 32.0}),
+        for tag, sf_emb, kk, ll, rr in (
+            ("k16_sf1", sf_dir, 16, 32.0, 3),
+            ("k64_sf0.1", "/root/testdata/sf0.1", 64, 128.0, 2),
         ):
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                _sim2.kmeans_assign(
-                    _lt2(spark, sf_dir, "embeddings"),
-                    k=K16, iterations=0, dim=64, init=init, seed=0, **kw,
-                ).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings2[label] = round(best, 3)
-        results["kmeans_init_scaling_k16"] = {
-            "kmeanspp_sec": timings2["kmeanspp"],
-            "kmeansll_sec": timings2["kmeansll"],
-            "speedup": round(
-                timings2["kmeanspp"] / max(timings2["kmeansll"], 1e-9), 2
-            ),
-            "note": (
-                "init only (iterations=0), k=16, sf1 embeddings: "
-                "kmeans++ = k D² scans; kmeans|| = init_rounds+2 "
-                "scans + bounded driver finish (Bahmani et al. 2012)"
-            ),
-        }
-        with open(OUT, "w") as f:
-            json.dump({"note": results_note(), "probes": results}, f, indent=1)
-        print(f"sf1 kmeans init k=16: {timings2}", flush=True)
+            key = f"kmeans_init_scaling_{tag}"
+            if key in results:
+                continue
+            timings2 = {}
+            for label, init, kw in (
+                ("kmeanspp", "kmeans++", {}),
+                (
+                    "kmeansll",
+                    "kmeans||",
+                    {"init_rounds": rr, "oversample": ll},
+                ),
+            ):
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    _sim2.kmeans_assign(
+                        _lt2(spark, sf_emb, "embeddings"),
+                        k=kk, iterations=0, dim=64, init=init, seed=0,
+                        **kw,
+                    ).write.format("noop").mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                timings2[label] = round(best, 3)
+            results[key] = {
+                "k": kk, "oversample": ll, "init_rounds": rr,
+                "corpus": sf_emb,
+                "kmeanspp_sec": timings2["kmeanspp"],
+                "kmeansll_sec": timings2["kmeansll"],
+                "kmeanspp_scans": kk,
+                "kmeansll_scans": rr + 2,
+                "speedup": round(
+                    timings2["kmeanspp"] / max(timings2["kmeansll"], 1e-9),
+                    2,
+                ),
+                "note": (
+                    "init only (iterations=0); locally CPU-bound so the "
+                    "flop model k²/2 vs R²ℓ/2 (+weights) predicts wall — "
+                    "kmeans|| wins at large k; at 100 TB the SCAN count "
+                    "(k vs R+2 corpus reads) dominates at any k"
+                ),
+            }
+            with open(OUT, "w") as f:
+                json.dump(
+                    {"note": results_note(), "probes": results}, f, indent=1
+                )
+            print(f"sf1 kmeans init {tag}: {timings2}", flush=True)
 
     # TWS long drain: the measured ~1.1s/trigger micro-batch + proto-
     # runner floor (SCALE.md) must stay per-TRIGGER, not per-volume —

@@ -45,8 +45,15 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     ~8× slower. Use a two-step select: first project the token array,
     then build shingles from the column."""
     n = F.size(toks)
+    # a doc shorter than k tokens must yield ZERO grams: Spark's
+    # sequence(1, 0) is the DESCENDING [1, 0] (not empty), and the 0
+    # then feeds slice() an invalid start — latent until a <k-token
+    # document appeared (round-12 finding via remove_spans)
+    idx = F.when(
+        n >= F.lit(k), F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        idx,
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
     return F.array_distinct(grams)

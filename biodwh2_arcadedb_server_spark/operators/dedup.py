@@ -737,8 +737,15 @@ def positional_shingles(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
     )
     n = F.size("_toks")
+    # guard the empty case explicitly: sequence(1, 0) is DESCENDING
+    # [1, 0] in Spark (not empty), and the 0 feeds slice() an invalid
+    # start — a doc shorter than k tokens must yield zero grams
+    # (round-12 finding, latent in shingle_table too)
+    idx = F.when(
+        n >= F.lit(k), F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     structs = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        idx,
         lambda i: F.struct(
             i.cast("long").alias("pos"),
             F.xxhash64(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))).alias(
@@ -867,4 +874,61 @@ def exact_substring_spans(
                 "span_tokens"
             ),
         )
+    )
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """APPLY exact-substring removal decisions (the second half of
+    Lee et al. 2022's ExactSubstr — detection without application
+    never shrinks the corpus): given ``exact_substring_spans``
+    output, rebuild each document's text with the flagged token
+    ranges dropped. Mechanics: spans pack into ONE array per doc
+    (groupBy(doc) of an already-tiny frame), the pack joins the
+    corpus on the doc key, and the removal itself is a MAP-ONLY
+    positional HOF filter — token i survives iff no span covers i —
+    so the corpus is never exploded to token rows and the only
+    shuffle is the doc-keyed span join. Docs with no spans pass
+    through untouched (left join + empty-array coalesce).
+
+    Returns (id_col, n_tokens, n_removed, cleaned_text)."""
+    packed = (
+        spans.groupBy(F.col("doc_id").alias("_sid"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("_spans")
+        )
+    )
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    joined = toked.join(
+        packed, toked[id_col] == packed._sid, "left"
+    ).withColumn(
+        "_sp",
+        F.coalesce(
+            "_spans",
+            F.array().cast(
+                "array<struct<span_start bigint, span_end bigint>>"
+            ),
+        ),
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.exists(
+            F.col("_sp"),
+            lambda s: (i + 1 >= s["span_start"])
+            & (i + 1 <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_toks").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
     )

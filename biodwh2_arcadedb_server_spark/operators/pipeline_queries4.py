@@ -170,8 +170,10 @@ def q183_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q183_exact_substring_spans"] = q183_exact_substring_spans
-ORACLE["q183_exact_substring_spans"] = f"""
-    WITH toks AS (
+# shared CTE body: positional grams -> df-capped anchors -> aligned
+# runs -> per-doc merged spans (ends at `merged`); q183 reads it
+# directly, q187 appends the removal application
+_ES_SPAN_CTES = f"""toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\\s+'),
                          x -> x <> '') AS tk
@@ -225,8 +227,61 @@ ORACLE["q183_exact_substring_spans"] = f"""
       SELECT doc_id, min(span_start) AS span_start,
              max(span_end) AS span_end
       FROM grp GROUP BY doc_id, gid
-    )
+    )"""
+
+ORACLE["q183_exact_substring_spans"] = f"""
+    WITH {_ES_SPAN_CTES}
     SELECT doc_id, span_start, span_end,
            span_end - span_start + 1 AS span_tokens
     FROM merged ORDER BY doc_id, span_start
 """
+
+
+def q187_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span APPLICATION — the second half of Lee et al. 2022's
+    ExactSubstr (q183 detects; this removes): rebuild every document
+    with its flagged token ranges dropped via
+    ``dedup.remove_spans`` — spans pack to one array per doc, join
+    the corpus on the doc key, and a MAP-ONLY positional HOF filter
+    drops covered tokens (no token-row explosion; the only shuffle is
+    the doc-keyed span join). Untouched docs pass through verbatim.
+    The DuckDB twin appends the identical indexed-lambda filter to
+    q183's span CTEs, so detection AND application are hash-checked
+    in one probe — including the rebuilt text itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup.exact_substring_spans(
+        docs, "doc_id", "text",
+        k=_ES_K, min_len=_ES_MINLEN, max_df=_ES_MAXDF,
+    )
+    return (
+        dedup.remove_spans(docs, spans, "doc_id", "text")
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["q187_exact_substring_removal"] = q187_exact_substring_removal
+ORACLE["q187_exact_substring_removal"] = f"""
+    WITH {_ES_SPAN_CTES},
+    sp AS (
+      SELECT doc_id,
+             list(struct_pack(s := span_start, e := span_end)) AS spans
+      FROM merged GROUP BY doc_id
+    ),
+    applied AS (
+      SELECT t.doc_id, t.tk,
+             list_filter(
+               t.tk,
+               (x, i) -> NOT len(list_filter(
+                 coalesce(s.spans, []::STRUCT(s BIGINT, e BIGINT)[]),
+                 sp -> i >= sp.s AND i <= sp.e)) > 0
+             ) AS kept
+      FROM toks t LEFT JOIN sp s USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS INTEGER) AS n_tokens,
+           CAST(len(tk) - len(kept) AS INTEGER) AS n_removed,
+           coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+    FROM applied ORDER BY doc_id
+"""
+# (coalesce: DuckDB's array_to_string([]) is NULL; Spark's concat_ws
+# of an empty array is '' — a fully-removed doc must match)

@@ -1181,3 +1181,50 @@ def test_kmeans_parallel_matches_numpy_k16(spark, sf_small):
                 C[j] = r8(X[a == j].mean(axis=0))
     want = dict(zip(ids.tolist(), assign(C).tolist()))
     assert got == want
+
+
+def test_remove_spans_rebuilds_text(spark):
+    """Span application (q187): flagged ranges drop, untouched docs
+    pass through verbatim, counts reconcile — on the same known
+    corpus as the span-detection test."""
+    from biodwh2_arcadedb_server_spark.operators import dedup
+
+    passage = " ".join(f"w{i}" for i in range(25))
+    docs = [
+        (1, f"alpha beta {passage} gamma"),
+        (2, f"x0 x1 x2 {passage} y0 y1"),
+        (3, "entirely untouched document"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = dedup.exact_substring_spans(
+        df, "doc_id", "text", k=8, min_len=20, max_df=16
+    )
+    got = {
+        r.doc_id: r
+        for r in dedup.remove_spans(df, spans, "doc_id", "text").collect()
+    }
+    # doc 1 keeps its copy (smallest id) — verbatim
+    assert got[1].n_removed == 0 and got[1].cleaned_text == docs[0][1]
+    # doc 2 loses exactly the 25-token passage, neighbors survive
+    assert got[2].n_removed == 25
+    assert got[2].cleaned_text == "x0 x1 x2 y0 y1"
+    assert got[2].n_tokens == 30
+    # doc 3 untouched
+    assert got[3].n_removed == 0 and got[3].cleaned_text == docs[2][1]
+
+
+def test_shingles_short_doc_yields_no_grams(spark):
+    """A document shorter than k tokens must produce ZERO shingles —
+    Spark's sequence(1, 0) is the descending [1, 0], whose 0 fed
+    slice() an invalid start (round-12 latent-bug regression; hit
+    both shingle_table and positional_shingles)."""
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "a full length document with many words here")],
+        "doc_id long, text string",
+    )
+    sh = {r._id: r._sh for r in
+          dedup.shingle_table(df, "doc_id", "text", k=3).collect()}
+    assert sh[1] == [] and len(sh[2]) > 0
+    ps = dedup.positional_shingles(df, "doc_id", "text", k=8)
+    got = {r["_id"] for r in ps.collect()}
+    assert got == {2}
