@@ -327,16 +327,15 @@ def main() -> None:
         print(f"sf1 q178: {s_base}->{s_sf1}s", flush=True)
 
     # kmeans init scaling: sequential kmeans++ pays k full D² scans
-    # (flops ≈ Σj·dim·n ≈ k²/2·dim·n); k-means|| pays init_rounds+2
-    # scans against a candidate literal of ≈ ℓ·r (flops ≈ R²ℓ/2·dim·n
-    # + the weights pass). Locally BOTH are CPU-bound on the HOF
-    # argmin, so the flop model — not the pass count — predicts wall
-    # time: at small k with heavy oversampling kmeans|| LOSES (the
-    # k=16, ℓ=32, R=3 point measured 43s vs 70s — kept, honestly);
-    # the init exists for LARGE k, where k²/2 ≫ R²ℓ/2 — the k=64
-    # point (MLlib's ℓ=2k, R=2 operating point) shows the crossover.
-    # On a cluster the pass count dominates either way (each scan is
-    # a full corpus read at 100 TB: 64 reads vs 4).
+    # (flops ≈ Σj·dim·n ≈ k²/2·dim·n); k-means|| with the incremental
+    # running-cost column pays ~one evaluation per (row, candidate) —
+    # ≈ ℓ·R·dim·n — in only init_rounds+2 passes. Measured history:
+    # the first (rescan-the-growing-literal) implementation LOST at
+    # k=16/ℓ=32/R=3 (43s vs 70s — the rescan made its flops exceed
+    # kmeans++'s); the incremental cost array (Bahmani's running cost
+    # vector) flipped it to 2.14x at k=16 and 9.06x at k=64 (MLlib's
+    # ℓ=2k, R=2 point). On a cluster the pass count dominates either
+    # way (each scan is a full corpus read at 100 TB: 64 reads vs 4).
     if want("kmeans_init_scaling"):
         from biodwh2_arcadedb_server_spark.operators import similarity as _sim2
         from biodwh2_arcadedb_server_spark.sources.registry import (
