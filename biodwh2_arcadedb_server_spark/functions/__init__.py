@@ -44,19 +44,23 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     (interpreted HOFs don't CSE their lambda bodies), which measured
     ~8× slower. Use a two-step select: first project the token array,
     then build shingles from the column."""
-    n = F.size(toks)
-    # a doc shorter than k tokens must yield ZERO grams: Spark's
-    # sequence(1, 0) is the DESCENDING [1, 0] (not empty), and the 0
-    # then feeds slice() an invalid start — latent until a <k-token
-    # document appeared (round-12 finding via remove_spans)
-    idx = F.when(
-        n >= F.lit(k), F.sequence(F.lit(1), n - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
-        idx,
+        gram_start_indices(toks, k),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
     return F.array_distinct(grams)
+
+
+def gram_start_indices(toks: Column, k: int) -> Column:
+    """1-based start positions of the k-grams of a token array — the
+    SHARED guard for every gram producer: a doc shorter than k tokens
+    must yield ZERO grams, but Spark's sequence(1, 0) is the
+    DESCENDING [1, 0] (not empty) and the 0 then feeds slice() an
+    invalid start (round-12 latent bug, hit via remove_spans)."""
+    n = F.size(toks)
+    return F.when(
+        n >= F.lit(k), F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
 
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:

@@ -72,7 +72,20 @@ from dataclasses import dataclass, field as dc_field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from biodwh2_arcadedb_server_spark.workspace import EDGE_SPECS
+from biodwh2_arcadedb_server_spark.workspace import EDGE_SPECS, NODE_SPECS
+
+
+def _label_case_map(rels: dict) -> dict[str, str]:
+    """lowercase view suffix → declared label casing. The catalog
+    stores temp-view names lowercased; true casing comes from the
+    workspace NODE_SPECS first, then any relationship-map keys (which
+    may add custom labels) — NOT rels alone, or a relationship-less
+    label (Document) introspects as 'document' while __typename says
+    'Document' (round-12 review: an Apollo cache keyed by __typename
+    could never match the schema type)."""
+    case = {s.label.lower(): s.label for s in NODE_SPECS}
+    case.update({k.lower(): k for k in rels})
+    return case
 
 # --- document model ---------------------------------------------------------------
 
@@ -638,7 +651,8 @@ def execute(
         # per-type discovery shape; any nested selection (what a real
         # client document always carries) gets the spec-shaped answer
         if any(
-            s.selection or s.name in ("queryType", "mutationType")
+            s.selection
+            or s.name in ("queryType", "mutationType", "__typename")
             for s in root.selection
         ):
             return _introspect_full(spark, rels, root)
@@ -739,7 +753,7 @@ def _introspect_type(
     name = root.args.get("name")
     if not name:
         raise GraphQLError('__type requires a name: "<Label>" argument')
-    case = {k.lower(): k for k in rels}
+    case = _label_case_map(rels)
     label = case.get(str(name).lower(), str(name))
     try:
         schema = spark.table(f"n_{label}").schema
@@ -800,7 +814,7 @@ def _schema_model(
     fields), the synthetic Query/Mutation roots (one query field per
     label; create/update/delete mutations returning MutationResult),
     and the referenced SCALAR types."""
-    case = {k.lower(): k for k in rels}
+    case = _label_case_map(rels)
     objects, scalars_used = [], set()
     for tbl in sorted(spark.catalog.listTables(), key=lambda t: t.name):
         if not tbl.name.startswith("n_"):
@@ -1019,7 +1033,7 @@ def _introspect(spark: SparkSession, rels: dict[str, dict[str, Rel]]) -> DataFra
     # catalog stores temp-view names lowercased; restore the label's
     # declared casing from the relationship map (falling back to the
     # raw name for relationship-less types)
-    case = {k.lower(): k for k in rels}
+    case = _label_case_map(rels)
     rows = []
     for tbl in spark.catalog.listTables():
         if not tbl.name.startswith("n_"):

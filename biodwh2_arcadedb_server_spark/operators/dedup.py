@@ -28,7 +28,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from biodwh2_arcadedb_server_spark.functions import shingles_from_tokens, tokens
+from biodwh2_arcadedb_server_spark.functions import (
+    gram_start_indices,
+    shingles_from_tokens,
+    tokens,
+)
 
 # 31-bit Mersenne prime: a,b,h < 2^31 keeps a·h+b < 2^63 (no long
 # overflow under ANSI arithmetic) while leaving ample hash space for
@@ -736,16 +740,8 @@ def positional_shingles(
     toked = df.repartition(par, id_col).select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
     )
-    n = F.size("_toks")
-    # guard the empty case explicitly: sequence(1, 0) is DESCENDING
-    # [1, 0] in Spark (not empty), and the 0 feeds slice() an invalid
-    # start — a doc shorter than k tokens must yield zero grams
-    # (round-12 finding, latent in shingle_table too)
-    idx = F.when(
-        n >= F.lit(k), F.sequence(F.lit(1), n - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
     structs = F.transform(
-        idx,
+        gram_start_indices(F.col("_toks"), k),
         lambda i: F.struct(
             i.cast("long").alias("pos"),
             F.xxhash64(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))).alias(
@@ -765,6 +761,7 @@ def exact_substring_spans(
     k: int = 8,
     min_len: int = 20,
     max_df: int = 16,
+    max_postings: int | None = None,
 ) -> DataFrame:
     """Cross-document EXACT-SUBSTRING duplicate spans — the bounded-
     window form of Lee et al. 2022 ("Deduplicating Training Data
@@ -781,9 +778,13 @@ def exact_substring_spans(
     1. anchors: self-equi-join of the positional index on the gram
        hash (``da < db``) — the ONLY corpus-sized join, and it is an
        equi-join on an 8-byte key. Grams seen in more than ``max_df``
-       distinct docs are dropped first (boilerplate/stop-gram cap —
-       the posting-list truncation every inverted-index join at scale
-       needs; a gram in m docs yields O(m²) anchor pairs).
+       distinct docs OR at more than ``max_postings`` total positions
+       (default 8·max_df) are dropped first: the doc-frequency cap is
+       the boilerplate/stop-gram filter, the postings cap closes the
+       within-doc hole (round-12 review: a gram repeated 100k times
+       inside just TWO spammy docs passes any distinct-doc cap yet
+       self-joins to ~10¹⁰ anchor rows — posting-list truncation must
+       bound the list itself, the quantity the join actually squares).
     2. runs: anchors at equal alignment ``diag = pa − pb`` with
        consecutive ``pa`` are one duplicated run (gaps-and-islands:
        ``pa − row_number()`` per (da, db, diag) window — fine-grained
@@ -806,11 +807,16 @@ def exact_substring_spans(
     df-cap agg and the join shuffle on the same key. min_len=20
     mirrors Lee et al.'s 50-BPE-token threshold at this corpus's
     word granularity."""
+    if max_postings is None:
+        max_postings = 8 * max_df
     sh = positional_shingles(df, id_col, text_col, k)
     keep = (
         sh.groupBy("gh")
-        .agg(F.count_distinct("_id").alias("_df"))
-        .where(F.col("_df") <= max_df)
+        .agg(
+            F.count_distinct("_id").alias("_df"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where((F.col("_df") <= max_df) & (F.col("_n") <= max_postings))
         .select("gh")
     )
     capped = sh.join(keep, "gh")
@@ -892,8 +898,16 @@ def remove_spans(
     corpus on the doc key, and the removal itself is a MAP-ONLY
     positional HOF filter — token i survives iff no span covers i —
     so the corpus is never exploded to token rows and the only
-    shuffle is the doc-keyed span join. Docs with no spans pass
-    through untouched (left join + empty-array coalesce).
+    shuffle is the doc-keyed span join. Docs with no spans keep
+    every token (left join + empty-array coalesce).
+
+    The rebuild tokenizes with ``lowercase=False`` — detection hashes
+    LOWERCASED grams (case-insensitive matching), but the surviving
+    text must keep the document's original casing (round-12 review:
+    the lowercase default silently re-cased the whole corpus); span
+    positions align because both splits are the same whitespace rule.
+    Whitespace IS normalized (tokens re-join with single spaces) —
+    inherent to token-level span removal and stated here.
 
     Returns (id_col, n_tokens, n_removed, cleaned_text)."""
     packed = (
@@ -905,7 +919,8 @@ def remove_spans(
         )
     )
     toked = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col),
+        tokens(F.col(text_col), lowercase=False).alias("_toks"),
     )
     joined = toked.join(
         packed, toked[id_col] == packed._sid, "left"

@@ -146,6 +146,7 @@ ORACLE = {
 # 16 docs. min_len mirrors the paper's 50-BPE-token threshold at this
 # corpus's whitespace-word granularity.
 _ES_K, _ES_MINLEN, _ES_MAXDF = 8, 20, 16
+_ES_MAXPOST = 8 * _ES_MAXDF  # postings cap (within-doc spam guard)
 
 
 def q183_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,7 +177,9 @@ QUERIES["q183_exact_substring_spans"] = q183_exact_substring_spans
 _ES_SPAN_CTES = f"""toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\\s+'),
-                         x -> x <> '') AS tk
+                         x -> x <> '') AS tk,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS rtk
       FROM documents
     ),
     grams AS (
@@ -188,6 +191,7 @@ _ES_SPAN_CTES = f"""toks AS (
     keep AS (
       SELECT gram FROM grams
       GROUP BY gram HAVING count(DISTINCT doc_id) <= {_ES_MAXDF}
+                       AND count(*) <= {_ES_MAXPOST}
     ),
     g AS (SELECT grams.* FROM grams JOIN keep USING (gram)),
     anchors AS (
@@ -268,9 +272,9 @@ ORACLE["q187_exact_substring_removal"] = f"""
       FROM merged GROUP BY doc_id
     ),
     applied AS (
-      SELECT t.doc_id, t.tk,
+      SELECT t.doc_id, t.rtk,
              list_filter(
-               t.tk,
+               t.rtk,
                (x, i) -> NOT len(list_filter(
                  coalesce(s.spans, []::STRUCT(s BIGINT, e BIGINT)[]),
                  sp -> i >= sp.s AND i <= sp.e)) > 0
@@ -278,8 +282,8 @@ ORACLE["q187_exact_substring_removal"] = f"""
       FROM toks t LEFT JOIN sp s USING (doc_id)
     )
     SELECT doc_id,
-           CAST(len(tk) AS INTEGER) AS n_tokens,
-           CAST(len(tk) - len(kept) AS INTEGER) AS n_removed,
+           CAST(len(rtk) AS INTEGER) AS n_tokens,
+           CAST(len(rtk) - len(kept) AS INTEGER) AS n_removed,
            coalesce(array_to_string(kept, ' '), '') AS cleaned_text
     FROM applied ORDER BY doc_id
 """

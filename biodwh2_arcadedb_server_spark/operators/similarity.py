@@ -858,48 +858,50 @@ def kmeans_assign(
                 f"kmeans_assign: {vec_col} has length {got} but dim={dim}; "
                 "pass dim <= the embedding length"
             )
+    # shared by the sampled inits (kmeans++ / kmeans||):
+    # - _u(prefix, rnd): deterministic uniform in (0, 1] keyed by
+    #   (prefix, seed, ROUND, id) — the md5 device every sampling
+    #   staple here uses, no rand(), rerun- and replay-stable. The
+    #   round index is part of the key (ADVICE r11): Efraimidis–
+    #   Spirakis sampling draws a FRESH uniform per round; a fixed
+    #   u(id) reused against round-varying D² weights systematically
+    #   favors high-u rows every round, biasing seed quality.
+    # - _tiebreak: u is a 32-bit md5 prefix, so exact collisions are
+    #   rare but possible at corpus scale — ties go to the SMALLER id
+    #   on both engines (struct ordering here, ORDER BY ..., vec_id
+    #   in the DuckDB twins), matching numpy's first-max-index argmax.
+    def _u(prefix: str, rnd: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{prefix}:{seed}:{rnd}:"),
+                            F.col(id_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + 1.0
+        ) / 4294967296.0
+
+    def _tiebreak(key):
+        return F.struct(key.alias("k"), (-F.col(id_col)).alias("t"))
+
+    vec_d = F.transform(
+        F.slice(F.col(vec_col), 1, dim), lambda x: x.cast("double")
+    )
+
     if init == "min-id":
         cents = [[_half_up8(x) for x in r[0][:dim]] for r in probe]
     elif init == "kmeans++":
-        # deterministic uniform in (0, 1] keyed by (seed, ROUND, id):
-        # the same md5 device every sampling staple here uses — no
-        # rand(), rerun- and replay-stable. The round index is part of
-        # the key (ADVICE r11): Efraimidis–Spirakis sampling draws a
-        # FRESH uniform per selection round; a fixed u(id) reused
-        # against round-varying D² weights systematically favors
-        # high-u rows in every round, biasing seed quality.
-        def _u(rnd: int) -> F.Column:
-            return (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit(f"kmpp:{seed}:{rnd}:"),
-                                F.col(id_col).cast("string"),
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("double")
-                + 1.0
-            ) / 4294967296.0
-        vec_d = F.transform(
-            F.slice(F.col(vec_col), 1, dim), lambda x: x.cast("double")
-        )
-        # deterministic tiebreak (review finding): u is a 32-bit md5
-        # prefix, so exact collisions are rare but possible at corpus
-        # scale — ties go to the SMALLER id on both engines (struct
-        # ordering here, ORDER BY ... , vec_id in the DuckDB twin),
-        # matching the numpy replay's first-max-index argmax
-        def _tiebreak(key):
-            return F.struct(key.alias("k"), (-F.col(id_col)).alias("t"))
-
         # first centroid: plain uniform sample = argmax u₀ (one 1-row agg)
         first = emb.select(
-            F.max_by(vec_d, _tiebreak(_u(0))).alias("c")
+            F.max_by(vec_d, _tiebreak(_u("kmpp", 0))).alias("c")
         ).collect()[0]["c"]
         cents = [[_half_up8(x) for x in first]]
         while len(cents) < k:
@@ -913,7 +915,7 @@ def kmeans_assign(
                 emb.where(d2 > 0)
                 .select(
                     F.max_by(
-                        vec_d, _tiebreak(F.log(_u(len(cents))) / d2)
+                        vec_d, _tiebreak(F.log(_u("kmpp", len(cents))) / d2)
                     ).alias("c")
                 )
                 .collect()
@@ -946,36 +948,10 @@ def kmeans_assign(
         import math
 
         l = float(oversample if oversample is not None else 2 * k)
-        vec_d = F.transform(
-            F.slice(F.col(vec_col), 1, dim), lambda x: x.cast("double")
-        )
-
-        def _u2(rnd: int) -> F.Column:
-            return (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit(f"kmll:{seed}:{rnd}:"),
-                                F.col(id_col).cast("string"),
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("double")
-                + 1.0
-            ) / 4294967296.0
-
-        def _tiebreak2(key):
-            return F.struct(key.alias("k"), (-F.col(id_col)).alias("t"))
-
         r0 = emb.select(
             F.max_by(
                 F.struct(F.col(id_col).alias("i"), vec_d.alias("v")),
-                _tiebreak2(_u2(0)),
+                _tiebreak(_u("kmll", 0)),
             ).alias("c")
         ).collect()[0]["c"]
         cands: list[tuple[int, list[float]]] = [
@@ -1022,7 +998,7 @@ def kmeans_assign(
                 state.where(
                     (d2 > 0)
                     & (
-                        _u2(r)
+                        _u("kmll", r)
                         < F.least(F.lit(1.0), F.lit(l) * d2 / F.lit(float(phi)))
                     )
                 )

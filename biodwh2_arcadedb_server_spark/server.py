@@ -86,6 +86,7 @@ record id) or a full <code>#bucket:pos</code> RID to see the record
 and its 1-hop neighborhood.</p>
 <input id="rid" placeholder="#1:42 or 531961617338…" style="font-family:monospace">
 <button onclick="explore()">Explore</button>
+<label><input type="checkbox" id="depth2"> 2-hop</label>
 <div id="nerr" style="color:#b00;white-space:pre-wrap"></div>
 <div id="nout"></div>
 <script>
@@ -108,8 +109,9 @@ async function run(){
 async function explore(){
   const esc=s=>String(s).replace(/[&<>]/g,c=>({'&':'&amp;','<':'&lt;','>':'&gt;'}[c]));
   const rid=document.getElementById('rid').value.trim();
+  const dq=document.getElementById('depth2').checked?'?depth=2':'';
   document.getElementById('nerr').textContent='';
-  const r=await fetch('/api/v1/neighborhood/'+encodeURIComponent(rid));
+  const r=await fetch('/api/v1/neighborhood/'+encodeURIComponent(rid)+dq);
   const j=await r.json();
   if(!r.ok){document.getElementById('nerr').textContent=j.error||r.status;
             document.getElementById('nout').innerHTML='';return;}
@@ -128,6 +130,19 @@ async function explore(){
     return s+'</table>';
   };
   h+=hop('Outgoing',j.out,j.truncated.out)+hop('Incoming',j['in'],j.truncated['in']);
+  if(j.hops2){
+    let s='<h4>Second hop ('+j.hops2.length+(j.truncated.hops2?'+, truncated':'')+')</h4>';
+    if(j.hops2.length){
+      s+='<table><tr><th>via</th><th>dir</th><th>edge</th><th>type</th><th>rid</th><th>natural_key</th></tr>';
+      for(const e of j.hops2)
+        s+='<tr><td>'+esc(e.from_rid)+'</td><td>'+esc(e.direction)+'</td><td>'+esc(e.edge)
+          +'</td><td>'+esc(e.type)+'</td><td>'
+          +(e.rid?'<a href="#" onclick="document.getElementById(\\'rid\\').value=\\''+esc(e.rid)+'\\';explore();return false">'+esc(e.rid)+'</a>':'<i>?</i>')
+          +'</td><td>'+esc(e.natural_key)+'</td></tr>';
+      s+='</table>';
+    } else s+='<i>none</i>';
+    h+=s;
+  }
   document.getElementById('nout').innerHTML=h;
   // node-link sketch: the server renders the same payload as SVG
   const sv=await fetch('/api/v1/neighborhood/'+encodeURIComponent(rid)+'?format=svg');
@@ -247,6 +262,14 @@ def render_neighborhood_svg(payload: dict) -> str:
             f'<text class="lab" x="{cx}" y="{height - 26}" '
             f'text-anchor="middle">+{len(payload["hops2"])} second-hop '
             "edges (?depth=2)</text>"
+        )
+    elif payload.get("depth", 1) == 1:
+        # advertise the deeper view on depth-1 sketches — the
+        # affordance is useless if it only appears after being used
+        parts.append(
+            f'<text class="lab" x="{cx}" y="{height - 26}" '
+            'text-anchor="middle">GET ?depth=2 for the second hop'
+            "</text>"
         )
     parts.append("</svg>")
     return "".join(parts)
@@ -694,9 +717,18 @@ class QueryServer:
                         for e in out_e + in_e:
                             if e["rid"] is not None:
                                 nid = int(e["rid"].split(":")[1])
-                                frontier[nid] = e["rid"]
+                                if nid != p:  # self-loop: the focus
+                                    # is its own 1-hop neighbor; its
+                                    # edges are NOT second-hop rows
+                                    frontier[nid] = e["rid"]
                         ids = list(frontier)
                         CAP2 = 200
+
+                        # an edge BETWEEN two 1-hop neighbors (a
+                        # triangle through the focus) is reachable
+                        # from both sides — emit it once, keyed by
+                        # its physical (src, dst, edge) identity
+                        seen_edges: set[tuple] = set()
 
                         def _hop2(key_col, far_col):
                             if not ids:
@@ -721,6 +753,15 @@ class QueryServer:
                             )
                             rows2 = []
                             for r in h[:CAP2]:
+                                near_id, far_id = int(r.near), int(r.node_id)
+                                phys = (
+                                    (near_id, far_id, r.edge)
+                                    if key_col == "src"
+                                    else (far_id, near_id, r.edge)
+                                )
+                                if phys in seen_edges:
+                                    continue
+                                seen_edges.add(phys)
                                 try:
                                     nb = ws_mod.RID_BUCKET_LABELS.index(
                                         r.n_label

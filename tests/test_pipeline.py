@@ -1191,9 +1191,13 @@ def test_remove_spans_rebuilds_text(spark):
 
     passage = " ".join(f"w{i}" for i in range(25))
     docs = [
-        (1, f"alpha beta {passage} gamma"),
-        (2, f"x0 x1 x2 {passage} y0 y1"),
-        (3, "entirely untouched document"),
+        (1, f"Alpha BETA {passage} gamma"),
+        # the duplicated run is CASED differently — detection hashes
+        # lowercased grams, so it still matches; the REBUILD must
+        # keep each doc's original casing (round-12 review: the
+        # lowercase default silently re-cased the whole corpus)
+        (2, f"X0 x1 X2 {passage.upper()} y0 Y1"),
+        (3, "Entirely UNTOUCHED Document"),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     spans = dedup.exact_substring_spans(
@@ -1203,13 +1207,13 @@ def test_remove_spans_rebuilds_text(spark):
         r.doc_id: r
         for r in dedup.remove_spans(df, spans, "doc_id", "text").collect()
     }
-    # doc 1 keeps its copy (smallest id) — verbatim
+    # doc 1 keeps its copy (smallest id) — verbatim incl. case
     assert got[1].n_removed == 0 and got[1].cleaned_text == docs[0][1]
-    # doc 2 loses exactly the 25-token passage, neighbors survive
+    # doc 2 loses exactly the 25-token passage, cased neighbors survive
     assert got[2].n_removed == 25
-    assert got[2].cleaned_text == "x0 x1 x2 y0 y1"
+    assert got[2].cleaned_text == "X0 x1 X2 y0 Y1"
     assert got[2].n_tokens == 30
-    # doc 3 untouched
+    # doc 3 untouched, original case
     assert got[3].n_removed == 0 and got[3].cleaned_text == docs[2][1]
 
 
