@@ -188,6 +188,7 @@ HEADLINE = [
     "q142_typo_pairs",
     "q183_exact_substring_spans",
     "q187_exact_substring_removal",
+    "q188_within_doc_substring_spans",
     "q143_dataset_card",
     "q145_graphql",
     "q146_shortestpath_dialect",

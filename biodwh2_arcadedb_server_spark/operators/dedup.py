@@ -762,6 +762,7 @@ def exact_substring_spans(
     min_len: int = 20,
     max_df: int = 16,
     max_postings: int | None = None,
+    within_doc: bool = False,
 ) -> DataFrame:
     """Cross-document EXACT-SUBSTRING duplicate spans — the bounded-
     window form of Lee et al. 2022 ("Deduplicating Training Data
@@ -796,8 +797,12 @@ def exact_substring_spans(
        gaps-and-islands, partitioned by doc).
 
     Returns (doc_id, span_start, span_end, span_tokens), 1-based
-    inclusive token positions. Within-doc self-repeats are out of
-    scope (da < db); the 64-bit gram hash stands in for string
+    inclusive token positions. ``within_doc=True`` additionally
+    detects SELF-repeats (Lee et al. dedup within documents too):
+    same-doc anchors at ``pa < pb`` put the removal span on the
+    LATER occurrence — the positional analog of the smaller-id
+    canonical keep — and merge with any cross-doc spans in the same
+    per-doc interval pass. The 64-bit gram hash stands in for string
     equality (a false anchor needs an xxhash64 collision between two
     corpus grams — ~n²/2⁶⁴).
 
@@ -826,9 +831,12 @@ def exact_substring_spans(
     b = capped.select(
         "gh", F.col("_id").alias("db"), F.col("pos").alias("pb")
     )
-    anchors = (
-        a.join(b, "gh").where(F.col("da") < F.col("db")).drop("gh")
-    )
+    pair_pred = F.col("da") < F.col("db")
+    if within_doc:
+        pair_pred = pair_pred | (
+            (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+        )
+    anchors = a.join(b, "gh").where(pair_pred).drop("gh")
 
     from pyspark.sql import Window
 

@@ -173,14 +173,20 @@ def q183_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q183_exact_substring_spans"] = q183_exact_substring_spans
 # shared CTE body: positional grams -> df-capped anchors -> aligned
 # runs -> per-doc merged spans (ends at `merged`); q183 reads it
-# directly, q187 appends the removal application
-_ES_SPAN_CTES = f"""toks AS (
+# directly, q187 appends the removal application, q188 swaps the
+# source and enables within-doc anchors
+def _es_ctes(source: str = "documents", within: bool = False) -> str:
+    pair = "a.doc_id < b.doc_id"
+    if within:
+        pair = ("(a.doc_id < b.doc_id OR "
+                "(a.doc_id = b.doc_id AND a.pos < b.pos))")
+    return f"""toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\\s+'),
                          x -> x <> '') AS tk,
              list_filter(string_split_regex(text, '\\s+'),
                          x -> x <> '') AS rtk
-      FROM documents
+      FROM {source}
     ),
     grams AS (
       SELECT doc_id, CAST(i AS BIGINT) AS pos,
@@ -196,7 +202,7 @@ _ES_SPAN_CTES = f"""toks AS (
     g AS (SELECT grams.* FROM grams JOIN keep USING (gram)),
     anchors AS (
       SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
-      FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id
+      FROM g a JOIN g b USING (gram) WHERE {pair}
     ),
     runs AS (
       SELECT da, db, pa - pb AS diag,
@@ -232,6 +238,9 @@ _ES_SPAN_CTES = f"""toks AS (
              max(span_end) AS span_end
       FROM grp GROUP BY doc_id, gid
     )"""
+
+
+_ES_SPAN_CTES = _es_ctes()
 
 ORACLE["q183_exact_substring_spans"] = f"""
     WITH {_ES_SPAN_CTES}
@@ -289,3 +298,47 @@ ORACLE["q187_exact_substring_removal"] = f"""
 """
 # (coalesce: DuckDB's array_to_string([]) is NULL; Spark's concat_ws
 # of an empty array is '' — a fully-removed doc must match)
+
+
+def q188_within_doc_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document exact-substring spans (Lee et al. 2022 dedup
+    self-repeats too; ``within_doc=True`` adds same-doc anchors at
+    ``pa < pb``, landing the removal span on the LATER occurrence —
+    the positional analog of smaller-id canonical keep). The test
+    corpus has no natural self-repeats, so the probe derives one IN
+    THE PLAN, identically on both engines: docs 50–99 verbatim plus
+    docs 0–49 DOUBLED (text || ' ' || text) under offset ids with
+    their originals withheld — every doubled doc's duplicate half is
+    detectable ONLY through the within-doc pass, and any cross-doc
+    span among the verbatim docs must still coexist in the same
+    merged output."""
+    d = load_table(spark, sf_dir, "documents")
+    derived = d.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)).select(
+        "doc_id", "text"
+    ).unionByName(
+        d.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), F.col("text")).alias("text"),
+        )
+    )
+    return dedup.exact_substring_spans(
+        derived, "doc_id", "text",
+        k=_ES_K, min_len=_ES_MINLEN, max_df=_ES_MAXDF,
+        within_doc=True,
+    ).orderBy("doc_id", "span_start")
+
+
+QUERIES["q188_within_doc_substring_spans"] = q188_within_doc_substring_spans
+ORACLE["q188_within_doc_substring_spans"] = f"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id >= 50 AND doc_id < 100
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text || ' ' || text AS text
+      FROM documents WHERE doc_id < 50
+    ),
+    {_es_ctes("docs2", within=True)}
+    SELECT doc_id, span_start, span_end,
+           span_end - span_start + 1 AS span_tokens
+    FROM merged ORDER BY doc_id, span_start
+"""

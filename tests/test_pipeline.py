@@ -1232,3 +1232,45 @@ def test_shingles_short_doc_yields_no_grams(spark):
     ps = dedup.positional_shingles(df, "doc_id", "text", k=8)
     got = {r["_id"] for r in ps.collect()}
     assert got == {2}
+
+
+def test_within_doc_substring_spans_and_removal(spark):
+    """within_doc=True (q188 semantics): a self-repeated passage
+    flags the LATER occurrence only (positional canonical keep),
+    composes with cross-doc spans in one merged output, and
+    remove_spans keeps exactly the first copy."""
+    from biodwh2_arcadedb_server_spark.operators import dedup
+
+    passage = " ".join(f"w{i}" for i in range(25))
+    docs = [
+        (1, f"{passage} middle {passage}"),       # self-repeat
+        (2, f"pre {passage} post"),               # cross-doc dup of 1
+        (3, "no repeats in this short document"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = dedup.exact_substring_spans(
+        df, "doc_id", "text", k=8, min_len=20, max_df=16, within_doc=True
+    )
+    got = {}
+    for r in spans.collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    # doc 1: the SECOND copy (tokens 27..51) flagged; first copy kept
+    assert got[1] == [(27, 51)]
+    # doc 2 (larger id): its copy flagged via the cross-doc pass
+    assert got[2] == [(2, 26)]
+    assert 3 not in got
+    cleaned = {
+        r.doc_id: r
+        for r in dedup.remove_spans(df, spans, "doc_id", "text").collect()
+    }
+    assert cleaned[1].cleaned_text == f"{passage} middle"
+    assert cleaned[1].n_removed == 25
+    assert cleaned[2].cleaned_text == "pre post"
+    # without the flag the self-repeat goes undetected (cross-doc only)
+    off = {
+        r.doc_id
+        for r in dedup.exact_substring_spans(
+            df, "doc_id", "text", k=8, min_len=20, max_df=16
+        ).collect()
+    }
+    assert off == {2}

@@ -342,3 +342,22 @@ def test_q183_exact_substring_plan_no_nested_loop(spark, sf_medium):
 
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "doc_id" in spec or "da" in spec, spec
+
+
+def test_q185_kmeans_parallel_plan_shape(spark, sf_medium):
+    """k-means|| per-round work must stay MAP-ONLY against broadcast
+    candidate literals: the incremental (best_d2, best_ord) update is
+    a projection over the checkpointed state — no join, no window, no
+    corpus shuffle anywhere in the assignment plan."""
+    from biodwh2_arcadedb_server_spark.operators import similarity
+    from biodwh2_arcadedb_server_spark.sources.registry import load_table
+
+    df = similarity.kmeans_assign(
+        load_table(spark, sf_medium, "embeddings"),
+        k=4, iterations=1, dim=16, init="kmeans||",
+        seed=0, init_rounds=1, oversample=4.0,
+    )
+    plan = explain_str(df)
+    for bad in ("NestedLoopJoin", "CartesianProduct", "Window",
+                "SortMergeJoin", "Exchange hashpartitioning"):
+        assert bad not in plan, bad
