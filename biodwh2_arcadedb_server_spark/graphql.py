@@ -48,8 +48,10 @@ variable, evaluated at parse time exactly where variables
 substitute), and introspection: ``{ __schema { types } }``
 (one row per type: name + field list) plus ``{ __type(name: "T")
 { … } }`` (one row with per-field Spark types + relationship
-targets/directions; the full spec-shaped introspection tree is out
-of scope). MUTATIONS get a minimal surface over the gated DML
+targets/directions). Both answer SPEC-SHAPED when the client's
+selection nests (queryType/mutationType, types/fields with type-ref
+chains, kind, __typename) — a stock GraphiQL opening document
+round-trips, with typed NULLs for unmodeled metadata. MUTATIONS get a minimal surface over the gated DML
 machinery: ``mutation { create<Label>(col: v, …) }`` /
 ``update<Label>(filter args, _set: {col: v, …})`` /
 ``delete<Label>(equality args) }`` route to the workspace
@@ -753,6 +755,29 @@ def _introspect_type(
     name = root.args.get("name")
     if not name:
         raise GraphQLError('__type requires a name: "<Label>" argument')
+    if any(
+        s.selection or s.name in ("kind", "__typename")
+        for s in root.selection
+    ):
+        # spec-shaped single-type introspection (same dispatch rule
+        # as __schema): any nested selection or kind request gets the
+        # standard __Type answer — including the synthetic Query/
+        # Mutation/MutationResult roots and scalar types, which a
+        # real client resolves by name after reading __schema
+        model = _schema_model(spark, rels)
+        match = next(
+            (
+                t
+                for t in model["types"]
+                if t["name"].lower() == str(name).lower()
+            ),
+            None,
+        )
+        if match is None:
+            known = sorted(t["name"] for t in model["types"])
+            raise GraphQLError(f"unknown type {name!r} (known: {known})")
+        ddl, row = _proj_type(root.selection, match)
+        return spark.createDataFrame([(row,)], f"`t` {ddl}").select("t.*")
     case = _label_case_map(rels)
     label = case.get(str(name).lower(), str(name))
     try:

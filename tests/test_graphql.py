@@ -487,3 +487,30 @@ def test_duplicate_response_key_conflicting_fields_rejected(spark, ws):
             "{ Customer(natural_key: 1) "
             "{ placed { o_orderkey } placed: c_acctbal } }",
         )
+
+
+def test_type_introspection_spec_shaped(spark, ws):
+    """__type(name:) with a nested selection answers the standard
+    __Type shape (round-12: same dispatch as __schema) — per-field
+    type refs with ofType chains, kind, typed NULLs for unmodeled
+    metadata — while the bare-name compact form stays unchanged; the
+    synthetic roots resolve by name like any other type."""
+    row = graphql.execute(
+        spark,
+        '{ __type(name: "Customer") { kind name description '
+        "fields { name type { kind name ofType { kind name } } } } }",
+    ).collect()[0]
+    assert (row.kind, row.name, row.description) == ("OBJECT", "Customer", None)
+    fields = {f.name: f.type for f in row.fields}
+    assert fields["c_name"].kind == "SCALAR" and fields["c_name"].name == "String"
+    assert fields["placed"].kind == "LIST"
+    assert fields["placed"].ofType.kind == "OBJECT"
+    assert fields["placed"].ofType.name == "Order"
+    q = graphql.execute(
+        spark, '{ __type(name: "Query") { kind name fields { name } } }'
+    ).collect()[0]
+    assert q.kind == "OBJECT" and {f.name for f in q.fields} >= {"Customer", "Nation"}
+    s = graphql.execute(
+        spark, '{ __type(name: "String") { kind name fields { name } } }'
+    ).collect()[0]
+    assert s.kind == "SCALAR" and s.fields is None
