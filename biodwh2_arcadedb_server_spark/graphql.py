@@ -1031,6 +1031,17 @@ def _introspect_full(
     model = _schema_model(spark, rels)
     ddl_parts, row = [], []
     for sub in root.selection:
+        # spec §5.3.3: a field whose type is an object MUST carry a
+        # selection set — a bare leaf selection is an error, the same
+        # one _proj_type raises for a bare `fields` (ADVICE r12:
+        # previously `types` silently projected a typed NULL)
+        if (
+            sub.name in ("queryType", "mutationType", "types", "directives")
+            and not sub.selection
+        ):
+            raise GraphQLError(
+                f"__Schema.{sub.name} requires a selection set"
+            )
         if sub.name in ("queryType", "mutationType") and sub.selection:
             d, r = _proj_typeref(sub.selection, model[sub.name])
             ddl_parts.append(f"`{sub.out}`: {d}")

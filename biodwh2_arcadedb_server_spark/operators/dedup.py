@@ -787,9 +787,22 @@ def exact_substring_spans(
        self-joins to ~10¹⁰ anchor rows — posting-list truncation must
        bound the list itself, the quantity the join actually squares).
     2. runs: anchors at equal alignment ``diag = pa − pb`` with
-       consecutive ``pa`` are one duplicated run (gaps-and-islands:
-       ``pa − row_number()`` per (da, db, diag) window — fine-grained
-       partitions, no skew).
+       near-consecutive ``pa`` are one duplicated run (gaps-and-
+       islands with a BOUNDED GAP of k−1 missing anchors, per
+       (da, db, diag) window — fine-grained partitions, no skew).
+       The gap bridge closes the round-12 review's recall hole: a
+       df/postings-capped stop-gram inside a long duplicated run
+       drops ONE anchor; strict-consecutive islanding would split
+       the run and could silently drop it if the fragments fall
+       under ``min_len``. Bridging gaps ≤ k−1 is EXACT, not a
+       tradeoff: a genuine token mismatch at any position kills the
+       k consecutive grams covering it, so an anchor gap ≤ k−1 can
+       only come from capped grams — and the two flanking gram
+       windows (pa_next ≤ pa_prev + k) still cover every bridged
+       token with a verified match. Only a full window of ≥ k
+       consecutive capped grams (a genuinely boilerplate region,
+       which the df-cap semantics say to drop) can still split a
+       run.
     3. removal spans: the run's token interval IN THE LARGER doc_id
        (canonical-keep mirrors exact_dedup_by_content: the smallest
        doc keeps its copy; with A=B=C the spans land on B and C).
@@ -842,8 +855,20 @@ def exact_substring_spans(
 
     diag = (F.col("pa") - F.col("pb")).alias("diag")
     w_run = Window.partitionBy("da", "db", "diag").orderBy("pa")
-    runs = anchors.select("da", "db", "pa", "pb", diag).withColumn(
-        "island", F.col("pa") - F.row_number().over(w_run)
+    w_cum = w_run.rowsBetween(Window.unboundedPreceding, 0)
+    # bounded-gap islanding: break only when > k-1 anchors are
+    # missing (see step-2 docstring — exact under the gram-coverage
+    # argument; lag() and sum() share one window spec → a single
+    # exchange+sort in the plan)
+    runs = (
+        anchors.select("da", "db", "pa", "pb", diag)
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("pa") - F.lag("pa").over(w_run) > k, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("_brk").over(w_cum))
     )
     spans = (
         runs.groupBy("da", "db", "diag", "island")

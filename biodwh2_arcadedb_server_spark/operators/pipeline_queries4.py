@@ -204,12 +204,19 @@ def _es_ctes(source: str = "documents", within: bool = False) -> str:
       SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
       FROM g a JOIN g b USING (gram) WHERE {pair}
     ),
-    runs AS (
-      SELECT da, db, pa - pb AS diag,
-             pa - row_number() OVER (
-               PARTITION BY da, db, pa - pb ORDER BY pa) AS island,
-             pa, pb
+    runs0 AS (
+      SELECT da, db, pa - pb AS diag, pa, pb,
+             CASE WHEN pa - lag(pa) OVER (
+                    PARTITION BY da, db, pa - pb ORDER BY pa)
+                  > {_ES_K} THEN 1 ELSE 0 END AS brk0
       FROM anchors
+    ),
+    runs AS (
+      SELECT da, db, diag, pa, pb,
+             sum(brk0) OVER (
+               PARTITION BY da, db, diag ORDER BY pa
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM runs0
     ),
     spans AS (
       SELECT db AS doc_id, min(pb) AS span_start,

@@ -723,12 +723,28 @@ class QueryServer:
                                     frontier[nid] = e["rid"]
                         ids = list(frontier)
                         CAP2 = 200
+                        # pre-dedup scan bound: keeps a supernode
+                        # frontier from flooding the driver while
+                        # leaving slack so triangle dedup can't
+                        # starve the CAP2 slice (ADVICE r12: slice
+                        # and flag must be post-dedup)
+                        SCAN2 = 4 * CAP2 + 1
 
                         # an edge BETWEEN two 1-hop neighbors (a
                         # triangle through the focus) is reachable
                         # from both sides — emit it once, keyed by
-                        # its physical (src, dst, edge) identity
+                        # its PHYSICAL identity: a hash over every
+                        # edge column plus a per-duplicate occurrence
+                        # index, so parallel edges with the same
+                        # endpoints+label but different properties —
+                        # or even fully identical rows — survive
+                        # (ADVICE r12: (src, dst, label) collapsed
+                        # genuine parallel edges)
                         seen_edges: set[tuple] = set()
+                        from pyspark.sql import Window as _W
+                        _phys = F.xxhash64(
+                            F.to_json(F.struct(*edges.columns))
+                        )
 
                         def _hop2(key_col, far_col):
                             if not ids:
@@ -738,6 +754,14 @@ class QueryServer:
                                     F.col(key_col).isin(ids)
                                     & (F.col(far_col) != p)
                                 )
+                                .withColumn("phys", _phys)
+                                .withColumn(
+                                    "occ",
+                                    F.row_number().over(
+                                        _W.partitionBy("phys")
+                                        .orderBy(F.lit(1))
+                                    ),
+                                )
                                 .join(
                                     nodes,
                                     F.col(far_col) == nodes.node_id,
@@ -746,19 +770,14 @@ class QueryServer:
                                     F.col(key_col).alias("near"),
                                     F.col("label").alias("edge"),
                                     "n_label", "natural_key",
-                                    "node_id",
+                                    "node_id", "phys", "occ",
                                 )
-                                .limit(CAP2 + 1)
+                                .limit(SCAN2)
                                 .collect()
                             )
                             rows2 = []
-                            for r in h[:CAP2]:
-                                near_id, far_id = int(r.near), int(r.node_id)
-                                phys = (
-                                    (near_id, far_id, r.edge)
-                                    if key_col == "src"
-                                    else (far_id, near_id, r.edge)
-                                )
+                            for r in h:
+                                phys = (r.phys, r.occ)
                                 if phys in seen_edges:
                                     continue
                                 seen_edges.add(phys)
@@ -785,11 +804,17 @@ class QueryServer:
                                         else "in"
                                     ),
                                 })
-                            return rows2, len(h) > CAP2
+                            return rows2, len(h) >= SCAN2
 
                         o2, o2t = _hop2("src", "dst")
                         i2, i2t = _hop2("dst", "src")
-                        hops2, hops2_trunc = o2 + i2, o2t or i2t
+                        # CAP2 slice + truncated flag POST-dedup: the
+                        # flag means "unique second-hop edges beyond
+                        # what was returned", never "duplicates we
+                        # dropped" (ADVICE r12)
+                        hops2 = (o2 + i2)
+                        hops2_trunc = len(hops2) > CAP2 or o2t or i2t
+                        hops2 = hops2[:CAP2]
                 except Exception as exc:
                     # server-side fault (missing views, dead session,
                     # failed job) — NOT a malformed request (round-10

@@ -831,7 +831,22 @@ try:  # pragma: no cover - environment-dependent surface
         slice — bounded amplification at the packed layout's op
         count. For the bounded test modulus (fp < 97) every fp lands
         in block 0, degenerating to the single-value layout, so the
-        q181/q182 outputs and measured floors are unchanged."""
+        q181/q182 outputs and measured floors are unchanged.
+
+        CHECKPOINT-FORMAT BREAK (round 12, noted per ADVICE r12): the
+        block sharding changed the ``seen`` MapState key schema from
+        ``u bigint`` to ``u bigint, blk bigint``. A restart against a
+        checkpoint written by the pre-round-12 layout is NOT
+        readable; the state name is kept the same DELIBERATELY so
+        Spark's state-schema compatibility check rejects the restore
+        at query start (STATE_STORE_* schema-mismatch error) instead
+        of silently resuming with an empty map and re-emitting
+        already-seen fingerprints (which a renamed state would do).
+        Migration path: drain the old query, re-bootstrap via
+        ``handleInitialState`` from the batch seen-sets (the q182
+        warm-start path), start with a fresh checkpoint dir."""
+
+        STATE_LAYOUT_VERSION = 2  # 1 = u-keyed (pre-r12); 2 = (u, blk)
 
         def __init__(self, shard_shift: int = 58) -> None:
             self._shift = shard_shift
