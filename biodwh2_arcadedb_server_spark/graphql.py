@@ -654,7 +654,14 @@ def execute(
         # client document always carries) gets the spec-shaped answer
         if any(
             s.selection
-            or s.name in ("queryType", "mutationType", "__typename")
+            or s.name
+            in (
+                "queryType",
+                "mutationType",
+                "subscriptionType",
+                "directives",
+                "__typename",
+            )
             for s in root.selection
         ):
             return _introspect_full(spark, rels, root)
@@ -908,13 +915,51 @@ def _schema_model(
             for verb in ("create", "update", "delete")
         ],
     }
-    scalars_used.update({"String", "Long"})
+    # Boolean is always referenced (the @skip/@include `if:` argument)
+    # even when no column is boolean — buildClientSchema resolves
+    # directive arg types against this list by name
+    scalars_used.update({"String", "Long", "Boolean"})
     types = sorted(
         objects + [query, mutation, mut_result],
         key=lambda t: t["name"],
     ) + [
         {"kind": "SCALAR", "name": s, "fields": None}
         for s in sorted(scalars_used)
+    ]
+    # the executable directives this engine actually implements
+    # (parse-time @skip/@include, _parse_directives above) — listed
+    # spec-shaped (name, locations, args with a NON_NULL Boolean
+    # `if:`) so a stock getIntrospectionQuery() round-trips; nothing
+    # else is advertised because nothing else executes
+    _if_arg = {
+        "name": "if",
+        "type": {
+            "kind": "NON_NULL",
+            "name": None,
+            "ofType": {"kind": "SCALAR", "name": "Boolean", "ofType": None},
+        },
+        "defaultValue": None,
+    }
+    exec_locs = ["FIELD", "FRAGMENT_SPREAD", "INLINE_FRAGMENT"]
+    directives = [
+        {
+            "name": "include",
+            "description": (
+                "Include this field/fragment only when `if` is true."
+            ),
+            "locations": exec_locs,
+            "args": [_if_arg],
+            "isRepeatable": False,
+        },
+        {
+            "name": "skip",
+            "description": (
+                "Skip this field/fragment when `if` is true."
+            ),
+            "locations": exec_locs,
+            "args": [_if_arg],
+            "isRepeatable": False,
+        },
     ]
     return {
         "queryType": {"kind": "OBJECT", "name": "Query", "ofType": None},
@@ -923,7 +968,9 @@ def _schema_model(
             "name": "Mutation",
             "ofType": None,
         },
+        "subscriptionType": None,
         "types": types,
+        "directives": directives,
     }
 
 
@@ -945,14 +992,105 @@ def _proj_typeref(sel: list[Field], value: dict | None):
             ddl_parts.append(f"`{sub.out}`: string")
             row.append(None if value is None else value["name"])
         elif sub.name == "ofType" and sub.selection:
+            # a null reference is a SQL NULL STRUCT, never a struct of
+            # nulls: clients terminate the TypeRef recursion on
+            # `ofType == null`, and buildClientSchema treats ANY
+            # truthy ofType as a wrapper to chase
+            v2 = None if value is None else value["ofType"]
+            d, r = _proj_typeref(sub.selection, v2)
+            ddl_parts.append(f"`{sub.out}`: {d}")
+            row.append(None if v2 is None else r)
+        elif sub.name == "__typename":
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append("__Type")
+        else:
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append(None)
+    return "struct<" + ", ".join(ddl_parts) + ">", tuple(row)
+
+
+def _proj_inputvalue(sel: list[Field], value: dict | None):
+    """__InputValue (spec §4.5.5): name / description / type /
+    defaultValue — the element shape of directive and field ``args``
+    and of ``inputFields``."""
+    ddl_parts, row = [], []
+    for sub in sel:
+        if sub.name == "name":
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append(None if value is None else value["name"])
+        elif sub.name == "type" and sub.selection:
             d, r = _proj_typeref(
-                sub.selection, None if value is None else value["ofType"]
+                sub.selection, None if value is None else value["type"]
             )
             ddl_parts.append(f"`{sub.out}`: {d}")
             row.append(r)
         elif sub.name == "__typename":
             ddl_parts.append(f"`{sub.out}`: string")
-            row.append("__Type")
+            row.append("__InputValue")
+        else:
+            # description / defaultValue / isDeprecated-era extras:
+            # defaultValue is spec'd as a String (GraphQL-literal
+            # rendering), so the string NULL is the typed answer
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append(
+                None if value is None else value.get(sub.name)
+            )
+    return "struct<" + ", ".join(ddl_parts) + ">", tuple(row)
+
+
+def _proj_enumvalue(sel: list[Field], value: dict | None):
+    """__EnumValue: name / description / isDeprecated /
+    deprecationReason. No enum types exist in the model today; this
+    types the ``enumValues`` NULL so a FullType fragment compiles."""
+    ddl_parts, row = [], []
+    for sub in sel:
+        if sub.name == "name":
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append(None if value is None else value["name"])
+        elif sub.name == "isDeprecated":
+            ddl_parts.append(f"`{sub.out}`: boolean")
+            row.append(False)
+        elif sub.name == "__typename":
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append("__EnumValue")
+        else:
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append(None)
+    return "struct<" + ", ".join(ddl_parts) + ">", tuple(row)
+
+
+def _proj_directive(sel: list[Field], value: dict | None):
+    """__Directive: name / description / locations / args /
+    isRepeatable (spec §4.5.7)."""
+    ddl_parts, row = [], []
+    for sub in sel:
+        if sub.name in ("name", "description"):
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append(None if value is None else value[sub.name])
+        elif sub.name == "locations":
+            ddl_parts.append(f"`{sub.out}`: array<string>")
+            row.append(None if value is None else value["locations"])
+        elif sub.name == "args":
+            if not sub.selection:
+                raise GraphQLError(
+                    "__Directive.args requires a selection set"
+                )
+            d, _ = _proj_inputvalue(sub.selection, None)
+            ddl_parts.append(f"`{sub.out}`: array<{d}>")
+            row.append(
+                None
+                if value is None
+                else [
+                    _proj_inputvalue(sub.selection, a)[1]
+                    for a in value["args"]
+                ]
+            )
+        elif sub.name == "isRepeatable":
+            ddl_parts.append(f"`{sub.out}`: boolean")
+            row.append(None if value is None else value["isRepeatable"])
+        elif sub.name == "__typename":
+            ddl_parts.append(f"`{sub.out}`: string")
+            row.append("__Directive")
         else:
             ddl_parts.append(f"`{sub.out}`: string")
             row.append(None)
@@ -976,8 +1114,9 @@ def _proj_field(sel: list[Field], value: dict | None):
             row.append(False)
         elif sub.name == "args" and sub.selection:
             # fields declare no formal arguments (filters are ad-hoc
-            # equality args) — an EMPTY list, typed by the selection
-            d, _ = _proj_typeref(sub.selection, None)
+            # equality args) — an EMPTY list, element-typed as
+            # __InputValue per the client's InputValue fragment
+            d, _ = _proj_inputvalue(sub.selection, None)
             ddl_parts.append(f"`{sub.out}`: array<{d}>")
             row.append([])
         elif sub.name == "__typename":
@@ -1008,6 +1147,43 @@ def _proj_type(sel: list[Field], value: dict | None):
                 if flds is None
                 else [_proj_field(sub.selection, f)[1] for f in flds]
             )
+        elif sub.name in ("interfaces", "possibleTypes"):
+            if not sub.selection:
+                raise GraphQLError(
+                    f"__Type.{sub.name} requires a selection set"
+                )
+            d, _ = _proj_typeref(sub.selection, None)
+            ddl_parts.append(f"`{sub.out}`: array<{d}>")
+            # spec + buildClientSchema contract: OBJECT types carry
+            # an interfaces LIST (empty here — no interface types are
+            # modeled), non-composite kinds carry NULL; possibleTypes
+            # is non-null only for INTERFACE/UNION, neither of which
+            # this model produces
+            is_obj = value is not None and value.get("kind") == "OBJECT"
+            row.append([] if sub.name == "interfaces" and is_obj else None)
+        elif sub.name == "inputFields":
+            if not sub.selection:
+                raise GraphQLError(
+                    "__Type.inputFields requires a selection set"
+                )
+            d, _ = _proj_inputvalue(sub.selection, None)
+            ddl_parts.append(f"`{sub.out}`: array<{d}>")
+            row.append(None)  # no INPUT_OBJECT types in the model
+        elif sub.name == "enumValues":
+            if not sub.selection:
+                raise GraphQLError(
+                    "__Type.enumValues requires a selection set"
+                )
+            d, _ = _proj_enumvalue(sub.selection, None)
+            ddl_parts.append(f"`{sub.out}`: array<{d}>")
+            row.append(None)  # no ENUM types in the model
+        elif sub.name == "ofType" and sub.selection:
+            # a FullType fragment may spread TypeRef at the top
+            # level; top-level types are named (never wrappers), so
+            # ofType is a NULL struct
+            d, _ = _proj_typeref(sub.selection, None)
+            ddl_parts.append(f"`{sub.out}`: {d}")
+            row.append(None)
         elif sub.name == "__typename":
             ddl_parts.append(f"`{sub.out}`: string")
             row.append("__Type")
@@ -1024,10 +1200,15 @@ def _introspect_full(
     whose columns mirror the client's selection — ``queryType`` /
     ``mutationType`` as type-ref structs, ``types`` as an
     array<struct> of every OBJECT/SCALAR type with per-field type
-    references (LIST/SCALAR/OBJECT with ``ofType`` chains), so a
-    stock GraphiQL/Apollo introspection document round-trips.
-    Unmodeled metadata (descriptions, directives, interfaces …)
-    projects as typed NULLs. Catalog metadata only; no table scans."""
+    references (LIST/SCALAR/OBJECT with ``ofType`` chains),
+    ``directives`` as the executable @skip/@include pair with their
+    NON_NULL-Boolean ``if:`` args, and the buildClientSchema shape
+    contract honored (OBJECT types carry ``interfaces: []``, not
+    null; ``subscriptionType`` is null) — so a stock
+    ``getIntrospectionQuery()`` document round-trips, not just the
+    GraphiQL opening document. Metadata the model genuinely lacks
+    (descriptions, enum/input/interface kinds) projects as typed
+    NULLs. Catalog metadata only; no table scans."""
     model = _schema_model(spark, rels)
     ddl_parts, row = [], []
     for sub in root.selection:
@@ -1036,16 +1217,38 @@ def _introspect_full(
         # one _proj_type raises for a bare `fields` (ADVICE r12:
         # previously `types` silently projected a typed NULL)
         if (
-            sub.name in ("queryType", "mutationType", "types", "directives")
+            sub.name
+            in (
+                "queryType",
+                "mutationType",
+                "subscriptionType",
+                "types",
+                "directives",
+            )
             and not sub.selection
         ):
             raise GraphQLError(
                 f"__Schema.{sub.name} requires a selection set"
             )
-        if sub.name in ("queryType", "mutationType") and sub.selection:
-            d, r = _proj_typeref(sub.selection, model[sub.name])
+        if (
+            sub.name in ("queryType", "mutationType", "subscriptionType")
+            and sub.selection
+        ):
+            v = model[sub.name]
+            d, r = _proj_typeref(sub.selection, v)
             ddl_parts.append(f"`{sub.out}`: {d}")
-            row.append(r)
+            # subscriptionType: NULL struct, not {name: null} — a
+            # client would otherwise look up a type named null
+            row.append(None if v is None else r)
+        elif sub.name == "directives" and sub.selection:
+            d, _ = _proj_directive(sub.selection, None)
+            ddl_parts.append(f"`{sub.out}`: array<{d}>")
+            row.append(
+                [
+                    _proj_directive(sub.selection, dv)[1]
+                    for dv in model["directives"]
+                ]
+            )
         elif sub.name == "types" and sub.selection:
             d, _ = _proj_type(sub.selection, None)
             ddl_parts.append(f"`{sub.out}`: array<{d}>")

@@ -1213,3 +1213,243 @@ ORACLE["q186_ddl_rename_128bit_readback"] = """
     UNION ALL SELECT 990, 'ATLANTIS', 0
     ORDER BY natural_key
 """
+
+
+# --- B20 closure: stock getIntrospectionQuery round-trip (round 13) ---------------
+
+# graphql-js's getIntrospectionQuery() output, verbatim shape (public
+# GraphQL spec §4.5 / graphql-js src/utilities/getIntrospectionQuery.ts)
+# minus deprecation-era additions the model types as NULLs anyway.
+_STOCK_INTROSPECTION = """
+query IntrospectionQuery {
+  __schema {
+    queryType { name }
+    mutationType { name }
+    subscriptionType { name }
+    types { ...FullType }
+    directives { name description locations args { ...InputValue } }
+  }
+}
+fragment FullType on __Type {
+  kind name description
+  fields(includeDeprecated: true) {
+    name description
+    args { ...InputValue }
+    type { ...TypeRef }
+    isDeprecated deprecationReason
+  }
+  inputFields { ...InputValue }
+  interfaces { ...TypeRef }
+  enumValues(includeDeprecated: true) {
+    name description isDeprecated deprecationReason
+  }
+  possibleTypes { ...TypeRef }
+}
+fragment InputValue on __InputValue {
+  name description type { ...TypeRef } defaultValue
+}
+fragment TypeRef on __Type {
+  kind name
+  ofType { kind name ofType { kind name ofType { kind name ofType {
+    kind name ofType { kind name ofType { kind name ofType {
+    kind name } } } } } } }
+}
+"""
+
+
+def _render_typeref(c, levels: int = 8):
+    """Nested TypeRef struct column → 'LIST<OBJECT:Order>' /
+    'SCALAR:Long' — a flat string the driver canonicalizer hashes.
+    ``levels`` is the stock fragment's struct depth (kind/name + 7
+    nested ofType); the innermost struct has NO ofType field, so the
+    recursion must stop with the document, exactly like a JSON client
+    truncates. Model chains are ≤ 2 deep — truncation never bites."""
+    base = F.concat(c["kind"], F.lit(":"), F.coalesce(c["name"], F.lit("")))
+    if levels <= 1:
+        return F.when(c.isNull(), F.lit("")).otherwise(base)
+    return F.when(c.isNull(), F.lit("")).otherwise(
+        F.when(
+            c["kind"].isin("LIST", "NON_NULL"),
+            F.concat(
+                c["kind"], F.lit("<"),
+                _render_typeref(c["ofType"], levels - 1), F.lit(">"),
+            ),
+        ).otherwise(base)
+    )
+
+
+def q189_graphql_full_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL stock ``getIntrospectionQuery()`` document (not just
+    the GraphiQL opening document) through graphql.execute, flattened
+    to hashable rows (VERDICT r12 #2; reference surface: the bundled
+    arcadedb-graphql module, src/pom.xml:109-113, answers the same
+    document). Covers the spec shape a buildClientSchema client
+    depends on: per-type field lists with full TypeRef wrapper
+    chains, OBJECT types carrying ``interfaces: []`` (not null),
+    SCALAR types carrying null fields, a null ``subscriptionType``,
+    and the executable @skip/@include directives with their
+    NON_NULL<Boolean> ``if:`` argument. The DuckDB twin derives the
+    parquet-backed columns' GraphQL scalar names from
+    information_schema over the SAME parquet views — the typemap
+    itself is what's being cross-checked — plus literal rows for the
+    synthetic/root surface. All catalog metadata: no table scans on
+    the Spark side."""
+    from biodwh2_arcadedb_server_spark import graphql
+    from biodwh2_arcadedb_server_spark.graphql import Rel
+
+    _register_star_workspace(spark, sf_dir)
+    rels = {
+        "Customer": {"placed": Rel("PLACED", "out", "Order")},
+        "Order": {"contains": Rel("CONTAINS", "out", "Part")},
+        "Part": {},
+    }
+    full = graphql.execute(spark, _STOCK_INTROSPECTION, relationships=rels)
+
+    t = full.select(F.explode("types").alias("t"))
+    field_rows = (
+        t.where(F.col("t.fields").isNotNull())
+        .select(
+            F.col("t.name").alias("tname"),
+            F.explode("t.fields").alias("f"),
+        )
+        .select(
+            F.lit("field").alias("section"),
+            "tname",
+            F.col("f.name").alias("fname"),
+            _render_typeref(F.col("f.type")).alias("tref"),
+        )
+    )
+    type_rows = t.select(
+        F.lit("type").alias("section"),
+        F.col("t.name").alias("tname"),
+        F.col("t.kind").alias("fname"),
+        F.when(F.col("t.interfaces").isNull(), F.lit("ifaces=null"))
+        .otherwise(
+            F.concat(
+                F.lit("ifaces["), F.size("t.interfaces").cast("string"),
+                F.lit("]"),
+            )
+        )
+        .alias("tref"),
+    )
+    root_rows = full.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("queryType").alias("tname"),
+                    F.col("queryType.name").alias("fname"),
+                ),
+                F.struct(
+                    F.lit("mutationType").alias("tname"),
+                    F.col("mutationType.name").alias("fname"),
+                ),
+                F.struct(
+                    F.lit("subscriptionType").alias("tname"),
+                    F.coalesce(
+                        F.col("subscriptionType.name"), F.lit("<null>")
+                    ).alias("fname"),
+                ),
+            )
+        ).alias("r")
+    ).select(
+        F.lit("root").alias("section"),
+        F.col("r.tname").alias("tname"),
+        F.col("r.fname").alias("fname"),
+        F.lit("").alias("tref"),
+    )
+    dir_rows = full.select(F.explode("directives").alias("d")).select(
+        F.lit("directive").alias("section"),
+        F.col("d.name").alias("tname"),
+        F.concat_ws("|", "d.locations").alias("fname"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "d.args",
+                lambda a: F.concat(
+                    a["name"], F.lit(":"), _render_typeref(a["type"])
+                ),
+            ),
+        ).alias("tref"),
+    )
+    return (
+        field_rows.unionByName(type_rows)
+        .unionByName(root_rows)
+        .unionByName(dir_rows)
+        .orderBy("section", "tname", "fname")
+    )
+
+
+QUERIES["q189_graphql_full_introspection"] = q189_graphql_full_introspection
+# DuckDB twin: the parquet-backed scalar fields come from
+# information_schema.columns over the same registered parquet views
+# (BIGINT→Long, INTEGER→Int, DOUBLE→Float, VARCHAR→String — the
+# typemap under test); everything synthetic (node ids, relationship
+# fields, roots, directives, MutationResult) is pinned literally.
+ORACLE["q189_graphql_full_introspection"] = """
+    WITH colmap AS (
+      SELECT table_name, column_name,
+             CASE data_type
+               WHEN 'BIGINT' THEN 'SCALAR:Long'
+               WHEN 'INTEGER' THEN 'SCALAR:Int'
+               WHEN 'DOUBLE' THEN 'SCALAR:Float'
+               WHEN 'VARCHAR' THEN 'SCALAR:String'
+               ELSE 'SCALAR:String'
+             END AS tref
+      FROM information_schema.columns
+    ),
+    labels(tname) AS (VALUES ('Customer'), ('Order'), ('Part')),
+    fields AS (
+      SELECT 'Customer' AS tname, column_name AS fname, tref
+      FROM colmap WHERE table_name = 'customer' AND column_name IN
+        ('c_custkey', 'c_nationkey', 'c_acctbal', 'c_mktsegment')
+      UNION ALL
+      SELECT 'Order', column_name, tref
+      FROM colmap WHERE table_name = 'orders' AND column_name IN
+        ('o_orderkey', 'o_orderstatus', 'o_totalprice')
+      UNION ALL
+      SELECT 'Part', 'p_partkey', tref
+      FROM colmap WHERE table_name = 'lineitem' AND column_name = 'l_partkey'
+      UNION ALL
+      SELECT l.tname, s.fname, s.tref
+      FROM labels l, (VALUES ('node_id', 'SCALAR:Long'),
+                             ('label', 'SCALAR:String'),
+                             ('natural_key', 'SCALAR:String')) s(fname, tref)
+      UNION ALL
+      SELECT 'Customer', 'placed', 'LIST<OBJECT:Order>'
+      UNION ALL
+      SELECT 'Order', 'contains', 'LIST<OBJECT:Part>'
+      UNION ALL
+      SELECT 'Query', tname, 'LIST<OBJECT:' || tname || '>' FROM labels
+      UNION ALL
+      SELECT 'Mutation', v.verb || l.tname, 'OBJECT:MutationResult'
+      FROM labels l, (VALUES ('create'), ('update'), ('delete')) v(verb)
+      UNION ALL
+      SELECT 'MutationResult', s.fname, s.tref
+      FROM (VALUES ('operation', 'SCALAR:String'),
+                   ('label', 'SCALAR:String'),
+                   ('count', 'SCALAR:Long')) s(fname, tref)
+    ),
+    types(tname, fname, tref) AS (
+      SELECT tname, 'OBJECT', 'ifaces[0]' FROM labels
+      UNION ALL
+      SELECT v.tname, 'OBJECT', 'ifaces[0]'
+      FROM (VALUES ('Query'), ('Mutation'), ('MutationResult')) v(tname)
+      UNION ALL
+      SELECT v.tname, 'SCALAR', 'ifaces=null'
+      FROM (VALUES ('Boolean'), ('Float'), ('Int'),
+                   ('Long'), ('String')) v(tname)
+    )
+    SELECT 'field' AS section, tname, fname, tref FROM fields
+    UNION ALL
+    SELECT 'type', tname, fname, tref FROM types
+    UNION ALL
+    SELECT 'root', v.tname, v.fname, '' FROM (VALUES
+      ('queryType', 'Query'), ('mutationType', 'Mutation'),
+      ('subscriptionType', '<null>')) v(tname, fname)
+    UNION ALL
+    SELECT 'directive', v.tname,
+           'FIELD|FRAGMENT_SPREAD|INLINE_FRAGMENT',
+           'if:NON_NULL<SCALAR:Boolean>'
+    FROM (VALUES ('include'), ('skip')) v(tname)
+    ORDER BY section, tname, fname
+"""
