@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from biodwh2_arcadedb_server_spark.functions import (
+    bpe_ish_tokens,
     gram_start_indices,
     shingles_from_tokens,
     tokens,
@@ -725,7 +726,11 @@ def same_length_typo_pairs(
 
 # --- C2: exact-substring dedup (Lee et al. 2022 shape) ------------------------
 def positional_shingles(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    granularity: str = "word",
 ) -> DataFrame:
     """(_id, pos, gh) — one row per TOKEN POSITION: the hashed k-gram
     starting at 1-based ``pos``. Unlike ``shingle_table`` (distinct
@@ -735,10 +740,52 @@ def positional_shingles(
     tokens) entries; the equi-join on the gram hash plays the role of
     the suffix-array interval scan. Same two-step projection rule as
     shingle_table (materialize the token array first — an inline
-    expression re-evaluates per gram inside the HOF lambda)."""
+    expression re-evaluates per gram inside the HOF lambda).
+
+    ``granularity`` (VERDICT r12 #3 — Lee et al.'s threshold is 50
+    BPE tokens, and cross-tokenizer contamination checks miss
+    sub-word-aligned overlaps at word granularity):
+    - ``"word"``: lowercased whitespace tokens (the round-12 default).
+    - ``"bpe"``: BPE-ish regex pieces (words / numbers / punctuation
+      runs split apart, ``functions.bpe_ish_tokens``) — RAW case, the
+      pre-tokenizer shape LLM tokenizers share, so ``k``/``min_len``
+      land near the paper's token scale.
+    - ``"char"``: character positions; the k-gram IS
+      ``substr(text, pos, k)`` — no token array at all, each doc's
+      gram count is length−k+1 and the hash input is the raw slice.
+      On ASCII corpora this is byte granularity exactly; on multi-
+      byte text it is the character-aligned analog (Spark strings
+      are unicode — true byte offsets would need encode()+binary
+      slicing for the same plan shape)."""
     par = df.sparkSession.sparkContext.defaultParallelism
+    if granularity == "char":
+        toked = df.repartition(par, id_col).select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+        )
+        n = F.length("_t")
+        positions = F.when(
+            n >= F.lit(k), F.sequence(F.lit(1), n - (k - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        structs = F.transform(
+            positions,
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.xxhash64(F.col("_t").substr(i, F.lit(k))).alias("gh"),
+            ),
+        )
+        return toked.select("_id", F.explode(structs).alias("_g")).select(
+            "_id", F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh")
+        )
+    if granularity == "bpe":
+        tok_expr = bpe_ish_tokens(F.col(text_col))
+    elif granularity == "word":
+        tok_expr = tokens(F.col(text_col))
+    else:
+        raise ValueError(
+            f"granularity must be word|bpe|char, got {granularity!r}"
+        )
     toked = df.repartition(par, id_col).select(
-        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col).alias("_id"), tok_expr.alias("_toks")
     )
     structs = F.transform(
         gram_start_indices(F.col("_toks"), k),
@@ -763,6 +810,7 @@ def exact_substring_spans(
     max_df: int = 16,
     max_postings: int | None = None,
     within_doc: bool = False,
+    granularity: str = "word",
 ) -> DataFrame:
     """Cross-document EXACT-SUBSTRING duplicate spans — the bounded-
     window form of Lee et al. 2022 ("Deduplicating Training Data
@@ -824,10 +872,19 @@ def exact_substring_spans(
     window over the corpus (plan-gated in tests/test_plans.py). The
     df-cap agg and the join shuffle on the same key. min_len=20
     mirrors Lee et al.'s 50-BPE-token threshold at this corpus's
-    word granularity."""
+    word granularity.
+
+    ``granularity`` selects the position unit (word | bpe | char —
+    see ``positional_shingles``); ``k``/``min_len``/span positions
+    are all in THAT unit (paper-faithful settings: bpe k=10
+    min_len=50, char k=20 min_len≈100). Everything downstream of the
+    index is granularity-blind — the anchor join, diag islands (the
+    k−1 gap-bridge argument holds at any unit: a mismatch at one
+    position kills k consecutive grams) and the interval merges run
+    on positions only."""
     if max_postings is None:
         max_postings = 8 * max_df
-    sh = positional_shingles(df, id_col, text_col, k)
+    sh = positional_shingles(df, id_col, text_col, k, granularity)
     keep = (
         sh.groupBy("gh")
         .agg(
@@ -921,6 +978,7 @@ def remove_spans(
     spans: DataFrame,
     id_col: str,
     text_col: str,
+    granularity: str = "word",
 ) -> DataFrame:
     """APPLY exact-substring removal decisions (the second half of
     Lee et al. 2022's ExactSubstr — detection without application
@@ -942,7 +1000,26 @@ def remove_spans(
     Whitespace IS normalized (tokens re-join with single spaces) —
     inherent to token-level span removal and stated here.
 
+    ``granularity`` must match the detection pass: ``"word"``
+    re-joins surviving tokens with single spaces; ``"char"`` drops
+    the flagged character ranges and re-joins with NO separator —
+    byte-exact surgery, no whitespace normalization at all. ``"bpe"``
+    is detection-only (regex pieces drop the inter-piece whitespace,
+    so the original text is not reconstructible from them — a
+    documented seam, not silent lossy output): map the spans to char
+    offsets upstream or re-detect at char granularity to remove.
+
     Returns (id_col, n_tokens, n_removed, cleaned_text)."""
+    if granularity == "bpe":
+        raise ValueError(
+            "remove_spans(granularity='bpe') cannot reconstruct the "
+            "original whitespace from regex pieces; detect at 'char' "
+            "granularity instead to remove sub-word overlaps"
+        )
+    if granularity not in ("word", "char"):
+        raise ValueError(
+            f"granularity must be word|char for removal, got {granularity!r}"
+        )
     packed = (
         spans.groupBy(F.col("doc_id").alias("_sid"))
         .agg(
@@ -951,10 +1028,14 @@ def remove_spans(
             ).alias("_spans")
         )
     )
-    toked = df.select(
-        F.col(id_col),
-        tokens(F.col(text_col), lowercase=False).alias("_toks"),
+    tok_expr = (
+        # split-every-position leaves one trailing '' — drop it so
+        # positions align 1:1 with substr() and n_tokens == length
+        F.filter(F.split(F.col(text_col), "(?!^)"), lambda x: x != "")
+        if granularity == "char"
+        else tokens(F.col(text_col), lowercase=False)
     )
+    toked = df.select(F.col(id_col), tok_expr.alias("_toks"))
     joined = toked.join(
         packed, toked[id_col] == packed._sid, "left"
     ).withColumn(
@@ -978,5 +1059,7 @@ def remove_spans(
         F.col(id_col),
         F.size("_toks").alias("n_tokens"),
         (F.size("_toks") - F.size(kept)).alias("n_removed"),
-        F.concat_ws(" ", kept).alias("cleaned_text"),
+        F.concat_ws(
+            " " if granularity == "word" else "", kept
+        ).alias("cleaned_text"),
     )

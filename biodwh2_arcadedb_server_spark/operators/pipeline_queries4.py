@@ -175,12 +175,33 @@ QUERIES["q183_exact_substring_spans"] = q183_exact_substring_spans
 # runs -> per-doc merged spans (ends at `merged`); q183 reads it
 # directly, q187 appends the removal application, q188 swaps the
 # source and enables within-doc anchors
-def _es_ctes(source: str = "documents", within: bool = False) -> str:
+def _es_ctes(
+    source: str = "documents",
+    within: bool = False,
+    k: int = _ES_K,
+    min_len: int = _ES_MINLEN,
+    max_df: int = _ES_MAXDF,
+    max_post: int | None = None,
+    granularity: str = "word",
+) -> str:
+    if max_post is None:
+        max_post = 8 * max_df
     pair = "a.doc_id < b.doc_id"
     if within:
         pair = ("(a.doc_id < b.doc_id OR "
                 "(a.doc_id = b.doc_id AND a.pos < b.pos))")
-    return f"""toks AS (
+    if granularity == "char":
+        # character positions: the gram IS substr(text, i, k), raw
+        # case — mirrors positional_shingles(granularity='char')
+        grams = f"""toks AS (SELECT doc_id, text FROM {source}),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             substr(text, CAST(i AS BIGINT), {k}) AS gram
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, len(text)-{k}+2)) AS i) t
+    ),"""
+    else:
+        grams = f"""toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\\s+'),
                          x -> x <> '') AS tk,
@@ -190,14 +211,15 @@ def _es_ctes(source: str = "documents", within: bool = False) -> str:
     ),
     grams AS (
       SELECT doc_id, CAST(i AS BIGINT) AS pos,
-             array_to_string(tk[i:i+{_ES_K}-1], ' ') AS gram
+             array_to_string(tk[i:i+{k}-1], ' ') AS gram
       FROM toks, LATERAL (
-        SELECT unnest(range(1, len(tk)-{_ES_K}+2)) AS i) t
-    ),
+        SELECT unnest(range(1, len(tk)-{k}+2)) AS i) t
+    ),"""
+    return f"""{grams}
     keep AS (
       SELECT gram FROM grams
-      GROUP BY gram HAVING count(DISTINCT doc_id) <= {_ES_MAXDF}
-                       AND count(*) <= {_ES_MAXPOST}
+      GROUP BY gram HAVING count(DISTINCT doc_id) <= {max_df}
+                       AND count(*) <= {max_post}
     ),
     g AS (SELECT grams.* FROM grams JOIN keep USING (gram)),
     anchors AS (
@@ -208,7 +230,7 @@ def _es_ctes(source: str = "documents", within: bool = False) -> str:
       SELECT da, db, pa - pb AS diag, pa, pb,
              CASE WHEN pa - lag(pa) OVER (
                     PARTITION BY da, db, pa - pb ORDER BY pa)
-                  > {_ES_K} THEN 1 ELSE 0 END AS brk0
+                  > {k} THEN 1 ELSE 0 END AS brk0
       FROM anchors
     ),
     runs AS (
@@ -220,9 +242,9 @@ def _es_ctes(source: str = "documents", within: bool = False) -> str:
     ),
     spans AS (
       SELECT db AS doc_id, min(pb) AS span_start,
-             max(pb) + {_ES_K} - 1 AS span_end
+             max(pb) + {k} - 1 AS span_end
       FROM runs GROUP BY da, db, diag, island
-      HAVING max(pa) - min(pa) + {_ES_K} >= {_ES_MINLEN}
+      HAVING max(pa) - min(pa) + {k} >= {min_len}
     ),
     isl AS (
       SELECT doc_id, span_start, span_end,
@@ -348,4 +370,97 @@ ORACLE["q188_within_doc_substring_spans"] = f"""
     SELECT doc_id, span_start, span_end,
            span_end - span_start + 1 AS span_tokens
     FROM merged ORDER BY doc_id, span_start
+"""
+
+
+def q190_exact_substring_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granularity modes for exact-substring dedup (VERDICT r12 #3 —
+    Lee et al. 2022's threshold is 50 BPE tokens; a word-granular
+    index misses sub-word-aligned overlaps). The probe derives a
+    corpus IN THE PLAN, identically on both engines, where word and
+    character granularity provably disagree: docs 0–19 truncated to
+    their first 24 whitespace words (kept only when ≥ 24 words and
+    ≥ 120 chars), plus offset-id twins with an 'X' GLUED to the first
+    word (no space). Word-aligned, the twin shares only 23 of 24
+    tokens (< min_len 24 → word mode misses the pair); character-
+    aligned, the twin CONTAINS the full base verbatim (≥ 120 ≥
+    min_len 100 chars → char mode flags it). Both modes' spans return
+    with a ``mode`` column; the DuckDB twin replays both gram
+    pipelines (word: lowered token k-grams; char: raw substr(text,
+    pos, k)) through the shared anchor→island→merge CTEs, so the
+    divergence itself is hash-checked.
+
+    Scale: identical posture to q183 — the char-granularity index is
+    O(characters) rows instead of O(words), same equi-join/window
+    plan; real deployments pick k/min_len in the unit's scale (char
+    k=20 ≈ word k=4-5)."""
+    _toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(_toks, 1, 24)).alias("base"),
+            F.size(_toks).alias("_nw"),
+        )
+        .where((F.col("_nw") >= 24) & (F.length("base") >= 120))
+        .select("doc_id", F.col("base").alias("text"))
+    )
+    derived = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.lit("X"), F.col("text")).alias("text"),
+        )
+    )
+    word = dedup.exact_substring_spans(
+        derived, "doc_id", "text", k=_ES_K, min_len=24, max_df=_ES_MAXDF
+    ).withColumn("mode", F.lit("word"))
+    char = dedup.exact_substring_spans(
+        derived, "doc_id", "text",
+        k=20, min_len=100, max_df=_ES_MAXDF, granularity="char",
+    ).withColumn("mode", F.lit("char"))
+    return word.unionByName(char).orderBy("mode", "doc_id", "span_start")
+
+
+QUERIES["q190_exact_substring_granularity"] = q190_exact_substring_granularity
+_Q190_DOCS2 = """docs2 AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id,
+               array_to_string(
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '')[1:24], ' ') AS text,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '')) AS _nw
+        FROM documents WHERE doc_id < 20)
+      WHERE _nw >= 24 AND len(text) >= 120
+      UNION ALL
+      SELECT doc_id + 10000, 'X' || text FROM (
+        SELECT doc_id,
+               array_to_string(
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '')[1:24], ' ') AS text,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '')) AS _nw
+        FROM documents WHERE doc_id < 20)
+      WHERE _nw >= 24 AND len(text) >= 120
+    )"""
+ORACLE["q190_exact_substring_granularity"] = f"""
+    WITH wordspans AS (
+      WITH {_Q190_DOCS2},
+      {_es_ctes("docs2", min_len=24)}
+      SELECT doc_id, span_start, span_end,
+             span_end - span_start + 1 AS span_tokens, 'word' AS mode
+      FROM merged
+    ),
+    charspans AS (
+      WITH {_Q190_DOCS2},
+      {_es_ctes("docs2", k=20, min_len=100, granularity="char")}
+      SELECT doc_id, span_start, span_end,
+             span_end - span_start + 1 AS span_tokens, 'char' AS mode
+      FROM merged
+    )
+    SELECT * FROM wordspans
+    UNION ALL
+    SELECT * FROM charspans
+    ORDER BY mode, doc_id, span_start
 """

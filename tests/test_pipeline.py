@@ -1274,3 +1274,70 @@ def test_within_doc_substring_spans_and_removal(spark):
         ).collect()
     }
     assert off == {2}
+
+
+def test_exact_substring_granularity_modes(spark):
+    """Round 13 (VERDICT r12 #3): granularity= on the exact-substring
+    family. (1) char granularity catches a sub-word-aligned overlap
+    word granularity misses; (2) char-granularity removal is
+    byte-exact surgery (no whitespace normalization); (3) bpe
+    granularity indexes regex pieces and its removal raises the
+    documented not-reconstructible error; (4) positions/min_len are
+    in the granularity's unit."""
+    from biodwh2_arcadedb_server_spark.operators import dedup
+
+    base = " ".join(f"w{i}" for i in range(24))  # 24 words, 85 chars
+    df = spark.createDataFrame(
+        [(0, base), (1, "X" + base)], "doc_id long, text string"
+    )
+    # word mode: twin shares only 23/24 word-aligned tokens < 24
+    word = dedup.exact_substring_spans(
+        df, "doc_id", "text", k=8, min_len=24, max_df=16
+    ).collect()
+    assert word == []
+    # char mode: the twin CONTAINS base verbatim — full-length span,
+    # 1-based char positions 2..86 in the 'X'-prefixed doc
+    char = dedup.exact_substring_spans(
+        df, "doc_id", "text", k=20, min_len=60, max_df=16,
+        granularity="char",
+    ).collect()
+    assert [(r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in char] == [
+        (1, 2, 86, 85)
+    ]
+    # char removal: drop the flagged char range with NO separator
+    # re-join — doc 1 collapses to its unshared prefix 'X'
+    rm = {
+        r.doc_id: r
+        for r in dedup.remove_spans(
+            df,
+            dedup.exact_substring_spans(
+                df, "doc_id", "text", k=20, min_len=60, max_df=16,
+                granularity="char",
+            ),
+            "doc_id", "text", granularity="char",
+        ).collect()
+    }
+    assert rm[0].cleaned_text == base and rm[0].n_removed == 0
+    assert rm[0].n_tokens == len(base)  # unit = characters
+    assert rm[1].cleaned_text == "X" and rm[1].n_removed == 85
+
+    # bpe mode: regex pieces (punctuation split off words) — a
+    # shared piece run is found even though k/min_len are piece-
+    # counted; removal at bpe granularity raises the documented seam
+    t = "alpha beta gamma delta epsilon zeta eta theta " * 2
+    df2 = spark.createDataFrame(
+        [(0, t + "TAIL0"), (1, t + "TAIL1")], "doc_id long, text string"
+    )
+    bpe = dedup.exact_substring_spans(
+        df2, "doc_id", "text", k=6, min_len=16, max_df=16,
+        granularity="bpe",
+    ).collect()
+    assert bpe and bpe[0].doc_id == 1 and bpe[0].span_tokens >= 16
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="char"):
+        dedup.remove_spans(df2, None, "doc_id", "text", granularity="bpe")
+    with _pytest.raises(ValueError, match="word|bpe|char"):
+        dedup.exact_substring_spans(
+            df2, "doc_id", "text", granularity="sentence"
+        )
