@@ -731,6 +731,7 @@ def positional_shingles(
     text_col: str,
     k: int = 8,
     granularity: str = "word",
+    repartition: bool = True,
 ) -> DataFrame:
     """(_id, pos, gh) — one row per TOKEN POSITION: the hashed k-gram
     starting at 1-based ``pos``. Unlike ``shingle_table`` (distinct
@@ -756,10 +757,19 @@ def positional_shingles(
       On ASCII corpora this is byte granularity exactly; on multi-
       byte text it is the character-aligned analog (Spark strings
       are unicode — true byte offsets would need encode()+binary
-      slicing for the same plan shape)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
+      slicing for the same plan shape).
+
+    ``repartition=False`` skips the doc-keyed pre-shuffle — required
+    on STREAMING inputs (the contamination stream) and harmless
+    there: the downstream shuffle key is the gram hash anyway."""
+    def _pre(frame):
+        if not repartition:
+            return frame
+        par = frame.sparkSession.sparkContext.defaultParallelism
+        return frame.repartition(par, id_col)
+
     if granularity == "char":
-        toked = df.repartition(par, id_col).select(
+        toked = _pre(df).select(
             F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
         )
         n = F.length("_t")
@@ -784,7 +794,7 @@ def positional_shingles(
         raise ValueError(
             f"granularity must be word|bpe|char, got {granularity!r}"
         )
-    toked = df.repartition(par, id_col).select(
+    toked = _pre(df).select(
         F.col(id_col).alias("_id"), tok_expr.alias("_toks")
     )
     structs = F.transform(
@@ -907,7 +917,65 @@ def exact_substring_spans(
             (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
         )
     anchors = a.join(b, "gh").where(pair_pred).drop("gh")
+    return assemble_spans(anchors, k, min_len)
 
+
+def reference_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    max_df: int = 16,
+    max_postings: int | None = None,
+    granularity: str = "word",
+) -> DataFrame:
+    """Pack a FIXED reference corpus (an eval/benchmark set) into the
+    per-gram postings table the STREAMING contamination check loads
+    as TWS MapState (streaming/stateful.py::_GramPostingsProcessor):
+    one row per surviving gram hash — (gh, refs, poss) parallel
+    arrays sorted by (ref, pos). The df/postings caps apply over the
+    REFERENCE corpus only (the stream side needs no cap: an arriving
+    doc's gram either hits a surviving posting list — bounded by
+    construction — or nothing). Reference sets are tiny next to the
+    stream (MBs vs TBs), so the packed table broadcasts/bootstraps
+    cheaply."""
+    if max_postings is None:
+        max_postings = 8 * max_df
+    sh = positional_shingles(df, id_col, text_col, k, granularity)
+    keep = (
+        sh.groupBy("gh")
+        .agg(
+            F.count_distinct("_id").alias("_df"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where((F.col("_df") <= max_df) & (F.col("_n") <= max_postings))
+        .select("gh")
+    )
+    return (
+        sh.join(keep, "gh")
+        .groupBy("gh")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_id", "pos"))
+            ).alias("_ps")
+        )
+        .select(
+            "gh",
+            F.transform("_ps", lambda s: s["_id"]).alias("refs"),
+            F.transform("_ps", lambda s: s["pos"]).alias("poss"),
+        )
+    )
+
+
+def assemble_spans(anchors: DataFrame, k: int, min_len: int) -> DataFrame:
+    """Anchor rows (da, db, pa, pb) → merged per-doc removal spans —
+    the second half of ``exact_substring_spans``, factored out so the
+    STREAMING contamination path (streaming/stateful.py emits the
+    same anchor shape from its postings MapState) assembles spans
+    through the identical code: diag islands with the k−1 gap bridge,
+    the min_len run filter, and the per-doc interval merge. Every
+    window partitions on fine keys ((da, db, diag) then doc) — never
+    the corpus."""
     from pyspark.sql import Window
 
     diag = (F.col("pa") - F.col("pb")).alias("diag")

