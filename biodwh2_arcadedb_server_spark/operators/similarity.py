@@ -222,6 +222,222 @@ def _nearest_cells(vec_col, cent_lit, n_cells: int, n_probe: int):
     return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cluster"])
 
 
+def _kmll_train_centroids(
+    corpus: DataFrame,
+    n_clusters: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    init_rounds: int = 5,
+    oversample: float | None = None,
+    phi_plateau: float | None = 0.5,
+    max_iter: int = 25,
+    stats: dict | None = None,
+):
+    """k-means||-seeded spherical quantizer training (VERDICT r12 #5
+    — the q185 distributed-candidate device applied to the ANN coarse
+    quantizer): instead of a hash-ordered SAMPLE + driver kmeans++
+    (``_train_spherical_centroids``), the candidate set is drawn from
+    the FULL corpus by Bahmani et al. 2012's oversampling — per
+    round, one 1-row φ aggregation + one independent-coin selection
+    scan over a localCheckpointed (id, unit vec, running best) state,
+    with the running (best_d2, best_ord) cost column updated against
+    only that round's new candidates. ``phi_plateau`` stops the
+    rounds early once a round shrinks φ by less than the factor
+    (default 0.5 — the paper's rounds bound is O(log φ), and on
+    clusterable corpora φ plateaus in 2-3 rounds: fewer corpus-state
+    passes for the same seed quality). The finish is DRIVER-side on
+    the ~ℓ·R candidates: Voronoi weights from the running argmin (one
+    tiny groupBy), weighted kmeans++ seeding, weighted Lloyd with
+    spherical renormalization — numpy over a bounded list, exactly
+    the paper's "recluster the weighted candidates" step.
+
+    vs the sampled trainer: candidates come from EVERYWHERE mass
+    lives (a hash-ordered sample can under-represent small distant
+    clusters), at the same bounded-driver-memory posture; corpus-
+    sized work is the initial state projection + per-round scans of
+    the checkpointed 3-column state, never a k× rescan."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    l = float(oversample if oversample is not None else 2 * n_clusters)
+
+    def _u(rnd: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"ivfkmll:{seed}:{rnd}:"),
+                            F.col("_i").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("double")
+            + 1.0
+        ) / 4294967296.0
+
+    def _tb(key):
+        return F.struct(key.alias("k"), (-F.col("_i")).alias("t"))
+
+    # unit-normalize once, in-plan (two-step so the norm is a plain
+    # column reference, not re-evaluated per element in the lambda)
+    raw = corpus.select(
+        F.col(id_col).alias("_i"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_vr"),
+    ).withColumn(
+        "_n",
+        F.sqrt(
+            F.aggregate("_vr", F.lit(0.0), lambda a, x: a + x * x)
+        ),
+    )
+    unit = raw.select(
+        "_i",
+        F.transform(
+            "_vr", lambda x: x / F.greatest(F.col("_n"), F.lit(1e-12))
+        ).alias("_v"),
+    )
+
+    def _new_best(cs: list[list[float]], offset: int) -> F.Column:
+        cent_lit = _centroid_literal(cs)
+        dists = F.transform(
+            cent_lit,
+            lambda c, j: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("_v"), c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                (j + F.lit(offset)).alias("ord"),
+            ),
+        )
+        return F.array_min(dists)
+
+    r0 = unit.select(
+        F.max_by(
+            F.struct(F.col("_i").alias("i"), F.col("_v").alias("v")),
+            _tb(_u(0)),
+        ).alias("c")
+    ).collect()[0]["c"]
+    cands: list[tuple[int, list[float]]] = [(int(r0["i"]), list(r0["v"]))]
+    state = unit.withColumn(
+        "_best", _new_best([cands[0][1]], 0)
+    ).localCheckpoint(eager=True)
+    prev_phi: float | None = None
+    phis: list[float] = []
+    rounds_run = 0
+    for r in range(1, init_rounds + 1):
+        d2 = F.col("_best")["d"]
+        phi = state.select(F.sum(d2).alias("s")).collect()[0]["s"]
+        if not phi or phi <= 0:
+            break
+        phis.append(float(phi))
+        if (
+            phi_plateau is not None
+            and prev_phi is not None
+            and phi > phi_plateau * prev_phi
+        ):
+            break
+        prev_phi = float(phi)
+        rounds_run = r
+        sel = (
+            state.where(
+                (d2 > 0)
+                & (_u(r) < F.least(F.lit(1.0), F.lit(l) * d2 / F.lit(float(phi))))
+            )
+            .select(F.col("_i").alias("i"), F.col("_v").alias("v"))
+            .orderBy("i")
+            .collect()  # bounded: E[rows] = min(ℓ, n) per round
+        )
+        if not sel:
+            continue
+        offset = len(cands)
+        new = [(int(row["i"]), list(row["v"])) for row in sel]
+        cands.extend(new)
+        state = state.withColumn(
+            "_best",
+            F.least(F.col("_best"), _new_best([v for _, v in new], offset)),
+        ).localCheckpoint(eager=True)
+    word = {
+        int(r["ord"]): int(r["count"])
+        for r in state.select(F.col("_best")["ord"].alias("ord"))
+        .groupBy("ord")
+        .count()
+        .collect()  # bounded: ≤ |candidates| rows
+    }
+    if stats is not None:
+        stats.update(
+            rounds=rounds_run, candidates=len(cands), phi=phis
+        )
+    X = np.array([v for _, v in cands], dtype=np.float64)
+    w = np.array(
+        [word.get(o, 0) for o in range(len(cands))], dtype=np.float64
+    )
+    keep = w > 0
+    X, w = X[keep], w[keep]
+    ids = [i for (i, _), k_ in zip(cands, keep) if k_]
+    if len(X) < n_clusters:
+        raise ValueError(
+            f"kmeans|| trainer produced {len(X)} weighted candidates < "
+            f"k={n_clusters} — raise oversample/init_rounds"
+        )
+
+    def _uw(j: int, i: int) -> float:
+        return (
+            int(
+                hashlib.md5(f"ivfkmllw:{seed}:{j}:{i}".encode()).hexdigest()[:8],
+                16,
+            )
+            + 1
+        ) / 4294967296.0
+
+    # weighted kmeans++ over the candidates (Efraimidis–Spirakis with
+    # weight w·D²), then weighted Lloyd with spherical renorm
+    first = max(
+        range(len(X)), key=lambda m: (math.log(_uw(0, ids[m])) / w[m], -ids[m])
+    )
+    sel_idx = [first]
+    d2v = ((X - X[first]) ** 2).sum(axis=1)
+    while len(sel_idx) < n_clusters:
+        j = len(sel_idx)
+        best, best_key = None, None
+        for m in range(len(X)):
+            if m in sel_idx or d2v[m] <= 0:
+                continue
+            key = (math.log(_uw(j, ids[m])) / (w[m] * d2v[m]), -ids[m])
+            if best_key is None or key > best_key:
+                best, best_key = m, key
+        if best is None:
+            raise ValueError(
+                f"kmeans|| trainer: fewer than k={n_clusters} distinct "
+                "weighted candidates"
+            )
+        sel_idx.append(best)
+        d2v = np.minimum(d2v, ((X - X[best]) ** 2).sum(axis=1))
+    C = X[sel_idx].copy()
+    for _ in range(max_iter):
+        d2m = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2m.argmin(axis=1)
+        newC = np.zeros_like(C)
+        for j in range(n_clusters):
+            mask = assign == j
+            if w[mask].sum() > 0:
+                c = (X[mask] * w[mask, None]).sum(axis=0) / w[mask].sum()
+                nrm = np.linalg.norm(c)
+                newC[j] = c / nrm if nrm > 0 else c
+            else:
+                newC[j] = X[d2m.min(axis=1).argmax()]
+        if np.allclose(newC, C, atol=1e-9):
+            C = newC
+            break
+        C = newC
+    return C
+
+
 def _train_spherical_centroids(
     corpus: DataFrame,
     n_clusters: int,
@@ -255,6 +471,36 @@ def _train_spherical_centroids(
     return _lloyd_sample(X, n_clusters, seed, max_iter)
 
 
+def _quantizer(
+    corpus: DataFrame,
+    n_clusters: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    sample_cap: int,
+    max_iter: int,
+    train_init: str = "sample",
+):
+    """Coarse-quantizer dispatch: ``train_init="sample"`` — the
+    hash-ordered-sample + driver kmeans++ trainer (one corpus pass,
+    FAISS practice, the r7 default); ``"kmeans||"`` — the distributed
+    Bahmani candidate draw with phi-plateau early stop
+    (``_kmll_train_centroids``): candidates come from the full corpus
+    so small distant clusters can't be under-sampled, at ~2-3
+    passes over a 3-column checkpointed state."""
+    if train_init == "sample":
+        return _train_spherical_centroids(
+            corpus, n_clusters, id_col, vec_col, seed, sample_cap, max_iter
+        )
+    if train_init == "kmeans||":
+        return _kmll_train_centroids(
+            corpus, n_clusters, id_col, vec_col, seed, max_iter=max_iter
+        )
+    raise ValueError(
+        f"train_init must be 'sample' or 'kmeans||', got {train_init!r}"
+    )
+
+
 def _centroid_literal(C):
     """Centroid matrix as a nested array literal for JVM-side HOF
     probing. Right for SMALL k (ivf_topk's default 8) — the
@@ -275,6 +521,7 @@ def ivf_topk(
     exclude_self: bool = True,
     sample_cap: int = 4096,
     max_iter: int = 25,
+    train_init: str = "sample",
 ) -> DataFrame:
     """IVF (inverted-file) approximate k-NN: partition the corpus into
     ``n_clusters`` Voronoi cells, then each query scores only the
@@ -298,8 +545,9 @@ def ivf_topk(
     Recall is pytest-gated vs the exact ``knn_join``
     (tests/test_pipeline.py)."""
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    C = _train_spherical_centroids(
-        corpus, n_clusters, id_col, vec_col, seed, sample_cap, max_iter
+    C = _quantizer(
+        corpus, n_clusters, id_col, vec_col, seed, sample_cap, max_iter,
+        train_init,
     )
     cent_lit, n_cells = _centroid_literal(C), len(C)
     assigned = corpus.select(
@@ -646,6 +894,7 @@ def cosine_near_dup_pairs_ann(
     seed: int = 42,
     sample_cap: int = 4096,
     max_iter: int = 25,
+    train_init: str = "sample",
 ) -> DataFrame:
     """ANN-shortlisted cosine near-dup pairs — the 100 TB semantic-
     dedup path (SemDeDup shape: Abbas et al. 2023 deduplicate within
@@ -673,8 +922,9 @@ def cosine_near_dup_pairs_ann(
     import numpy as np
     import pandas as pd
 
-    C = _train_spherical_centroids(
-        corpus, n_clusters, id_col, vec_col, seed, sample_cap, max_iter
+    C = _quantizer(
+        corpus, n_clusters, id_col, vec_col, seed, sample_cap, max_iter,
+        train_init,
     )
     Ct = C.T.copy()
     p = min(n_probe, len(C))
@@ -748,6 +998,7 @@ def kmeans_assign(
     seed: int = 0,
     init_rounds: int = 3,
     oversample: float | None = None,
+    phi_plateau: float | None = None,
 ) -> DataFrame:
     """Distributed fixed-iteration Lloyd k-means over the FULL corpus
     — the cluster-then-balance step of large-scale curation pipelines
@@ -989,11 +1240,25 @@ def kmeans_assign(
         ).withColumn(
             "_best", _new_best([cands[0][1]], 0)
         ).localCheckpoint(eager=True)
+        prev_phi: float | None = None
         for r in range(1, init_rounds + 1):
             d2 = F.col("_best")["d"]
             phi = state.select(F.sum(d2).alias("s")).collect()[0]["s"]
             if not phi or phi <= 0:
                 break  # every point coincides with a candidate
+            # φ-plateau early stop (opt-in, round 13): Bahmani et
+            # al.'s rounds ≈ O(log φ) is an upper bound — once a
+            # round shrinks the potential by less than the plateau
+            # factor, further oversampling buys ~nothing; stop and
+            # keep the candidates gathered so far. Off by default:
+            # q185's DuckDB twin replays FIXED rounds.
+            if (
+                phi_plateau is not None
+                and prev_phi is not None
+                and phi > phi_plateau * prev_phi
+            ):
+                break
+            prev_phi = float(phi)
             sel = (
                 state.where(
                     (d2 > 0)
