@@ -189,6 +189,7 @@ HEADLINE = [
     "q183_exact_substring_spans",
     "q187_exact_substring_removal",
     "q188_within_doc_substring_spans",
+    "q190_exact_substring_granularity",
     "q143_dataset_card",
     "q145_graphql",
     "q146_shortestpath_dialect",
@@ -214,6 +215,7 @@ HEADLINE = [
     "q164_correlated_let_dialect",
     "q165_graphql_aliases_directives",
     "q184_graphql_mutation_roundtrip",
+    "q189_graphql_full_introspection",
     "q166_dml_return_after_before",
     "q167_parameterized_query",
     "q168_gopher_repetition",
@@ -238,6 +240,7 @@ STREAMING = [
     "q90_stream_sessionize",
     "q179_tws_session_close",
     "q181_tws_stream_first_seen",
+    "q191_streaming_substring_contamination",
     "q182_tws_warm_start_dedup",
 ]
 

@@ -34,6 +34,9 @@ STREAMING = {
     # partitions — per-trigger runtime floor, independent of key count
     # after cell-packing (streaming/stateful.py)
     "q179", "q181", "q182",
+    # round-13: the contamination drain (3 triggers x RocksDB cycle +
+    # the reference-postings bootstrap job) — same per-trigger floor
+    "q191",
 }
 ITERATIVE = {
     "q21", "q22", "q24", "q25", "q65", "q76", "q80", "q81", "q83", "q85",
