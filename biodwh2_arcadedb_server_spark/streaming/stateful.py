@@ -1335,6 +1335,16 @@ def stream_substring_contamination(
     grams = positional_shingles(
         docs, "doc_id", "text", k, granularity, repartition=False
     ).select(F.col("_id").alias("doc_id"), "pos", "gh")
+    # STREAM-STATIC broadcast semi-join prefilter (round-13 measured
+    # lesson, the q84 state-op rule again): almost every stream gram
+    # MISSES the reference set, and a miss still costs one getValue
+    # JVM round-trip — at sf0.1 that was ~1M round-trips and a 40s
+    # drain. The reference gram-hash list is small by definition (an
+    # eval set), so a stateless broadcast left_semi drops the misses
+    # BEFORE the stateful operator; only genuine hits pay a state op.
+    grams = grams.join(
+        F.broadcast(ref_postings.select("gh")), "gh", "left_semi"
+    )
     boot = ref_postings.withColumn(
         "_cell", F.pmod(F.col("gh"), F.lit(n_cells))
     ).groupBy("_cell")
