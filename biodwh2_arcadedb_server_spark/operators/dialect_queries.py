@@ -1371,8 +1371,29 @@ def q189_graphql_full_introspection(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         ).alias("tref"),
     )
+    # PIN the projected universe to the star workspace: the
+    # introspection enumerates every n_<Label> view in the SESSION
+    # catalog, and probes sharing a session (the pytest "tests"
+    # fixture, a bench segment after a DML probe) may have loaded a
+    # full 7-type workspace — extra labels would leak extra type
+    # rows, extra Query/Mutation fields and extra scalars into the
+    # hash. The full document still compiles over everything; only
+    # the hashed projection is label-stable.
+    _star = ("Customer", "Order", "Part")
+    _types = _star + (
+        "Query", "Mutation", "MutationResult",
+        "Boolean", "Float", "Int", "Long", "String",
+    )
+    _mut = tuple(f"{v}{l}" for v in ("create", "update", "delete") for l in _star)
+    keep = F.col("tname").isin(*_types) & (
+        (F.col("section") != F.lit("field"))
+        | ~F.col("tname").isin("Query", "Mutation")
+        | ((F.col("tname") == "Query") & F.col("fname").isin(*_star))
+        | ((F.col("tname") == "Mutation") & F.col("fname").isin(*_mut))
+    )
     return (
         field_rows.unionByName(type_rows)
+        .where(keep)
         .unionByName(root_rows)
         .unionByName(dir_rows)
         .orderBy("section", "tname", "fname")
