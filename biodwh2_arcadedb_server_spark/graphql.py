@@ -749,6 +749,45 @@ def _execute_mutation(
         raise GraphQLError(str(exc)) from exc
 
 
+def sdl(
+    spark: SparkSession,
+    relationships: dict[str, dict[str, Rel]] | None = None,
+) -> str:
+    """GraphQL SDL (Schema Definition Language) export of the active
+    workspace schema — the printSchema-style text schema-first
+    clients and codegen toolchains consume. Rendered from the SAME
+    ``_schema_model`` the introspection answers, so the SDL and a
+    ``getIntrospectionQuery()`` round-trip can never drift: one
+    ``type`` block per OBJECT (wrapper chains as ``[T]``/``T!``),
+    ``scalar`` declarations for the non-built-in scalars (Long, Date,
+    DateTime, Base64 …), and the ``schema`` block naming the roots.
+    The executable @skip/@include directives are spec built-ins and
+    are omitted, as printSchema does. Catalog metadata only; no table
+    scans."""
+    rels = default_relationships() if relationships is None else relationships
+    model = _schema_model(spark, rels)
+
+    def ref(t: dict) -> str:
+        if t["kind"] == "LIST":
+            return f"[{ref(t['ofType'])}]"
+        if t["kind"] == "NON_NULL":
+            return f"{ref(t['ofType'])}!"
+        return t["name"]
+
+    builtin = {"String", "Boolean", "Int", "Float", "ID"}
+    parts = []
+    for t in model["types"]:
+        if t["kind"] == "OBJECT":
+            fields = "\n".join(
+                f"  {f['name']}: {ref(f['type'])}" for f in t["fields"]
+            )
+            parts.append(f"type {t['name']} {{\n{fields}\n}}")
+        elif t["kind"] == "SCALAR" and t["name"] not in builtin:
+            parts.append(f"scalar {t['name']}")
+    parts.append("schema {\n  query: Query\n  mutation: Mutation\n}")
+    return "\n\n".join(parts) + "\n"
+
+
 def _introspect_type(
     spark: SparkSession, rels: dict[str, dict[str, Rel]], root: Field
 ) -> DataFrame:

@@ -510,6 +510,28 @@ class QueryServer:
                         self._challenge()
                         return
                     self._reply(200, {"result": sorted(server.databases)})
+                elif self.path == "/graphql/schema":
+                    # SDL export (round 13): the text schema a
+                    # schema-first client/codegen pulls once —
+                    # rendered from the same model the introspection
+                    # answers, so the two can never drift
+                    if not self._authorized():
+                        self._challenge()
+                        return
+                    from biodwh2_arcadedb_server_spark import graphql
+
+                    try:
+                        body = graphql.sdl(server.spark).encode()
+                    except Exception as exc:  # noqa: BLE001
+                        self._reply(500, {"error": str(exc)})
+                        return
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "text/plain; charset=utf-8"
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 elif self.path.split("?", 1)[0] == "/api/v1/server":
                     # ArcadeDB server-status route (read-only
                     # management surface): clients poll it for

@@ -260,3 +260,47 @@ def test_graphql_endpoint_full_getintrospectionquery(spark, ws):
             assert frag in s_dir, frag
     finally:
         srv.stop()
+
+
+def test_graphql_sdl_export(spark, ws):
+    """Round 13: SDL export — GET /graphql/schema returns the
+    printSchema-style text rendered from the SAME model introspection
+    answers; spot-check type blocks, wrapper syntax, custom scalars,
+    the schema block, and model-parity with __schema."""
+    from biodwh2_arcadedb_server_spark import graphql as gql
+
+    text = gql.sdl(spark)
+    assert "type Nation {" in text and "type Query {" in text
+    assert "in_region: [Region]" in text          # LIST wrapper
+    assert "createNation: MutationResult" in text
+    assert "scalar Long" in text
+    assert "scalar Int" not in text               # built-ins omitted
+    assert text.rstrip().endswith("schema {\n  query: Query\n  mutation: Mutation\n}")
+    # parity: every OBJECT type in the model has a type block
+    model = gql._schema_model(spark, gql.default_relationships())
+    for t in model["types"]:
+        if t["kind"] == "OBJECT":
+            assert f"type {t['name']} {{" in text, t["name"]
+
+    srv = QueryServer(spark)
+    port = srv.start()
+    auth = base64.b64encode(f"{srv.username}:{srv.password}".encode()).decode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/graphql/schema",
+        headers={"Authorization": f"Basic {auth}"},
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            wire = resp.read().decode()
+            ctype = resp.headers["Content-Type"]
+        assert wire == text and ctype.startswith("text/plain")
+        # unauthorized → 401 challenge
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(f"http://127.0.0.1:{port}/graphql/schema")
+            )
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+    finally:
+        srv.stop()
