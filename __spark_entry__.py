@@ -33,6 +33,7 @@ from biodwh2_arcadedb_server_spark.operators import (
     relational7,
     relational8,
     relational9,
+    source_queries,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -95,6 +96,7 @@ _MODULE_DEPS: dict[str, list[str]] = {
         f"{_PKG}/operators/graph.py",
     ],
     "relational8": [f"{_PKG}/workspace.py"],
+    "source_queries": [f"{_PKG}/sources/jsonl_source.py"],
 }
 
 
@@ -217,6 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pooled.update(pipeline_queries2.QUERIES)
     pooled.update(pipeline_queries3.QUERIES)
     pooled.update(pipeline_queries4.QUERIES)
+    pooled.update(source_queries.QUERIES)
     pooled.update(dialect_queries.QUERIES)
     oracled = set(oracle_sql())
     module_of = {name: fn.__module__ for name, fn in pooled.items()}
@@ -240,5 +243,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(pipeline_queries2.ORACLE)
     out.update(pipeline_queries3.ORACLE)
     out.update(pipeline_queries4.ORACLE)
+    out.update(source_queries.ORACLE)
     out.update(dialect_queries.ORACLE)
     return out

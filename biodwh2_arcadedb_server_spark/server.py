@@ -809,12 +809,26 @@ class QueryServer:
                         # (ADVICE r12: (src, dst, label) collapsed
                         # genuine parallel edges)
                         seen_edges: set[tuple] = set()
-                        from pyspark.sql import Window as _W
                         _phys = F.xxhash64(
                             F.to_json(F.struct(*edges.columns))
                         )
 
                         def _hop2(key_col, far_col):
+                            # Group occurrences per PHYSICAL edge
+                            # (hash of every edge column) instead of
+                            # the r13 row_number window: within a
+                            # phys group every edge column is
+                            # identical (so first() is exact), the
+                            # count preserves fully-identical
+                            # parallel edges, and — unlike the
+                            # window+limit — both directional scans
+                            # deterministically keep the SAME
+                            # members of each group, so a truncated
+                            # scan can never re-emit an edge the
+                            # other direction already dropped
+                            # (ADVICE r13). orderBy+limit compiles
+                            # to TakeOrdered: bounded collect,
+                            # partial-agg map-side combine.
                             if not ids:
                                 return [], False
                             h = (
@@ -823,13 +837,6 @@ class QueryServer:
                                     & (F.col(far_col) != p)
                                 )
                                 .withColumn("phys", _phys)
-                                .withColumn(
-                                    "occ",
-                                    F.row_number().over(
-                                        _W.partitionBy("phys")
-                                        .orderBy(F.lit(1))
-                                    ),
-                                )
                                 .join(
                                     nodes,
                                     F.col(far_col) == nodes.node_id,
@@ -838,17 +845,25 @@ class QueryServer:
                                     F.col(key_col).alias("near"),
                                     F.col("label").alias("edge"),
                                     "n_label", "natural_key",
-                                    "node_id", "phys", "occ",
+                                    "node_id", "phys",
                                 )
+                                .groupBy("phys")
+                                .agg(
+                                    F.first("near").alias("near"),
+                                    F.first("edge").alias("edge"),
+                                    F.first("n_label").alias("n_label"),
+                                    F.first("natural_key").alias(
+                                        "natural_key"
+                                    ),
+                                    F.first("node_id").alias("node_id"),
+                                    F.count(F.lit(1)).alias("occ_cnt"),
+                                )
+                                .orderBy("phys")
                                 .limit(SCAN2)
                                 .collect()
                             )
                             rows2 = []
                             for r in h:
-                                phys = (r.phys, r.occ)
-                                if phys in seen_edges:
-                                    continue
-                                seen_edges.add(phys)
                                 try:
                                     nb = ws_mod.RID_BUCKET_LABELS.index(
                                         r.n_label
@@ -856,22 +871,27 @@ class QueryServer:
                                     nrid = f"#{nb}:{r.node_id}"
                                 except ValueError:
                                     nrid = None
-                                rows2.append({
-                                    "from_rid": frontier.get(
-                                        int(r.near)
-                                    ),
-                                    "edge": r.edge,
-                                    "rid": nrid,
-                                    "type": r.n_label,
-                                    "natural_key": _safe(
-                                        r.natural_key
-                                    ),
-                                    "direction": (
-                                        "out"
-                                        if key_col == "src"
-                                        else "in"
-                                    ),
-                                })
+                                for occ in range(1, r.occ_cnt + 1):
+                                    key = (r.phys, occ)
+                                    if key in seen_edges:
+                                        continue
+                                    seen_edges.add(key)
+                                    rows2.append({
+                                        "from_rid": frontier.get(
+                                            int(r.near)
+                                        ),
+                                        "edge": r.edge,
+                                        "rid": nrid,
+                                        "type": r.n_label,
+                                        "natural_key": _safe(
+                                            r.natural_key
+                                        ),
+                                        "direction": (
+                                            "out"
+                                            if key_col == "src"
+                                            else "in"
+                                        ),
+                                    })
                             return rows2, len(h) >= SCAN2
 
                         o2, o2t = _hop2("src", "dst")

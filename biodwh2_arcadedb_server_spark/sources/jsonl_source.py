@@ -102,8 +102,13 @@ _PUSHABLE = (
 )
 
 
-def _matches(row: dict, f) -> bool:
-    v = row.get(f.attribute[0])
+def _matches(row: dict, f, types: dict) -> bool:
+    # Compare against the SCHEMA-COERCED value, not the raw JSON one:
+    # the scan RETURNS coerced values, and a retained filter is never
+    # re-applied by Spark, so comparing raw values silently diverges
+    # (str-vs-date hits the TypeError→False path; a string-encoded
+    # numeric fails ==). Coercion here must mirror read()'s exactly.
+    v = _coerce(row.get(f.attribute[0]), types.get(f.attribute[0], "string"))
     if isinstance(f, IsNotNull):
         return v is not None
     if v is None:
@@ -132,6 +137,7 @@ class JsonlGraphReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType, chunk_bytes: int) -> None:
         self._path = path
         self._fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        self._types = dict(self._fields)
         self._chunk = chunk_bytes
         self._pushed: list = []
 
@@ -163,9 +169,15 @@ class JsonlGraphReader(DataSourceReader):
                 start += self._chunk
                 if size == 0:
                     break
-        return out or [_Chunk(self._path, 0, 0)]
+        # a directory with no matching files → NO partitions (Spark
+        # plans a single `None` partition; read() returns nothing).
+        # The old `[_Chunk(self._path, 0, 0)]` fallback open()ed the
+        # directory itself and failed the task with IsADirectoryError.
+        return out
 
-    def read(self, part: _Chunk):
+    def read(self, part):
+        if part is None:  # zero-partition plan (empty directory)
+            return
         with open(part.path, "rb") as fh:
             fh.seek(part.start)
             if part.start > 0:
@@ -188,7 +200,7 @@ class JsonlGraphReader(DataSourceReader):
                 if not isinstance(rec, dict):
                     rec = {}
                 if self._pushed and not all(
-                    _matches(rec, f) for f in self._pushed
+                    _matches(rec, f, self._types) for f in self._pushed
                 ):
                     continue
                 yield tuple(

@@ -1182,6 +1182,16 @@ def _drain_finite(
                     last = n
                 q.stop()
                 q.awaitTermination()
+                if stable < 3:
+                    # ADVICE r13: never hand back a silently-partial
+                    # sink — a slow machine hitting the deadline would
+                    # otherwise drop contamination spans with no signal
+                    raise TimeoutError(
+                        f"stream '{name}' did not stabilize before the "
+                        f"300s drain deadline ({len(prog)}/{n_files} "
+                        f"batches, sink at {last} rows) — partial sink "
+                        "discarded"
+                    )
             else:
                 q = writer.trigger(availableNow=True).start()
                 q.awaitTermination()

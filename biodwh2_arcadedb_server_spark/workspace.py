@@ -43,6 +43,7 @@ import os
 import shutil
 from dataclasses import dataclass, field
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -469,19 +470,30 @@ def _append_via_tmp(df: DataFrame, path: str, driver_cap: int = 10_000) -> int:
     )
 
     spark = df.sparkSession
-    rows = df.limit(driver_cap + 1).collect()
-    if len(rows) <= driver_cap:
-        return driver_staged_append(path, df.schema, rows)
-    ensure_registered(spark)
-    token = _uuid.uuid4().hex
-    (
-        df.write.format("workspace_append")
-        .option("path", path)
-        .option("token", token)
-        .mode("append")
-        .save()
-    )
-    return read_last_append(path, token)
+    # Persist BEFORE the size probe (ADVICE r13): the probe plan and
+    # the >cap distributed write must see the same data exactly once.
+    # Caching is partition-granular — partitions the limit() touched
+    # are reused by the write, the rest compute once there — so a
+    # nondeterministic upstream expression (rand-derived ids) cannot
+    # diverge between "rows probed" and "rows appended", and the
+    # at-threshold case no longer pays the validation joins twice.
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        rows = df.limit(driver_cap + 1).collect()
+        if len(rows) <= driver_cap:
+            return driver_staged_append(path, df.schema, rows)
+        ensure_registered(spark)
+        token = _uuid.uuid4().hex
+        (
+            df.write.format("workspace_append")
+            .option("path", path)
+            .option("token", token)
+            .mode("append")
+            .save()
+        )
+        return read_last_append(path, token)
+    finally:
+        df.unpersist()
 
 
 def insert_nodes(spark: SparkSession, ws_dir: str, label: str, rows: DataFrame) -> int:

@@ -361,3 +361,50 @@ def test_q185_kmeans_parallel_plan_shape(spark, sf_medium):
     for bad in ("NestedLoopJoin", "CartesianProduct", "Window",
                 "SortMergeJoin", "Exchange hashpartitioning"):
         assert bad not in plan, bad
+
+
+def test_q192_jsonl_scan_retains_filters_at_source(spark, sf_medium):
+    """The Python DataSource scan must RETAIN its pushed filters
+    (rows drop at the line parser, not in a residual Spark Filter):
+    the plan shows both predicates under PushedFilters on the
+    BatchScan and NO Filter node above it — plus a direct reader-
+    level count proving fewer rows leave the source than exist in
+    the file."""
+    import datetime as _dt
+    import re
+
+    from pyspark.sql.datasource import GreaterThanOrEqual
+    from pyspark.sql.types import StructType
+
+    from biodwh2_arcadedb_server_spark.operators import source_queries
+    from biodwh2_arcadedb_server_spark.sources.jsonl_source import (
+        JsonlGraphReader,
+    )
+
+    df = source_queries.q192_jsonl_source_scan(spark, sf_medium)
+    plan = explain_str(df)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pf = m.group(1)
+    assert "GreaterThanOrEqual(o_orderdate,1995-06-01)" in pf, pf
+    assert "GreaterThanOrEqual(o_custkey,10)" in pf, pf
+    # no residual Filter: the source evaluated everything it claimed
+    assert "Filter (" not in plan and "+- Filter" not in plan, plan
+
+    # log-gate: the reader yields strictly fewer rows than the file
+    # holds when the filters are pushed (rows dropped AT the source)
+    path = source_queries.jsonl_fixture_path(sf_medium)
+    n_lines = sum(1 for _ in open(path))
+    ddl = source_queries._Q192_DDL
+    r = JsonlGraphReader(path, StructType.fromDDL(ddl), 1 << 16)
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("o_orderdate",), _dt.date(1995, 6, 1)),
+                GreaterThanOrEqual(("o_custkey",), 10),
+            ]
+        )
+    )
+    assert leftover == [] and len(r._pushed) == 2
+    scanned = sum(len(list(r.read(p))) for p in r.partitions())
+    assert 0 < scanned == df.count() < n_lines
