@@ -30,6 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # tuning (row-group-grained tasks) that get_spark() no longer bakes
 # in as a library default (round-7 ADVICE).
 os.environ.setdefault("SPARK_GRAFT_LOCAL_TUNING", "1")
+# Keep every stage of even the most iterative probe in the status
+# store so the per-probe task-time meter never loses stages to
+# eviction (VERDICT r13 #3).
+os.environ.setdefault("SPARK_GRAFT_RETAINED_STAGES", "20000")
 
 
 from biodwh2_arcadedb_server_spark.session import get_spark  # noqa: E402
@@ -270,6 +274,63 @@ CACHE_FAMILY = {
 }
 
 
+class StageMeter:
+    """Per-probe EXECUTOR task-time from the JVM AppStatusStore
+    (VERDICT r13 #3: wall-clock drift adjudication needs an
+    environment-insensitive signal). The store is fed by the
+    scheduler's listener even with the UI disabled; stages are diffed
+    by monotonically-increasing stageId, so retention eviction of old
+    stages between probes can't corrupt a delta. ``executorRunTime``
+    is scheduler-attributed task wall (sum over tasks — parallelism-
+    invariant, unlike driver wall-clock); ``executorCpuTime`` is
+    on-CPU nanoseconds, immune to machine load entirely."""
+
+    def __init__(self, spark) -> None:
+        self._spark = spark
+        self._last = self._max_id()
+
+    def _stages(self):
+        sc = self._spark.sparkContext
+        jvm, gw = sc._jvm, sc._gateway
+        store = sc._jsc.sc().statusStore()
+        lst = store.stageList(
+            jvm.java.util.ArrayList(), False, False,
+            gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+        )
+        return [lst.apply(i) for i in range(lst.size())]
+
+    def _max_id(self) -> int:
+        try:
+            return max((s.stageId() for s in self._stages()), default=-1)
+        except Exception:  # noqa: BLE001
+            return -1
+
+    def mark(self) -> None:
+        self._last = max(self._last, self._max_id())
+
+    def delta(self) -> tuple[float, float] | None:
+        """(task_sec, cpu_sec) summed over stages completed since the
+        last mark()/delta(). The listener bus is drained first so a
+        just-finished job's stages are all counted."""
+        try:
+            sc = self._spark.sparkContext
+            try:
+                sc._jsc.sc().listenerBus().waitUntilEmpty(2000)
+            except Exception:  # noqa: BLE001
+                time.sleep(0.05)
+            stages = self._stages()
+        except Exception:  # noqa: BLE001
+            return None
+        new = [s for s in stages if s.stageId() > self._last]
+        if stages:
+            self._last = max(
+                self._last, max(s.stageId() for s in stages)
+            )
+        run = sum(s.executorRunTime() for s in new) / 1e3
+        cpu = sum(s.executorCpuTime() for s in new) / 1e9
+        return round(run, 3), round(cpu, 3)
+
+
 def segment_breaks(names: list[str], segment: int = SEGMENT,
                    family: frozenset | set = frozenset(CACHE_FAMILY)) -> set[int]:
     """Indices where the timed loop restarts the session: the first
@@ -314,11 +375,20 @@ def main() -> None:
     # (VERDICT r9 next #1: the r9 drift couldn't be attributed because
     # run counts weren't recorded)
     samples: dict[str, list[float]] = {}
+    # matched per-sample executor task/CPU time (seconds) — the
+    # environment-insensitive twin of each wall sample
+    task_samples: dict[str, list[float]] = {}
+    cpu_samples: dict[str, list[float]] = {}
+    meter: StageMeter | None = None
 
     def run_one(s, name: str) -> float | None:
+        nonlocal meter
         fn = queries.get(name)
         if fn is None:
             return None
+        if meter is None or meter._spark is not s:
+            meter = StageMeter(s)
+        meter.mark()
         t0 = time.perf_counter()
         # per-query fault isolation: one broken probe must never
         # zero the whole round's bench — record the error, go on.
@@ -326,6 +396,10 @@ def main() -> None:
             fn(s, sf_dir).write.format("noop").mode("overwrite").save()
             t = round(time.perf_counter() - t0, 3)
             samples.setdefault(name, []).append(t)
+            d = meter.delta()
+            if d is not None:
+                task_samples.setdefault(name, []).append(d[0])
+                cpu_samples.setdefault(name, []).append(d[1])
             return t
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -386,6 +460,17 @@ def main() -> None:
         # raw per-probe timing samples in run order; len > 1 ⟺ the
         # min-of-2 rerun fired for that probe (published = min)
         "samples": samples,
+        # environment-insensitive per-probe metrics (min over samples,
+        # matching the published-wall policy): scheduler-attributed
+        # executor task time and on-CPU time in seconds
+        "task_time_sec": {
+            n: min(v) for n, v in task_samples.items() if v
+        },
+        "cpu_time_sec": {
+            n: min(v) for n, v in cpu_samples.items() if v
+        },
+        "task_time_samples": task_samples,
+        "cpu_time_samples": cpu_samples,
     }
     if errors:
         payload["errors"] = errors

@@ -79,6 +79,14 @@ def get_spark(app_name: str = "biodwh2-arcadedb-server-spark", *, shuffle_partit
         # footer-read count is the only acceptable kind
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
+        # AppStatusStore stage retention (the listener runs even with
+        # the UI off): bench.py reads per-probe executor task/CPU time
+        # from it and raises this so iterative probes (>1000 stages)
+        # don't evict their own stages mid-measurement
+        .config(
+            "spark.ui.retainedStages",
+            os.environ.get("SPARK_GRAFT_RETAINED_STAGES", "1000"),
+        )
         .config("spark.sql.warehouse.dir", _WAREHOUSE_DIR)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )

@@ -49,6 +49,7 @@ from pyspark.sql.datasource import (
 )
 
 SUMMARY_PREFIX = ".append-"  # one summary per write token (concurrent-safe)
+MANIFEST_NAME = "_manifest.json"  # object-store commit point (see below)
 
 
 @dataclass
@@ -74,17 +75,53 @@ class WorkspaceAppendDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("workspace_append requires .option('path', …)")
-        return _StagedAppendWriter(path, schema, self.options.get("token"))
+        mode = self.options.get("commit_mode", "rename")
+        if mode not in ("rename", "manifest"):
+            raise ValueError(f"commit_mode must be rename|manifest, got {mode!r}")
+        return _StagedAppendWriter(
+            path, schema, self.options.get("token"), commit_mode=mode
+        )
 
 
 class _StagedAppendWriter(DataSourceArrowWriter):
-    def __init__(self, path: str, schema, token: str | None = None) -> None:
+    """Two commit modes, one protocol:
+
+    - ``rename`` (default, posix/HDFS): tasks stage under a hidden
+      dir, commit() renames the reported files into the dataset —
+      rename is atomic-per-file on one filesystem and readers list
+      the directory.
+    - ``manifest`` (object stores, VERDICT r13 #4): rename is NOT
+      atomic on S3-likes (copy+delete), so nothing is ever renamed.
+      Tasks write ONCE, directly into the dataset dir under uuid
+      names — invisible to readers because manifest-mode readers
+      resolve the file set through ``_manifest.json``, not a listing
+      — and commit() publishes by atomically replacing that single
+      manifest object (a one-object PUT, the only primitive an
+      object store makes atomic). A crash after data-file writes but
+      before the manifest PUT leaves unreferenced orphans, never a
+      torn dataset; abort() deletes the reported files best-effort.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        schema,
+        token: str | None = None,
+        commit_mode: str = "rename",
+    ) -> None:
         self._path = path
         self._token = token or uuid.uuid4().hex
+        self._mode = commit_mode
         # one staging dir per WRITE (driver-generated, pickled to every
         # task): attempts land here; commit() moves only the files the
-        # successful attempts reported
-        self._staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+        # successful attempts reported. Manifest mode writes straight
+        # into the dataset dir (write-once; publication is the
+        # manifest PUT, so placement is invisible until then).
+        self._staging = (
+            path
+            if commit_mode == "manifest"
+            else os.path.join(path, f".staging-{uuid.uuid4().hex}")
+        )
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._arrow_schema = to_arrow_schema(schema)
@@ -120,10 +157,18 @@ class _StagedAppendWriter(DataSourceArrowWriter):
         for m in messages:
             if m is None or m.file is None:
                 continue
-            dst = os.path.join(self._path, os.path.basename(m.file))
-            os.replace(m.file, dst)
+            if self._mode == "rename":
+                dst = os.path.join(self._path, os.path.basename(m.file))
+                os.replace(m.file, dst)
             moved.append(os.path.basename(m.file))
             total += m.rows
+        if self._mode == "manifest" or manifest_files(self._path) is not None:
+            # the commit POINT in manifest mode: one atomic manifest
+            # replace publishes every file this write produced, as a
+            # set. A rename-mode write against a dataset that ALREADY
+            # has a manifest must also publish, or manifest readers
+            # would never see its rows.
+            manifest_publish(self._path, moved)
         # summary is PER-WRITE (token-named): concurrent appends to the
         # same dataset each read back their own commit, never a racing
         # writer's (round-13 review: a shared marker file raced under
@@ -133,10 +178,83 @@ class _StagedAppendWriter(DataSourceArrowWriter):
             "w",
         ) as fh:
             json.dump({"rows": total, "files": moved}, fh)
-        shutil.rmtree(self._staging, ignore_errors=True)
+        if self._mode == "rename":
+            shutil.rmtree(self._staging, ignore_errors=True)
 
     def abort(self, messages) -> None:
+        if self._mode == "manifest":
+            # staged == dataset dir in this mode: delete only the
+            # files the attempts reported (unreferenced orphans are
+            # harmless; torn datasets are impossible)
+            for m in messages or []:
+                if m is not None and m.file is not None:
+                    try:
+                        os.remove(m.file)
+                    except OSError:
+                        pass
+            return
         shutil.rmtree(self._staging, ignore_errors=True)
+
+
+def manifest_publish(path: str, new_files: list[str]) -> None:
+    """Append ``new_files`` to the dataset's manifest with ONE atomic
+    single-object replace — the object-store commit point. The first
+    publish bootstraps the manifest from the current directory listing
+    (adopting the rename-committed history), so a dataset can switch
+    modes without a rewrite. Versioned monotonically for audit."""
+    cur = manifest_files(path)
+    if cur is None:
+        cur_files, version = _listed_files(path), 0
+    else:
+        cur_files, version = cur
+    doc = {
+        "version": version + 1,
+        "files": sorted(set(cur_files) | set(new_files)),
+    }
+    tmp = os.path.join(path, f".{MANIFEST_NAME}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+
+
+def manifest_files(path: str) -> tuple[list[str], int] | None:
+    """(files, version) from the dataset manifest, or None when the
+    dataset has never manifest-committed (pure rename-mode history)."""
+    p = os.path.join(path, MANIFEST_NAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        doc = json.load(fh)
+    return list(doc["files"]), int(doc.get("version", 0))
+
+
+def _listed_files(path: str) -> list[str]:
+    return sorted(
+        n
+        for n in os.listdir(path)
+        if n.endswith(".parquet") and not n.startswith(".")
+    )
+
+
+def dataset_files(path: str) -> list[str]:
+    """Reader-side resolution: the manifest is AUTHORITATIVE when
+    present (an uncommitted write's orphan files in the directory are
+    not part of the dataset); otherwise the directory listing is (the
+    posix rename lane, where placement IS publication)."""
+    m = manifest_files(path)
+    names = m[0] if m is not None else _listed_files(path)
+    return [os.path.join(path, n) for n in names]
+
+
+def read_dataset(spark, path: str):
+    """Manifest-aware parquet read of one dataset directory."""
+    m = manifest_files(path)
+    if m is None:
+        return spark.read.parquet(path)
+    files, _ = m
+    if not files:
+        raise ValueError(f"manifest at {path} lists no files")
+    return spark.read.parquet(*[os.path.join(path, n) for n in files])
 
 
 def driver_staged_append(path: str, schema, rows) -> int:
@@ -167,6 +285,10 @@ def driver_staged_append(path: str, schema, rows) -> int:
             )
             pq.write_table(tbl, fname)
             os.replace(fname, os.path.join(path, os.path.basename(fname)))
+            if manifest_files(path) is not None:
+                # keep a manifest-mode dataset coherent: publication
+                # happens through the manifest wherever one exists
+                manifest_publish(path, [os.path.basename(fname)])
         # no token summary here: the caller gets the count as the
         # return value in-process — the summary file exists ONLY to
         # carry the count across the distributed writer's commit

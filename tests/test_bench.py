@@ -55,3 +55,19 @@ def test_verify_all_sweep_covers_registry():
     )
     assert set(sweep["results"]) == set(registered)
     assert sweep["fail"] == 0
+
+
+def test_stage_meter_counts_new_stages_only(spark):
+    """StageMeter (VERDICT r13 #3): the delta after a job reflects
+    that job's executor task time; a second delta with no new work is
+    zero — stage-id diffing, immune to retention eviction of old
+    stages."""
+    m = bench.StageMeter(spark)
+    m.mark()
+    spark.range(0, 2_000_000, 1, 8).selectExpr("avg(id % 97)").collect()
+    d = m.delta()
+    assert d is not None
+    task, cpu = d
+    assert task > 0 and cpu > 0
+    d2 = m.delta()
+    assert d2 == (0.0, 0.0)

