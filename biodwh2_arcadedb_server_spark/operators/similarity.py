@@ -1239,7 +1239,7 @@ def kmeans_assign(
             F.col(id_col), vec_d.alias("_v")
         ).withColumn(
             "_best", _new_best([cands[0][1]], 0)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # lazy: folds into the round-1 phi agg (one fewer job/round)
         prev_phi: float | None = None
         for r in range(1, init_rounds + 1):
             d2 = F.col("_best")["d"]
@@ -1284,7 +1284,7 @@ def kmeans_assign(
                 F.least(
                     F.col("_best"), _new_best([v for _, v in new], offset)
                 ),
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)  # lazy: folds into the next phi agg
         # Voronoi weights: the running argmin IS the assignment — one
         # tiny groupBy(|C|), no extra corpus pass
         word = {
@@ -1351,16 +1351,30 @@ def kmeans_assign(
         )
     for _ in range(iterations):
         assigned = _assign(cents)
-        agg = assigned.groupBy("cluster").agg(*[
-            F.round(
-                F.avg(F.element_at(F.col(vec_col), i + 1)), 8
-            ).alias(f"c{i}")
-            for i in range(dim)
-        ]).collect()  # bounded: k rows of dim doubles
-        new = {
-            int(r["cluster"]): [float(r[f"c{i}"]) for i in range(dim)]
-            for r in agg
-        }
+        # NARROW update plan (round 14): the old dim-wide agg (64
+        # round(avg(element_at..)) columns) cost ~0.8s of DRIVER-side
+        # Catalyst analysis per iteration — measured as inter-job
+        # gaps, 2.5× the executor time of the whole probe. posexplode
+        # to (cluster, dim_index, value) keeps the plan 3 columns at
+        # ANY dim; the k×dim result pivots driver-side. Same
+        # arithmetic (avg over the same upcast doubles, HALF_UP 8dp),
+        # same shuffle volume (k×dim partial avgs combine map-side).
+        agg = (
+            assigned.select(
+                "cluster",
+                F.posexplode(F.slice(F.col(vec_col), 1, dim)).alias(
+                    "_i", "_x"
+                ),
+            )
+            .groupBy("cluster", "_i")
+            .agg(F.round(F.avg(F.col("_x").cast("double")), 8).alias("c"))
+            .collect()  # bounded: k*dim rows
+        )
+        new: dict[int, list[float]] = {}
+        for r in agg:
+            new.setdefault(int(r["cluster"]), [0.0] * dim)[int(r["_i"])] = (
+                float(r["c"])
+            )
         # an empty cluster keeps its previous centroid (mirrored by
         # the oracle's LEFT JOIN + COALESCE)
         prev = cents

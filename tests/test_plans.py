@@ -408,3 +408,21 @@ def test_q192_jsonl_scan_retains_filters_at_source(spark, sf_medium):
     assert leftover == [] and len(r._pushed) == 2
     scanned = sum(len(list(r.read(p))) for p in r.partitions())
     assert 0 < scanned == df.count() < n_lines
+
+
+def test_q109_boilerplate_plan_shape(spark, sf_medium):
+    """Round-14 restructure (VERDICT r13 #2): the common-set join must
+    BROADCAST (the corpus never shuffles to meet it), the md5 hash
+    must run row-level (never inside the interpreted transform
+    lambda), and the old doc-keyed SortMergeJoin of token arrays plus
+    its O(nseg*ndrops) array_contains rebuild must be gone."""
+    from biodwh2_arcadedb_server_spark.operators import pipeline_queries2
+
+    df = pipeline_queries2.q109_boilerplate_removal(spark, sf_medium)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert "array_contains" not in plan
+    # the hash chain is OUTSIDE the segment lambda: the r13 plan
+    # hashed each slice inside transform (interpreted per element)
+    assert "md5(concat_ws( , slice(" not in plan.replace("\n", "")
