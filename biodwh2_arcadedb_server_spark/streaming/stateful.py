@@ -1310,12 +1310,30 @@ def run_warm_start_first_seen(
 
 CONTAMINATION_ANCHOR_SCHEMA = "da bigint, db bigint, pa bigint, pb bigint"
 
+# Cell sizing contract (VERDICT r13 #6): each gram-hash cell is one
+# TWS state key whose MapState holds its shard of the reference
+# postings. ~100k postings/cell keeps a cell's state in the low MBs
+# (a posting is a gram hash + two int lists) — big enough to amortize
+# per-key processor overhead, small enough that one cell's map never
+# dominates an executor's state store. The floor keeps probe-scale
+# parallelism; the cap bounds stateful-shuffle key count.
+_POSTINGS_PER_CELL = 100_000
+_MIN_CELLS, _MAX_CELLS = 8, 65_536
+
+
+def derive_contamination_cells(n_postings: int) -> int:
+    """n_cells from the reference-index size: ceil(postings / 100k),
+    clamped to [8, 65536]. The r13 default of 8 was a local[32]
+    tuning; a real eval suite (millions of grams) wants hundreds of
+    cells so the postings shard evenly across executors."""
+    return max(_MIN_CELLS, min(_MAX_CELLS, -(-int(n_postings) // _POSTINGS_PER_CELL)))
+
 
 def stream_substring_contamination(
     docs: DataFrame,
     ref_postings: DataFrame,
     k: int = 8,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     ttl_ms: int | None = None,
     granularity: str = "word",
 ) -> DataFrame:
@@ -1331,10 +1349,20 @@ def stream_substring_contamination(
     assembly is ``dedup.assemble_spans`` downstream — per-(doc, ref,
     diag) local, so it composes per micro-batch or post-hoc.
     ``ttl_ms`` opts into state TTL (requires ProcessingTime mode) for
-    long-lived deployments that re-bootstrap the reference set."""
+    long-lived deployments that re-bootstrap the reference set.
+
+    ``n_cells=None`` (default) derives the cell count from the
+    reference index size via ``derive_contamination_cells`` — one
+    count() over the batch postings at bootstrap, amortized over the
+    stream's lifetime. Pass an explicit value to pin the plan (the
+    driver probes do, for run-to-run stability); results are
+    IDENTICAL at any cell count — cells only shard the state."""
     from biodwh2_arcadedb_server_spark.operators.dedup import (
         positional_shingles,
     )
+
+    if n_cells is None:
+        n_cells = derive_contamination_cells(ref_postings.count())
 
     if not HAS_TRANSFORM_WITH_STATE:
         raise RuntimeError(

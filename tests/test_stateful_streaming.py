@@ -408,3 +408,56 @@ def test_tws_contamination_ttl_smoke(spark, sf_small):
         ).collect()
     )
     assert with_ttl == base
+
+
+def test_contamination_cell_derivation_and_n_cells_64(spark, sf_small):
+    """Round 14 (VERDICT r13 #6): n_cells is a sharding knob with a
+    size-derived default, not a tuning constant. The derivation
+    follows the SCALE.md contract (ceil(postings/100k) clamped to
+    [8, 65536]); and a drain at n_cells=64 is byte-equal to the batch
+    twin — cell count can never change results, only state layout."""
+    from pyspark.sql import functions as F
+
+    from biodwh2_arcadedb_server_spark.operators import dedup
+    from biodwh2_arcadedb_server_spark.sources.registry import load_table
+    from biodwh2_arcadedb_server_spark.streaming.stateful import (
+        HAS_TRANSFORM_WITH_STATE,
+        TWS_UNAVAILABLE_REASON,
+        derive_contamination_cells,
+        run_finite_substring_contamination,
+    )
+
+    assert derive_contamination_cells(0) == 8
+    assert derive_contamination_cells(100_000) == 8
+    assert derive_contamination_cells(900_001) == 10
+    assert derive_contamination_cells(5_000_000) == 50
+    assert derive_contamination_cells(10**12) == 65_536
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        pytest.skip(TWS_UNAVAILABLE_REASON)
+    REF, K, MINLEN, MAXDF = 100, 8, 20, 16
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in run_finite_substring_contamination(
+            spark, sf_small, ref_below=REF, n_chunks=2,
+            k=K, min_len=MINLEN, max_df=MAXDF,
+            name="contam_c64_test", state_parts=4, n_cells=64,
+        ).collect()
+    )
+    docs = load_table(spark, sf_small, "documents")
+    post = dedup.reference_postings(
+        docs.where(F.col("doc_id") < REF), "doc_id", "text",
+        k=K, max_df=MAXDF,
+    )
+    ref_rows = post.select(
+        "gh", F.explode(F.arrays_zip("refs", "poss")).alias("_z"),
+    ).select("gh", F.col("_z.refs").alias("da"), F.col("_z.poss").alias("pa"))
+    stream_grams = dedup.positional_shingles(
+        docs.where(F.col("doc_id") >= REF), "doc_id", "text", K
+    ).select("gh", F.col("_id").alias("db"), F.col("pos").alias("pb"))
+    anchors = ref_rows.join(stream_grams, "gh").drop("gh")
+    want = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in dedup.assemble_spans(anchors, K, MINLEN).collect()
+    )
+    assert got == want and got
