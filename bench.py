@@ -226,6 +226,8 @@ HEADLINE = [
     "q169_curation_funnel",
     "q170_domain_mixture",
     "q171_rid_lookup",
+    "q192_jsonl_source_scan",
+    "q193_schema_tvf",
 ]
 
 # Streaming micro-batch drains, timed and reported separately: their

@@ -348,6 +348,11 @@ class _Select:
     # workspace's manifest-recorded bucket order; pos is the
     # content-derived node_id (our documented id divergence).
     rid: "tuple[int, int] | None" = None
+    # SELECT FROM schema:{types|indexes|buckets} — ArcadeDB's system
+    # table-valued FROM targets (Studio's schema browser issues
+    # these). Materialized from the loaded workspace's manifest at
+    # query time by execute(), so DDL since the load is visible.
+    schema_source: str | None = None
 
 
 @dataclass
@@ -1163,6 +1168,22 @@ class _Parser:
             # `SELECT @rid FROM T` echoes.
             b, p = self.next().text[1:].split(":")
             sel.rid = (int(b), int(p))
+        elif (
+            self.peek().kind == "ident"
+            and self.peek().text.lower() == "schema"
+            and self.peek(1).kind == "op"
+            and self.peek(1).text == ":"
+        ):
+            # schema:{types|indexes|buckets} — system TVF targets
+            self.next()
+            self.next()
+            which = self._name("schema table").lower()
+            if which not in ("types", "indexes", "buckets"):
+                raise ArcadeSQLError(
+                    f"unknown schema table 'schema:{which}' — use "
+                    "schema:types, schema:indexes or schema:buckets"
+                )
+            sel.schema_source = which
         else:
             sel.source_type = self._name("type name")
         # LET $var = <expr | (SELECT ...)> [, ...] — ArcadeDB context
@@ -2928,6 +2949,8 @@ def execute(
                 "plan string",
             )
         _register_shortest_path_views(spark, ip.shortest_paths)
+        if isinstance(istmt, _Select):
+            _materialize_schema_sources(spark, istmt)
         compiled = (
             _compile_match(istmt) if isinstance(istmt, _Match)
             else _compile_select(istmt)
@@ -2945,8 +2968,91 @@ def execute(
         return spark.sql(_compile_match(stmt))
     if isinstance(stmt, _Select):
         _materialize_traverse_sources(spark, stmt)
+        _materialize_schema_sources(spark, stmt)
         return spark.sql(_compile_select(stmt))
     return _run_traverse(spark, stmt)
+
+
+def _materialize_schema_sources(spark: SparkSession, sel: _Select) -> None:
+    """``SELECT ... FROM schema:{types|indexes|buckets}`` — ArcadeDB's
+    system TVF targets (the Studio schema browser's queries). Rows
+    come from the loaded workspace's manifest, re-read at query time
+    so DDL since the load is visible; the tiny frame registers under a
+    spec-named temp view and the SELECT machinery (WHERE/ORDER/
+    projections) applies unchanged. Recurses into subqueries."""
+    if sel.subquery is not None:
+        _materialize_schema_sources(spark, sel.subquery)
+    if sel.schema_source is None:
+        return
+    import json as _json
+    import os as _os
+
+    from biodwh2_arcadedb_server_spark import workspace as ws
+
+    which = sel.schema_source
+    if ws.LAST_WS_DIR is None:
+        raise ArcadeSQLError(
+            f"schema:{which} requires a loaded workspace "
+            "(load_workspace records the manifest location)"
+        )
+    with open(_os.path.join(ws.LAST_WS_DIR, "manifest.json")) as mh:
+        manifest = _json.load(mh)
+
+    def _props(info, internals) -> list[str]:
+        schema_json = info.get("schema")
+        if not schema_json:
+            return []
+        return sorted(
+            f["name"]
+            for f in schema_json.get("fields", [])
+            if f["name"] not in internals
+        )
+
+    if which == "types":
+        rows = []
+        for kind, tag, internals in (
+            ("nodes", "vertex", {"node_id", "node_id2", "label", "natural_key"}),
+            ("edges", "edge", {"src", "dst", "label"}),
+        ):
+            for label, info in manifest.get(kind, {}).items():
+                rows.append(
+                    (label, tag, int(info.get("count", 0)), _props(info, internals))
+                )
+        df = spark.createDataFrame(
+            sorted(rows),
+            "name string, kind string, records long, properties array<string>",
+        )
+    elif which == "indexes":
+        rows = []
+        for kind in ("nodes", "edges"):
+            for label, info in manifest.get(kind, {}).items():
+                for ix in info.get("indexes", []):
+                    rows.append(
+                        (
+                            f"{label}[{','.join(ix['columns'])}]",
+                            label,
+                            list(ix["columns"]),
+                            bool(ix.get("unique")),
+                        )
+                    )
+        df = spark.createDataFrame(
+            sorted(rows),
+            "name string, type_name string, columns array<string>, "
+            "is_unique boolean",
+        )
+    else:  # buckets — the RID addressing order (documented divergence:
+        # pos is the content-derived node_id, bucket the manifest slot)
+        rows = [
+            (i, lbl, lbl)
+            for i, lbl in enumerate(ws.RID_BUCKET_LABELS)
+            if lbl is not None
+        ]
+        df = spark.createDataFrame(
+            rows, "bucket int, name string, type_name string"
+        )
+    view = f"__schema_{which}"
+    df.createOrReplaceTempView(f"n_{view}")
+    sel.source_type, sel.schema_source = view, None
 
 
 def _materialize_traverse_sources(spark: SparkSession, sel: _Select) -> None:

@@ -1474,3 +1474,90 @@ ORACLE["q189_graphql_full_introspection"] = """
     FROM (VALUES ('include'), ('skip')) v(tname)
     ORDER BY section, tname, fname
 """
+
+
+# --- B: schema TVF targets (round 14, VERDICT r13 #7 / ROADMAP #4) ----------------
+def q193_schema_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT FROM schema:{types|indexes|buckets}`` — ArcadeDB's
+    system table-valued FROM targets (the Studio schema browser's
+    queries; the reference serves that browser through its bundled
+    Studio, pom.xml [B]). Force-builds the Region/Nation workspace,
+    creates a UNIQUE index through dialect DDL, then reads all three
+    schema tables back through dialect SELECTs (one with WHERE, one
+    with projections) and unifies them into a single audit frame. The
+    rows come from the manifest RE-READ at query time, so the
+    just-created index is visible without a reload — that liveness is
+    half of what this probe pins. Fixed-size dims at every SF: the
+    oracle recomputes counts from the raw tables and hardcodes the
+    structure the build specs imply."""
+    import hashlib
+    import os
+
+    from biodwh2_arcadedb_server_spark import workspace as ws
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    wdir = os.path.join("/tmp", f"biodwh2_tvf_probe_{tag}")
+    node_specs = [s for s in ws.NODE_SPECS if s.label in ("Region", "Nation")]
+    edge_specs = [s for s in ws.EDGE_SPECS if s.label == "IN_REGION"]
+    ws.build_workspace(
+        spark, sf_dir, wdir, force=True,
+        node_specs=node_specs, edge_specs=edge_specs,
+    )
+    ws.load_workspace(spark, wdir)
+    arcadesql.execute(
+        spark, "CREATE INDEX ON Nation (natural_key) UNIQUE",
+        workspace_dir=wdir, allow_writes=True,
+    )
+    types = arcadesql.execute(
+        spark, "SELECT name, kind, records, properties FROM schema:types"
+    ).select(
+        F.lit("type").alias("section"),
+        F.col("name"),
+        F.concat(F.col("kind"), F.lit(":"), F.concat_ws(",", "properties"))
+        .alias("detail"),
+        F.col("records"),
+    )
+    idx = arcadesql.execute(
+        spark, "SELECT name, type_name, is_unique FROM schema:indexes"
+    ).select(
+        F.lit("index").alias("section"),
+        F.col("name"),
+        F.concat(
+            F.col("type_name"),
+            F.when(F.col("is_unique"), F.lit(":unique")).otherwise(F.lit("")),
+        ).alias("detail"),
+        F.lit(None).cast("long").alias("records"),
+    )
+    buckets = arcadesql.execute(
+        spark, "SELECT bucket, name FROM schema:buckets WHERE bucket >= 0"
+    ).select(
+        F.lit("bucket").alias("section"),
+        F.col("name"),
+        F.col("bucket").cast("string").alias("detail"),
+        F.lit(None).cast("long").alias("records"),
+    )
+    return types.unionByName(idx).unionByName(buckets).orderBy(
+        "section", "name"
+    )
+
+
+QUERIES["q193_schema_tvf"] = q193_schema_tvf
+ORACLE["q193_schema_tvf"] = """
+    SELECT * FROM (
+      SELECT 'bucket' AS section, 'Region' AS name, '0' AS detail,
+             CAST(NULL AS BIGINT) AS records
+      UNION ALL
+      SELECT 'bucket', 'Nation', '1', NULL
+      UNION ALL
+      SELECT 'index', 'Nation[natural_key]', 'Nation:unique', NULL
+      UNION ALL
+      SELECT 'type', 'Region', 'vertex:r_name',
+             (SELECT count(*) FROM region)
+      UNION ALL
+      SELECT 'type', 'Nation', 'vertex:n_name',
+             (SELECT count(*) FROM nation)
+      UNION ALL
+      SELECT 'type', 'IN_REGION', 'edge:',
+             (SELECT count(*) FROM nation)
+    ) ORDER BY section, name
+"""

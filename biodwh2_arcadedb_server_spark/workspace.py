@@ -87,6 +87,13 @@ RID_BUCKET_LABELS: list[str] = []
 # registration EACH per bench run).
 VIEW_EPOCH = 0
 
+# Directory of the last-loaded workspace (round 14): the dialect's
+# `schema:types` / `schema:indexes` / `schema:buckets` TVF targets
+# re-read the manifest from here at query time, so DDL that ran since
+# the load is reflected without a reload. Set under the DML lock with
+# RID_BUCKET_LABELS.
+LAST_WS_DIR: str | None = None
+
 
 # The TPC-H star schema viewed as a labeled property graph — the same
 # shape the reference ETLs out of a BioDWH2 workspace (per-label node
@@ -1174,6 +1181,7 @@ def load_workspace(spark: SparkSession, ws_dir: str) -> dict:
     # lock-free readers see either the old or the new list whole.
     from biodwh2_arcadedb_server_spark import arcadesql as _asql
 
+    global LAST_WS_DIR
     with _asql._DML_LOCK:
         # the epoch bump lives INSIDE the lock — an unguarded
         # read-modify-write here races _register_star_workspace's
@@ -1183,6 +1191,7 @@ def load_workspace(spark: SparkSession, ws_dir: str) -> dict:
         RID_BUCKET_LABELS[:] = manifest.get("rid_buckets") or list(
             manifest["nodes"]
         )
+        LAST_WS_DIR = ws_dir
 
     def _read(info):
         # The manifest carries the authoritative schema (written at

@@ -1361,3 +1361,23 @@ def test_params_float_plain_decimal(graph_ws):
         params={"eps": 1e-05},
     )
     assert [r.name for r in df.collect()] == ["p1"]
+
+
+def test_schema_tvf_errors(spark):
+    """schema:<unknown> is a parse error; schema:types without a
+    loaded workspace errors with guidance (round 14)."""
+    import pytest as _pytest
+
+    from biodwh2_arcadedb_server_spark import arcadesql
+    from biodwh2_arcadedb_server_spark import workspace as ws
+    from biodwh2_arcadedb_server_spark.arcadesql import ArcadeSQLError
+
+    with _pytest.raises(ArcadeSQLError, match="unknown schema table"):
+        arcadesql.execute(spark, "SELECT FROM schema:nope")
+    saved = ws.LAST_WS_DIR
+    try:
+        ws.LAST_WS_DIR = None
+        with _pytest.raises(ArcadeSQLError, match="loaded workspace"):
+            arcadesql.execute(spark, "SELECT FROM schema:types")
+    finally:
+        ws.LAST_WS_DIR = saved
