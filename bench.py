@@ -210,6 +210,7 @@ HEADLINE = [
     "q172_png_decode",
     "q173_png_palette_decode",
     "q174_png_adam7_decode",
+    "q194_jpeg_decode",
     "q157_graphql_inline_fragments",
     "q158_ddl_readback",
     "q186_ddl_rename_128bit_readback",

@@ -10,15 +10,18 @@ test corpus encodes genuine PPM/WAV payloads deterministically from
 the documents table, so decode output is oracle-able. Round 9 closes
 the seam for a REAL compressed codec with zero new dependencies:
 **PNG** (8-bit truecolor, zlib inflate + full per-scanline
-None/Sub/Up/Average/Paeth unfiltering, chunk CRC verification).
-Remaining compressed codecs (JPEG/MP4/Opus) and PNG variants
-(palette/16-bit/Adam7) still sit behind a clearly-marked
-NotImplementedError seam — that is where `PIL.Image.open` /
-`soundfile.read` / pyav plug in on a real deployment; the dispatch,
-schema, and batch shape they inherit are exercised by the
-PPM/PNG/WAV paths. ``decode_stub=True`` keeps the old
-byte-statistics fake for comparison and for payloads of unknown
-type.
+None/Sub/Up/Average/Paeth unfiltering, chunk CRC verification);
+round 10 the palette/sub-byte/16-bit/Adam7 variants; round 14 the
+LOSSY side: **baseline JPEG** (``operators.jpeg`` — T.81 sequential
+DCT: canonical Huffman from any DHT, byte unstuffing, restart
+markers, DC prediction, dequant + exact float64 IDCT, 4:2:0
+upsampling, YCbCr→RGB). Remaining codecs (MP4/Opus video+audio
+containers, progressive JPEG) still sit behind a clearly-marked
+NotImplementedError seam — that is where pyav / soundfile /
+libjpeg-turbo plug in on a real deployment; the dispatch, schema,
+and batch shape they inherit are exercised by the PPM/PNG/JPEG/WAV
+paths. ``decode_stub=True`` keeps the old byte-statistics fake for
+comparison and for payloads of unknown type.
 
 Design for 100 TB of media:
 - Binary payloads ride in Parquet as ``BinaryType`` next to their
@@ -761,6 +764,54 @@ def to_png_adam7_table(
     )
 
 
+def to_jpeg_table(
+    documents: DataFrame, width: int = 16, height: int = 16
+) -> DataFrame:
+    """Build a media table of REAL BASELINE JPEGs (round 14, VERDICT
+    r13 #5 — the [C5] lossy-codec seam closed with zero new
+    dependencies: ``operators.jpeg`` is a pure-python/numpy T.81
+    baseline codec). The fixture uses the DC-EXACT construction:
+    grayscale, each 8×8 block FLAT at ``codepoint(char_b) % 256``
+    over the first (width/8)·(height/8) text chars (padded 'x'), and
+    an all-8 quantization table. A flat block has only a DC
+    coefficient and 8·(v−128) is always divisible by 8, so
+    quantize→dequantize→IDCT reproduces every block bit-exactly —
+    a LOSSY format with a LOSSLESS fixture path, which is what lets
+    the decoded-stat oracle hash-check the full Huffman+DCT decode
+    chain (per-block values are the oracle's ``ord(char) % 256``)."""
+    import numpy as np
+
+    from biodwh2_arcadedb_server_spark.operators import jpeg as jpeg_mod
+
+    bx, by = width // 8, height // 8
+    n_blocks = bx * by
+    q8 = np.full(64, 8, dtype=np.int64)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                chars = ((text or "")[:n_blocks] + "x" * n_blocks)[:n_blocks]
+                vals = np.array(
+                    [ord(c) % 256 for c in chars], dtype=np.uint8
+                ).reshape(by, bx)
+                img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                payloads.append(
+                    jpeg_mod.encode_baseline(img, qtables=(q8, q8))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/jpeg",
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        op, schema="doc_id long, media_type string, payload binary"
+    )
+
+
 def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Per-item features from binary payloads via mapInPandas (Arrow
     batches in, Arrow batches out — the sanctioned Python path).
@@ -786,6 +837,12 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                         _, _, px = _decode_ppm(bytes(payload))
                     elif mt == "image/png":
                         _, _, _, px = _decode_png(bytes(payload))
+                    elif mt == "image/jpeg":
+                        from biodwh2_arcadedb_server_spark.operators import (
+                            jpeg as jpeg_mod,
+                        )
+
+                        px = jpeg_mod.decode_baseline(bytes(payload)).tobytes()
                     else:
                         raise NotImplementedError(
                             f"no pure-Python decoder for {mt!r} — plug "

@@ -565,6 +565,27 @@ def q174_png_adam7_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q194_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE JPEG decode through the C5 seam (round 14, VERDICT
+    r13 #5 — the last lossy-codec hole, closed with the pure-python
+    ``operators.jpeg`` T.81 codec): the corpus re-encodes as genuine
+    baseline JPEGs (SOI/DQT/SOF0/DHT/SOS, Annex-K Huffman tables,
+    byte stuffing), and ``extract_features(decode_stub=False)`` runs
+    the full entropy-decode → dequant → IDCT chain. The fixture is
+    the DC-EXACT construction (flat 8×8 blocks at codepoint % 256,
+    all-8 quant table — see ``to_jpeg_table``), so the decode is
+    bit-exact despite the lossy format and the oracle recomputes the
+    stats from the source text directly. 16×16 gray = 4 blocks/doc,
+    exercising the DC prediction chain across blocks."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(
+        multimodal.to_jpeg_table(d), decode_stub=False
+    ).select(
+        "doc_id", "n_bytes", F.round("byte_mean", 4).alias("byte_mean"),
+        F.round("byte_entropy_proxy", 4).alias("byte_entropy_proxy"),
+    )
+
+
 # --- C5: REAL frame decode fan-out (oracle-able) -------------------------------------------------
 def q38_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode_stub=False: one frame per decoded pixel ROW with its
@@ -647,6 +668,7 @@ QUERIES = {
     "q36_multimodal_meta": q36_multimodal_meta,
     "q37_media_features": q37_media_features,
     "q172_png_decode": q172_png_decode,
+    "q194_jpeg_decode": q194_jpeg_decode,
     "q173_png_palette_decode": q173_png_palette_decode,
     "q174_png_adam7_decode": q174_png_adam7_decode,
     "q38_frame_sample": q38_frame_sample,
@@ -954,6 +976,19 @@ ORACLE = {
         SELECT doc_id,
                CAST(192 AS BIGINT) AS n_bytes,
                ROUND(list_sum(cs) * 1.0 / 192, 4) AS byte_mean,
+               ROUND(len(list_distinct(cs)) / 256.0, 4) AS byte_entropy_proxy
+        FROM codes
+    """,
+    "q194_jpeg_decode": """
+        WITH codes AS (
+            SELECT doc_id,
+                   list_transform(range(1, 5),
+                                  i -> ord(rpad(substr(text, 1, 4), 4, 'x')[i]) % 256) AS cs
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(256 AS BIGINT) AS n_bytes,
+               ROUND(list_sum(cs) * 1.0 / 4, 4) AS byte_mean,
                ROUND(len(list_distinct(cs)) / 256.0, 4) AS byte_entropy_proxy
         FROM codes
     """,

@@ -1403,3 +1403,113 @@ def test_ivf_kmll_trainer_recall_and_plateau(spark, sf_small):
     )
     assert strict.shape == off.shape == (4, 64)
     assert np.allclose(np.linalg.norm(strict, axis=1), 1.0, atol=1e-6)
+
+
+# --- round 14: pure-python baseline JPEG codec (operators/jpeg.py) ----------------
+
+
+def test_jpeg_dct_convention_and_linearity():
+    """The 8-point orthonormal DCT matches T.81's: a flat block of v
+    has DC = 8*(v-128) and zero ACs; IDCT of a DC-only block is the
+    constant dc/8 (exact in float64); transform is orthogonal."""
+    import numpy as np
+
+    from biodwh2_arcadedb_server_spark.operators import jpeg
+
+    blk = np.full((1, 8, 8), 100.0) - 128.0
+    co = jpeg.dct2_blocks(blk)[0]
+    assert abs(co[0, 0] - 8 * (100 - 128)) < 1e-9
+    assert np.abs(co).sum() - abs(co[0, 0]) < 1e-9
+    dc_only = np.zeros((1, 8, 8))
+    dc_only[0, 0, 0] = 80.0
+    assert np.allclose(jpeg.idct2_blocks(dc_only), 10.0)
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(3, 8, 8))
+    assert np.allclose(jpeg.idct2_blocks(jpeg.dct2_blocks(x)), x)
+
+
+def test_jpeg_flat_blocks_roundtrip_exact():
+    """DC-exact contract: flat 8x8 blocks + all-8 quant table decode
+    bit-exactly for EVERY value 0..255, including across the DC
+    prediction chain and restart markers."""
+    import numpy as np
+
+    from biodwh2_arcadedb_server_spark.operators import jpeg
+
+    q8 = np.full(64, 8, dtype=np.int64)
+    vals = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))  # 128x128
+    out = jpeg.decode_baseline(jpeg.encode_baseline(img, qtables=(q8, q8)))
+    assert np.array_equal(out, img)
+    out2 = jpeg.decode_baseline(
+        jpeg.encode_baseline(img, qtables=(q8, q8), restart_interval=5)
+    )
+    assert np.array_equal(out2, img)
+
+
+def test_jpeg_lossy_roundtrips_within_tolerance():
+    import numpy as np
+
+    from biodwh2_arcadedb_server_spark.operators import jpeg
+
+    rng = np.random.default_rng(0)
+    gray = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    out = jpeg.decode_baseline(jpeg.encode_baseline(gray, quality=95))
+    assert np.abs(out.astype(int) - gray.astype(int)).max() <= 12
+    # smooth color content, 4:4:4 and 4:2:0
+    gx = np.linspace(0, 255, 32)
+    col = np.stack(
+        [np.tile(gx, (32, 1)), np.tile(gx[::-1], (32, 1)),
+         np.full((32, 32), 128.0)], axis=-1,
+    ).astype(np.uint8)
+    for sub in (False, True):
+        out = jpeg.decode_baseline(
+            jpeg.encode_baseline(col, quality=90, subsample=sub)
+        )
+        assert out.shape == col.shape
+        assert np.abs(out.astype(int) - col.astype(int)).max() <= 16
+    # odd (non-MCU-aligned) geometry survives pad+crop
+    odd = rng.integers(0, 256, (13, 21), dtype=np.uint8)
+    out = jpeg.decode_baseline(jpeg.encode_baseline(odd, quality=100))
+    assert out.shape == (13, 21)
+
+
+def test_jpeg_rejects_non_baseline():
+    import numpy as np
+    import pytest as _pytest
+
+    from biodwh2_arcadedb_server_spark.operators import jpeg
+
+    with _pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_baseline(b"\x89PNG\r\n")
+    # flip SOF0 -> SOF2 (progressive) in a real stream
+    data = bytearray(
+        jpeg.encode_baseline(np.zeros((8, 8), dtype=np.uint8))
+    )
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        jpeg.decode_baseline(bytes(data))
+
+
+def test_jpeg_feature_dispatch_matches_text_oracle(spark, sf_small):
+    """extract_features(decode_stub=False) over to_jpeg_table: the
+    decoded stats equal the per-doc codepoint fold (the q194 oracle,
+    computed here in python)."""
+    from pyspark.sql import functions as F
+
+    from biodwh2_arcadedb_server_spark.operators import multimodal
+    from biodwh2_arcadedb_server_spark.sources.registry import load_table
+
+    d = load_table(spark, sf_small, "documents").limit(40)
+    got = {
+        r.doc_id: (r.n_bytes, round(r.byte_mean, 4), round(r.byte_entropy_proxy, 4))
+        for r in multimodal.extract_features(
+            multimodal.to_jpeg_table(d), decode_stub=False
+        ).collect()
+    }
+    for row in d.select("doc_id", "text").collect():
+        chars = ((row.text or "")[:4] + "xxxx")[:4]
+        cs = [ord(c) % 256 for c in chars]
+        want = (256, round(sum(cs) / 4, 4), round(len(set(cs)) / 256.0, 4))
+        assert got[row.doc_id] == want, row.doc_id
