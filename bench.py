@@ -228,6 +228,7 @@ HEADLINE = [
     "q170_domain_mixture",
     "q171_rid_lookup",
     "q192_jsonl_source_scan",
+    "q195_csv_source_scan",
     "q193_schema_tvf",
 ]
 

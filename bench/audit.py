@@ -149,8 +149,14 @@ def annotate(name: str, s: float, d: float | None) -> str:
 def main() -> None:
     runs = []
     for path in sys.argv[1:]:
-        lines = [l for l in open(path) if l.startswith("{")]
-        runs.append(json.loads(lines[-1]))
+        # accept BOTH formats: a full bench/last_run.json payload
+        # (indented; carries task_time_sec — round 14) or the legacy
+        # one-line compact stdout capture
+        try:
+            runs.append(json.load(open(path)))
+        except json.JSONDecodeError:
+            lines = [l for l in open(path) if l.startswith("{")]
+            runs.append(json.loads(lines[-1]))
     spark_run = runs[0]
     # HEADLINE ∪ STREAMING (round 10: streaming probes were previously
     # left out of the two-sided audit even though they carry oracles)
@@ -166,6 +172,15 @@ def main() -> None:
         )
         for name in names
     }
+    # environment-insensitive twin (VERDICT r13 #3): min executor
+    # task-time / cpu-time per probe across runs, where the payloads
+    # carry them (full last_run.json format)
+    task_times: dict[str, float] = {}
+    cpu_times: dict[str, float] = {}
+    for metric, sink in (("task_time_sec", task_times), ("cpu_time_sec", cpu_times)):
+        for r in runs:
+            for name, v in r.get(metric, {}).items():
+                sink[name] = min(sink.get(name, float("inf")), v)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -193,6 +208,16 @@ def main() -> None:
             "spark_sec": s,
             "duckdb_sec": duck_times.get(name),
             "verdict": annotate(name, s, duck_times.get(name)),
+            **(
+                {"task_time_sec": task_times[name]}
+                if name in task_times
+                else {}
+            ),
+            **(
+                {"cpu_time_sec": cpu_times[name]}
+                if name in cpu_times
+                else {}
+            ),
         }
         for name, s in spark_times.items()
     }
@@ -215,6 +240,8 @@ def main() -> None:
         "duckdb_oracle_total_sec": round(sum(duck_times.values()), 3),
         "spark": spark_times,
         "duckdb": duck_times,
+        "task_time_sec": task_times,
+        "cpu_time_sec": cpu_times,
         "audit": audit,
     }
     with open(os.path.join(os.path.dirname(__file__), "results.json"), "w") as f:

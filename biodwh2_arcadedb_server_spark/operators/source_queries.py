@@ -160,3 +160,95 @@ ORACLE["q192_jsonl_source_scan"] = f"""
       AND o_custkey >= {_Q192_CUSTKEY}
     ORDER BY o_orderkey
 """
+
+
+# --- q195: the CSV sibling (round 14, ROADMAP r13) ---------------------------------
+_CSV_KEY_CAP = 3000
+_CSV_BAL = 500.0
+
+
+def csv_fixture_path(sf_dir: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(f"/tmp/biodwh2_csv_fixture_{tag}", "customer.csv")
+
+
+def build_csv_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic CSV ingest fixture from the customer table, with
+    the wrinkles the reader claims: QUOTED fields (a comma spliced
+    into every 7th name forces csv quoting), empty cells (every 11th
+    acctbal → NULL on both engines), and a malformed short row (ours
+    → all-NULL then filter-dropped; DuckDB ignore_errors skips it)."""
+    import csv as _csv
+
+    path = csv_fixture_path(sf_dir)
+    if os.path.exists(path):
+        return path
+    rows = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < _CSV_KEY_CAP)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+        .collect()
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"])
+        for i, r in enumerate(rows):
+            name = r.c_name + ", esq" if i % 7 == 0 else r.c_name
+            bal = "" if i % 11 == 0 else repr(r.c_acctbal)
+            w.writerow([r.c_custkey, name, r.c_nationkey, bal, r.c_mktsegment])
+            if i == 199:
+                fh.write("999999,short_row\n")  # wrong column count
+    os.replace(tmp, path)
+    return path
+
+
+_Q195_DDL = (
+    "c_custkey bigint, c_name string, c_nationkey int, "
+    "c_acctbal double, c_mktsegment string"
+)
+
+
+def q195_csv_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest through the ``csv_graph`` Python DataSource —
+    multi-chunk byte-range scan with header ownership, quoted-field
+    parsing, empty-cell NULLs, retained coerced pushdown, and the A9
+    malformed-row posture — hash-matched against DuckDB ``read_csv``
+    on the byte-identical file."""
+    from biodwh2_arcadedb_server_spark.sources.csv_source import register
+
+    path = build_csv_fixture(spark, sf_dir)
+    register(spark)
+    df = (
+        spark.read.format("csv_graph")
+        .schema(_Q195_DDL)
+        .option("path", path)
+        .option("chunk_bytes", 16384)
+        .load()
+    )
+    return (
+        df.where(
+            (F.col("c_acctbal") > F.lit(_CSV_BAL))
+            & F.col("c_mktsegment").startswith("B")
+        )
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+QUERIES["q195_csv_source_scan"] = q195_csv_source_scan
+ORACLE["q195_csv_source_scan"] = f"""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM read_csv('{csv_fixture_path("/root/testdata/sf0.01")}',
+                  header=true, ignore_errors=true,
+                  columns={{'c_custkey': 'BIGINT',
+                           'c_name': 'VARCHAR',
+                           'c_nationkey': 'INTEGER',
+                           'c_acctbal': 'DOUBLE',
+                           'c_mktsegment': 'VARCHAR'}})
+    WHERE c_acctbal > {_CSV_BAL}
+      AND c_mktsegment LIKE 'B%'
+    ORDER BY c_custkey
+"""

@@ -121,3 +121,70 @@ def test_jsonl_graph_python_datasource(spark, tmp_path):
     scanned = list(r.read(part))
     assert all(t[0] > 400 and t[1].startswith("n4") for t in scanned)
     assert len(scanned) == len(want)
+
+
+def test_csv_graph_python_datasource(spark, tmp_path):
+    """Round 14: the CSV sibling of the jsonl reader — header
+    ownership by chunk 0, exactly-once across byte-range chunks,
+    quoted fields (embedded delimiter, doubled quotes), empty-cell
+    NULLs for non-string types, coerced retained pushdown, A9
+    wrong-column-count tolerance, empty-dir zero-partition plan."""
+    import csv as _csv
+
+    from pyspark.sql import functions as F
+
+    from biodwh2_arcadedb_server_spark.sources.csv_source import (
+        CsvGraphReader,
+        register,
+    )
+
+    p = tmp_path / "recs.csv"
+    with open(p, "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["id", "name", "score"])
+        for i in range(300):
+            name = f'n,{i}' if i % 5 == 0 else (f'say "{i}"' if i % 7 == 0 else f"n{i}")
+            score = "" if i % 11 == 0 else str(i / 4)
+            w.writerow([i, name, score])
+        fh.write("42,short\n")  # wrong column count -> all-NULL row
+
+    register(spark)
+    ddl = "id bigint, name string, score double"
+    df = (
+        spark.read.format("csv_graph")
+        .schema(ddl)
+        .option("path", str(p))
+        .option("chunk_bytes", 256)  # many chunks across lines
+        .load()
+    )
+    got = df.collect()
+    assert len(got) == 301  # 300 data rows + the tolerant NULL row
+    by_id = {r.id: r for r in got if r.id is not None}
+    assert len(by_id) == 300
+    assert by_id[0].name == "n,0"          # quoted embedded delimiter
+    assert by_id[7].name == 'say "7"'      # doubled quotes
+    assert by_id[11].score is None         # empty cell -> NULL double
+    assert by_id[13].score == 13 / 4
+    # pushdown keeps coercion semantics (score is a string cell in
+    # the file; the filter must see the coerced double)
+    q = df.where(F.col("score") > 70.0).select("id")
+    want = sorted(i for i in range(300) if i % 11 != 0 and i / 4 > 70.0)
+    assert sorted(r.id for r in q.collect()) == want
+
+    # unit: rows drop at the source
+    from pyspark.sql.datasource import GreaterThan
+    from pyspark.sql.types import StructType
+
+    r = CsvGraphReader(str(p), StructType.fromDDL(ddl), 1 << 20)
+    assert list(r.pushFilters([GreaterThan(("score",), 70.0)])) == []
+    scanned = sum(len(list(r.read(c))) for c in r.partitions())
+    assert scanned == len(want)
+
+    # empty dir -> zero rows, no IsADirectoryError
+    d = tmp_path / "none"
+    d.mkdir()
+    empty = (
+        spark.read.format("csv_graph").schema(ddl)
+        .option("path", str(d)).load()
+    )
+    assert empty.count() == 0
