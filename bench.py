@@ -194,6 +194,7 @@ HEADLINE = [
     "q187_exact_substring_removal",
     "q188_within_doc_substring_spans",
     "q190_exact_substring_granularity",
+    "q196_exact_substring_byte_offsets",
     "q143_dataset_card",
     "q145_graphql",
     "q146_shortestpath_dialect",

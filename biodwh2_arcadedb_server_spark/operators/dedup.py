@@ -768,11 +768,20 @@ def positional_shingles(
         par = frame.sparkSession.sparkContext.defaultParallelism
         return frame.repartition(par, id_col)
 
-    if granularity == "char":
-        toked = _pre(df).select(
-            F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    if granularity in ("char", "byte"):
+        # byte (round 14, ROADMAP r13): positions/grams over the
+        # UTF-8 ENCODED text — substr on BinaryType slices bytes, so
+        # span offsets are byte-exact on multi-byte corpora (what a
+        # cross-tokenizer contamination check wants to report); on
+        # pure-ASCII text byte ≡ char, gram for gram. Same plan
+        # shape: the unit only changes the leaf expression.
+        src = (
+            F.encode(F.col(text_col), "UTF-8")
+            if granularity == "byte"
+            else F.col(text_col)
         )
-        n = F.length("_t")
+        toked = _pre(df).select(F.col(id_col).alias("_id"), src.alias("_t"))
+        n = F.length("_t")  # chars on string, BYTES on binary
         positions = F.when(
             n >= F.lit(k), F.sequence(F.lit(1), n - (k - 1))
         ).otherwise(F.array().cast("array<int>"))
@@ -792,7 +801,7 @@ def positional_shingles(
         tok_expr = tokens(F.col(text_col))
     else:
         raise ValueError(
-            f"granularity must be word|bpe|char, got {granularity!r}"
+            f"granularity must be word|bpe|char|byte, got {granularity!r}"
         )
     toked = _pre(df).select(
         F.col(id_col).alias("_id"), tok_expr.alias("_toks")
@@ -884,8 +893,9 @@ def exact_substring_spans(
     mirrors Lee et al.'s 50-BPE-token threshold at this corpus's
     word granularity.
 
-    ``granularity`` selects the position unit (word | bpe | char —
-    see ``positional_shingles``); ``k``/``min_len``/span positions
+    ``granularity`` selects the position unit (word | bpe | char |
+    byte — see ``positional_shingles``; byte = offsets into the UTF-8
+    encoding, the cross-tokenizer contamination report unit); ``k``/``min_len``/span positions
     are all in THAT unit (paper-faithful settings: bpe k=10
     min_len=50, char k=20 min_len≈100). Everything downstream of the
     index is granularity-blind — the anchor join, diag islands (the
@@ -1083,6 +1093,13 @@ def remove_spans(
             "remove_spans(granularity='bpe') cannot reconstruct the "
             "original whitespace from regex pieces; detect at 'char' "
             "granularity instead to remove sub-word overlaps"
+        )
+    if granularity == "byte":
+        raise ValueError(
+            "remove_spans(granularity='byte') could split a multi-byte "
+            "character and emit invalid UTF-8; byte spans are for "
+            "REPORTING (cross-tokenizer contamination offsets) — detect "
+            "at 'char' granularity to remove"
         )
     if granularity not in ("word", "char"):
         raise ValueError(

@@ -208,6 +208,24 @@ def _es_ctes(
       FROM toks, LATERAL (
         SELECT unnest(range(1, len(text)-{k}+2)) AS i) t
     ),"""
+    elif granularity == "byte":
+        # BYTE positions over the UTF-8 encoding (round 14): DuckDB
+        # 1.0 has no BLOB substring, so the byte slice rides the hex
+        # string — substr(hex, (i-1)*2+1, k*2) is exactly bytes
+        # [i, i+k) of encode(text), and hex is ASCII so VARCHAR
+        # substr is byte-safe. Gram EQUALITY on hex slices ≡ equality
+        # on byte slices; positions are octet offsets, mirroring
+        # positional_shingles(granularity='byte').
+        grams = f"""toks AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM {source}),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             substr(hx, (CAST(i AS BIGINT) - 1) * 2 + 1, {k} * 2) AS gram
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, nb-{k}+2)) AS i) t
+    ),"""
     else:
         grams = f"""toks AS (
       SELECT doc_id,
@@ -524,4 +542,83 @@ ORACLE["q191_streaming_substring_contamination"] = f"""
     SELECT doc_id, span_start, span_end,
            span_end - span_start + 1 AS span_tokens
     FROM merged ORDER BY doc_id, span_start
+"""
+
+
+def q196_exact_substring_byte_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-granularity exact-substring spans (round 14, ROADMAP r13:
+    cross-tokenizer contamination reports want offsets into the UTF-8
+    BYTES, not characters). Corpus derived in-plan where the two
+    units provably diverge: docs 0-19 truncated to 150 chars with
+    'e'→'é' (multi-byte sprinkled through the text), plus twins
+    (id+10000) prefixed with 'Ω' — the twin CONTAINS the base
+    verbatim, but every byte offset in it is shifted +2 while char
+    offsets shift +1. Both modes' spans return with a ``mode``
+    column, so the divergence itself is hash-checked; the DuckDB twin
+    replays byte grams as hex-string slices (no BLOB substring in
+    1.0) through the same anchor→island→merge CTEs.
+
+    Scale: identical to q183/q190 — the byte index is O(bytes) rows,
+    same equi-join/window plan; k/min_len in bytes (20/100)."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            F.translate(F.substring("text", 1, 150), "e", "é").alias("text"),
+        )
+        .where(F.length("text") >= 120)
+    )
+    derived = base.unionByName(
+        base.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.lit("Ω"), F.col("text")).alias("text"),
+        )
+    )
+    byte_spans = dedup.exact_substring_spans(
+        derived, "doc_id", "text",
+        k=20, min_len=100, max_df=_ES_MAXDF, granularity="byte",
+    ).withColumn("mode", F.lit("byte"))
+    char_spans = dedup.exact_substring_spans(
+        derived, "doc_id", "text",
+        k=20, min_len=100, max_df=_ES_MAXDF, granularity="char",
+    ).withColumn("mode", F.lit("char"))
+    return byte_spans.unionByName(char_spans).orderBy(
+        "mode", "doc_id", "span_start"
+    )
+
+
+QUERIES["q196_exact_substring_byte_offsets"] = q196_exact_substring_byte_offsets
+_Q196_DOCS2 = """docs2 AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id,
+               translate(substr(text, 1, 150), 'e', 'é') AS text
+        FROM documents WHERE doc_id < 20)
+      WHERE len(text) >= 120
+      UNION ALL
+      SELECT doc_id + 10000, 'Ω' || text FROM (
+        SELECT doc_id,
+               translate(substr(text, 1, 150), 'e', 'é') AS text
+        FROM documents WHERE doc_id < 20)
+      WHERE len(text) >= 120
+    )"""
+ORACLE["q196_exact_substring_byte_offsets"] = f"""
+    WITH bytespans AS (
+      WITH {_Q196_DOCS2},
+      {_es_ctes("docs2", k=20, min_len=100, granularity="byte")}
+      SELECT doc_id, span_start, span_end,
+             span_end - span_start + 1 AS span_tokens, 'byte' AS mode
+      FROM merged
+    ),
+    charspans AS (
+      WITH {_Q196_DOCS2},
+      {_es_ctes("docs2", k=20, min_len=100, granularity="char")}
+      SELECT doc_id, span_start, span_end,
+             span_end - span_start + 1 AS span_tokens, 'char' AS mode
+      FROM merged
+    )
+    SELECT * FROM bytespans
+    UNION ALL
+    SELECT * FROM charspans
+    ORDER BY mode, doc_id, span_start
 """

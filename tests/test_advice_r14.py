@@ -129,3 +129,51 @@ def test_append_probe_does_not_recompute_plan(spark, tmp_path):
         os.path.getsize(f) for f in glob.glob(os.path.join(mdir, "*.log"))
     )
     assert evals == n, f"input evaluated {evals} times for {n} rows"
+
+
+def test_byte_granularity_offsets_are_utf8_byte_exact(spark):
+    """Round 14 (ROADMAP r13): byte-granularity exact-substring spans
+    report offsets into the UTF-8 ENCODING. Two docs share a verbatim
+    tail; the second doc's prefix contains multi-byte characters, so
+    its span start in BYTES differs from its start in CHARS by
+    exactly the extra encoded bytes."""
+    from biodwh2_arcadedb_server_spark.operators import dedup
+
+    shared = "the quick brown fox jumps over the lazy dog " * 4  # 180 chars
+    rows = [
+        (1, "abc " + shared),          # pure-ASCII prefix: 4 chars = 4 bytes
+        (2, "héllo wörld Ω " + shared),  # 14 chars = 18 bytes (é,ö 2B; Ω 2B... )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prefix2 = rows[1][1].split(shared)[0]
+    extra = len(prefix2.encode()) - len(prefix2)
+    assert extra > 0
+
+    by = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in dedup.exact_substring_spans(
+            df, "doc_id", "text", k=20, min_len=100, granularity="byte"
+        ).collect()
+    }
+    ch = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in dedup.exact_substring_spans(
+            df, "doc_id", "text", k=20, min_len=100, granularity="char"
+        ).collect()
+    }
+    # canonical-keep: the span lands on the LARGER doc_id (doc 2)
+    assert set(by) == set(ch) == {2}
+    # char-mode start is the char offset; byte-mode start is shifted
+    # by the multi-byte surplus of the prefix
+    assert by[2][0] == ch[2][0] + extra
+    # the common run extends LEFT through the shared preceding space
+    # (both prefixes end in ' '), so it starts AT the prefix's last char
+    assert ch[2][0] == len(prefix2)
+    # removal refuses byte spans with guidance
+    import pytest as _pytest
+
+    spans = dedup.exact_substring_spans(
+        df, "doc_id", "text", k=20, min_len=100, granularity="byte"
+    )
+    with _pytest.raises(ValueError, match="invalid UTF-8"):
+        dedup.remove_spans(df, spans, "doc_id", "text", granularity="byte")
