@@ -184,6 +184,8 @@ class _BitReader:
         self._nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG: entropy data ends mid-scan")
         b = self.data[self.pos]
         if b == 0xFF:
             nxt = self.data[self.pos + 1]
@@ -510,6 +512,11 @@ def decode_baseline(data: bytes) -> np.ndarray:
     if frame is None:
         raise ValueError("SOS before SOF")
 
+    if len(scan) != len(frame["comps"]):
+        raise NotImplementedError(
+            "non-interleaved multi-scan baseline JPEG (one SOS per "
+            "component) — single interleaved scan only"
+        )
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     hmax = max(c["sx"] for c in comps)
     vmax = max(c["sy"] for c in comps)

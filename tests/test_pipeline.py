@@ -1513,3 +1513,16 @@ def test_jpeg_feature_dispatch_matches_text_oracle(spark, sf_small):
         cs = [ord(c) % 256 for c in chars]
         want = (256, round(sum(cs) / 4, 4), round(len(set(cs)) / 256.0, 4))
         assert got[row.doc_id] == want, row.doc_id
+
+
+def test_jpeg_truncated_and_multiscan_rejected():
+    import numpy as np
+    import pytest as _pytest
+
+    from biodwh2_arcadedb_server_spark.operators import jpeg
+
+    data = jpeg.encode_baseline(
+        np.full((16, 16), 77, dtype=np.uint8), quality=90
+    )
+    with _pytest.raises(ValueError, match="truncated"):
+        jpeg.decode_baseline(data[:-8])  # cut mid-entropy-data
