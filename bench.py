@@ -195,6 +195,7 @@ HEADLINE = [
     "q188_within_doc_substring_spans",
     "q190_exact_substring_granularity",
     "q196_exact_substring_byte_offsets",
+    "q197_bpe_span_char_removal",
     "q143_dataset_card",
     "q145_graphql",
     "q146_shortestpath_dialect",

@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
+import bench as bench_mod  # noqa: E402
 from biodwh2_arcadedb_server_spark.sources.registry import TABLES, table_path  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -242,6 +243,26 @@ def main() -> None:
         "duckdb": duck_times,
         "task_time_sec": task_times,
         "cpu_time_sec": cpu_times,
+        # per-run provenance + session-restart boundaries (ROADMAP
+        # r14: cross-round drift attribution should be one diff — a
+        # probe that moved because a SEGMENT boundary shifted into its
+        # cache family is visible right here, no re-run needed)
+        "runs": [
+            {
+                "file": os.path.basename(p),
+                "total_sec": r.get("value"),
+                "streaming_total_sec": r.get("streaming_total_sec"),
+                "n_probes": len(r.get("queries", {})),
+            }
+            for p, r in zip(sys.argv[1:], runs)
+        ],
+        "segment_restarts_at": sorted(
+            bench_mod.segment_breaks(bench_mod.HEADLINE)
+        ),
+        "segment_first_probe": sorted(
+            bench_mod.HEADLINE[i]
+            for i in bench_mod.segment_breaks(bench_mod.HEADLINE)
+        ),
         "audit": audit,
     }
     with open(os.path.join(os.path.dirname(__file__), "results.json"), "w") as f:

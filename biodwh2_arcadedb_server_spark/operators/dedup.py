@@ -1091,8 +1091,10 @@ def remove_spans(
     if granularity == "bpe":
         raise ValueError(
             "remove_spans(granularity='bpe') cannot reconstruct the "
-            "original whitespace from regex pieces; detect at 'char' "
-            "granularity instead to remove sub-word overlaps"
+            "original whitespace from regex pieces; map the spans with "
+            "bpe_spans_to_char_ranges() and apply remove_char_ranges() "
+            "(exact string surgery), or detect at 'char' granularity "
+            "instead to remove sub-word overlaps"
         )
     if granularity == "byte":
         raise ValueError(
@@ -1147,4 +1149,173 @@ def remove_spans(
         F.concat_ws(
             " " if granularity == "word" else "", kept
         ).alias("cleaned_text"),
+    )
+
+
+def _bpe_piece_starts(pieces: F.Column, text: F.Column) -> F.Column:
+    """1-based CHARACTER start offset of every BPE-ish piece in the
+    original text, as an ``array<int>`` aligned with ``pieces``.
+
+    Mechanics: a single left-to-right ``aggregate`` fold — for each
+    piece, ``locate(piece, text, cursor)`` where the cursor is the
+    character just past the previous piece. Exactness argument: the
+    pieces of ``bpe_ish_tokens`` tile the non-whitespace characters of
+    the text in order (the split pattern only ever splits at
+    word/non-word boundaries or consumes whitespace runs), so between
+    the cursor and the true start of the next piece there is ONLY
+    whitespace; a piece contains no whitespace, hence cannot match
+    inside that gap, and the first occurrence at/after the cursor is
+    its true position. One ``locate`` per piece, each scanning only
+    the inter-piece gap — O(text) total per document.
+
+    ``pieces`` and ``text`` must be MATERIALIZED column references
+    (the two-step projection rule: interpreted HOFs re-evaluate
+    expression arguments per element)."""
+    return F.aggregate(
+        pieces,
+        F.array().cast("array<int>"),
+        lambda acc, p: F.concat(
+            acc,
+            F.array(
+                F.call_function(
+                    "locate",
+                    p,
+                    text,
+                    # cursor: end of previous piece + 1 (prev piece =
+                    # pieces[size(acc)], its start = acc[-1])
+                    F.when(F.size(acc) == 0, F.lit(1)).otherwise(
+                        F.element_at(acc, -1)
+                        + F.length(F.element_at(pieces, F.size(acc)))
+                    ),
+                ).cast("int")
+            ),
+        ),
+    )
+
+
+def bpe_spans_to_char_ranges(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Map BPE-piece span positions to CHARACTER offsets in the
+    original text (ROADMAP r14: ``remove_spans(granularity='bpe')``
+    cannot reconstruct inter-piece whitespace from the pieces alone —
+    but the original text is right there, so the faithful removal
+    path is piece-span → char-range → drop the ranges from the raw
+    string, preserving every byte outside them).
+
+    Given ``exact_substring_spans(..., granularity='bpe')`` output
+    (``doc_id, span_start, span_end, span_tokens`` in 1-based piece
+    positions), returns one row per span with ``char_start`` /
+    ``char_end`` (1-based inclusive character offsets): the start of
+    the first piece through the end of the last piece, INCLUDING any
+    whitespace between pieces inside the span (the region is verbatim
+    by construction).
+
+    Scale: spans are tiny (caps bound them upstream); the offset fold
+    runs only on documents that HAVE spans (left-semi prune), one
+    O(text) pass each; the only shuffle is the doc-keyed join."""
+    flagged = df.join(
+        spans.select(F.col("doc_id").alias("_sid")).distinct(),
+        F.col(id_col) == F.col("_sid"),
+        "left_semi",
+    )
+    toked = flagged.select(
+        F.col(id_col).alias("_rid"), F.col(text_col).alias("_t")
+    ).withColumn("_pieces", bpe_ish_tokens(F.col("_t")))
+    offs = toked.select(
+        "_rid",
+        "_pieces",
+        _bpe_piece_starts(F.col("_pieces"), F.col("_t")).alias("_starts"),
+    )
+    s_idx = (F.col("span_start") - 1).cast("int")
+    e_idx = (F.col("span_end") - 1).cast("int")
+    return (
+        spans.join(offs, spans["doc_id"] == offs["_rid"])
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            F.get("_starts", s_idx).alias("char_start"),
+            (
+                F.get("_starts", e_idx)
+                + F.length(F.get("_pieces", e_idx))
+                - 1
+            ).alias("char_end"),
+        )
+    )
+
+
+def remove_char_ranges(
+    df: DataFrame,
+    ranges: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """APPLY character-range removal: drop the 1-based inclusive
+    ``[char_start, char_end]`` ranges of ``ranges`` (doc_id,
+    char_start, char_end — DISJOINT per doc, as produced by merged
+    spans through ``bpe_spans_to_char_ranges``) from each document's
+    raw text. Unlike token-level ``remove_spans`` this performs exact
+    string surgery — all original whitespace and casing outside the
+    removed ranges survives byte-for-byte.
+
+    Plan shape: ranges pack into one sorted array per doc (tiny
+    groupBy), left-join the corpus on the doc key, then a MAP-ONLY
+    fold stitches the kept segments — docs with no ranges pass
+    through via the empty-array coalesce. One shuffle (the pack
+    join), one corpus pass.
+
+    Returns (id_col, n_chars, n_chars_removed, cleaned_text)."""
+    packed = ranges.groupBy(F.col("doc_id").alias("_sid")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("char_start").cast("int").alias("s"),
+                    F.col("char_end").cast("int").alias("e"),
+                )
+            )
+        ).alias("_rngs")
+    )
+    joined = (
+        df.select(F.col(id_col), F.col(text_col).alias("_t"))
+        .join(packed, F.col(id_col) == F.col("_sid"), "left")
+        .withColumn(
+            "_rp",
+            F.coalesce(
+                "_rngs", F.array().cast("array<struct<s int, e int>>")
+            ),
+        )
+    )
+    cleaned = F.aggregate(
+        F.col("_rp"),
+        F.struct(
+            F.lit(1).cast("int").alias("cur"), F.lit("").alias("out")
+        ),
+        lambda acc, r: F.struct(
+            (r["e"] + 1).cast("int").alias("cur"),
+            F.concat(
+                acc["out"],
+                F.col("_t").substr(acc["cur"], r["s"] - acc["cur"]),
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            F.col("_t").substr(
+                acc["cur"], F.length("_t") - acc["cur"] + 1
+            ),
+        ),
+    )
+    n_removed = F.aggregate(
+        F.col("_rp"),
+        F.lit(0),
+        lambda acc, r: acc + (r["e"] - r["s"] + 1),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.length("_t").alias("n_chars"),
+        n_removed.alias("n_chars_removed"),
+        cleaned.alias("cleaned_text"),
     )

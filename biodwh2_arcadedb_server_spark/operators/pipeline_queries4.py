@@ -226,6 +226,24 @@ def _es_ctes(
       FROM toks, LATERAL (
         SELECT unnest(range(1, nb-{k}+2)) AS i) t
     ),"""
+    elif granularity == "bpe":
+        # BPE-ish pieces, RAW case (mirrors positional_shingles
+        # granularity='bpe'): Spark splits at word/non-word boundaries
+        # via lookarounds, which RE2 lacks — but the RESULT is exactly
+        # the maximal runs of word chars or of non-word-non-space
+        # chars, which regexp_extract_all can produce directly (\\w
+        # and \\s are ASCII classes in both engines' default modes)
+        grams = f"""toks AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '\\w+|[^\\w\\s]+') AS tk
+      FROM {source}
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(tk[i:i+{k}-1], ' ') AS gram
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, len(tk)-{k}+2)) AS i) t
+    ),"""
     else:
         grams = f"""toks AS (
       SELECT doc_id,
@@ -621,4 +639,133 @@ ORACLE["q196_exact_substring_byte_offsets"] = f"""
     UNION ALL
     SELECT * FROM charspans
     ORDER BY mode, doc_id, span_start
+"""
+
+
+def q197_bpe_span_char_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-piece span detection mapped to CHAR offsets and REMOVED
+    from the raw text (ROADMAP r14: the bpe granularity was
+    detection-only — regex pieces drop inter-piece whitespace, so the
+    faithful removal path is piece-span → char-range → exact string
+    surgery on the original document). Corpus derived in-plan where
+    word granularity provably MISSES what bpe catches: docs 0-19
+    truncated to 24 whitespace words, plus twins (id+10000) with
+    ``X.`` GLUED to the front and a ``' Y;Z'`` tail — word-aligned the
+    twin's first token ``X.<w1>`` differs (23 < 24 shared tokens);
+    piece-aligned the twin contains every base piece verbatim
+    (``X``/``.`` split off as their own pieces). Detection runs at
+    bpe granularity, ``bpe_spans_to_char_ranges`` walks each flagged
+    doc once (locate-fold — one O(text) pass), and
+    ``remove_char_ranges`` drops the ranges from the RAW string, so
+    the surviving ``X.`` prefix / `` Y;Z`` tail keep their original
+    spacing and casing byte-for-byte. The DuckDB twin replays the
+    piece pipeline (RE2 ``\\w+|[^\\w\\s]+`` ≡ the lookaround split),
+    the char walk as a recursive CTE over piece indices, and the
+    removal as window-stitched segments — spans, offsets, and the
+    cleaned text itself are all hash-checked.
+
+    Scale: spans are cap-bounded upstream; the offset fold touches
+    only flagged docs (left-semi prune); removal is one map-only
+    corpus pass after a doc-keyed pack join."""
+    _toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(_toks, 1, 24)).alias("base"),
+            F.size(_toks).alias("_nw"),
+        )
+        .where((F.col("_nw") >= 24) & (F.length("base") >= 120))
+        .select("doc_id", F.col("base").alias("text"))
+    )
+    derived = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(
+                F.lit("X."), F.col("text"), F.lit(" Y;Z")
+            ).alias("text"),
+        )
+    )
+    spans = dedup.exact_substring_spans(
+        derived, "doc_id", "text",
+        k=_ES_K, min_len=24, max_df=_ES_MAXDF, granularity="bpe",
+    )
+    ranges = dedup.bpe_spans_to_char_ranges(derived, spans, "doc_id", "text")
+    cleaned = dedup.remove_char_ranges(derived, ranges, "doc_id", "text")
+    return (
+        ranges.join(cleaned, "doc_id")
+        .select(
+            "doc_id", "span_start", "span_end",
+            "char_start", "char_end",
+            "n_chars_removed", "cleaned_text",
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+QUERIES["q197_bpe_span_char_removal"] = q197_bpe_span_char_removal
+ORACLE["q197_bpe_span_char_removal"] = f"""
+    WITH RECURSIVE {_Q190_DOCS2.replace("'X' || text", "'X.' || text || ' Y;Z'")},
+    {_es_ctes("docs2", k=_ES_K, min_len=24, granularity="bpe")},
+    flagged AS (SELECT DISTINCT doc_id FROM merged),
+    ptoks AS (
+      SELECT d.doc_id, d.text,
+             regexp_extract_all(d.text, '\\w+|[^\\w\\s]+') AS pc
+      FROM docs2 d JOIN flagged USING (doc_id)
+    ),
+    walk AS (
+      SELECT doc_id, text, pc, 1 AS idx,
+             position(pc[1] IN text) AS s,
+             position(pc[1] IN text) + len(pc[1]) - 1 AS e
+      FROM ptoks WHERE len(pc) >= 1
+      UNION ALL
+      SELECT doc_id, text, pc, idx + 1,
+             e + position(pc[idx+1] IN substr(text, e + 1)) AS s,
+             e + position(pc[idx+1] IN substr(text, e + 1))
+               + len(pc[idx+1]) - 1 AS e
+      FROM walk WHERE idx < len(pc)
+    ),
+    ranges AS (
+      SELECT m.doc_id, m.span_start, m.span_end,
+             ws.s AS char_start, we.e AS char_end
+      FROM merged m
+      JOIN walk ws ON ws.doc_id = m.doc_id AND ws.idx = m.span_start
+      JOIN walk we ON we.doc_id = m.doc_id AND we.idx = m.span_end
+    ),
+    segs AS (
+      SELECT doc_id,
+             coalesce(lag(char_end) OVER (
+               PARTITION BY doc_id ORDER BY char_start), 0) + 1 AS seg_s,
+             char_start - 1 AS seg_e
+      FROM ranges
+      UNION ALL
+      SELECT r.doc_id, max(r.char_end) + 1 AS seg_s,
+             max(len(d.text)) AS seg_e
+      FROM ranges r JOIN docs2 d USING (doc_id)
+      GROUP BY r.doc_id
+    ),
+    cleanedt AS (
+      SELECT s.doc_id,
+             string_agg(
+               substr(d.text, seg_s, greatest(seg_e - seg_s + 1, 0)),
+               '' ORDER BY seg_s) AS cleaned_text
+      FROM segs s JOIN docs2 d USING (doc_id)
+      GROUP BY s.doc_id
+    ),
+    removedn AS (
+      SELECT doc_id,
+             CAST(sum(char_end - char_start + 1) AS INT)
+               AS n_chars_removed
+      FROM ranges GROUP BY doc_id
+    )
+    SELECT r.doc_id, r.span_start, r.span_end,
+           CAST(r.char_start AS INT) AS char_start,
+           CAST(r.char_end AS INT) AS char_end,
+           n.n_chars_removed,
+           coalesce(c.cleaned_text, '') AS cleaned_text
+    FROM ranges r
+    JOIN removedn n USING (doc_id)
+    JOIN cleanedt c USING (doc_id)
+    ORDER BY r.doc_id, r.span_start
 """

@@ -1526,3 +1526,85 @@ def test_jpeg_truncated_and_multiscan_rejected():
     )
     with _pytest.raises(ValueError, match="truncated"):
         jpeg.decode_baseline(data[:-8])  # cut mid-entropy-data
+
+
+def test_bpe_char_mapping_exact_offsets(spark):
+    """bpe_spans_to_char_ranges: the locate-fold walk must return the
+    true 1-based char offsets — punctuation glued to words, repeated
+    pieces, multi-space gaps, and a multi-byte char all in play."""
+    #        123456789012345
+    text = "aé!  bb,cc   dd"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    # pieces: a | é! | bb | , | cc | dd  (starts 1,2,6,8,9,14)
+    spans = spark.createDataFrame(
+        [(1, 3, 5)], "doc_id long, span_start long, span_end long"
+    )
+    row = dedup.bpe_spans_to_char_ranges(df, spans, "doc_id", "text").first()
+    assert (row.char_start, row.char_end) == (6, 10)
+    cleaned = dedup.remove_char_ranges(
+        df,
+        spark.createDataFrame(
+            [(1, 6, 10)], "doc_id long, char_start int, char_end int"
+        ),
+        "doc_id",
+        "text",
+    ).first()
+    # exact surgery: both whitespace runs survive untouched
+    assert cleaned.cleaned_text == "aé!     dd"
+    assert cleaned.n_chars == 15 and cleaned.n_chars_removed == 5
+
+
+def test_remove_char_ranges_multiple_and_none(spark):
+    df = spark.createDataFrame(
+        [(1, "AAAA BBBB CCCC DDDD"), (2, "untouched  text")],
+        "doc_id long, text string",
+    )
+    ranges = spark.createDataFrame(
+        [(1, 1, 4), (1, 11, 14)],
+        "doc_id long, char_start int, char_end int",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.remove_char_ranges(df, ranges, "doc_id", "text").collect()
+    }
+    assert out[1].cleaned_text == " BBBB  DDDD"
+    assert out[1].n_chars_removed == 8
+    assert out[2].cleaned_text == "untouched  text"
+    assert out[2].n_chars_removed == 0
+
+
+def test_bpe_detect_map_remove_end_to_end(spark):
+    """The glued-prefix shape word granularity misses: bpe detection
+    + char mapping + removal keeps the unshared prefix/tail with
+    original spacing and casing."""
+    base = " ".join(f"w{i:02d}" for i in range(24))
+    dup = "X." + base + " Y;Z"
+    df = spark.createDataFrame(
+        [(1, base), (2, dup)], "doc_id long, text string"
+    )
+    word = dedup.exact_substring_spans(
+        df, "doc_id", "text", k=8, min_len=24, granularity="word"
+    )
+    assert word.count() == 0
+    spans = dedup.exact_substring_spans(
+        df, "doc_id", "text", k=8, min_len=24, granularity="bpe"
+    )
+    got = spans.collect()
+    assert len(got) == 1 and got[0].doc_id == 2
+    assert (got[0].span_start, got[0].span_end) == (3, 26)
+    ranges = dedup.bpe_spans_to_char_ranges(df, spans, "doc_id", "text")
+    r = ranges.first()
+    assert (r.char_start, r.char_end) == (3, 2 + len(base))
+    cleaned = {
+        c.doc_id: c
+        for c in dedup.remove_char_ranges(df, ranges, "doc_id", "text").collect()
+    }
+    assert cleaned[2].cleaned_text == "X. Y;Z"
+    assert cleaned[2].n_chars_removed == len(base)
+    assert cleaned[1].cleaned_text == base
+
+
+def test_remove_spans_bpe_error_names_char_path(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bpe_spans_to_char_ranges"):
+        dedup.remove_spans(df, df, "doc_id", "text", granularity="bpe")
