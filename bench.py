@@ -209,10 +209,13 @@ HEADLINE = [
     "q155_methods_dialect",
     "q38_frame_sample",
     "q152_wav_decode",
+    "q199_mp4_container_frames",
+    "q200_opus_container_packets",
     "q172_png_decode",
     "q173_png_palette_decode",
     "q174_png_adam7_decode",
     "q194_jpeg_decode",
+    "q198_jpeg_progressive_decode",
     "q157_graphql_inline_fragments",
     "q158_ddl_readback",
     "q186_ddl_rename_128bit_readback",

@@ -1,5 +1,6 @@
-"""Pure-Python/numpy BASELINE JPEG codec (round 14, VERDICT r13 #5 —
-the last [C5] lossy-codec seam, `multimodal.extract_features`).
+"""Pure-Python/numpy JPEG codec (round 14, VERDICT r13 #5 — the last
+[C5] lossy-codec seam, `multimodal.extract_features`): baseline
+sequential (SOF0/SOF1) plus progressive (SOF2), both directions.
 
 Scope — ITU-T T.81 baseline sequential DCT, the profile every real
 JPEG decoder must support and ~all web JPEGs use:
@@ -17,7 +18,10 @@ JPEG decoder must support and ~all web JPEGs use:
   Annex K Huffman tables, interleaved MCU scan with byte stuffing.
   Exists to MAKE fixtures and probe payloads — decode is the product.
 
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+Progressive (T.81 Annex G, Huffman) is implemented too — see
+`decode_progressive` / `encode_progressive` at the bottom of the
+module; `decode()` dispatches on the SOF marker. Arithmetic coding,
+12-bit precision, hierarchical, and lossless processes raise
 NotImplementedError with the profile named: they are different
 entropy-coding pipelines, not gaps in this one.
 
@@ -188,6 +192,10 @@ class _BitReader:
             raise ValueError("truncated JPEG: entropy data ends mid-scan")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError(
+                    "truncated JPEG: entropy data ends mid-scan"
+                )
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -575,6 +583,17 @@ def decode_baseline(data: bytes) -> np.ndarray:
                 raise ValueError("unexpected restart marker") from None
             mcu_count += 1
 
+    return _stacks_to_image(
+        order, stacks, qtables, h, w, mcus_x, mcus_y, hmax, vmax
+    )
+
+
+def _stacks_to_image(
+    order, stacks, qtables, h, w, mcus_x, mcus_y, hmax, vmax
+) -> np.ndarray:
+    """Dequantize + IDCT + upsample + crop + color-convert: the shared
+    reconstruction tail of the sequential and progressive decoders
+    (the two differ only in how the zigzag coefficient stacks fill)."""
     planes = []
     for ci, c in enumerate(order):
         q = qtables[c["tq"]]
@@ -604,3 +623,641 @@ def decode_baseline(data: bytes) -> np.ndarray:
     b_ = y + 1.772 * cb
     rgb = np.stack([r_, g_, b_], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- progressive
+# T.81 Annex G (progressive DCT, Huffman): the same coefficient model
+# as sequential, delivered as multiple SOS scans — spectral selection
+# (a band Ss..Se per scan) and successive approximation (coefficients
+# arrive Al bits at a time: a "first" scan at precision Al, then
+# refinement scans each adding one bit). DC scans may interleave all
+# components; AC scans are single-component by spec. EOB runs (EOBn
+# symbols) amortize end-of-band across up to 2^14 blocks.
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^al rounding TOWARD ZERO
+    (T.81 G.1.1.2.2 — DC uses an arithmetic shift instead)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def decode_progressive(data: bytes) -> np.ndarray:
+    """Decode a progressive (SOF2) JPEG to uint8 (h, w) or (h, w, 3).
+
+    Every scan accumulates into per-component zigzag coefficient
+    stacks (values stored pre-shifted by their Al, so refinement bits
+    OR/add in place); reconstruction at EOI is the shared
+    ``_stacks_to_image`` tail. Handles interleaved and single-
+    component DC scans, banded AC first scans with EOB runs, AC/DC
+    refinement (G.1.2.3 correction-bit protocol), DHT/DQT/DRI
+    redefinition between scans, restart markers inside any scan, and
+    0xFF fill bytes before markers."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    stacks: list[np.ndarray] = []
+    geom = None  # (mcus_x, mcus_y, hmax, vmax)
+
+    def scan_blocks_meta(comp):
+        """(true blocks wide, true blocks high, padded row stride) for
+        a NON-interleaved scan of one component (T.81 A.2.2: ceil of
+        the component's own sampling-scaled size, NOT the MCU-padded
+        grid)."""
+        mcus_x, mcus_y, hmax, vmax = geom
+        cw = -(-frame["w"] * comp["sx"] // hmax)
+        ch = -(-frame["h"] * comp["sy"] // vmax)
+        return -(-cw // 8), -(-ch // 8), mcus_x * comp["sx"]
+
+    def decode_scan(scan, ss, se, ah, al, start: int) -> int:
+        mcus_x, mcus_y, hmax, vmax = geom
+        by_id = {c["id"]: i for i, c in enumerate(frame["comps"])}
+        order = [
+            (by_id[s["id"]], frame["comps"][by_id[s["id"]]], s)
+            for s in scan
+        ]
+        r = _BitReader(data, start)
+        pred = [0] * len(order)
+        eobrun = 0
+        p1 = 1 << al
+
+        def dc_first(ci_s, zz):
+            t = _decode_huff(r, huff_dc[order[ci_s][2]["td"]])
+            diff = _extend(r.bits(t), t) if t else 0
+            pred[ci_s] += diff
+            zz[0] = pred[ci_s] << al
+
+        def dc_refine(zz):
+            if r.bit():
+                zz[0] |= p1
+
+        def ac_first(zz):
+            nonlocal eobrun
+            if eobrun:
+                eobrun -= 1
+                return
+            ac_dec = huff_ac[order[0][2]["ta"]]
+            k = ss
+            while k <= se:
+                rs = _decode_huff(r, ac_dec)
+                rr, s_ = rs >> 4, rs & 0xF
+                if s_ == 0:
+                    if rr == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << rr) - 1
+                    if rr:
+                        eobrun += r.bits(rr)
+                    break
+                k += rr
+                if k > se:
+                    raise ValueError("AC run past band end")
+                zz[k] = _extend(r.bits(s_), s_) << al
+                k += 1
+
+        def _correct(zz, k):
+            """Read one correction bit for a history-nonzero coef."""
+            if r.bit() and (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] > 0 else -p1
+
+        def ac_refine(zz):
+            nonlocal eobrun
+            ac_dec = huff_ac[order[0][2]["ta"]]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _decode_huff(r, ac_dec)
+                    rr, s_ = rs >> 4, rs & 0xF
+                    if s_ == 0 and rr != 15:
+                        eobrun = 1 << rr
+                        if rr:
+                            eobrun += r.bits(rr)
+                        break
+                    if s_ == 0:
+                        val = 0  # ZRL: pass 16 zero-history coefs
+                    else:
+                        if s_ != 1:
+                            raise ValueError(
+                                "invalid magnitude in AC refinement scan"
+                            )
+                        val = p1 if r.bit() else -p1
+                    while k <= se:
+                        if zz[k] != 0:
+                            _correct(zz, k)
+                        else:
+                            if rr == 0:
+                                break
+                            rr -= 1
+                        k += 1
+                    if val and k <= se:
+                        zz[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if zz[k] != 0:
+                        _correct(zz, k)
+                    k += 1
+                eobrun -= 1
+
+        def maybe_restart(unit_i: int) -> None:
+            nonlocal eobrun
+            if restart_interval and unit_i and unit_i % restart_interval == 0:
+                r.align_and_consume_rst()
+                pred[:] = [0] * len(order)
+                eobrun = 0
+
+        if ss == 0 and se == 0:  # DC scan
+            if len(order) > 1:  # interleaved: MCU order
+                for mi in range(mcus_x * mcus_y):
+                    maybe_restart(mi)
+                    my, mx = divmod(mi, mcus_x)
+                    for ci_s, (_, c, _s) in enumerate(order):
+                        for by in range(c["sy"]):
+                            for bx in range(c["sx"]):
+                                row = my * c["sy"] + by
+                                col = mx * c["sx"] + bx
+                                zz = stacks[order[ci_s][0]][
+                                    row * (mcus_x * c["sx"]) + col
+                                ]
+                                if ah == 0:
+                                    dc_first(ci_s, zz)
+                                else:
+                                    dc_refine(zz)
+            else:
+                bw_t, bh_t, stride = scan_blocks_meta(order[0][1])
+                for bi in range(bw_t * bh_t):
+                    maybe_restart(bi)
+                    row, col = divmod(bi, bw_t)
+                    zz = stacks[order[0][0]][row * stride + col]
+                    if ah == 0:
+                        dc_first(0, zz)
+                    else:
+                        dc_refine(zz)
+        else:  # AC scan
+            if len(order) != 1:
+                raise ValueError(
+                    "progressive AC scan must be single-component (T.81 G.1)"
+                )
+            bw_t, bh_t, stride = scan_blocks_meta(order[0][1])
+            for bi in range(bw_t * bh_t):
+                maybe_restart(bi)
+                row, col = divmod(bi, bw_t)
+                zz = stacks[order[0][0]][row * stride + col]
+                if ah == 0:
+                    ac_first(zz)
+                else:
+                    ac_refine(zz)
+        return r.pos
+
+    while True:
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG: no EOI")
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        if data[pos + 1] == 0xFF:  # fill byte
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    raw = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                else:
+                    raw = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = raw
+                qtables[tq] = tbl
+        elif marker == 0xC2:  # SOF2
+            prec = seg[0]
+            fh, fw, nc = (
+                struct.unpack(">H", seg[1:3])[0],
+                struct.unpack(">H", seg[3:5])[0],
+                seg[5],
+            )
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision JPEG")
+            comps = []
+            for i in range(nc):
+                cid, sf, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append({"id": cid, "sx": sf >> 4, "sy": sf & 0xF, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+            hmax = max(c["sx"] for c in comps)
+            vmax = max(c["sy"] for c in comps)
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            geom = (mcus_x, mcus_y, hmax, vmax)
+            stacks = [
+                np.zeros(
+                    ((mcus_x * c["sx"]) * (mcus_y * c["sy"]), 64),
+                    dtype=np.int64,
+                )
+                for c in comps
+            ]
+        elif marker in (0xC0, 0xC1):
+            raise ValueError("sequential SOF in decode_progressive — use decode()")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"unsupported JPEG process (SOF marker 0x{marker:02x})")
+        elif marker == 0xC4:  # DHT (may redefine between scans)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nvals])
+                _, dec = _build_huffman(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = dec
+                p += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS — one scan
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("truncated JPEG: SOS header cut short")
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append({"id": cs, "td": tt >> 4, "ta": tt & 0xF})
+            ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah_, al_ = ahal >> 4, ahal & 0xF
+            if ss_ == 0 and se_ != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            pos = decode_scan(scan, ss_, se_, ah_, al_, pos + seglen)
+            # resync to the next marker (skip pad bits / stray bytes)
+            while pos + 1 < len(data) and not (
+                data[pos] == 0xFF and data[pos + 1] != 0x00
+            ):
+                pos += 1
+            continue
+        pos += seglen
+    if frame is None:
+        raise ValueError("EOI before SOF")
+    mcus_x, mcus_y, hmax, vmax = geom
+    return _stacks_to_image(
+        frame["comps"], stacks, qtables,
+        frame["h"], frame["w"], mcus_x, mcus_y, hmax, vmax,
+    )
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Decode a JPEG, dispatching on the frame type: SOF0/SOF1 →
+    ``decode_baseline``, SOF2 → ``decode_progressive``. This is the
+    entry the media pipeline uses; the per-profile functions stay
+    strict (``decode_baseline`` still rejects SOF2 by name)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        if data[pos + 1] == 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker in (0xC0, 0xC1):
+            return decode_baseline(data)
+        if marker == 0xC2:
+            return decode_progressive(data)
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"unsupported JPEG process (SOF marker 0x{marker:02x})"
+            )
+        if marker in (0xD9, 0xDA):
+            raise ValueError("no SOF before scan/EOI")
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        pos += seglen
+    raise ValueError("truncated JPEG: no SOF marker found")
+
+
+def _flat_huffman(symbols):
+    """A minimal VALID Huffman table for a known symbol set: every
+    symbol at the same code length L (smallest L with 2^L − 1 ≥ n, so
+    the all-ones code stays unused as T.81 C.2 prefers). Deliberately
+    not frequency-optimal — the progressive encoder exists to make
+    fixtures, and a flat table exercises the decoder's any-DHT path
+    rather than the Annex-K shortcut."""
+    uniq = sorted(set(symbols))
+    L = 1
+    while (1 << L) - 1 < len(uniq):
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(uniq)
+    enc, _ = _build_huffman(bits, uniq)
+    return bits, uniq, enc
+
+
+def encode_progressive(
+    img: np.ndarray,
+    quality: int = 75,
+    qtables: tuple[np.ndarray, np.ndarray] | None = None,
+    subsample: bool = False,
+    al_dc: int = 1,
+    al_ac: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive (SOF2) JPEG bytes from uint8 (h, w) grayscale or
+    (h, w, 3) RGB. Scan script: interleaved DC first scan at Al=al_dc;
+    per component, banded AC first scans at Al=al_ac (luma split 1–5 /
+    6–63 to exercise spectral selection); per component, AC refinement
+    scans stepping Al down to 0 (G.1.2.3 correction-bit protocol with
+    EOB-run buffering); finally DC refinement scans. Each scan writes
+    its own flat DHT (two-pass: collect symbols, then code), so EOBn
+    symbols — absent from the Annex-K baseline tables — are covered.
+    ``restart_interval`` applies per scan (MCUs for the interleaved DC
+    scan, blocks for the rest). Exists to MAKE fixtures; decode is the
+    product."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql, qc = qtables if qtables is not None else quality_tables(quality)
+
+    if gray:
+        comps = [img.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            def pad(c):
+                return np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = pad(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = pad(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        comps = [y - 128.0, cb - 128.0, cr - 128.0]
+        qsel = [0, 1, 1]
+
+    nc = len(comps)
+    hmax = max(sx for sx, _ in samp)
+    vmax = max(sy for _, sy in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # quantized zigzag coefficient stacks over the padded MCU grid
+    stacks = []
+    true_grid = []
+    for ci, c in enumerate(comps):
+        sx, sy = samp[ci]
+        cw, ch = mcus_x * 8 * sx, mcus_y * 8 * sy
+        pc = np.zeros((ch, cw))
+        ih, iw = c.shape
+        pc[:ih, :iw] = c
+        if iw < cw:
+            pc[:ih, iw:] = c[:, -1:]
+        if ih < ch:
+            pc[ih:, :] = pc[ih - 1 : ih, :]
+        blocks = (
+            pc.reshape(ch // 8, 8, cw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        q = (ql if qsel[ci] == 0 else qc).reshape(8, 8)
+        quant = np.round(dct2_blocks(blocks) / q).astype(np.int64)
+        stacks.append(quant.reshape(-1, 64)[:, ZIGZAG])
+        tw = -(-(-(-w * sx // hmax)) // 8)
+        th = -(-(-(-h * sy // vmax)) // 8)
+        true_grid.append((tw, th, cw // 8))
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    for tid, tbl in ((0, ql), (1, qc))[: 1 if gray else 2]:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(tbl[ZIGZAG[i]]) for i in range(64))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        sx, sy = samp[ci]
+        out += bytes([ci + 1, (sx << 4) | sy, qsel[ci]])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def emit_scan(comp_ids, ss, se, ah, al, tokens, tclass) -> None:
+        syms = [t[1] for t in tokens if t[0] == "sym"]
+        if syms:
+            bits, vals, enc = _flat_huffman(syms)
+            out.extend(
+                b"\xff\xc4"
+                + struct.pack(">H", 3 + 16 + len(vals))
+                + bytes([(tclass << 4) | 0])
+                + bytes(bits)
+                + bytes(vals)
+            )
+        else:
+            enc = {}
+        ns = len(comp_ids)
+        out.extend(b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns))
+        for cid in comp_ids:
+            out.extend(bytes([cid, 0x00]))
+        out.extend(bytes([ss, se, (ah << 4) | al]))
+        wtr = _BitWriter()
+        rstn = 0
+        for t in tokens:
+            if t[0] == "sym":
+                c_, l_ = enc[t[1]]
+                wtr.write(c_, l_)
+            elif t[0] == "bits":
+                wtr.write(t[1], t[2])
+            else:  # ("rst",)
+                wtr.flush()
+                out.extend(wtr.out)
+                out.extend(bytes([0xFF, 0xD0 + rstn % 8]))
+                rstn += 1
+                wtr = _BitWriter()
+        wtr.flush()
+        out.extend(wtr.out)
+
+    # ---- scan 1: DC first, interleaved, point transform = arithmetic shift
+    tokens: list[tuple] = []
+    pred = [0] * nc
+    for mi in range(mcus_x * mcus_y):
+        if restart_interval and mi and mi % restart_interval == 0:
+            tokens.append(("rst",))
+            pred = [0] * nc
+        my, mx = divmod(mi, mcus_x)
+        for ci in range(nc):
+            sx, sy = samp[ci]
+            for by in range(sy):
+                for bx in range(sx):
+                    row = my * sy + by
+                    col = mx * sx + bx
+                    v = int(stacks[ci][row * (mcus_x * sx) + col][0]) >> al_dc
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    t, code = _magnitude(diff)
+                    tokens.append(("sym", t))
+                    if t:
+                        tokens.append(("bits", code, t))
+    emit_scan(list(range(1, nc + 1)), 0, 0, 0, al_dc, tokens, 0)
+
+    # ---- AC first scans (banded for luma), per component
+    def ac_first_tokens(ci, ss, se, al):
+        tokens = []
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                tokens.append(("sym", n << 4))
+                if n:
+                    tokens.append(("bits", eobrun - (1 << n), n))
+                eobrun = 0
+
+        tw, th, stride = true_grid[ci]
+        for bi in range(tw * th):
+            if restart_interval and bi and bi % restart_interval == 0:
+                flush_eob()
+                tokens.append(("rst",))
+            row, col = divmod(bi, tw)
+            zz = stacks[ci][row * stride + col]
+            run = 0
+            any_sig = False
+            for k in range(ss, se + 1):
+                v = _pt_ac(int(zz[k]), al)
+                if v == 0:
+                    run += 1
+                    continue
+                any_sig = True
+                while run > 15:
+                    flush_eob()
+                    tokens.append(("sym", 0xF0))
+                    run -= 16
+                t, code = _magnitude(v)
+                flush_eob()
+                tokens.append(("sym", (run << 4) | t))
+                tokens.append(("bits", code, t))
+                run = 0
+            if run or not any_sig:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return tokens
+
+    # ---- AC refinement scans (G.1.2.3): correction bits attach to the
+    # symbol that passes over them; trailing bits ride the EOB run
+    def ac_refine_tokens(ci, ss, se, ah, al):
+        tokens = []
+        eobrun = 0
+        be: list[int] = []
+
+        def flush_eob_be():
+            nonlocal eobrun, be
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                tokens.append(("sym", n << 4))
+                if n:
+                    tokens.append(("bits", eobrun - (1 << n), n))
+                for b_ in be:
+                    tokens.append(("bits", b_, 1))
+                eobrun = 0
+                be = []
+
+        tw, th, stride = true_grid[ci]
+        for bi in range(tw * th):
+            if restart_interval and bi and bi % restart_interval == 0:
+                flush_eob_be()
+                tokens.append(("rst",))
+            row, col = divmod(bi, tw)
+            zz = stacks[ci][row * stride + col]
+            a = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eobpos = -1
+            for i, t in enumerate(a):
+                if t == 1:
+                    eobpos = i
+            run = 0
+            br: list[int] = []
+            for i, t in enumerate(a):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= eobpos:
+                    flush_eob_be()
+                    tokens.append(("sym", 0xF0))
+                    run -= 16
+                    for b_ in br:
+                        tokens.append(("bits", b_, 1))
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                flush_eob_be()
+                tokens.append(("sym", (run << 4) | 1))
+                tokens.append(
+                    ("bits", 1 if int(zz[ss + i]) > 0 else 0, 1)
+                )
+                for b_ in br:
+                    tokens.append(("bits", b_, 1))
+                br = []
+                run = 0
+            if run > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob_be()
+        flush_eob_be()
+        return tokens
+
+    for ci in range(nc):
+        bands = [(1, 5), (6, 63)] if ci == 0 else [(1, 63)]
+        for ss, se in bands:
+            emit_scan(
+                [ci + 1], ss, se, 0, al_ac,
+                ac_first_tokens(ci, ss, se, al_ac), 1,
+            )
+    for ci in range(nc):
+        for a in range(al_ac, 0, -1):
+            emit_scan(
+                [ci + 1], 1, 63, a, a - 1,
+                ac_refine_tokens(ci, 1, 63, a, a - 1), 1,
+            )
+
+    # ---- DC refinement scans: raw bits, no Huffman table
+    for a in range(al_dc, 0, -1):
+        tokens = []
+        for mi in range(mcus_x * mcus_y):
+            if restart_interval and mi and mi % restart_interval == 0:
+                tokens.append(("rst",))
+            my, mx = divmod(mi, mcus_x)
+            for ci in range(nc):
+                sx, sy = samp[ci]
+                for by in range(sy):
+                    for bx in range(sx):
+                        row = my * sy + by
+                        col = mx * sx + bx
+                        v = int(stacks[ci][row * (mcus_x * sx) + col][0])
+                        tokens.append(("bits", (v >> (a - 1)) & 1, 1))
+        emit_scan(list(range(1, nc + 1)), 0, 0, a, a - 1, tokens, 0)
+
+    out += b"\xff\xd9"
+    return bytes(out)

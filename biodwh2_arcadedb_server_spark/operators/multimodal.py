@@ -15,12 +15,18 @@ round 10 the palette/sub-byte/16-bit/Adam7 variants; round 14 the
 LOSSY side: **baseline JPEG** (``operators.jpeg`` — T.81 sequential
 DCT: canonical Huffman from any DHT, byte unstuffing, restart
 markers, DC prediction, dequant + exact float64 IDCT, 4:2:0
-upsampling, YCbCr→RGB). Remaining codecs (MP4/Opus video+audio
-containers, progressive JPEG) still sit behind a clearly-marked
-NotImplementedError seam — that is where pyav / soundfile /
-libjpeg-turbo plug in on a real deployment; the dispatch, schema,
-and batch shape they inherit are exercised by the PPM/PNG/JPEG/WAV
-paths. ``decode_stub=True`` keeps the old byte-statistics fake for
+upsampling, YCbCr→RGB) — and later in round 14 **progressive JPEG**
+(T.81 Annex G multi-scan accumulation, ``jpeg.decode`` dispatches on
+the SOF marker) plus the **MP4 and Ogg/Opus CONTAINER layers**
+(``operators.isobmff`` — box walk, moov metadata, stsc×stco×stsz
+sample ranges, mdat frame slicing; ``operators.ogg`` — CRC-verified
+page parse, 255-byte lacing reassembly across pages, OpusHead/Tags).
+What remains behind the clearly-marked NotImplementedError seam is
+exactly the DSP codec layer (H.264/HEVC sample decode, Opus
+SILK/CELT) — that is where pyav / libopus / soundfile plug in on a
+real deployment; the dispatch, schema, and batch shape they inherit
+are exercised by the PPM/PNG/JPEG/WAV/MP4/Ogg paths.
+``decode_stub=True`` keeps the old byte-statistics fake for
 comparison and for payloads of unknown type.
 
 Design for 100 TB of media:
@@ -765,7 +771,10 @@ def to_png_adam7_table(
 
 
 def to_jpeg_table(
-    documents: DataFrame, width: int = 16, height: int = 16
+    documents: DataFrame,
+    width: int = 16,
+    height: int = 16,
+    progressive: bool = False,
 ) -> DataFrame:
     """Build a media table of REAL BASELINE JPEGs (round 14, VERDICT
     r13 #5 — the [C5] lossy-codec seam closed with zero new
@@ -778,7 +787,12 @@ def to_jpeg_table(
     quantize→dequantize→IDCT reproduces every block bit-exactly —
     a LOSSY format with a LOSSLESS fixture path, which is what lets
     the decoded-stat oracle hash-check the full Huffman+DCT decode
-    chain (per-block values are the oracle's ``ord(char) % 256``)."""
+    chain (per-block values are the oracle's ``ord(char) % 256``).
+
+    ``progressive=True`` emits SOF2 streams instead (same DC-exact
+    pixel contract): interleaved DC-first + banded AC + successive-
+    approximation refinement scans, so the q198 oracle hash-checks
+    the full Annex-G scan accumulation path."""
     import numpy as np
 
     from biodwh2_arcadedb_server_spark.operators import jpeg as jpeg_mod
@@ -797,7 +811,9 @@ def to_jpeg_table(
                 ).reshape(by, bx)
                 img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
                 payloads.append(
-                    jpeg_mod.encode_baseline(img, qtables=(q8, q8))
+                    jpeg_mod.encode_progressive(img, qtables=(q8, q8))
+                    if progressive
+                    else jpeg_mod.encode_baseline(img, qtables=(q8, q8))
                 )
             yield pd.DataFrame(
                 {
@@ -842,7 +858,8 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                             jpeg as jpeg_mod,
                         )
 
-                        px = jpeg_mod.decode_baseline(bytes(payload)).tobytes()
+                        # dispatches baseline vs progressive on SOF
+                        px = jpeg_mod.decode(bytes(payload)).tobytes()
                     else:
                         raise NotImplementedError(
                             f"no pure-Python decoder for {mt!r} — plug "
@@ -958,3 +975,182 @@ def metadata_only_scan(media: DataFrame) -> DataFrame:
     """Metadata projection — never touches payload bytes (verify with
     .explain: ReadSchema excludes `payload`)."""
     return media.select("doc_id", "media_type", F.col("meta.n_bytes").alias("n_bytes"))
+
+
+# ---------------------------------------------------------------- containers
+MP4_FRAMES, MP4_FRAME_BYTES = 5, 64  # 5 8x8 gray frames per doc
+OPUS_PACKET_LENS = (150, 300, 150)   # middle packet spans Ogg pages
+
+
+def to_mp4_table(documents: DataFrame) -> DataFrame:
+    """Build a media table of REAL MP4 files (round 14 — the [C5]
+    'MP4 container' seam, ``operators.isobmff``): each document
+    yields MP4_FRAMES 8×8 grayscale frames whose pixel bytes are
+    ``codepoint(char) % 256`` over consecutive 64-char slices of the
+    text (padded 'x'), stored as a ``raw `` visual track in chunks of
+    2 samples — 5 frames ⇒ chunks of 2+2+1, so the parser's stsc
+    run-length resolution (including the short trailing run) is
+    exercised on every payload."""
+    from biodwh2_arcadedb_server_spark.operators import isobmff
+
+    n_chars = MP4_FRAMES * MP4_FRAME_BYTES
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                chars = ((text or "")[:n_chars] + "x" * n_chars)[:n_chars]
+                raw = bytes(ord(c) % 256 for c in chars)
+                frames = [
+                    raw[i : i + MP4_FRAME_BYTES]
+                    for i in range(0, n_chars, MP4_FRAME_BYTES)
+                ]
+                payloads.append(
+                    isobmff.build_mp4(frames, 8, 8, samples_per_chunk=2)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "video/mp4",
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        op, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+def mp4_frames(media: DataFrame) -> DataFrame:
+    """Per-FRAME rows from MP4 payloads via the real container walk
+    (1→N mapInPandas fan-out): moov metadata parse, stsc×stco×stsz
+    sample resolution, mdat slicing — frame bytes are decoded for the
+    ``raw `` sample entry, NotImplementedError names the pyav seam
+    for compressed tracks."""
+    from biodwh2_arcadedb_server_spark.operators import isobmff
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "frame_idx": [],
+                "frame_bytes": [], "frame_mean": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, frame in enumerate(
+                    isobmff.decode_samples(bytes(payload))
+                ):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_bytes"].append(len(frame))
+                    rows["frame_mean"].append(
+                        sum(frame) / len(frame) if frame else 0.0
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(rows["doc_id"], dtype="int64"),
+                    "frame_idx": pd.array(rows["frame_idx"], dtype="int32"),
+                    "frame_bytes": pd.array(
+                        rows["frame_bytes"], dtype="int64"
+                    ),
+                    "frame_mean": pd.array(
+                        rows["frame_mean"], dtype="float64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+def to_opus_table(documents: DataFrame) -> DataFrame:
+    """Build a media table of REAL Opus-in-Ogg streams (round 14 —
+    the [C5] 'Opus container' seam, ``operators.ogg``): OpusHead +
+    OpusTags + three audio packets of OPUS_PACKET_LENS bytes drawn
+    from the text codepoints; pages are built with
+    ``max_segments_per_page=2`` so the 300-byte middle packet SPANS a
+    page boundary — every payload exercises the continuation-flag +
+    lacing reassembly path and the Ogg CRC."""
+    from biodwh2_arcadedb_server_spark.operators import ogg as ogg_mod
+
+    n_chars = sum(OPUS_PACKET_LENS)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                chars = ((text or "")[:n_chars] + "x" * n_chars)[:n_chars]
+                raw = bytes(ord(c) % 256 for c in chars)
+                pkts, off = [], 0
+                for ln in OPUS_PACKET_LENS:
+                    pkts.append(raw[off : off + ln])
+                    off += ln
+                payloads.append(
+                    ogg_mod.build_opus_stream(
+                        pkts, channels=1, max_segments_per_page=2
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "audio/ogg",
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        op, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+def opus_packet_stats(media: DataFrame) -> DataFrame:
+    """Per-PACKET rows from Opus-in-Ogg payloads via the real
+    container walk (CRC-verified page parse, lacing reassembly across
+    page boundaries, OpusHead metadata): one row per audio packet
+    with its byte stats plus the stream's channel count and duration
+    in samples. The Opus DSP decode itself stays behind
+    ``ogg.decode``'s NotImplementedError."""
+    from biodwh2_arcadedb_server_spark.operators import ogg as ogg_mod
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "packet_idx": [], "n_bytes": [],
+                "byte_mean": [], "channels": [], "duration_samples": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                meta = ogg_mod.opus_metadata(data)
+                for idx, pkt in enumerate(ogg_mod.ogg_packets(data)[2:]):
+                    rows["doc_id"].append(doc_id)
+                    rows["packet_idx"].append(idx)
+                    rows["n_bytes"].append(len(pkt))
+                    rows["byte_mean"].append(
+                        sum(pkt) / len(pkt) if pkt else 0.0
+                    )
+                    rows["channels"].append(meta["channels"])
+                    rows["duration_samples"].append(
+                        meta["duration_samples"]
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(rows["doc_id"], dtype="int64"),
+                    "packet_idx": pd.array(
+                        rows["packet_idx"], dtype="int32"
+                    ),
+                    "n_bytes": pd.array(rows["n_bytes"], dtype="int64"),
+                    "byte_mean": pd.array(
+                        rows["byte_mean"], dtype="float64"
+                    ),
+                    "channels": pd.array(rows["channels"], dtype="int32"),
+                    "duration_samples": pd.array(
+                        rows["duration_samples"], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(
+        op,
+        schema=(
+            "doc_id long, packet_idx int, n_bytes long, "
+            "byte_mean double, channels int, duration_samples long"
+        ),
+    )

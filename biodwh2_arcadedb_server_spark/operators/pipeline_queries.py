@@ -586,6 +586,70 @@ def q194_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q198_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode through the C5 seam (round 14,
+    ROADMAP: the one JPEG profile left behind the NotImplementedError
+    after the baseline codec landed). Same DC-exact fixture contract
+    as q194, but the corpus re-encodes as genuine T.81 Annex-G
+    streams — interleaved DC-first scan at Al=1, banded AC scans
+    (1–5 / 6–63 spectral selection), an AC successive-approximation
+    refinement scan, and a DC refinement scan, each with its own
+    two-pass DHT — so ``extract_features(decode_stub=False)`` runs
+    the full multi-scan coefficient-accumulation path (EOB runs,
+    correction bits, point-transform undo) and still reproduces the
+    pixels bit-exactly. The oracle recomputes the stats from the
+    source text directly, identical in form to q194's."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(
+        multimodal.to_jpeg_table(d, progressive=True), decode_stub=False
+    ).select(
+        "doc_id", "n_bytes", F.round("byte_mean", 4).alias("byte_mean"),
+        F.round("byte_entropy_proxy", 4).alias("byte_entropy_proxy"),
+    )
+
+
+def q199_mp4_container_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 CONTAINER walk through the C5 seam (round 14 — the 'MP4
+    container' hole in VERDICT r13's missing list): each document
+    re-encodes as a genuine one-track ISO-BMFF file (ftyp + chunked
+    mdat + full moov/stbl chain) and ``multimodal.mp4_frames`` walks
+    it for real — box tree, mvhd/tkhd/mdhd/stsd metadata, the general
+    stsc×stco×stsz sample resolution (5 frames in 2+2+1 chunks, so
+    the short trailing stsc run is hit per payload), mdat slicing.
+    Frames are a ``raw `` visual entry whose samples ARE the pixel
+    bytes (codepoint % 256 contract), so the per-frame stats are
+    exact and the oracle replays them from the text; the H.264-class
+    sample decode stays behind ``isobmff.decode_samples``'s
+    NotImplementedError."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.mp4_frames(multimodal.to_mp4_table(d)).select(
+        "doc_id", "frame_idx", "frame_bytes",
+        F.round("frame_mean", 4).alias("frame_mean"),
+    )
+
+
+def q200_opus_container_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg/Opus CONTAINER walk through the C5 seam (round 14 — the
+    'Opus container' hole in VERDICT r13's missing list): each
+    document re-encodes as a valid Opus-in-Ogg stream (OpusHead +
+    OpusTags + 3 audio packets of 150/300/150 bytes) built with
+    2-segment pages, so the 300-byte middle packet ALWAYS spans a
+    page boundary — ``multimodal.opus_packet_stats`` re-walks it for
+    real: Ogg CRC verification (the unreflected 0x04C11DB7 table, not
+    zlib's), lacing reassembly across the continuation flag, OpusHead
+    channel/pre-skip/rate parse, duration from the last granule.
+    Packet bytes are codepoint % 256 slices of the text, so the
+    per-packet stats are exact and the oracle replays them; the Opus
+    SILK/CELT decode stays behind ``ogg.decode``'s
+    NotImplementedError."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.opus_packet_stats(multimodal.to_opus_table(d)).select(
+        "doc_id", "packet_idx", "n_bytes",
+        F.round("byte_mean", 4).alias("byte_mean"),
+        "channels", "duration_samples",
+    )
+
+
 # --- C5: REAL frame decode fan-out (oracle-able) -------------------------------------------------
 def q38_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode_stub=False: one frame per decoded pixel ROW with its
@@ -669,6 +733,9 @@ QUERIES = {
     "q37_media_features": q37_media_features,
     "q172_png_decode": q172_png_decode,
     "q194_jpeg_decode": q194_jpeg_decode,
+    "q198_jpeg_progressive_decode": q198_jpeg_progressive_decode,
+    "q199_mp4_container_frames": q199_mp4_container_frames,
+    "q200_opus_container_packets": q200_opus_container_packets,
     "q173_png_palette_decode": q173_png_palette_decode,
     "q174_png_adam7_decode": q174_png_adam7_decode,
     "q38_frame_sample": q38_frame_sample,
@@ -992,6 +1059,21 @@ ORACLE = {
                ROUND(len(list_distinct(cs)) / 256.0, 4) AS byte_entropy_proxy
         FROM codes
     """,
+    # the progressive fixture decodes to the SAME pixels (DC-exact
+    # contract survives the multi-scan path) — identical oracle fold
+    "q198_jpeg_progressive_decode": """
+        WITH codes AS (
+            SELECT doc_id,
+                   list_transform(range(1, 5),
+                                  i -> ord(rpad(substr(text, 1, 4), 4, 'x')[i]) % 256) AS cs
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(256 AS BIGINT) AS n_bytes,
+               ROUND(list_sum(cs) * 1.0 / 4, 4) AS byte_mean,
+               ROUND(len(list_distinct(cs)) / 256.0, 4) AS byte_entropy_proxy
+        FROM codes
+    """,
     "q172_png_decode": """
         WITH codes AS (
             SELECT doc_id,
@@ -1062,6 +1144,39 @@ ORACLE["q38_frame_sample"] = """
            CAST(24 AS BIGINT) AS frame_bytes,
            ROUND(list_sum(list_slice(cs, r * 24 + 1, (r + 1) * 24)) * 1.0 / 24, 4) AS frame_mean
     FROM f
+"""
+
+ORACLE["q199_mp4_container_frames"] = """
+    WITH codes AS (
+        SELECT doc_id,
+               list_transform(range(1, 321),
+                              i -> ord(rpad(substr(text, 1, 320), 320, 'x')[i]) % 256) AS cs
+        FROM documents),
+    f AS (SELECT doc_id, cs, UNNEST(range(0, 5)) AS r FROM codes)
+    SELECT doc_id, CAST(r AS INTEGER) AS frame_idx,
+           CAST(64 AS BIGINT) AS frame_bytes,
+           ROUND(list_sum(list_slice(cs, r * 64 + 1, (r + 1) * 64)) * 1.0 / 64, 4) AS frame_mean
+    FROM f
+"""
+
+ORACLE["q200_opus_container_packets"] = """
+    WITH codes AS (
+        SELECT doc_id,
+               list_transform(range(1, 601),
+                              i -> ord(rpad(substr(text, 1, 600), 600, 'x')[i]) % 256) AS cs
+        FROM documents),
+    pk AS (
+        SELECT doc_id, cs, UNNEST([
+            {'i': 0, 's': 1,   'n': 150},
+            {'i': 1, 's': 151, 'n': 300},
+            {'i': 2, 's': 451, 'n': 150}
+        ], recursive := true) FROM codes)
+    SELECT doc_id, CAST(i AS INTEGER) AS packet_idx,
+           CAST(n AS BIGINT) AS n_bytes,
+           ROUND(list_sum(list_slice(cs, s, s + n - 1)) * 1.0 / n, 4) AS byte_mean,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(2880 AS BIGINT) AS duration_samples
+    FROM pk
 """
 
 ORACLE["q73_curation_pipeline"] = f"""

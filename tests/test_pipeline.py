@@ -1608,3 +1608,149 @@ def test_remove_spans_bpe_error_names_char_path(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="bpe_spans_to_char_ranges"):
         dedup.remove_spans(df, df, "doc_id", "text", granularity="bpe")
+
+
+# --- round 14 (cont.): progressive JPEG (T.81 Annex G) ----------------------
+
+
+def test_jpeg_progressive_matches_baseline_bit_exact():
+    """Progressive and baseline encode quantize identically, so their
+    decodes must agree PIXEL-FOR-PIXEL — the strongest cross-check of
+    the Annex-G scan machinery (EOB runs, banded spectral selection,
+    successive approximation, correction-bit ordering, restarts,
+    subsampling) without any external decoder."""
+    import numpy as np
+
+    from biodwh2_arcadedb_server_spark.operators import jpeg
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    color = rng.randint(0, 256, (17, 23, 3)).astype(np.uint8)
+    flat = np.full((40, 40), 200, np.uint8)  # cross-block EOBn runs
+    cases = [
+        (gray, {"quality": 90}),
+        (gray, {"quality": 50, "al_ac": 2, "al_dc": 2}),
+        (gray, {"quality": 80, "restart_interval": 5}),
+        (color, {"quality": 85}),
+        (color, {"quality": 75, "subsample": True}),
+        (color, {"quality": 80, "subsample": True, "restart_interval": 3}),
+        (flat, {"quality": 75}),
+    ]
+    for img, kw in cases:
+        prog = jpeg.decode(jpeg.encode_progressive(img, **kw))
+        base_kw = {
+            k: v for k, v in kw.items()
+            if k in ("quality", "qtables", "subsample")
+        }
+        base = jpeg.decode(jpeg.encode_baseline(img, **base_kw))
+        assert np.array_equal(prog, base), kw
+
+
+def test_jpeg_progressive_dc_exact_fixture():
+    import numpy as np
+
+    from biodwh2_arcadedb_server_spark.operators import jpeg
+
+    q8 = np.full(64, 8, dtype=np.int64)
+    vals = np.array([[3, 250], [77, 128]], dtype=np.uint8)
+    img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    out = jpeg.decode(jpeg.encode_progressive(img, qtables=(q8, q8)))
+    assert np.array_equal(out, img)
+
+
+def test_jpeg_decode_dispatch_and_strictness():
+    import numpy as np
+    import pytest as _pytest
+
+    from biodwh2_arcadedb_server_spark.operators import jpeg
+
+    img = np.full((8, 8), 90, dtype=np.uint8)
+    prog = jpeg.encode_progressive(img)
+    base = jpeg.encode_baseline(img)
+    assert np.array_equal(jpeg.decode(prog), jpeg.decode(base))
+    # the per-profile entries stay strict
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        jpeg.decode_baseline(prog)
+    with _pytest.raises(ValueError, match="decode\\(\\)"):
+        jpeg.decode_progressive(base)
+    with _pytest.raises(ValueError, match="truncated"):
+        jpeg.decode(prog[:-6])
+
+
+# --- round 14 (cont.): MP4 / Ogg-Opus container layers ----------------------
+
+
+def test_mp4_build_parse_roundtrip_and_stsc_runs():
+    from biodwh2_arcadedb_server_spark.operators import isobmff
+
+    frames = [bytes([i] * 64) for i in range(7)]  # 2+2+2+1 chunks
+    data = isobmff.build_mp4(frames, 8, 8, samples_per_chunk=2)
+    meta = isobmff.mp4_metadata(data)
+    t = meta["tracks"][0]
+    assert (t["width"], t["height"], t["codec"], t["handler"]) == (
+        8, 8, "raw ", "vide",
+    )
+    assert t["n_samples"] == 7 and meta["duration"] == 7
+    assert isobmff.decode_samples(data) == frames
+    # variable sizes across chunks still resolve
+    var = [b"x" * (10 + 3 * i) for i in range(5)]
+    data2 = isobmff.build_mp4(var, 4, 4, samples_per_chunk=3)
+    assert isobmff.extract_samples(data2) == var
+
+
+def test_mp4_compressed_codec_names_seam():
+    import pytest as _pytest
+
+    from biodwh2_arcadedb_server_spark.operators import isobmff
+
+    data = bytearray(isobmff.build_mp4([b"z" * 16], 4, 4))
+    i = data.find(b"raw ")
+    data[i : i + 4] = b"avc1"
+    assert isobmff.mp4_metadata(bytes(data))["tracks"][0]["codec"] == "avc1"
+    with _pytest.raises(NotImplementedError, match="avc1"):
+        isobmff.decode_samples(bytes(data))
+    with _pytest.raises(ValueError, match="invalid MP4 box"):
+        isobmff.parse_boxes(bytes(data)[:-5])
+
+
+def test_ogg_lacing_spanning_and_crc():
+    import pytest as _pytest
+
+    from biodwh2_arcadedb_server_spark.operators import ogg
+
+    # empty packet, 255-multiple packet (explicit 0 lacing), spanning
+    pkts = [b"A" * 10, b"B" * 255, b"C" * 600, b"", b"D" * 5]
+    data = ogg.build_ogg(pkts, max_segments_per_page=2)
+    assert ogg.ogg_packets(data) == pkts
+    pages = ogg.parse_pages(data)
+    assert pages[0]["header_type"] & 0x02  # BOS
+    assert pages[-1]["header_type"] & 0x04  # EOS
+    assert any(p["header_type"] & 0x01 for p in pages)  # continuation
+    bad = bytearray(data)
+    bad[-1] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        ogg.ogg_packets(bytes(bad))
+    # zlib's crc32 must NOT satisfy the Ogg checksum
+    import zlib
+
+    assert ogg.ogg_crc(b"OggS test vector") != zlib.crc32(b"OggS test vector")
+
+
+def test_opus_stream_metadata_and_seam():
+    import pytest as _pytest
+
+    from biodwh2_arcadedb_server_spark.operators import ogg
+
+    audio = [bytes([i % 256]) * (100 + i) for i in range(4)]
+    st = ogg.build_opus_stream(
+        audio, channels=2, sample_rate=24000, pre_skip=100,
+        samples_per_packet=480, max_segments_per_page=2,
+    )
+    meta = ogg.opus_metadata(st)
+    assert meta["channels"] == 2
+    assert meta["input_sample_rate"] == 24000
+    assert meta["n_audio_packets"] == 4
+    assert meta["duration_samples"] == 4 * 480
+    assert ogg.ogg_packets(st)[2:] == audio
+    with _pytest.raises(NotImplementedError, match="libopus"):
+        ogg.decode(st)
