@@ -254,6 +254,7 @@ STREAMING = [
     "q179_tws_session_close",
     "q181_tws_stream_first_seen",
     "q191_streaming_substring_contamination",
+    "q201_streaming_contamination_rotation",
     "q182_tws_warm_start_dedup",
 ]
 

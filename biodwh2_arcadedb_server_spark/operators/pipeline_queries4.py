@@ -563,6 +563,75 @@ ORACLE["q191_streaming_substring_contamination"] = f"""
 """
 
 
+def q201_streaming_contamination_rotation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REFERENCE ROTATION for the streaming contamination check
+    (round 14 — the ROADMAP r13 follow-on, built on the trade scoped
+    there): handleInitialState only runs at query start, so a new
+    eval-set epoch ships THROUGH the stream as control rows. Epoch 0
+    (docs < 150) bootstraps the TWS MapState; after the first
+    document chunk drains, a control batch re-ships the FULL epoch-1
+    index (docs < 250) plus tombstones for grams the wider set pushed
+    over the stop-gram caps; the second chunk is then evaluated
+    against epoch 1 — all in ONE query, no restart, no state rebuild
+    (``_RotatingGramPostingsProcessor``; rotation cost = one state op
+    per shipped gram, scaling with the INDEX, not the stream).
+
+    Deterministic by construction (one file per trigger, mtime
+    ordered), so the DuckDB twin replays it exactly: spans(epoch0 →
+    docs in [250, mid)) ∪ spans(epoch1 → docs ≥ mid) with mid =
+    (250 + max_id) // 2, each branch's caps over its own epoch's
+    reference only. The probe prefilters grams against the union of
+    both epochs' hashes (legitimate in a finite replay; the
+    production trade — unfiltered vs rebuild-on-restart — is
+    documented on the op)."""
+    from biodwh2_arcadedb_server_spark.streaming.stateful import (
+        run_finite_substring_contamination_rotating,
+    )
+
+    return run_finite_substring_contamination_rotating(
+        spark, sf_dir,
+        epoch0_below=150, epoch1_below=_Q191_REF_BELOW,
+        k=_ES_K, min_len=_ES_MINLEN, max_df=_ES_MAXDF,
+        name="q201_contam_rot_out", state_parts=8,
+    ).orderBy("doc_id", "span_start")
+
+
+QUERIES["q201_streaming_contamination_rotation"] = (
+    q201_streaming_contamination_rotation
+)
+ORACLE["q201_streaming_contamination_rotation"] = f"""
+    WITH mx AS (
+      SELECT ({_Q191_REF_BELOW} + max(doc_id)) // 2 AS mid FROM documents
+    ),
+    e0 AS (
+      WITH {_es_ctes(
+          pair_override=(
+              f"a.doc_id < 150 AND b.doc_id >= {_Q191_REF_BELOW} "
+              "AND b.doc_id < (SELECT mid FROM mx)"
+          ),
+          keep_where="WHERE doc_id < 150",
+      )}
+      SELECT doc_id, span_start, span_end FROM merged
+    ),
+    e1 AS (
+      WITH {_es_ctes(
+          pair_override=(
+              f"a.doc_id < {_Q191_REF_BELOW} "
+              "AND b.doc_id >= (SELECT mid FROM mx)"
+          ),
+          keep_where=f"WHERE doc_id < {_Q191_REF_BELOW}",
+      )}
+      SELECT doc_id, span_start, span_end FROM merged
+    ),
+    u AS (SELECT * FROM e0 UNION ALL SELECT * FROM e1)
+    SELECT doc_id, span_start, span_end,
+           span_end - span_start + 1 AS span_tokens
+    FROM u ORDER BY doc_id, span_start
+"""
+
+
 def q196_exact_substring_byte_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BYTE-granularity exact-substring spans (round 14, ROADMAP r13:
     cross-tokenizer contamination reports want offsets into the UTF-8

@@ -985,6 +985,67 @@ try:  # pragma: no cover - environment-dependent surface
         def close(self) -> None:
             pass
 
+    class _RotatingGramPostingsProcessor(_GramPostingsProcessor):
+        """Contamination postings with REFERENCE ROTATION (round 14,
+        ROADMAP r13 follow-on): ``handleInitialState`` only runs at
+        query START, so a long-lived stream cannot re-bootstrap — new
+        reference epochs ship THROUGH the stream as control rows
+        (``is_ctrl`` true, carrying the gram's new packed postings;
+        EMPTY refs = tombstone, removing a gram the new epoch dropped,
+        e.g. one the wider set pushed over the stop-gram cap).
+
+        Within a batch, control rows apply BEFORE document grams are
+        probed (split in pandas below), so a batch that carries both
+        sees the new epoch consistently. ACROSS batches the ordering
+        is the stream's — a document batch is evaluated against
+        whichever epoch has fully arrived before it, which is the
+        only coherent semantics a rotation-through-the-stream can
+        offer (and exactly what the finite harness pins: chunk files
+        are mtime-ordered, one per trigger). State-op cost: one
+        updateValue/removeKey per shipped gram per epoch — rotation
+        cost scales with the INDEX size, not the stream."""
+
+        def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+            frames = [pdf for pdf in rows if len(pdf)]
+            if not frames:
+                return iter(())
+            pdf = pd.concat(frames, ignore_index=True)
+            ctrl = pdf[pdf["is_ctrl"]]
+            for r in ctrl.itertuples(index=False):
+                refs = [int(x) for x in (r.refs if r.refs is not None else [])]
+                if not refs:
+                    self._post.removeKey((int(r.gh),))
+                else:
+                    self._post.updateValue(
+                        (int(r.gh),),
+                        (refs, [int(x) for x in r.poss]),
+                    )
+            data = pdf[~pdf["is_ctrl"]]
+            if not len(data):
+                return iter(())
+            out: list[pd.DataFrame] = []
+            for gh, grp in data.groupby("gh", sort=False):
+                v = self._post.getValue((int(gh),))
+                if v is None:
+                    continue
+                refs, poss = v
+                n_ref, n_in = len(refs), len(grp)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "da": [int(r) for r in refs] * n_in,
+                            "pa": [int(p) for p in poss] * n_in,
+                            "db": grp["doc_id"].repeat(n_ref).to_numpy(),
+                            "pb": grp["pos"].repeat(n_ref).to_numpy(),
+                        }
+                    )
+                )
+            if not out:
+                return iter(())
+            return iter(
+                [pd.concat(out, ignore_index=True)[["da", "db", "pa", "pb"]]]
+            )
+
     HAS_TRANSFORM_WITH_STATE = True
     TWS_UNAVAILABLE_REASON: str | None = None
 except ImportError as _exc:  # pragma: no cover
@@ -1399,6 +1460,91 @@ def stream_substring_contamination(
     )
 
 
+ROTATING_STREAM_SCHEMA = (
+    "kind string, doc_id long, text string, "
+    "gh long, refs array<bigint>, poss array<bigint>"
+)
+
+
+def stream_substring_contamination_rotating(
+    tagged: DataFrame,
+    ref_postings: DataFrame,
+    k: int = 8,
+    n_cells: int | None = None,
+    prefilter_hashes: DataFrame | None = None,
+    granularity: str = "word",
+) -> DataFrame:
+    """Contamination anchors with REFERENCE ROTATION (round 14 — the
+    ROADMAP r13 follow-on, scoped there): ``tagged`` is a streaming
+    frame in ``ROTATING_STREAM_SCHEMA`` carrying BOTH document rows
+    (kind='doc': doc_id, text) and control rows (kind='ctrl': gh,
+    refs, poss — a new epoch's packed postings; EMPTY refs =
+    tombstone). Documents shingle and probe exactly as the fixed-set
+    op; control rows route to the same gram-hash cell and update the
+    MapState in place (``_RotatingGramPostingsProcessor``), so a new
+    eval set ships THROUGH the stream — no query restart, no state
+    rebuild. handleInitialState still bootstraps epoch 0.
+
+    The round-13 broadcast-semi prefilter is FIXED for the query's
+    lifetime, which is exactly what rotation breaks — so by default
+    this op runs UNFILTERED (every stream gram pays a state op; the
+    measured 5.6× drain cost at sf0.1 is the price of rotation).
+    ``prefilter_hashes`` opts back in when a SUPERSET of every
+    epoch's gram hashes is known up front (finite replays, bounded
+    eval suites): stale entries only add misses, never drop hits —
+    a hash in no current epoch finds no postings. A real deployment
+    chooses: unfiltered, superset, or rebuild-on-restart."""
+    from biodwh2_arcadedb_server_spark.operators.dedup import (
+        positional_shingles,
+    )
+
+    if n_cells is None:
+        n_cells = derive_contamination_cells(ref_postings.count())
+    if not HAS_TRANSFORM_WITH_STATE:
+        raise RuntimeError(
+            "transformWithState requires pyspark>=4 with google.protobuf "
+            "available to the Python worker; run dedup."
+            f"exact_substring_spans in batch instead [{TWS_UNAVAILABLE_REASON}]"
+        )
+    _arr = "array<bigint>"
+    grams = positional_shingles(
+        tagged.where(F.col("kind") == "doc").select("doc_id", "text"),
+        "doc_id", "text", k, granularity, repartition=False,
+    ).select(F.col("_id").alias("doc_id"), "pos", "gh")
+    if prefilter_hashes is not None:
+        grams = grams.join(
+            F.broadcast(prefilter_hashes.select("gh")), "gh", "left_semi"
+        )
+    grams = grams.select(
+        "gh", "doc_id", "pos",
+        F.lit(False).alias("is_ctrl"),
+        F.lit(None).cast(_arr).alias("refs"),
+        F.lit(None).cast(_arr).alias("poss"),
+    )
+    ctrl = tagged.where(F.col("kind") == "ctrl").select(
+        "gh",
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("pos"),
+        F.lit(True).alias("is_ctrl"),
+        "refs", "poss",
+    )
+    boot = ref_postings.withColumn(
+        "_cell", F.pmod(F.col("gh"), F.lit(n_cells))
+    ).groupBy("_cell")
+    return (
+        grams.unionByName(ctrl)
+        .withColumn("_cell", F.pmod(F.col("gh"), F.lit(n_cells)))
+        .groupBy("_cell")
+        .transformWithStateInPandas(
+            statefulProcessor=_RotatingGramPostingsProcessor(None),
+            outputStructType=CONTAMINATION_ANCHOR_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+            initialState=boot,
+        )
+    )
+
+
 def chunked_document_files(
     sf_dir: str,
     min_id: int,
@@ -1479,6 +1625,149 @@ def run_finite_substring_contamination(
         # state TTL forces ProcessingTime mode, which never
         # terminates under availableNow — use the stable-stop drain
         stop_when_stable=ttl_ms is not None,
+    )
+    return dedup_mod.assemble_spans(anchors, k, min_len)
+
+
+def _rotating_contamination_files(
+    sf_dir: str,
+    stream_min: int,
+    mid: int,
+    ctrl_pdf,
+    out_dir: str | None = None,
+) -> str:
+    """Three mtime-ordered parquet files in ROTATING_STREAM_SCHEMA:
+    chunk0 = docs [stream_min, mid) tagged 'doc', ctrl = the new
+    epoch's postings + tombstones tagged 'ctrl', chunk1 = docs
+    [mid, ∞). One file per trigger ⇒ the rotation lands between the
+    two document batches, deterministically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("kind", pa.string()),
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("gh", pa.int64()),
+            ("refs", pa.list_(pa.int64())),
+            ("poss", pa.list_(pa.int64())),
+        ]
+    )
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    out = out_dir or tempfile.mkdtemp(prefix="contamrot_chunks_")
+
+    def _doc_table(lo, hi):
+        sel = tbl[(tbl["doc_id"] >= lo) & (tbl["doc_id"] < hi)].sort_values(
+            "doc_id", ignore_index=True
+        )
+        n = len(sel)
+        return pa.table(
+            {
+                "kind": ["doc"] * n,
+                "doc_id": sel["doc_id"].astype("int64"),
+                "text": sel["text"],
+                "gh": pa.array([None] * n, pa.int64()),
+                "refs": pa.array([None] * n, pa.list_(pa.int64())),
+                "poss": pa.array([None] * n, pa.list_(pa.int64())),
+            },
+            schema=schema,
+        )
+
+    n_ctrl = len(ctrl_pdf)
+    ctrl_tbl = pa.table(
+        {
+            "kind": ["ctrl"] * n_ctrl,
+            "doc_id": pa.array([None] * n_ctrl, pa.int64()),
+            "text": pa.array([None] * n_ctrl, pa.string()),
+            "gh": ctrl_pdf["gh"].astype("int64"),
+            "refs": pa.array(
+                [list(map(int, x)) for x in ctrl_pdf["refs"]],
+                pa.list_(pa.int64()),
+            ),
+            "poss": pa.array(
+                [list(map(int, x)) for x in ctrl_pdf["poss"]],
+                pa.list_(pa.int64()),
+            ),
+        },
+        schema=schema,
+    )
+    parts = [
+        _doc_table(stream_min, mid),
+        ctrl_tbl,
+        _doc_table(mid, 1 << 62),
+    ]
+    for i, part in enumerate(parts):
+        path = os.path.join(out, f"part{i:04d}.parquet")
+        pq.write_table(part, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    return out
+
+
+def run_finite_substring_contamination_rotating(
+    spark: SparkSession,
+    sf_dir: str,
+    epoch0_below: int = 150,
+    epoch1_below: int = 250,
+    k: int = 8,
+    min_len: int = 20,
+    max_df: int = 16,
+    name: str = "contam_rot_out",
+    state_parts: int | None = None,
+    n_cells: int = 8,
+) -> DataFrame:
+    """Finite drain of the ROTATING contamination stream: epoch 0's
+    reference (docs < ``epoch0_below``) bootstraps the state; halfway
+    through the document stream a control batch rotates to epoch 1
+    (docs < ``epoch1_below`` — the full re-shipped index PLUS
+    tombstones for grams the wider set pushed over the stop-gram
+    caps); the remaining documents are evaluated against the new
+    epoch. Deterministic by construction (one file per trigger,
+    mtime-ordered), so the whole run is DuckDB-twin-expressible:
+    spans(epoch0 → docs in [e1, mid)) ∪ spans(epoch1 → docs ≥ mid)
+    with mid = (epoch1_below + max_id) // 2 — the exact formula the
+    oracle replays. The probe prefilters grams against the UNION of
+    both epochs' hashes (known up front in a finite replay; a real
+    deployment runs unfiltered or rebuilds the filter on restart —
+    see stream_substring_contamination_rotating)."""
+    from biodwh2_arcadedb_server_spark.operators import dedup as dedup_mod
+    from biodwh2_arcadedb_server_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    post0 = dedup_mod.reference_postings(
+        docs.where(F.col("doc_id") < epoch0_below), "doc_id", "text",
+        k=k, max_df=max_df,
+    )
+    post1 = dedup_mod.reference_postings(
+        docs.where(F.col("doc_id") < epoch1_below), "doc_id", "text",
+        k=k, max_df=max_df,
+    )
+    tomb = post0.join(post1, "gh", "left_anti").select(
+        "gh",
+        F.array().cast("array<bigint>").alias("refs"),
+        F.array().cast("array<bigint>").alias("poss"),
+    )
+    ctrl_pdf = post1.unionByName(tomb).toPandas()
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    mid = (epoch1_below + int(max_id)) // 2
+    src = _rotating_contamination_files(sf_dir, epoch1_below, mid, ctrl_pdf)
+    prefilter = (
+        post0.select("gh").unionByName(post1.select("gh")).distinct()
+    )
+    anchors = _drain_finite(
+        spark,
+        src,
+        lambda stream: stream_substring_contamination_rotating(
+            stream, post0, k=k, n_cells=n_cells,
+            prefilter_hashes=prefilter,
+        ),
+        name,
+        state_parts,
+        "contamrot_ckpt_",
+        schema=ROTATING_STREAM_SCHEMA,
+        sentinel_col=None,
     )
     return dedup_mod.assemble_spans(anchors, k, min_len)
 

@@ -461,3 +461,79 @@ def test_contamination_cell_derivation_and_n_cells_64(spark, sf_small):
         for r in dedup.assemble_spans(anchors, K, MINLEN).collect()
     )
     assert got == want and got
+
+
+def test_tws_contamination_rotation_applies_mid_stream(spark, sf_small):
+    """Round 14 (ROADMAP r13 follow-on): a control batch between the
+    two document chunks rotates the reference from epoch 0 (docs <
+    E0) to epoch 1 (docs < E1, full re-shipped index + tombstones).
+    The drained spans must equal the two-epoch batch twin — chunk-1
+    docs vs epoch 0, chunk-2 docs vs epoch 1 — and the rotation must
+    be OBSERVABLE: at least one chunk-2 span anchored only by an
+    epoch-1-only reference doc (id in [E0, E1))."""
+    from pyspark.sql import functions as F
+
+    from biodwh2_arcadedb_server_spark.operators import dedup
+    from biodwh2_arcadedb_server_spark.sources.registry import load_table
+    from biodwh2_arcadedb_server_spark.streaming.stateful import (
+        HAS_TRANSFORM_WITH_STATE,
+        TWS_UNAVAILABLE_REASON,
+        run_finite_substring_contamination_rotating,
+    )
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        pytest.skip(TWS_UNAVAILABLE_REASON)
+    E0, E1, K, MINLEN, MAXDF = 150, 250, 8, 20, 16
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in run_finite_substring_contamination_rotating(
+            spark, sf_small, epoch0_below=E0, epoch1_below=E1,
+            k=K, min_len=MINLEN, max_df=MAXDF,
+            name="contam_rot_test", state_parts=4,
+        ).collect()
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    mid = (E1 + int(max_id)) // 2
+
+    def batch_epoch(ref_below, db_lo, db_hi):
+        post = dedup.reference_postings(
+            docs.where(F.col("doc_id") < ref_below), "doc_id", "text",
+            k=K, max_df=MAXDF,
+        )
+        ref_rows = post.select(
+            "gh", F.explode(F.arrays_zip("refs", "poss")).alias("_z")
+        ).select(
+            "gh", F.col("_z.refs").alias("da"), F.col("_z.poss").alias("pa")
+        )
+        grams = dedup.positional_shingles(
+            docs.where(
+                (F.col("doc_id") >= db_lo) & (F.col("doc_id") < db_hi)
+            ),
+            "doc_id", "text", K,
+        ).select("gh", F.col("_id").alias("db"), F.col("pos").alias("pb"))
+        return dedup.assemble_spans(ref_rows.join(grams, "gh").drop("gh"), K, MINLEN)
+
+    want = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in batch_epoch(E0, E1, mid)
+        .unionByName(batch_epoch(E1, mid, 1 << 62))
+        .collect()
+    )
+    assert got == want and got, "rotated drain must match the two-epoch twin"
+
+    # the rotation must be observable: some chunk-2 doc span exists
+    # ONLY because an epoch-1 reference doc (id in [E0, E1)) matched
+    only_e1 = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in batch_epoch(E1, mid, 1 << 62).collect()
+    )
+    pre_rotation_view = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in batch_epoch(E0, mid, 1 << 62).collect()
+    )
+    assert only_e1 != pre_rotation_view, (
+        "fixture too weak: epoch rotation changed nothing for chunk 2 — "
+        "pick epochs so the new reference docs actually match"
+    )
