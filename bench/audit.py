@@ -38,6 +38,9 @@ STREAMING = {
     # round-13: the contamination drain (3 triggers x RocksDB cycle +
     # the reference-postings bootstrap job) — same per-trigger floor
     "q191",
+    # round-14: the ROTATING drain adds a control batch (one more
+    # trigger) + two reference_postings builds — same floor family
+    "q201",
 }
 ITERATIVE = {
     "q21", "q22", "q24", "q25", "q65", "q76", "q80", "q81", "q83", "q85",
