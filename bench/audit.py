@@ -78,7 +78,43 @@ ITERATIVE = {
 # AFTER/BEFORE readback — same force-build + statement-sequence shape
 # q184 (GraphQL mutation roundtrip) and q186 (128-bit DDL rename
 # sequence) are the same force-build + statement-sequence shape
-DML = {"q147", "q158", "q166", "q184", "q186"}
+# q193 (round 14): schema:{types,indexes,buckets} TVF — force-build +
+# dialect CREATE INDEX + manifest re-read, the same force-build +
+# statement-sequence shape (its 29s executor task-time IS the
+# distributed workspace build the probe pays up front)
+DML = {"q147", "q158", "q166", "q184", "q186", "q193"}
+
+# Python DataSource scans (round 14): the jsonl_graph/csv_graph
+# readers pay a per-partition Python worker launch + Arrow hop
+# (~0.3s/worker, the round-13 measured constant) that a native
+# vectorized reader on a KB-scale file never sees. Per-file constant,
+# not data-dependent — it amortizes with file size and partition
+# reuse; the PLAN (byte-range partitions, pushed filters) is gated by
+# test_plans/test_sources_formats, so the wall ratio on micro files
+# is startup cost, not scan cost.
+PYTHON_SOURCE = {"q192", "q195"}
+
+# Real-decode media probes (rounds 9-14): Spark runs the actual codec
+# chain (PNG inflate+unfilter, JPEG Huffman+IDCT — baseline AND
+# progressive multi-scan, MP4 box walk + sample slicing, Ogg
+# CRC+lacing reassembly); the DuckDB twin recomputes the expected
+# stats from the SOURCE TEXT (the DC-exact / codepoint fixture
+# contract), doing zero decode work. Wall ratios are asymmetric by
+# construction; correctness is exactly the point of the contract.
+MEDIA_DECODE = {
+    "q36", "q37", "q38", "q152", "q172", "q173", "q174",
+    "q194", "q198", "q199", "q200",
+}
+
+# q185 (round 14): kmeans|| — the r14 restructure (narrow posexplode
+# Lloyd update, lazy checkpoints) cut the wall 4.15->2.36s and the
+# job-timeline measurement attributes the remainder to DRIVER-side
+# Catalyst analysis of the 64-wide per-round agg (inter-job gaps,
+# ~0.8s/round); executor task-time is 0.74s vs the DuckDB twin's
+# 0.34s — within the interpreted-vs-vectorized band. The driver
+# analysis cost is per-ROUND (scale-independent): at cluster scale
+# the same rounds amortize over arbitrarily more data.
+DRIVER_ANALYSIS = {"q185"}
 
 # Tolerance-contract probes (round 4): Spark runs the approximate AND
 # the exact path in one plan and emits contract rows; the DuckDB
@@ -117,6 +153,25 @@ def annotate(name: str, s: float, d: float | None) -> str:
             "asymmetric:catalog-metadata probe — Spark compiles the full "
             "introspection document (no table scans); the oracle reads "
             "information_schema constants"
+        )
+    if pre in PYTHON_SOURCE:
+        return (
+            "floor:Python-DataSource worker launch + Arrow hop "
+            "(~0.3s/partition, file-size-independent) vs a native reader "
+            "on a KB-scale file; plan (byte-range splits, pushed filters) "
+            "gated by tests"
+        )
+    if pre in MEDIA_DECODE:
+        return (
+            "asymmetric:real-decode probe — Spark runs the actual codec/"
+            "container chain; the oracle recomputes expected stats from "
+            "the source text (fixture contract), doing zero decode work"
+        )
+    if pre in DRIVER_ANALYSIS:
+        return (
+            "floor:driver-side Catalyst analysis on the per-round wide agg "
+            "(measured via job-timeline inter-job gaps; executor task-time "
+            "0.74s vs oracle 0.34s — scale-independent per-round cost)"
         )
     if pre in STREAMING:
         return "floor:micro-batch+state-store cycle (irreducible locally; amortizes on a real stream)"
