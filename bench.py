@@ -211,6 +211,7 @@ HEADLINE = [
     "q152_wav_decode",
     "q199_mp4_container_frames",
     "q200_opus_container_packets",
+    "q202_jpeg_frame_rows",
     "q172_png_decode",
     "q173_png_palette_decode",
     "q174_png_adam7_decode",

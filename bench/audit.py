@@ -103,7 +103,7 @@ PYTHON_SOURCE = {"q192", "q195"}
 # construction; correctness is exactly the point of the contract.
 MEDIA_DECODE = {
     "q36", "q37", "q38", "q152", "q172", "q173", "q174",
-    "q194", "q198", "q199", "q200",
+    "q194", "q198", "q199", "q200", "q202",
 }
 
 # q185 (round 14): kmeans|| — the r14 restructure (narrow posexplode

@@ -161,6 +161,14 @@ def main() -> None:
         "q168_gopher_repetition",
         "q169_curation_funnel",
         "q170_domain_mixture",
+        # round-14 anchors: the exact-substring positional index over
+        # documents x10 (O(tokens) rows, equi-join + windows — the
+        # family's scale path, previously argued from sf0.1 only) and
+        # the container fan-outs (map-only decode, near-flat is the
+        # claim, same as png_decode_x10)
+        "q183_exact_substring_spans",
+        "q199_mp4_container_frames",
+        "q200_opus_container_packets",
     ]
     for name in RELATIONAL:
         if not want(name):

@@ -922,12 +922,14 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, decode_stub: bool 
     """Frame-sampling shape for media payloads: one output row per
     sampled 'frame' (the 1→N mapInPandas fan-out).
 
-    Real path (``decode_stub=False``): a decoded ``image/ppm``
-    payload yields one frame per pixel ROW — ``frame_bytes`` = w*3,
-    ``frame_mean`` = the row's pixel mean — i.e. actual decoded
-    content, not byte offsets. A real VIDEO decoder (pyav keyframe
-    seek) plugs into the same dispatch for video/* types. The stub
-    keeps the byte-offset sampling with frame_mean over raw bytes."""
+    Real path (``decode_stub=False``): a decoded ``image/ppm`` or
+    ``image/jpeg`` payload (round 14: baseline AND progressive, via
+    ``jpeg.decode``'s SOF dispatch) yields one frame per pixel ROW —
+    ``frame_bytes`` = the row stride, ``frame_mean`` = the row's
+    pixel mean — i.e. actual decoded content, not byte offsets. A
+    real VIDEO decoder (pyav keyframe seek) plugs into the same
+    dispatch for video/* types. The stub keeps the byte-offset
+    sampling with frame_mean over raw bytes."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -946,13 +948,26 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, decode_stub: bool 
                             sum(chunk) / len(chunk) if len(chunk) else 0.0
                         )
                     continue
-                if mt != "image/ppm":
+                if mt == "image/ppm":
+                    w, h, px = _decode_ppm(bytes(payload))
+                    stride = w * 3
+                elif mt == "image/jpeg":
+                    # round 14 (ROADMAP follow-on): the lossy codec
+                    # rides the same per-row fan-out — decode()
+                    # dispatches baseline vs progressive on SOF
+                    from biodwh2_arcadedb_server_spark.operators import (
+                        jpeg as jpeg_mod,
+                    )
+
+                    img = jpeg_mod.decode(bytes(payload))
+                    h = img.shape[0]
+                    px = img.tobytes()
+                    stride = len(px) // h
+                else:
                     raise NotImplementedError(
                         f"no pure-Python frame decoder for {mt!r} — "
                         "pyav/ffmpeg keyframe seek plugs in here"
                     )
-                w, h, px = _decode_ppm(bytes(payload))
-                stride = w * 3
                 for r in range(h):
                     row = px[r * stride : (r + 1) * stride]
                     rows["doc_id"].append(doc_id)

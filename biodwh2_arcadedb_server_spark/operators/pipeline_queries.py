@@ -650,6 +650,24 @@ def q200_opus_container_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q202_jpeg_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSY-codec frame fan-out (round 14, ROADMAP follow-on: wire
+    the JPEG codec into ``sample_frames``): the corpus re-encodes as
+    PROGRESSIVE JPEGs (the q198 fixture) and the frame sampler's real
+    path decodes them — one output row per pixel ROW of the decoded
+    16×16 grayscale image, so the 1→N fan-out runs on an actual lossy
+    decode chain, not byte offsets. Under the DC-exact contract row r
+    is two flat 8-px halves from text chars 2·(r÷8) and 2·(r÷8)+1,
+    which is exactly what the oracle recomputes."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(
+        multimodal.to_jpeg_table(d, progressive=True), decode_stub=False
+    ).select(
+        "doc_id", "frame_idx", "frame_bytes",
+        F.round("frame_mean", 4).alias("frame_mean"),
+    )
+
+
 # --- C5: REAL frame decode fan-out (oracle-able) -------------------------------------------------
 def q38_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode_stub=False: one frame per decoded pixel ROW with its
@@ -736,6 +754,7 @@ QUERIES = {
     "q198_jpeg_progressive_decode": q198_jpeg_progressive_decode,
     "q199_mp4_container_frames": q199_mp4_container_frames,
     "q200_opus_container_packets": q200_opus_container_packets,
+    "q202_jpeg_frame_rows": q202_jpeg_frame_rows,
     "q173_png_palette_decode": q173_png_palette_decode,
     "q174_png_adam7_decode": q174_png_adam7_decode,
     "q38_frame_sample": q38_frame_sample,
@@ -1143,6 +1162,19 @@ ORACLE["q38_frame_sample"] = """
     SELECT doc_id, CAST(r AS INTEGER) AS frame_idx,
            CAST(24 AS BIGINT) AS frame_bytes,
            ROUND(list_sum(list_slice(cs, r * 24 + 1, (r + 1) * 24)) * 1.0 / 24, 4) AS frame_mean
+    FROM f
+"""
+
+ORACLE["q202_jpeg_frame_rows"] = """
+    WITH codes AS (
+        SELECT doc_id,
+               list_transform(range(1, 5),
+                              i -> ord(rpad(substr(text, 1, 4), 4, 'x')[i]) % 256) AS cs
+        FROM documents),
+    f AS (SELECT doc_id, cs, UNNEST(range(0, 16)) AS r FROM codes)
+    SELECT doc_id, CAST(r AS INTEGER) AS frame_idx,
+           CAST(16 AS BIGINT) AS frame_bytes,
+           ROUND((cs[(r // 8) * 2 + 1] + cs[(r // 8) * 2 + 2]) / 2.0, 4) AS frame_mean
     FROM f
 """
 

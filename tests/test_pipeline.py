@@ -1754,3 +1754,27 @@ def test_opus_stream_metadata_and_seam():
     assert ogg.ogg_packets(st)[2:] == audio
     with _pytest.raises(NotImplementedError, match="libopus"):
         ogg.decode(st)
+
+
+def test_jpeg_frame_rows_match_text_oracle(spark, sf_small):
+    """sample_frames(decode_stub=False) over progressive JPEGs: each
+    decoded 16x16 image yields 16 row-frames whose means equal the
+    paired-codepoint fold (the q202 oracle, computed here in python)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from biodwh2_arcadedb_server_spark.operators import multimodal
+    from biodwh2_arcadedb_server_spark.sources.registry import load_table
+
+    d = load_table(spark, sf_small, "documents").limit(20)
+    got = {}
+    for r in multimodal.sample_frames(
+        multimodal.to_jpeg_table(d, progressive=True), decode_stub=False
+    ).collect():
+        got[(r.doc_id, r.frame_idx)] = (r.frame_bytes, round(r.frame_mean, 4))
+    rows = d.select("doc_id", "text").collect()
+    assert len(got) == 16 * len(rows)
+    for row in rows:
+        cs = [ord(c) % 256 for c in ((row.text or "")[:4] + "xxxx")[:4]]
+        for fr in range(16):
+            want = (16, round((cs[(fr // 8) * 2] + cs[(fr // 8) * 2 + 1]) / 2, 4))
+            assert got[(row.doc_id, fr)] == want, (row.doc_id, fr)
