@@ -90,6 +90,39 @@ def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components closure over the exact lexical pair set,
+    session-cached (optimization r14): q100 and q104 run the IDENTICAL
+    closure — the iterative CC loop is the family's dominant
+    driver-side cost (per-round checkpoint + convergence jobs), so it
+    joins the shingle/pair tables in the shared derived-table cache.
+    Deterministic, so sharing cannot change any consumer's rows."""
+    return _cached_ckpt(
+        spark,
+        ("doc_clusters", sf_dir, JACCARD_K, JACCARD_THRESHOLD),
+        lambda: dedup.near_dup_clusters(
+            load_table(spark, sf_dir, "documents"),
+            "doc_id", "text", JACCARD_K, JACCARD_THRESHOLD,
+            pairs=_exact_pairs(spark, sf_dir),
+        ),
+    )
+
+
+def _cosine_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC closure over the exact cosine pair set, session-cached:
+    q106 and q156's exact leg run the identical closure (same
+    rationale as :func:`_doc_neardup_clusters`)."""
+    return _cached_ckpt(
+        spark,
+        ("cosine_clusters", sf_dir, COSINE_THRESHOLD),
+        lambda: dedup.near_dup_clusters(
+            load_table(spark, sf_dir, "embeddings"),
+            "vec_id", "embedding",
+            pairs=_cosine_pairs(spark, sf_dir).select("id_a", "id_b"),
+        ),
+    )
+
+
 # --- C2: exact n-gram Jaccard near-dup pairs (oracle-able) --------------------
 def q26_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_pairs(spark, sf_dir)
@@ -147,11 +180,7 @@ def q100_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters by connected components (near-dup is not transitive —
     chains merge), one canonical survivor (min doc_id) per cluster.
     Oracle: recursive-CTE transitive closure over the same pair set."""
-    d = load_table(spark, sf_dir, "documents")
-    return dedup.near_dup_clusters(
-        d, "doc_id", "text", JACCARD_K, JACCARD_THRESHOLD,
-        pairs=_exact_pairs(spark, sf_dir),
-    )
+    return _doc_neardup_clusters(spark, sf_dir)
 
 
 # --- C2 + split composition: leakage-safe grouped split (oracle-able) ---------------
@@ -162,11 +191,7 @@ def q104_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5 bucket hashes the cluster's canonical id, so every member
     of a near-dup cluster lands in the same fold. Same pure-function
     contract as q70 (no rand(), reproducible, append-stable)."""
-    d = load_table(spark, sf_dir, "documents")
-    clusters = dedup.near_dup_clusters(
-        d, "doc_id", "text", JACCARD_K, JACCARD_THRESHOLD,
-        pairs=_exact_pairs(spark, sf_dir),
-    )
+    clusters = _doc_neardup_clusters(spark, sf_dir)
     bucket = (
         F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 100
@@ -353,9 +378,7 @@ def q106_cosine_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embedding-space twin of q100's lexical closure (SemDeDup
     shape). The closure reuses near_dup_clusters with the cosine pair
     set plugged in."""
-    e = load_table(spark, sf_dir, "embeddings")
-    pairs = _cosine_pairs(spark, sf_dir).select("id_a", "id_b")
-    return dedup.near_dup_clusters(e, "vec_id", "embedding", pairs=pairs)
+    return _cosine_neardup_clusters(spark, sf_dir)
 
 
 # --- C3 end-to-end: retrieval + metadata fetch (RAG shape, oracle-able) -------------

@@ -24,6 +24,7 @@ from biodwh2_arcadedb_server_spark.operators.pipeline_queries import (
     _COSINE_PAIR,
     COSINE_THRESHOLD,
     _cached_ckpt,
+    _cosine_neardup_clusters,
     _cosine_pairs,
 )
 from biodwh2_arcadedb_server_spark.sources.registry import load_table
@@ -80,7 +81,10 @@ def q156_semdedup_ann_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     exact_pairs = _cosine_pairs(spark, sf_dir).select("id_a", "id_b")
     ann_pairs = _ann_pairs(spark, sf_dir).select("id_a", "id_b")
-    exact_cl = dedup.near_dup_clusters(e, "vec_id", "embedding", pairs=exact_pairs)
+    # exact closure from the session derived-table cache (shared with
+    # q106 — identical deterministic computation, optimization r14);
+    # only the ANN closure is unique to this probe
+    exact_cl = _cosine_neardup_clusters(spark, sf_dir)
     ann_cl = dedup.near_dup_clusters(e, "vec_id", "embedding", pairs=ann_pairs)
 
     hits = exact_pairs.join(ann_pairs, ["id_a", "id_b"], "left_semi")
