@@ -65,7 +65,6 @@ HEADLINE = [
     "q19_expand_out",
     "q23_degrees",
     "q25_label_propagation",
-    "q31_ann_topk",
     "q34_lang_id",
     "q35_fingerprint",
     "q39_string_functions",
@@ -159,7 +158,12 @@ HEADLINE = [
     "q86_betweenness",
     # shared-cache families kept ADJACENT (one SEGMENT pays the
     # session-scoped shingle/pair/cosine caches once; straddling a
-    # session restart re-derives them and moves totals ±10%)
+    # session restart re-derives them and moves totals ±10%).
+    # q31/q77/q116 joined the family in optimization r14: they share
+    # the session-cached exact-kNN contract twin (_exact_knn).
+    "q31_ann_topk",
+    "q77_ivf_topk",
+    "q116_pq_topk",
     "q26_neardup_jaccard",
     "q100_neardup_clusters",
     "q104_leakage_safe_split",
@@ -176,8 +180,6 @@ HEADLINE = [
     "q180_kmeanspp_assign",
     "q185_kmeans_parallel_assign",
     "q128_rag_retrieval",
-    "q77_ivf_topk",
-    "q116_pq_topk",
     "q32_token_stats",
     "q33_quality_score",
     "q36_multimodal_meta",
@@ -277,6 +279,7 @@ RERUN_THRESHOLD = 1.2  # s — probes slower than this get a min-of-2
 # artifact (VERDICT r8 "next" #3). Segment breaks shift AROUND the
 # family, never through it.
 CACHE_FAMILY = {
+    "q31_ann_topk", "q77_ivf_topk", "q116_pq_topk",
     "q26_neardup_jaccard", "q100_neardup_clusters",
     "q104_leakage_safe_split", "q144_minhash_estimate",
     "q27_minhash_neardup", "q28_simhash_neardup",

@@ -141,6 +141,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from biodwh2_arcadedb_server_spark.localrel import local_df
 
 # ---------------------------------------------------------------- tokenizer
 _TOKEN_RE = re.compile(
@@ -2644,7 +2645,8 @@ def _execute_dml_locked(
             # changed, so the registered views stay valid (round-8
             # interactive-DDL trim)
             ws.load_workspace(spark, workspace_dir)
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [(stmt.kind, stmt.label, n_ddl)],
             "operation string, label string, count long",
         )
@@ -2852,8 +2854,9 @@ def _execute_dml_locked(
         n = ws.insert_nodes(spark, workspace_dir, stmt.label, rows_df) - before
     if refresh_views:
         ws.load_workspace(spark, workspace_dir)
-    return spark.createDataFrame(
-        [(stmt.kind, stmt.label, n)], "operation string, label string, count long"
+    return local_df(
+        spark, [(stmt.kind, stmt.label, n)],
+        "operation string, label string, count long",
     )
 
 
@@ -2933,8 +2936,8 @@ def execute(
             # staged-write summary (round 9): what WOULD run, so a
             # user can inspect before enabling the writes gate —
             # ArcadeDB's EXPLAIN covers DML the same way
-            return spark.createDataFrame(
-                [(_explain_dml(istmt),)], "plan string"
+            return local_df(
+                spark, [(_explain_dml(istmt),)], "plan string"
             )
         if isinstance(istmt, _Traverse):
             # BFS plan summary + the roots' physical plan (the one
@@ -2944,7 +2947,8 @@ def execute(
             roots_plan = spark.sql(
                 f"EXPLAIN FORMATTED {_compile_select(istmt.inner)}"
             ).collect()[0][0]
-            return spark.createDataFrame(
+            return local_df(
+                spark,
                 [(f"{header}\nroots physical plan:\n{roots_plan}",)],
                 "plan string",
             )
@@ -3018,7 +3022,8 @@ def _materialize_schema_sources(spark: SparkSession, sel: _Select) -> None:
                 rows.append(
                     (label, tag, int(info.get("count", 0)), _props(info, internals))
                 )
-        df = spark.createDataFrame(
+        df = local_df(
+            spark,
             sorted(rows),
             "name string, kind string, records long, properties array<string>",
         )
@@ -3035,7 +3040,8 @@ def _materialize_schema_sources(spark: SparkSession, sel: _Select) -> None:
                             bool(ix.get("unique")),
                         )
                     )
-        df = spark.createDataFrame(
+        df = local_df(
+            spark,
             sorted(rows),
             "name string, type_name string, columns array<string>, "
             "is_unique boolean",
@@ -3047,8 +3053,8 @@ def _materialize_schema_sources(spark: SparkSession, sel: _Select) -> None:
             for i, lbl in enumerate(ws.RID_BUCKET_LABELS)
             if lbl is not None
         ]
-        df = spark.createDataFrame(
-            rows, "bucket int, name string, type_name string"
+        df = local_df(
+            spark, rows, "bucket int, name string, type_name string"
         )
     view = f"__schema_{which}"
     df.createOrReplaceTempView(f"n_{view}")

@@ -75,6 +75,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from biodwh2_arcadedb_server_spark.workspace import EDGE_SPECS, NODE_SPECS
+from biodwh2_arcadedb_server_spark.localrel import local_df
 
 
 def _label_case_map(rels: dict) -> dict[str, str]:
@@ -823,7 +824,7 @@ def _introspect_type(
             known = sorted(t["name"] for t in model["types"])
             raise GraphQLError(f"unknown type {name!r} (known: {known})")
         ddl, row = _proj_type(root.selection, match)
-        return spark.createDataFrame([(row,)], f"`t` {ddl}").select("t.*")
+        return local_df(spark, [(row,)], f"`t` {ddl}").select("t.*")
     case = _label_case_map(rels)
     label = case.get(str(name).lower(), str(name))
     try:
@@ -835,7 +836,8 @@ def _introspect_type(
         (rn, r.target, r.direction, r.edge)
         for rn, r in sorted(rels.get(label, {}).items())
     ]
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(label, fields, rel_rows)],
         "name string, "
         "fields array<struct<name string, type string>>, "
@@ -1300,7 +1302,7 @@ def _introspect_full(
         else:
             ddl_parts.append(f"`{sub.out}`: string")
             row.append(None)
-    return spark.createDataFrame([tuple(row)], ", ".join(ddl_parts))
+    return local_df(spark, [tuple(row)], ", ".join(ddl_parts))
 
 
 def _introspect(spark: SparkSession, rels: dict[str, dict[str, Rel]]) -> DataFrame:
@@ -1322,7 +1324,8 @@ def _introspect(spark: SparkSession, rels: dict[str, dict[str, Rel]]) -> DataFra
         rows.append((label, fields, rel_fields))
     if not rows:
         raise GraphQLError("no workspace views registered (n_<Label>)")
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         sorted(rows),
         "name string, fields array<string>, relationships array<string>",
     )

@@ -36,6 +36,7 @@ import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from biodwh2_arcadedb_server_spark.localrel import local_df
 
 from biodwh2_arcadedb_server_spark.functions import tokens
 
@@ -694,7 +695,8 @@ def domain_mixture_sample(
     bad = sorted(s for s, w in weights.items() if not w > 0)
     if bad:
         raise ValueError(f"mixture weights must be positive; got {bad}")
-    wdf = spark.createDataFrame(
+    wdf = local_df(
+        spark,
         [(s, float(w)) for s, w in weights.items()],
         f"{source_col} string, _w double",
     )
@@ -716,7 +718,8 @@ def domain_mixture_sample(
             "the requested mixture is unachievable"
         )
     t_val = min(r["_n"] / r["_w"] for r in rows)
-    targets = spark.createDataFrame(
+    targets = local_df(
+        spark,
         [(r[source_col], int(r["_w"] * t_val)) for r in rows],
         f"{source_col} string, _tgt long",
     )

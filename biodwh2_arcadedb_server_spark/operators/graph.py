@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from biodwh2_arcadedb_server_spark.localrel import local_df
 
 
 # --- B5: 1-hop expansion ------------------------------------------------------
@@ -650,7 +651,7 @@ def sssp(
     sentinel rows)."""
     e = edges.select("src", "dst", F.col(weight_col).alias("_w")).localCheckpoint(eager=True)
     spark = edges.sparkSession
-    dist = spark.createDataFrame([(int(source), 0.0)], "node_id long, dist double")
+    dist = local_df(spark, [(int(source), 0.0)], "node_id long, dist double")
     # convergence fingerprint: distances only ever decrease and nodes
     # only ever appear, so (count, sum) unchanged across a checkpoint
     # interval ⇔ fixpoint. One 2-scalar driver read per k rounds —
@@ -714,7 +715,7 @@ def shortest_path_tree(
     hop = hop.where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
 
     spark = edges.sparkSession
-    visited = spark.createDataFrame([(int(source), 0, None)], "node_id long, depth int, pred long")
+    visited = local_df(spark, [(int(source), 0, None)], "node_id long, depth int, pred long")
     frontier = visited.select("node_id")
     reached_depth = 0
     for d in range(1, max_depth + 1):
@@ -1073,7 +1074,7 @@ def betweenness_centrality(
     )
     # backward accumulation, one depth level per round
     spark = edges.sparkSession
-    delta_next = spark.createDataFrame([], "pivot long, node_id long, delta double")
+    delta_next = local_df(spark, [], "pivot long, node_id long, delta double")
     acc = delta_next
     for d in range(max_d - 1, -1, -1):
         level_nodes = visited.where(F.col("depth") == d).select("pivot", "node_id")
@@ -1144,7 +1145,7 @@ def strongly_connected_components(
         .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession
-    assigned = spark.createDataFrame([], "node_id long, scc long")
+    assigned = local_df(spark, [], "node_id long, scc long")
     for _ in range(max_phases):
         if live.count() == 0:
             break

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from biodwh2_arcadedb_server_spark.localrel import local_df
 
 from biodwh2_arcadedb_server_spark.operators.graph import (
     betweenness_centrality,
@@ -221,7 +222,7 @@ def q83_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-sensitive PageRank seeded on nations {0, 1} (half the
     teleport mass each) — no SQL oracle; tests/test_graph.py pins it
     against the numpy reference with the same reset vector."""
-    reset = spark.createDataFrame([(0, 0.5), (1, 0.5)], "node_id long, reset double")
+    reset = local_df(spark, [(0, 0.5), (1, 0.5)], "node_id long, reset double")
     pr = pagerank(nation_graph(spark, sf_dir, 97), iterations=10, reset=reset)
     return pr.select("node_id", F.round("rank", 6).alias("rank"))
 

@@ -419,6 +419,25 @@ ANN_N_QUERIES = 10  # vec_id < 10: 30 exact pairs — enough to damp
 # synthetic embeddings legitimately hits 0/3 for one query)
 
 
+def _exact_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force k-NN contract twin, session-cached
+    (optimization r14): q31/q77/q116 each score their ANN variant
+    against the IDENTICAL deterministic knn_join over the same
+    queries — one |queries|x|corpus| scan per session instead of
+    three, same derived-table-cache posture as _cosine_pairs."""
+    return _cached_ckpt(
+        spark,
+        ("exact_knn", sf_dir, ANN_N_QUERIES, ANN_K),
+        lambda: similarity.knn_join(
+            load_table(spark, sf_dir, "embeddings"),
+            load_table(spark, sf_dir, "embeddings").where(
+                F.col("vec_id") < ANN_N_QUERIES
+            ),
+            k=ANN_K,
+        ),
+    )
+
+
 def _ann_recall_contract(
     exact: DataFrame, approx: DataFrame, bound: float
 ) -> DataFrame:
@@ -449,7 +468,7 @@ def q31_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001 with 10 queries x k=5)."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < ANN_N_QUERIES)
-    exact = similarity.knn_join(e, queries, k=ANN_K)
+    exact = _exact_knn(spark, sf_dir)
     approx = similarity.ann_topk(e, queries, k=ANN_K, dim=64, n_planes=4, n_tables=8)
     return _ann_recall_contract(exact, approx, bound=0.4)
 
@@ -461,7 +480,7 @@ def q77_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1). The data-adaptive counterpart to q31's hyperplane LSH."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < ANN_N_QUERIES)
-    exact = similarity.knn_join(e, queries, k=ANN_K)
+    exact = _exact_knn(spark, sf_dir)
     approx = similarity.ivf_topk(e, queries, k=ANN_K, n_clusters=8, n_probe=4)
     return _ann_recall_contract(exact, approx, bound=0.6)
 
@@ -477,7 +496,7 @@ def q116_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarser m at equal recall."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < ANN_N_QUERIES)
-    exact = similarity.knn_join(e, queries, k=ANN_K)
+    exact = _exact_knn(spark, sf_dir)
     approx = similarity.pq_topk(e, queries, k=ANN_K, m=16, n_codes=16, refine=8)
     return _ann_recall_contract(exact, approx, bound=0.55)
 

@@ -96,6 +96,88 @@ def random_hyperplane_signature(
     return sig
 
 
+_HP_CACHE: dict = {}
+
+
+def _hyperplane_lits(spark, dim: int, n_planes: int, n_tables: int):
+    """All (table, plane) hyperplane components evaluated ONCE per
+    session by a single one-row, one-partition JVM job and memoized.
+    Same xxhash64-derived values as ``_hyperplane`` — but downstream
+    plans then embed one folded json literal instead of
+    ``n_tables × n_planes`` ``transform(sequence(...))`` trees, whose
+    repeated constant-evaluation inside Catalyst rule passes measured
+    as a 4.5s driver-side gap on q31's 8-table plan (profiles r14).
+    Data-independent constants (not results), so the memo is shared
+    across every caller in the session."""
+    key = (spark.sparkContext.applicationId, dim, n_planes, n_tables)
+    got = _HP_CACHE.get(key)
+    if got is None:
+        row = (
+            spark.range(0, 1, 1, 1)
+            .select(
+                *[
+                    _hyperplane(t, p, dim).alias(f"h_{t}_{p}")
+                    for t in range(n_tables)
+                    for p in range(n_planes)
+                ]
+            )
+            .collect()[0]
+        )
+        got = [
+            [list(row[f"h_{t}_{p}"]) for p in range(n_planes)]
+            for t in range(n_tables)
+        ]
+        _HP_CACHE[key] = got
+    return got
+
+
+def _bucketed(
+    df: DataFrame, id_alias: str, vec_alias: str, vec_col: str, id_col: str,
+    planes_lit, n_planes: int, n_tables: int,
+) -> DataFrame:
+    """(id, vec, table, bucket) rows — one row per LSH table, with the
+    sign-bit signature computed against the folded hyperplane literal.
+    Identical bucket values to ``random_hyperplane_signature``.
+
+    Two-step select: the 32 dot products materialize as a plain array
+    column BEFORE the per-bit reads — interpreted HOFs don't CSE their
+    lambda bodies (see functions.shingles_from_tokens), so inlining
+    the transform into every sign-bit would recompute every dot
+    product per bit, and the non-cheap alias used many times also
+    stops CollapseProject from undoing the split."""
+    pre = df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        F.transform(planes_lit, lambda h: array_dot(F.col(vec_col), h)).alias(
+            "_dots"
+        ),
+    )
+
+    def _sig(t):
+        bits = [
+            F.when(
+                F.element_at(
+                    F.col("_dots"),
+                    (t * F.lit(n_planes) + F.lit(p + 1)).cast("int"),
+                )
+                >= 0,
+                F.lit(1 << p).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for p in range(n_planes)
+        ]
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        return acc
+
+    sigs = F.transform(F.sequence(F.lit(0), F.lit(n_tables - 1)), _sig)
+    return pre.select(
+        id_alias,
+        vec_alias,
+        F.posexplode(sigs).alias("t", "bucket"),
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -107,25 +189,40 @@ def ann_topk(
     vec_col: str = "embedding",
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Approximate k-NN: for each of ``n_tables`` hyperplane tables,
-    bucket corpus and queries by signature and only score collisions;
-    union candidates across tables, dedupe, rank. Recall grows with
-    n_tables; cost per query drops ~2^n_planes-fold vs brute force."""
-    cands = None
-    for t in range(n_tables):
-        c = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("ce"),
-            random_hyperplane_signature(F.col(vec_col), dim, n_planes, t).alias("bucket"),
-        )
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qe"),
-            random_hyperplane_signature(F.col(vec_col), dim, n_planes, t).alias("bucket"),
-        )
-        hit = q.join(c, "bucket").select("query_id", "neighbor_id", "qe", "ce")
-        cands = hit if cands is None else cands.unionByName(hit)
-    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+    """Approximate k-NN: bucket corpus and queries by each of
+    ``n_tables`` hyperplane signatures and only score collisions;
+    dedupe candidates across tables, rank. Recall grows with
+    n_tables; cost per query drops ~2^n_planes-fold vs brute force.
+
+    Optimization r14 (guide §2.4/§3.1): the per-table loop used to
+    emit ``n_tables`` separate join branches unioned together — 8
+    corpus scans and a plan whose analysis alone cost a measured 4.5s
+    driver gap. Signatures for ALL tables are now computed in one
+    corpus pass against the session-memoized hyperplane literal
+    (``_hyperplane_lits``), exploded to (table, bucket) keys, and the
+    collision step is ONE broadcast join of the tiny query side on
+    (t, bucket) — the same candidate pair set, byte-identical output
+    after the unchanged dedupe/score/rank tail."""
+    spark = corpus.sparkSession
+    hps = _hyperplane_lits(spark, dim, n_planes, n_tables)
+    import json as _json
+
+    planes_lit = F.from_json(
+        F.lit(_json.dumps([h for tbl in hps for h in tbl])),
+        "array<array<double>>",
+    )
+    c = _bucketed(
+        corpus, "neighbor_id", "ce", vec_col, id_col,
+        planes_lit, n_planes, n_tables,
+    )
+    q = _bucketed(
+        queries, "query_id", "qe", vec_col, id_col,
+        planes_lit, n_planes, n_tables,
+    )
+    hit = F.broadcast(q).join(c, ["t", "bucket"]).select(
+        "query_id", "neighbor_id", "qe", "ce"
+    )
+    cands = hit.dropDuplicates(["query_id", "neighbor_id"])
     if exclude_self:
         cands = cands.where(F.col("query_id") != F.col("neighbor_id"))
     scored = cands.select(
