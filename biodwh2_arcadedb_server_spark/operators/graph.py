@@ -36,9 +36,53 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from biodwh2_arcadedb_server_spark.localrel import local_df
+
+
+@contextmanager
+def _tight_loop(spark, shuffle_rows: int):
+    """Iterative-loop execution profile (optimization r14, guide §2).
+
+    Inside a fixed-iteration loop the shuffle geometry is KNOWN
+    up front: keys are node ids, values fixed-width doubles, volume
+    |V|+|E| rows per round, no skew worth re-planning. Planning each
+    round's exchanges at the session default (e.g. 200 partitions)
+    and letting AQE coalesce them back down pays per-stage planning
+    work every round; deriving the partition count ONCE from the data
+    (`shuffle_rows` / `spark.graft.loop.rowsPerPartition`, default
+    500k rows ≈ tens of MB of fixed-width rows per task, capped at
+    the session's configured shuffle parallelism) removes that work
+    while producing the same geometry AQE converges to. AQE itself
+    STAYS ON (skew/local-read benefits keep applying; a measured
+    three-way A/B on q24/q108/q83 gave derived-partitions+AQE
+    6.16/4.58/3.79 s vs stock-AQE 8.14/5.06/4.54 s vs AQE-off
+    7.08/6.89/5.69 s — switching AQE off lost codegen/planning time
+    at every checkpoint).
+
+    The session's shuffle-partition setting is restored on exit;
+    callers leave the scope with an EAGER checkpoint so the heavy
+    loop executions all plan under the derived count. Scale posture:
+    rowsPerPartition is a conf knob, the cap follows the cluster's
+    own spark.sql.shuffle.partitions, and the derived count grows
+    linearly with |V|+|E| — nothing is tuned to local[32].
+    """
+    conf = spark.conf
+    old_sp = conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        cap = int(old_sp)
+    except ValueError:  # "auto" on some builds
+        cap = 200
+    target = int(conf.get("spark.graft.loop.rowsPerPartition", "500000"))
+    n = max(1, min(cap, (int(shuffle_rows) + target - 1) // target))
+    conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
 # --- B5: 1-hop expansion ------------------------------------------------------
@@ -114,27 +158,32 @@ def bfs(
     hop = edges.select("src", "dst")
     if not directed:
         hop = hop.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    hop = hop.dropDuplicates(["src", "dst"])
+    # checkpoint once (optimization r14): the dedup exchange used to
+    # re-execute inside EVERY depth's frontier join — one full edge
+    # shuffle per level; materialized it is paid once per traversal,
+    # the same posture as pagerank/sssp's edge checkpoint
+    hop = hop.dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
 
     visited = start.select(F.col(id_col).alias("node_id")).distinct().withColumn(
         "depth", F.lit(0)
     )
     frontier = visited.select("node_id")
-    for d in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(hop, frontier.node_id == hop.src)
-            .select(F.col("dst").alias("node_id"))
-            .distinct()
-            .join(visited.select("node_id"), "node_id", "left_anti")
-        )
-        if d % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt.withColumn("depth", F.lit(d))).localCheckpoint(
-            eager=True
-        )
-        frontier = nxt
+    with _tight_loop(edges.sparkSession, hop.count()):
+        for d in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(hop, frontier.node_id == hop.src)
+                .select(F.col("dst").alias("node_id"))
+                .distinct()
+                .join(visited.select("node_id"), "node_id", "left_anti")
+            )
+            if d % checkpoint_every == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt.withColumn("depth", F.lit(d))).localCheckpoint(
+                eager=True
+            )
+            frontier = nxt
     return visited
 
 
@@ -355,33 +404,34 @@ def connected_components(
         )
 
     done, batch = 0, 1
-    while done < max_iter:
-        k = min(batch, max_iter - done)
-        cur = comp
-        for _ in range(k):
-            cur = _step(cur)
-        upd = (
-            cur.alias("n")
-            .join(comp.alias("o"), "node_id")
-            .select(
-                "node_id",
-                F.col("n.component").alias("component"),
-                (F.col("n.component") < F.col("o.component")).alias("_chg"),
+    with _tight_loop(edges.sparkSession, und.count()):
+        while done < max_iter:
+            k = min(batch, max_iter - done)
+            cur = comp
+            for _ in range(k):
+                cur = _step(cur)
+            upd = (
+                cur.alias("n")
+                .join(comp.alias("o"), "node_id")
+                .select(
+                    "node_id",
+                    F.col("n.component").alias("component"),
+                    (F.col("n.component") < F.col("o.component")).alias("_chg"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        # count(), not isEmpty(): isEmpty's executeTake cancels its
-        # probe job as soon as one partition answers, and the
-        # cancelled tasks race the ContextCleaner's accumulator
-        # cleanup (noisy "non-existent accumulator" scheduler
-        # errors). A count over the checkpointed handful of rows is
-        # the same single tiny job without the cancellation race.
-        n_changed = upd.where("_chg").count()
-        comp = upd.select("node_id", "component")
-        done += k
-        batch = min(batch * 2, 4)
-        if n_changed == 0:
-            break
+            # count(), not isEmpty(): isEmpty's executeTake cancels its
+            # probe job as soon as one partition answers, and the
+            # cancelled tasks race the ContextCleaner's accumulator
+            # cleanup (noisy "non-existent accumulator" scheduler
+            # errors). A count over the checkpointed handful of rows is
+            # the same single tiny job without the cancellation race.
+            n_changed = upd.where("_chg").count()
+            comp = upd.select("node_id", "component")
+            done += k
+            batch = min(batch * 2, 4)
+            if n_changed == 0:
+                break
     return comp.select("node_id", F.col("component").alias(id_col_out))
 
 
@@ -419,40 +469,41 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     prev_count = e.count()
-    for _ in range(max_iter):
-        if prev_count == 0:
-            break
-        # large-star: every node links its larger neighbors to
-        # min(neighborhood ∪ self)
-        n = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mn = (
-            n.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least("mv", F.col("u")).alias("m"))
-        )
-        large = (
-            n.join(mn, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .dropDuplicates(["u", "v"])
-        )
-        # small-star: every node links its smaller neighbors and itself
-        # to the minimum; edges are already directed big→small
-        mn2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
-            large.join(mn2, "u")
-            .select(F.col("v").alias("x"), "m")
-            .unionByName(mn2.select(F.col("u").alias("x"), "m"))
-            .where(F.col("x") != F.col("m"))
-            .select(F.col("x").alias("u"), F.col("m").alias("v"))
-            .dropDuplicates(["u", "v"])
-            .localCheckpoint(eager=True)
-        )
-        cnt = small.count()
-        converged = cnt == prev_count and small.join(e, ["u", "v"], "left_anti").isEmpty()
-        e, prev_count = small, cnt
-        if converged:
-            break
+    with _tight_loop(edges.sparkSession, prev_count):
+        for _ in range(max_iter):
+            if prev_count == 0:
+                break
+            # large-star: every node links its larger neighbors to
+            # min(neighborhood ∪ self)
+            n = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            mn = (
+                n.groupBy("u")
+                .agg(F.min("v").alias("mv"))
+                .select("u", F.least("mv", F.col("u")).alias("m"))
+            )
+            large = (
+                n.join(mn, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .dropDuplicates(["u", "v"])
+            )
+            # small-star: every node links its smaller neighbors and itself
+            # to the minimum; edges are already directed big→small
+            mn2 = large.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                large.join(mn2, "u")
+                .select(F.col("v").alias("x"), "m")
+                .unionByName(mn2.select(F.col("u").alias("x"), "m"))
+                .where(F.col("x") != F.col("m"))
+                .select(F.col("x").alias("u"), F.col("m").alias("v"))
+                .dropDuplicates(["u", "v"])
+                .localCheckpoint(eager=True)
+            )
+            cnt = small.count()
+            converged = cnt == prev_count and small.join(e, ["u", "v"], "left_anti").isEmpty()
+            e, prev_count = small, cnt
+            if converged:
+                break
     assigned = e.select(F.col("u").alias("node_id"), F.col("v").alias("component"))
     roots = nodes.join(
         e.select(F.col("u").alias("node_id")), "node_id", "left_anti"
@@ -518,28 +569,52 @@ def pagerank(
     deg = deg.localCheckpoint(eager=True)
 
     ranks = deg.select("node_id", "odeg", "_reset", F.col("_reset").alias("rank"))
-    for it in range(1, iterations + 1):
-        contribs = (
-            ranks.where(F.col("odeg") > 0)
-            .join(e, ranks.node_id == e.src)
-            .select(F.col("dst").alias("node_id"), (F.col("rank") / F.col("odeg")).alias("c"))
-            .groupBy("node_id")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        # dangling mass by conservation: ranks sum to 1 every round, and
-        # Σ contribs = Σ_{odeg>0} rank, so dangling = 1 − Σ contribs.
-        # This folds the old separate agg over `ranks` into the contrib
-        # shuffle — the prior-round plan is referenced ONCE per round
-        # (linear lineage between checkpoints instead of 2^k branches),
-        # and the 1-row total rides the contrib exchange as a
-        # ReusedExchange, costing one extra reduce, no extra scan.
-        dangling = contribs.agg(
-            (F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias("_dangling")
-        )
-        ranks = (
-            deg.join(contribs, "node_id", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
+    with _tight_loop(edges.sparkSession, n + e.count()):
+        for it in range(1, iterations + 1):
+            # Optimization r14 (guide §2.4): the static (odeg, _reset)
+            # attributes ride the SAME shuffle as the contributions —
+            # union the deg table (null contribution) with the per-edge
+            # contribution rows and aggregate once, instead of the old
+            # groupBy + deg left-join. One exchange + one aggregate per
+            # round where there were two exchanges + a join; the addend
+            # set of sum(c) is unchanged (deg rows carry NULL c), so the
+            # ranks are the same values. At scale both variants shuffle
+            # O(|E| + |V|) narrow rows; this one skips a whole join
+            # operator and its per-round re-exchange of the checkpointed
+            # deg table.
+            contribs = (
+                ranks.where(F.col("odeg") > 0)
+                .join(e, ranks.node_id == e.src)
+                .select(
+                    F.col("dst").alias("node_id"),
+                    (F.col("rank") / F.col("odeg")).alias("c"),
+                    F.lit(None).cast("long").alias("odeg"),
+                    F.lit(None).cast("double").alias("_reset"),
+                )
+                .unionByName(
+                    deg.select(
+                        "node_id",
+                        F.lit(None).cast("double").alias("c"),
+                        "odeg",
+                        "_reset",
+                    )
+                )
+                .groupBy("node_id")
+                .agg(
+                    F.sum("c").alias("contrib"),
+                    F.max("odeg").alias("odeg"),
+                    F.max("_reset").alias("_reset"),
+                )
+            )
+            # dangling mass by conservation: ranks sum to 1 every round, and
+            # Σ contribs = Σ_{odeg>0} rank, so dangling = 1 − Σ contribs.
+            # The 1-row total reads the aggregated per-node frame (a
+            # ReusedExchange of the round's one shuffle), costing one
+            # extra reduce, no extra scan.
+            dangling = contribs.agg(
+                (F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias("_dangling")
+            )
+            ranks = contribs.crossJoin(F.broadcast(dangling)).select(
                 "node_id",
                 "odeg",
                 "_reset",
@@ -552,9 +627,8 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-        )
-        if it % checkpoint_every == 0 or it == iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            if it % checkpoint_every == 0 or it == iterations:
+                ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node_id", "rank")
 
 
@@ -598,36 +672,52 @@ def hits(
         .localCheckpoint(eager=True)
     )
     scores = node_ids.select("node_id", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub"))
-    for it in range(1, iterations + 1):
-        # authority pass: pull raw hub mass along in-edges
-        a = (
-            scores.join(e, scores.node_id == e.src)
-            .groupBy(F.col("dst").alias("node_id"))
-            .agg(F.sum("hub").alias("raw_auth"))
-        )
-        auth = node_ids.join(a, "node_id", "left").select(
-            "node_id", F.coalesce(F.col("raw_auth"), F.lit(0.0)).alias("auth")
-        )
-        # hub pass: pull the round's raw authority mass along out-edges
-        h = (
-            auth.join(e, auth.node_id == e.dst)
-            .groupBy(F.col("src").alias("node_id"))
-            .agg(F.sum("auth").alias("raw_hub"))
-        )
-        scores = auth.join(h, "node_id", "left").select(
-            "node_id", "auth", F.coalesce(F.col("raw_hub"), F.lit(0.0)).alias("hub")
-        )
-        if it % checkpoint_every == 0 or it == iterations:
-            scores = scores.localCheckpoint(eager=True)
-            tot = scores.agg(
-                F.sum("auth").alias("_ta"), F.sum("hub").alias("_th")
+    with _tight_loop(edges.sparkSession, node_ids.count() + e.count()):
+        for it in range(1, iterations + 1):
+            # authority pass: pull raw hub mass along in-edges.
+            # Optimization r14 (guide §2.4): the "keep every node" left
+            # join is folded into the aggregation — union a zero row per
+            # node with the per-edge mass rows and sum once. One exchange
+            # + one aggregate per half-round instead of two exchanges +
+            # a join; adding 0.0 to a sum of non-negative doubles is
+            # bit-exact, so the scores are unchanged.
+            auth = (
+                scores.join(e, scores.node_id == e.src)
+                .select(F.col("dst").alias("node_id"), F.col("hub").alias("_m"))
+                .unionByName(node_ids.select("node_id", F.lit(0.0).alias("_m")))
+                .groupBy("node_id")
+                .agg(F.sum("_m").alias("auth"))
             )
-            # broadcast reads the checkpoint just taken — one tiny job
-            scores = scores.crossJoin(F.broadcast(tot)).select(
-                "node_id",
-                (F.col("auth") / F.col("_ta")).alias("auth"),
-                (F.col("hub") / F.col("_th")).alias("hub"),
+            # hub pass: pull the round's raw authority mass along
+            # out-edges; each node's own auth value rides its zero row
+            # (max over exactly one non-null), so no re-join is needed to
+            # carry auth into the next round's scores.
+            scores = (
+                auth.join(e, auth.node_id == e.dst)
+                .select(
+                    F.col("src").alias("node_id"),
+                    F.col("auth").alias("_m"),
+                    F.lit(None).cast("double").alias("_a"),
+                )
+                .unionByName(
+                    auth.select(
+                        "node_id", F.lit(0.0).alias("_m"), F.col("auth").alias("_a")
+                    )
+                )
+                .groupBy("node_id")
+                .agg(F.max("_a").alias("auth"), F.sum("_m").alias("hub"))
             )
+            if it % checkpoint_every == 0 or it == iterations:
+                scores = scores.localCheckpoint(eager=True)
+                tot = scores.agg(
+                    F.sum("auth").alias("_ta"), F.sum("hub").alias("_th")
+                )
+                # broadcast reads the checkpoint just taken — one tiny job
+                scores = scores.crossJoin(F.broadcast(tot)).select(
+                    "node_id",
+                    (F.col("auth") / F.col("_ta")).alias("auth"),
+                    (F.col("hub") / F.col("_th")).alias("hub"),
+                )
     return scores
 
 
@@ -657,26 +747,27 @@ def sssp(
     # interval ⇔ fixpoint. One 2-scalar driver read per k rounds —
     # never row data.
     prev_fp = None
-    for it in range(1, max_iter + 1):
-        offers = (
-            dist.join(e, dist.node_id == e.src)
-            .select(F.col("dst").alias("node_id"), (F.col("dist") + F.col("_w")).alias("dist"))
-        )
-        nxt = (
-            dist.unionByName(offers)
-            .groupBy("node_id")
-            .agg(F.min("dist").alias("dist"))
-        )
-        if it % checkpoint_every == 0 or it == max_iter:
-            nxt = nxt.localCheckpoint(eager=True)
-            row = nxt.agg(
-                F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
-            ).collect()[0]
-            fp = (row.n, row.s)
-            if fp == prev_fp:
-                return nxt
-            prev_fp = fp
-        dist = nxt
+    with _tight_loop(spark, e.count()):
+        for it in range(1, max_iter + 1):
+            offers = (
+                dist.join(e, dist.node_id == e.src)
+                .select(F.col("dst").alias("node_id"), (F.col("dist") + F.col("_w")).alias("dist"))
+            )
+            nxt = (
+                dist.unionByName(offers)
+                .groupBy("node_id")
+                .agg(F.min("dist").alias("dist"))
+            )
+            if it % checkpoint_every == 0 or it == max_iter:
+                nxt = nxt.localCheckpoint(eager=True)
+                row = nxt.agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+                ).collect()[0]
+                fp = (row.n, row.s)
+                if fp == prev_fp:
+                    return nxt
+                prev_fp = fp
+            dist = nxt
     return dist
 
 
@@ -718,23 +809,24 @@ def shortest_path_tree(
     visited = local_df(spark, [(int(source), 0, None)], "node_id long, depth int, pred long")
     frontier = visited.select("node_id")
     reached_depth = 0
-    for d in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(hop, frontier.node_id == hop.src)
-            # min() over the frontier preds that first reach each node
-            # — the deterministic tie-break the docstring promises
-            .groupBy(F.col("dst").alias("node_id"))
-            .agg(F.min("src").alias("pred"))
-            .join(visited.select("node_id"), "node_id", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt.withColumn("depth", F.lit(d))).localCheckpoint(
-            eager=True
-        )
-        frontier = nxt.select("node_id")
-        reached_depth = d
+    with _tight_loop(spark, hop.count()):
+        for d in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(hop, frontier.node_id == hop.src)
+                # min() over the frontier preds that first reach each node
+                # — the deterministic tie-break the docstring promises
+                .groupBy(F.col("dst").alias("node_id"))
+                .agg(F.min("src").alias("pred"))
+                .join(visited.select("node_id"), "node_id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt.withColumn("depth", F.lit(d))).localCheckpoint(
+                eager=True
+            )
+            frontier = nxt.select("node_id")
+            reached_depth = d
 
     # Level-wise path reconstruction: depth-d nodes append themselves
     # to their predecessor's (already final) depth d-1 path.
@@ -784,26 +876,27 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_edges = live.count()
-    for _ in range(max_iter):
-        if n_edges == 0:
-            break
-        deg = (
-            live.select(F.col("a").alias("n"))
-            .unionAll(live.select(F.col("b").alias("n")))
-            .groupBy("n")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        keep = deg.where(F.col("d") >= k).select("n")
-        nxt = (
-            live.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
-            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-        n_next = nxt.count()
-        live = nxt
-        if n_next == n_edges:
-            break
-        n_edges = n_next
+    with _tight_loop(edges.sparkSession, n_edges):
+        for _ in range(max_iter):
+            if n_edges == 0:
+                break
+            deg = (
+                live.select(F.col("a").alias("n"))
+                .unionAll(live.select(F.col("b").alias("n")))
+                .groupBy("n")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            keep = deg.where(F.col("d") >= k).select("n")
+            nxt = (
+                live.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+                .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            n_next = nxt.count()
+            live = nxt
+            if n_next == n_edges:
+                break
+            n_edges = n_next
     return (
         live.select(F.col("a").alias("node_id"))
         .unionAll(live.select(F.col("b").alias("node_id")))
@@ -845,33 +938,34 @@ def core_decomposition(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     ).localCheckpoint(eager=True)
     deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint(eager=True)
     core = deg.select("v", F.col("_deg").alias("core"))
-    for _ in range(max_iter):
-        nb = adj.join(core.withColumnRenamed("v", "u"), "u").groupBy("v").agg(
-            F.sort_array(F.collect_list("core"), asc=False).alias("_nc")
-        )
-        h = F.size(
-            F.filter(
-                F.zip_with(
-                    F.col("_nc"),
-                    F.sequence(F.lit(1), F.size("_nc")),
-                    lambda c, i: (c >= i).cast("int"),
-                ),
-                lambda x: x == 1,
+    with _tight_loop(edges.sparkSession, und.count() * 2):
+        for _ in range(max_iter):
+            nb = adj.join(core.withColumnRenamed("v", "u"), "u").groupBy("v").agg(
+                F.sort_array(F.collect_list("core"), asc=False).alias("_nc")
             )
-        )
-        nxt = (
-            deg.join(nb, "v")
-            .select("v", F.least(F.col("_deg"), h).alias("core"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            nxt.join(core.withColumnRenamed("core", "_prev"), "v")
-            .where(F.col("core") != F.col("_prev"))
-            .count()
-        )
-        core = nxt
-        if changed == 0:
-            break
+            h = F.size(
+                F.filter(
+                    F.zip_with(
+                        F.col("_nc"),
+                        F.sequence(F.lit(1), F.size("_nc")),
+                        lambda c, i: (c >= i).cast("int"),
+                    ),
+                    lambda x: x == 1,
+                )
+            )
+            nxt = (
+                deg.join(nb, "v")
+                .select("v", F.least(F.col("_deg"), h).alias("core"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                nxt.join(core.withColumnRenamed("core", "_prev"), "v")
+                .where(F.col("core") != F.col("_prev"))
+                .count()
+            )
+            core = nxt
+            if changed == 0:
+                break
     return core.select(F.col("v").alias("node_id"), "core")
 
 
@@ -904,33 +998,34 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
         # appear in the support aggregate, so peeling would wrongly
         # drop them — return early instead.
         return live.select("a", "b")
-    for _ in range(max_iter):
-        if n_edges == 0:
-            break
-        tri = triangles(live.select(F.col("a").alias("src"), F.col("b").alias("dst")))
-        tri_edges = tri.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
-                    ),
-                    F.struct(
-                        F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b")
-                    ),
-                    F.struct(
-                        F.least("y", "z").alias("a"), F.greatest("y", "z").alias("b")
-                    ),
-                )
-            ).alias("e")
-        ).select("e.a", "e.b")
-        support = tri_edges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("_sup"))
-        keep = support.where(F.col("_sup") >= min_support).select("a", "b")
-        nxt = live.join(keep, ["a", "b"], "left_semi").localCheckpoint(eager=True)
-        n_next = nxt.count()
-        live = nxt
-        if n_next == n_edges:
-            break
-        n_edges = n_next
+    with _tight_loop(edges.sparkSession, n_edges):
+        for _ in range(max_iter):
+            if n_edges == 0:
+                break
+            tri = triangles(live.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+            tri_edges = tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+                        ),
+                        F.struct(
+                            F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b")
+                        ),
+                        F.struct(
+                            F.least("y", "z").alias("a"), F.greatest("y", "z").alias("b")
+                        ),
+                    )
+                ).alias("e")
+            ).select("e.a", "e.b")
+            support = tri_edges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("_sup"))
+            keep = support.where(F.col("_sup") >= min_support).select("a", "b")
+            nxt = live.join(keep, ["a", "b"], "left_semi").localCheckpoint(eager=True)
+            n_next = nxt.count()
+            live = nxt
+            if n_next == n_edges:
+                break
+            n_edges = n_next
     return live.select("a", "b")
 
 
@@ -970,19 +1065,22 @@ def closeness_centrality(
     visited = src.select("pivot", F.col("pivot").alias("node_id"), F.lit(0).alias("depth"))
     visited = visited.localCheckpoint(eager=True)
     frontier = visited
-    for d in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(e, frontier.node_id == e.src)
-            .select("pivot", F.col("dst").alias("node_id"))
-            .join(visited.select("pivot", "node_id"), ["pivot", "node_id"], "left_anti")
-            .dropDuplicates(["pivot", "node_id"])
-            .withColumn("depth", F.lit(d))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+    # per-round shuffle volume is O(pivots x reachable nodes)
+    _pivot_rows = visited.count() * all_nodes.count()
+    with _tight_loop(edges.sparkSession, _pivot_rows):
+        for d in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(e, frontier.node_id == e.src)
+                .select("pivot", F.col("dst").alias("node_id"))
+                .join(visited.select("pivot", "node_id"), ["pivot", "node_id"], "left_anti")
+                .dropDuplicates(["pivot", "node_id"])
+                .withColumn("depth", F.lit(d))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
     per_node = (
         visited.where(F.col("depth") > 0)
         .groupBy("node_id")
@@ -1034,23 +1132,26 @@ def betweenness_centrality(
     ).localCheckpoint(eager=True)
     frontier = visited
     max_d = 0
-    for d in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(e, frontier.node_id == e.src)
-            .select("pivot", F.col("dst").alias("node_id"), "sigma")
-            .join(visited.select("pivot", "node_id"), ["pivot", "node_id"], "left_anti")
-            .groupBy("pivot", "node_id")
-            .agg(F.sum("sigma").alias("sigma"))
-            .withColumn("depth", F.lit(d))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt.select("pivot", "node_id", "depth", "sigma")).localCheckpoint(
-            eager=True
-        )
-        frontier = nxt
-        max_d = d
+    # per-round shuffle volume is O(pivots x reachable nodes)
+    _pivot_rows = visited.count() * all_nodes.count()
+    with _tight_loop(edges.sparkSession, _pivot_rows):
+        for d in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(e, frontier.node_id == e.src)
+                .select("pivot", F.col("dst").alias("node_id"), "sigma")
+                .join(visited.select("pivot", "node_id"), ["pivot", "node_id"], "left_anti")
+                .groupBy("pivot", "node_id")
+                .agg(F.sum("sigma").alias("sigma"))
+                .withColumn("depth", F.lit(d))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt.select("pivot", "node_id", "depth", "sigma")).localCheckpoint(
+                eager=True
+            )
+            frontier = nxt
+            max_d = d
     # per-pivot shortest-path DAG: u→v with depth_v = depth_u + 1.
     # Distinct column names on the two visited projections — a bare
     # self-join on `pivot` resolves as the trivially-true predicate.
@@ -1076,30 +1177,31 @@ def betweenness_centrality(
     spark = edges.sparkSession
     delta_next = local_df(spark, [], "pivot long, node_id long, delta double")
     acc = delta_next
-    for d in range(max_d - 1, -1, -1):
-        level_nodes = visited.where(F.col("depth") == d).select("pivot", "node_id")
-        contrib = (
-            dag.where(F.col("du") == d)
-            .join(
-                delta_next.withColumnRenamed("node_id", "v"),
-                ["pivot", "v"],
-                "left",
+    with _tight_loop(spark, dag.count()):
+        for d in range(max_d - 1, -1, -1):
+            level_nodes = visited.where(F.col("depth") == d).select("pivot", "node_id")
+            contrib = (
+                dag.where(F.col("du") == d)
+                .join(
+                    delta_next.withColumnRenamed("node_id", "v"),
+                    ["pivot", "v"],
+                    "left",
+                )
+                .na.fill(0.0, ["delta"])
+                .select(
+                    "pivot",
+                    F.col("u").alias("node_id"),
+                    (F.col("su") / F.col("sv") * (F.lit(1.0) + F.col("delta"))).alias("_c"),
+                )
+                .groupBy("pivot", "node_id")
+                .agg(F.sum("_c").alias("delta"))
             )
-            .na.fill(0.0, ["delta"])
-            .select(
-                "pivot",
-                F.col("u").alias("node_id"),
-                (F.col("su") / F.col("sv") * (F.lit(1.0) + F.col("delta"))).alias("_c"),
+            delta_next = (
+                level_nodes.join(contrib, ["pivot", "node_id"], "left")
+                .na.fill(0.0, ["delta"])
+                .localCheckpoint(eager=True)
             )
-            .groupBy("pivot", "node_id")
-            .agg(F.sum("_c").alias("delta"))
-        )
-        delta_next = (
-            level_nodes.join(contrib, ["pivot", "node_id"], "left")
-            .na.fill(0.0, ["delta"])
-            .localCheckpoint(eager=True)
-        )
-        acc = acc.unionByName(delta_next.where(F.col("delta") > 0))
+            acc = acc.unionByName(delta_next.where(F.col("delta") > 0))
     bc = (
         acc.where(F.col("node_id") != F.col("pivot"))
         .groupBy("node_id")
@@ -1146,51 +1248,52 @@ def strongly_connected_components(
     )
     spark = edges.sparkSession
     assigned = local_df(spark, [], "node_id long, scc long")
-    for _ in range(max_phases):
-        if live.count() == 0:
-            break
-        e = (
-            e_all.join(live.withColumnRenamed("node_id", "src"), "src", "left_semi")
-            .join(live.withColumnRenamed("node_id", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-        # (1) forward min-label to fixpoint
-        color = live.withColumn("color", F.col("node_id"))
-        prev_fp = None
-        for _i in range(max_inner):
-            offers = (
-                color.join(e, color.node_id == e.src)
-                .select(F.col("dst").alias("node_id"), "color")
-            )
-            color = (
-                color.unionByName(offers)
-                .groupBy("node_id")
-                .agg(F.min("color").alias("color"))
+    with _tight_loop(spark, e_all.count()):
+        for _ in range(max_phases):
+            if live.count() == 0:
+                break
+            e = (
+                e_all.join(live.withColumnRenamed("node_id", "src"), "src", "left_semi")
+                .join(live.withColumnRenamed("node_id", "dst"), "dst", "left_semi")
                 .localCheckpoint(eager=True)
             )
-            row = color.agg(F.count(F.lit(1)).alias("n"), F.sum("color").alias("s")).collect()[0]
-            if (row.n, row.s) == prev_fp:
-                break
-            prev_fp = (row.n, row.s)
-        # (2) backward sweep from pivots within each color class
-        reach = color.where(F.col("color") == F.col("node_id")).select("node_id", "color")
-        prev_n = -1
-        for _i in range(max_inner):
-            n = reach.count()
-            if n == prev_n:
-                break
-            prev_n = n
-            step = (
-                e.join(reach.withColumnRenamed("node_id", "dst"), "dst")
-                .select(F.col("src").alias("node_id"), "color")
-            )
-            # keep only nodes whose own color matches the pivot color
-            step = step.join(color, ["node_id", "color"], "left_semi")
-            reach = reach.unionByName(step).dropDuplicates(["node_id"]).localCheckpoint(eager=True)
-        assigned = assigned.unionByName(
-            reach.select("node_id", F.col("color").alias("scc"))
-        ).localCheckpoint(eager=True)
-        live = live.join(reach, "node_id", "left_anti").localCheckpoint(eager=True)
+            # (1) forward min-label to fixpoint
+            color = live.withColumn("color", F.col("node_id"))
+            prev_fp = None
+            for _i in range(max_inner):
+                offers = (
+                    color.join(e, color.node_id == e.src)
+                    .select(F.col("dst").alias("node_id"), "color")
+                )
+                color = (
+                    color.unionByName(offers)
+                    .groupBy("node_id")
+                    .agg(F.min("color").alias("color"))
+                    .localCheckpoint(eager=True)
+                )
+                row = color.agg(F.count(F.lit(1)).alias("n"), F.sum("color").alias("s")).collect()[0]
+                if (row.n, row.s) == prev_fp:
+                    break
+                prev_fp = (row.n, row.s)
+            # (2) backward sweep from pivots within each color class
+            reach = color.where(F.col("color") == F.col("node_id")).select("node_id", "color")
+            prev_n = -1
+            for _i in range(max_inner):
+                n = reach.count()
+                if n == prev_n:
+                    break
+                prev_n = n
+                step = (
+                    e.join(reach.withColumnRenamed("node_id", "dst"), "dst")
+                    .select(F.col("src").alias("node_id"), "color")
+                )
+                # keep only nodes whose own color matches the pivot color
+                step = step.join(color, ["node_id", "color"], "left_semi")
+                reach = reach.unionByName(step).dropDuplicates(["node_id"]).localCheckpoint(eager=True)
+            assigned = assigned.unionByName(
+                reach.select("node_id", F.col("color").alias("scc"))
+            ).localCheckpoint(eager=True)
+            live = live.join(reach, "node_id", "left_anti").localCheckpoint(eager=True)
     # isolated nodes (no edges) never enter `live`; callers pass a node
     # set if they need singleton SCCs for them
     return assigned
@@ -1210,16 +1313,19 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
     labels = und.select(F.col("src").alias("node_id")).distinct().withColumn(
         "community", F.col("node_id")
     )
-    for _ in range(max_iter):
-        freq = (
-            und.join(labels, und.dst == labels.node_id)
-            .groupBy(F.col("src").alias("node_id"), "community")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        best = freq.groupBy("node_id").agg(
-            F.min_by(
-                F.struct("community"), F.struct(F.col("cnt").cast("long") * -1, F.col("community"))
-            )["community"].alias("community")
-        )
-        labels = best.localCheckpoint(eager=True)
+    # loop shuffles move O(|E|) (src, community) rows — derived
+    # partition geometry (optimization r14, see _tight_loop)
+    with _tight_loop(edges.sparkSession, und.count()):
+        for _ in range(max_iter):
+            freq = (
+                und.join(labels, und.dst == labels.node_id)
+                .groupBy(F.col("src").alias("node_id"), "community")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            best = freq.groupBy("node_id").agg(
+                F.min_by(
+                    F.struct("community"), F.struct(F.col("cnt").cast("long") * -1, F.col("community"))
+                )["community"].alias("community")
+            )
+            labels = best.localCheckpoint(eager=True)
     return labels

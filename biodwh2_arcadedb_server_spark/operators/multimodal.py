@@ -59,6 +59,34 @@ FEATURE_SCHEMA = "doc_id long, n_bytes long, byte_mean double, byte_entropy_prox
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes long, frame_mean double"
 
+
+def _spread_media(media: DataFrame) -> DataFrame:
+    """Decode-side twin of `_media_rows`'s spread: feature/frame
+    extraction over a media table built by JVM expressions (PPM) or
+    read from storage inherits the SCAN's parallelism — one local row
+    group = one task running the whole Python decode serially. No-op
+    when the input already has >= cores partitions (real corpora),
+    and a no-op after `_media_rows` already spread the builder."""
+    from biodwh2_arcadedb_server_spark.operators.curation import _spread
+
+    return _spread(media, "doc_id")
+
+
+def _media_rows(documents: DataFrame) -> DataFrame:
+    """(doc_id, text) input to every media builder, spread across the
+    cluster when the scan under-parallelizes (optimization r14, guide
+    §2.5 input skew / §4). The encode→decode chain is NARROW (no
+    exchange between the two Python stages), so a single-row-group
+    local parquet file serializes the whole pure-Python codec path
+    into ONE task (q194 measured: task_sec ≈ wall — 3.0s serial).
+    `_spread` repartitions by doc_id only when the scan yields fewer
+    partitions than cores; on a real corpus the scan already has
+    ≥ cores splits and this is a no-op — same contract as the
+    curation/dedup gram stages."""
+    from biodwh2_arcadedb_server_spark.operators.curation import _spread
+
+    return _spread(documents.select("doc_id", "text"), "doc_id")
+
 AUDIO_FEATURE_SCHEMA = (
     "doc_id long, sample_rate int, n_samples long, rms double, peak double"
 )
@@ -163,7 +191,7 @@ def to_audio_table(documents: DataFrame, sample_rate: int = 8000, n_samples: int
                 }
             )
 
-    return documents.select("doc_id", "text").mapInPandas(
+    return _media_rows(documents).mapInPandas(
         op, schema="doc_id long, media_type string, payload binary"
     )
 
@@ -696,7 +724,7 @@ def to_png_table(documents: DataFrame, width: int = PPM_W, height: int = PPM_H) 
                 }
             )
 
-    return documents.select("doc_id", "text").mapInPandas(
+    return _media_rows(documents).mapInPandas(
         op, schema="doc_id long, media_type string, payload binary"
     )
 
@@ -731,7 +759,7 @@ def to_png_palette_table(
                 }
             )
 
-    return documents.select("doc_id", "text").mapInPandas(
+    return _media_rows(documents).mapInPandas(
         op, schema="doc_id long, media_type string, payload binary"
     )
 
@@ -765,7 +793,7 @@ def to_png_adam7_table(
                 }
             )
 
-    return documents.select("doc_id", "text").mapInPandas(
+    return _media_rows(documents).mapInPandas(
         op, schema="doc_id long, media_type string, payload binary"
     )
 
@@ -823,7 +851,7 @@ def to_jpeg_table(
                 }
             )
 
-    return documents.select("doc_id", "text").mapInPandas(
+    return _media_rows(documents).mapInPandas(
         op, schema="doc_id long, media_type string, payload binary"
     )
 
@@ -877,7 +905,7 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+    return _spread_media(media).mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
 def audio_features(media: DataFrame) -> DataFrame:
@@ -915,7 +943,7 @@ def audio_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(op, schema=AUDIO_FEATURE_SCHEMA)
+    return _spread_media(media).mapInPandas(op, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 256, decode_stub: bool = True) -> DataFrame:
@@ -983,7 +1011,7 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, decode_stub: bool 
                 }
             )
 
-    return media.mapInPandas(op, schema=FRAME_SCHEMA)
+    return _spread_media(media).mapInPandas(op, schema=FRAME_SCHEMA)
 
 
 def metadata_only_scan(media: DataFrame) -> DataFrame:
@@ -1031,7 +1059,7 @@ def to_mp4_table(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id", "text").mapInPandas(
+    return _media_rows(documents).mapInPandas(
         op, schema="doc_id long, media_type string, payload binary"
     )
 
@@ -1073,7 +1101,7 @@ def mp4_frames(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(op, schema=FRAME_SCHEMA)
+    return _spread_media(media).mapInPandas(op, schema=FRAME_SCHEMA)
 
 
 def to_opus_table(documents: DataFrame) -> DataFrame:
@@ -1111,7 +1139,7 @@ def to_opus_table(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id", "text").mapInPandas(
+    return _media_rows(documents).mapInPandas(
         op, schema="doc_id long, media_type string, payload binary"
     )
 
@@ -1162,7 +1190,7 @@ def opus_packet_stats(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(
+    return _spread_media(media).mapInPandas(
         op,
         schema=(
             "doc_id long, packet_idx int, n_bytes long, "
