@@ -1159,6 +1159,38 @@ def is_stale(src_dir: str, ws_dir: str) -> bool:
         return fh.read().strip() != source_checksum(src_dir)
 
 
+def _label_view_key(info: dict) -> tuple:
+    """Freshness fingerprint for one label's registered view: the
+    manifest entry (path, schema, count) plus the dataset directory's
+    mtime. EVERY mutation lane replaces files under the dataset path
+    (staged write + atomic swap), which bumps the directory mtime —
+    the same mtime-parity contract the incremental builder (A15)
+    already relies on — so an unchanged key ⟺ unchanged files AND
+    unchanged declared schema, and the previously registered view
+    (whose plan captured the file listing at creation) is still
+    exact."""
+    try:
+        st = os.stat(info["path"])
+        mt = (st.st_mtime_ns, st.st_ino)
+    except OSError:
+        mt = None
+    return (
+        info.get("path"),
+        json.dumps(info.get("schema"), sort_keys=True) if info.get("schema") else None,
+        info.get("count"),
+        mt,
+    )
+
+
+# (applicationId, ws_dir) -> {"nodes"|"edges": {label: (key, slim_df)}}
+# — driver-side memo of registered per-label views (optimization r14,
+# guide §5: the DML floor was py4j round-trip volume — ~0.28s of
+# Column-building chatter per refresh × one refresh per statement).
+# Guarded by the engine DML lock like every other view-registry
+# global.
+_VIEW_REG: dict = {}
+
+
 def load_workspace(spark: SparkSession, ws_dir: str) -> dict:
     """E2 lifecycle (`--start`): register per-label views plus unified
     ``nodes``/``edges`` views for graph-wide analytics.
@@ -1168,7 +1200,16 @@ def load_workspace(spark: SparkSession, ws_dir: str) -> dict:
     in ``n_<Label>`` (the source of truth), and the unified ``nodes``
     view carries them as a ``props map<string,string>`` so label-
     agnostic queries (`WHERE props['name'] LIKE …`) stay expressible
-    without widening every label to a common schema."""
+    without widening every label to a common schema.
+
+    Optimization r14: per-label registration is MEMOIZED on a
+    freshness key (manifest entry + dataset dir mtime, see
+    `_label_view_key`). An interactive DML sequence refreshes views
+    after every statement, but each statement touches one label —
+    unchanged labels skip the re-read/re-register py4j chatter
+    entirely, and the unified views are rebuilt from the cached
+    per-label projections (the label that DID change is re-read, so
+    the unified plan never references replaced files)."""
     global VIEW_EPOCH
     with open(os.path.join(ws_dir, "manifest.json")) as mh:
         manifest = json.load(mh)
@@ -1209,10 +1250,17 @@ def load_workspace(spark: SparkSession, ws_dir: str) -> dict:
             ).parquet(info["path"])
         return spark.read.parquet(info["path"])
 
-    unified_nodes = None
-    for label, info in manifest["nodes"].items():
-        df = _read(info)
-        df.createOrReplaceTempView(f"n_{label}")
+    # single-slot memo: valid only for (this session, this ws_dir) —
+    # switching workspaces re-registers everything, because temp-view
+    # NAMES are session-global and now point elsewhere
+    owner = (spark.sparkContext.applicationId, ws_dir)
+    with _asql._DML_LOCK:
+        if _VIEW_REG.get("owner") != owner:
+            _VIEW_REG.clear()
+            _VIEW_REG.update({"owner": owner, "nodes": {}, "edges": {}})
+        node_reg, edge_reg = _VIEW_REG["nodes"], _VIEW_REG["edges"]
+
+    def _node_slim(df):
         prop_cols = [c for c in df.columns if c not in ("node_id", "node_id2", "label", "natural_key")]
         if prop_cols:
             entries: list = []
@@ -1223,29 +1271,59 @@ def load_workspace(spark: SparkSession, ws_dir: str) -> dict:
             )
         else:
             props = F.create_map()
-        slim = df.select("node_id", "label", "natural_key", props.alias("props"))
-        unified_nodes = slim if unified_nodes is None else unified_nodes.unionByName(slim)
-    if unified_nodes is None:
-        # dropping the LAST type must not leave a stale unified view
-        # whose plan reads a deleted dataset (round-7 review finding)
-        # natural_key is LONG to match the populated path (build_nodes
-        # casts the key to long) — a string here made the unified-view
-        # schema depend on whether any node type exists (round-7
-        # ADVICE).
-        unified_nodes = spark.createDataFrame(
-            [], "node_id long, label string, natural_key long, "
-                "props map<string,string>"
-        )
-    unified_nodes.createOrReplaceTempView("nodes")
-    unified_edges = None
-    for label, info in manifest["edges"].items():
-        df = _read(info)
-        df.createOrReplaceTempView(f"e_{label}")
-        slim = df.select("src", "dst", "label")
-        unified_edges = slim if unified_edges is None else unified_edges.unionByName(slim)
-    if unified_edges is None:
-        unified_edges = spark.createDataFrame(
-            [], "src long, dst long, label string"
-        )
-    unified_edges.createOrReplaceTempView("edges")
+        return df.select("node_id", "label", "natural_key", props.alias("props"))
+
+    def _edge_slim(df):
+        return df.select("src", "dst", "label")
+
+    def _refresh(kind, prefix, reg, slim_fn):
+        changed = False
+        slims = []
+        for label, info in manifest[kind].items():
+            key = _label_view_key(info)
+            got = reg.get(label)
+            if got is not None and got[0] == key:
+                slims.append(got[1])
+                continue
+            df = _read(info)
+            df.createOrReplaceTempView(f"{prefix}{label}")
+            slim = slim_fn(df)
+            reg[label] = (key, slim)
+            slims.append(slim)
+            changed = True
+        for stale in [lbl for lbl in reg if lbl not in manifest[kind]]:
+            del reg[stale]
+            changed = True
+        return changed, slims
+
+    n_changed, node_slims = _refresh("nodes", "n_", node_reg, _node_slim)
+    e_changed, edge_slims = _refresh("edges", "e_", edge_reg, _edge_slim)
+
+    if n_changed or "_nodes_done" not in _VIEW_REG:
+        unified_nodes = None
+        for slim in node_slims:
+            unified_nodes = slim if unified_nodes is None else unified_nodes.unionByName(slim)
+        if unified_nodes is None:
+            # dropping the LAST type must not leave a stale unified view
+            # whose plan reads a deleted dataset (round-7 review finding)
+            # natural_key is LONG to match the populated path (build_nodes
+            # casts the key to long) — a string here made the unified-view
+            # schema depend on whether any node type exists (round-7
+            # ADVICE).
+            unified_nodes = spark.createDataFrame(
+                [], "node_id long, label string, natural_key long, "
+                    "props map<string,string>"
+            )
+        unified_nodes.createOrReplaceTempView("nodes")
+        _VIEW_REG["_nodes_done"] = True
+    if e_changed or "_edges_done" not in _VIEW_REG:
+        unified_edges = None
+        for slim in edge_slims:
+            unified_edges = slim if unified_edges is None else unified_edges.unionByName(slim)
+        if unified_edges is None:
+            unified_edges = spark.createDataFrame(
+                [], "src long, dst long, label string"
+            )
+        unified_edges.createOrReplaceTempView("edges")
+        _VIEW_REG["_edges_done"] = True
     return manifest
