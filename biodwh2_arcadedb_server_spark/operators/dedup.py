@@ -904,14 +904,30 @@ def exact_substring_spans(
     on positions only."""
     if max_postings is None:
         max_postings = 8 * max_df
+    # localCheckpoint: the positional index is referenced by BOTH the
+    # df-cap aggregate and the anchor self-join — without the reuse
+    # boundary the interpreted-HOF tokenize/gram pass re-ran once per
+    # reference (3x the probe's executor time; r14 profile: q183
+    # task_sec 37.7 ≈ 3 × the 13s single pass). O(tokens) rows of
+    # 24 bytes, the same footprint Lee et al. materialize as the
+    # suffix array.
     sh = positional_shingles(df, id_col, text_col, k, granularity)
+    sh = sh.localCheckpoint(eager=False)
     keep = (
         sh.groupBy("gh")
         .agg(
             F.count_distinct("_id").alias("_df"),
             F.count(F.lit(1)).alias("_n"),
         )
-        .where((F.col("_df") <= max_df) & (F.col("_n") <= max_postings))
+        # `2 <= _n`: a gram with a single posting cannot produce an
+        # anchor pair (the self-join needs two postings on the same
+        # gram), and MOST grams are unique — dropping them here
+        # shrinks the capped index from O(tokens) to O(duplicated
+        # tokens) before the join. Pure pruning: anchors unchanged.
+        .where(
+            (F.col("_df") <= max_df)
+            & (F.col("_n").between(2, max_postings))
+        )
         .select("gh")
     )
     capped = sh.join(keep, "gh")
@@ -951,7 +967,13 @@ def reference_postings(
     cheaply."""
     if max_postings is None:
         max_postings = 8 * max_df
+    # Same reuse boundary as exact_substring_spans: the index feeds
+    # both the cap aggregate and the packing join — checkpoint so the
+    # gram pass runs once. NO `_n >= 2` prune here: a single-posting
+    # reference gram is still a valid contamination anchor for a
+    # stream doc that hits it.
     sh = positional_shingles(df, id_col, text_col, k, granularity)
+    sh = sh.localCheckpoint(eager=False)
     keep = (
         sh.groupBy("gh")
         .agg(

@@ -353,13 +353,24 @@ def q28_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB-computable) + the equality boolean."""
     d = load_table(spark, sf_dir, "documents")
     fps = dedup.simhash(d, "doc_id", "text").localCheckpoint(eager=False)
-    blocked = dedup.simhash_near_dups_blocked(fps, max_hamming=3).select("id_a", "id_b")
-    exact = dedup.simhash_near_dups(fps, max_hamming=3).select("id_a", "id_b")
-    missed = exact.join(blocked, ["id_a", "id_b"], "left_anti")
-    extra = blocked.join(exact, ["id_a", "id_b"], "left_anti")
+    # One full-outer join replaces the two anti-joins: the quadratic
+    # exact reference and the blocked path are each referenced (and
+    # therefore computed and Catalyst-analyzed) ONCE instead of twice;
+    # missed = exact rows with no blocked partner, extra = the reverse.
+    # Both pair sets are unique on (id_a, id_b), so the join is 1:1 and
+    # the null-partner counts equal the old anti-join counts exactly.
+    exact = dedup.simhash_near_dups(fps, max_hamming=3).select(
+        "id_a", "id_b", F.lit(1).alias("_e")
+    )
+    blocked = dedup.simhash_near_dups_blocked(fps, max_hamming=3).select(
+        "id_a", "id_b", F.lit(1).alias("_b")
+    )
     flag = (
-        missed.agg(F.count("*").alias("_nm"))
-        .crossJoin(extra.agg(F.count("*").alias("_nx")))
+        exact.join(blocked, ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("_b").isNull(), 1).otherwise(0)), F.lit(0)).alias("_nm"),
+            F.coalesce(F.sum(F.when(F.col("_e").isNull(), 1).otherwise(0)), F.lit(0)).alias("_nx"),
+        )
         .select(((F.col("_nm") == 0) & (F.col("_nx") == 0)).alias("blocked_matches_exact"))
     )
     per_lang = d.groupBy("lang").agg(F.count("*").alias("n_docs"))

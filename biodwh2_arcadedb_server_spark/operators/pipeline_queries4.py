@@ -288,12 +288,19 @@ def _es_ctes(
                ROWS UNBOUNDED PRECEDING) AS island
       FROM runs0
     ),
-    spans AS (
+    spans0 AS (
       SELECT db AS doc_id, min(pb) AS span_start,
              max(pb) + {k} - 1 AS span_end
       FROM runs GROUP BY da, db, diag, island
       HAVING max(pa) - min(pa) + {k} >= {min_len}
     ),
+    -- DISTINCT before islanding: the same (doc, interval) can arrive
+    -- from two source docs; duplicate rows TIE in both window sorts
+    -- below, and DuckDB's isl/grp windows sort independently — a tie
+    -- ordered differently in the two sorts splits one merged span
+    -- into two (observed at sf0.001, doc 10008). Dedup is idempotent
+    -- w.r.t. the merge, and with no ties both sorts are total orders.
+    spans AS (SELECT DISTINCT doc_id, span_start, span_end FROM spans0),
     isl AS (
       SELECT doc_id, span_start, span_end,
              CASE WHEN span_start > coalesce(max(span_end) OVER (
