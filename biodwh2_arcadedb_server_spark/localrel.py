@@ -89,16 +89,22 @@ def local_df(
     spark: SparkSession,
     rows: Sequence[Iterable] | list,
     schema: str | T.StructType,
+    row_cap: int | None = None,
 ) -> DataFrame:
     """Drop-in for ``spark.createDataFrame(rows, schema)`` on SMALL
     driver-local row lists: same rows, same schema, but a pure-JVM
-    literal plan (no Python RDD, no Python workers at evaluation)."""
+    literal plan (no Python RDD, no Python workers at evaluation).
+
+    ``row_cap`` overrides ``_LITERAL_ROW_CAP`` for callers whose row
+    count is already bounded elsewhere (e.g. the CC driver fast path,
+    gated on a measured edge count) and who checkpoint the result so
+    the json literal is parsed once, not per plan reference."""
     if isinstance(schema, str):
         schema = T._parse_datatype_string(schema)
         if not isinstance(schema, T.StructType):
             schema = T.StructType([T.StructField("value", schema)])
     rows = list(rows)
-    if len(rows) > _LITERAL_ROW_CAP:
+    if len(rows) > (row_cap if row_cap is not None else _LITERAL_ROW_CAP):
         return spark.createDataFrame(rows, schema)
     if not rows:
         return spark.range(0, 0, 1, 1).select(

@@ -352,6 +352,76 @@ def link_prediction(edges: DataFrame) -> DataFrame:
 
 
 # --- C6: connected components (hash-min) --------------------------------------------
+def _cc_driver_edge_cap(spark) -> int:
+    """Edge-count gate for the driver union-find fast path (conf
+    ``spark.graft.cc.driverEdgeCap``, default 100k edges ≈ a few MB
+    collected). Near-dup pair graphs hold only documents that HAVE a
+    near-dup — a sliver of any corpus — so at bench scale the
+    distributed loop pays ~10 scheduling/planning round-trips to close
+    a few-hundred-edge graph (measured 4.6s for 918 edges at sf0.1).
+    Below the cap the closure is a driver-side union-find over the
+    already-counted edge list: the same bounded-collect posture as the
+    IVF trainer's sample-capped centroid fit (FAISS practice), with the
+    distributed loop unchanged above the cap. Set the conf to 0 to
+    force the distributed path."""
+    try:
+        return int(spark.conf.get("spark.graft.cc.driverEdgeCap", "100000"))
+    except ValueError:
+        return 100000
+
+
+def _cc_driver(
+    und: DataFrame, node_type, id_col_out: str
+) -> DataFrame:
+    """Driver union-find over a small, pre-counted undirected edge
+    list. Roots stay the minimum id of their tree (smaller root wins
+    every union), so the final root of each node IS the component's
+    min node id — identical output to the iterative min-propagation.
+    Result is checkpointed so multi-reference consumers (e.g. the
+    cluster audit's a/b sides) scan cached blocks, not a re-pickled
+    Python RDD."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in und.select("src", "dst").collect():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if ra < rb:
+            parent[rb] = ra
+        else:
+            parent[ra] = rb
+    rows = [(n, find(n)) for n in parent]
+    schema = T.StructType(
+        [
+            T.StructField("node_id", node_type),
+            T.StructField(id_col_out, node_type),
+        ]
+    )
+    spark = und.sparkSession
+    # json-literal relation (localrel): JVM-only evaluation — the
+    # pickled-RDD form of createDataFrame cost ~0.6s warm / ~2.3s cold
+    # in Python-worker round-trips per materialization; checkpoint so
+    # the literal parses once however many times consumers reference it
+    return local_df(
+        spark, rows, schema, row_cap=2_000_000
+    ).localCheckpoint(eager=False)
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 50, id_col_out: str = "component"
 ) -> DataFrame:
@@ -359,12 +429,21 @@ def connected_components(
     (node_id, component) where component = min node_id in the
     component. Converges in O(diameter) rounds; see module docstring
     for the large-star/small-star scale path."""
+    # Narrow materialization of the raw edge list first: the gate
+    # probe, the fast path's collect, and (above the cap) the
+    # undirected expansion all read it without re-evaluating the
+    # caller's pair pipeline. Union-find tolerates duplicate and
+    # directed edges, so the fast path skips the dropDuplicates
+    # shuffle entirely.
+    raw = edges.select("src", "dst").localCheckpoint(eager=True)
+    if raw.count() <= _cc_driver_edge_cap(edges.sparkSession):
+        return _cc_driver(raw, raw.schema["src"].dataType, id_col_out)
     und = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        raw.unionByName(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=True)
     )
+    n_edges = und.count()
     comp = (
         und.select(F.col("src").alias("node_id"))
         .distinct()
@@ -404,7 +483,7 @@ def connected_components(
         )
 
     done, batch = 0, 1
-    with _tight_loop(edges.sparkSession, und.count()):
+    with _tight_loop(edges.sparkSession, n_edges):
         while done < max_iter:
             k = min(batch, max_iter - done)
             cur = comp
@@ -453,9 +532,15 @@ def connected_components_star(
     (big, small) pairs; both phases preserve that orientation, so no
     re-canonicalization shuffle between rounds.
     """
+    # Same gate as hash-min: probe the raw edge list (narrow
+    # materialization, no canonicalization shuffle) and close small
+    # graphs with the driver union-find — raw edges cover every
+    # endpoint including self-loop-only nodes, so no left_anti tail.
+    raw = edges.select("src", "dst").localCheckpoint(eager=True)
+    if raw.count() <= _cc_driver_edge_cap(edges.sparkSession):
+        return _cc_driver(raw, raw.schema["src"].dataType, id_col_out)
     e = (
-        edges.select("src", "dst")
-        .where(F.col("src") != F.col("dst"))
+        raw.where(F.col("src") != F.col("dst"))
         .select(F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v"))
         .dropDuplicates(["u", "v"])
         .localCheckpoint(eager=True)
@@ -463,8 +548,8 @@ def connected_components_star(
     # keep the same node universe as hash-min: every endpoint, even
     # self-loop-only nodes that the canonical edge set drops
     nodes = (
-        edges.select(F.col("src").alias("node_id"))
-        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        raw.select(F.col("src").alias("node_id"))
+        .unionByName(raw.select(F.col("dst").alias("node_id")))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -73,9 +73,49 @@ def test_star_cc_matches_hashmin_islands(spark):
 def test_star_cc_long_chain(spark):
     # diameter-128 path: hash-min's worst case, star's motivating case.
     # max_iter=12 << diameter proves O(log^2 n) convergence.
+    # cap=0 forces the DISTRIBUTED loop — the driver union-find fast
+    # path would close this chain trivially and prove nothing.
     e = _edges(spark, [(i, i + 1) for i in range(128)])
-    got = {(r.node_id, r.component) for r in connected_components_star(e, max_iter=12).collect()}
+    spark.conf.set("spark.graft.cc.driverEdgeCap", "0")
+    try:
+        got = {(r.node_id, r.component) for r in connected_components_star(e, max_iter=12).collect()}
+    finally:
+        spark.conf.unset("spark.graft.cc.driverEdgeCap")
     assert got == {(i, 0) for i in range(129)}
+
+
+def test_cc_driver_fast_path_matches_distributed(spark):
+    # dupes, both directions, self-loops, singleton-via-self-loop —
+    # the fast path (default cap) must equal the distributed loop
+    # (cap=0) for both CC variants, including plan-level reuse
+    # (two references to the result scan checkpoint blocks).
+    import random
+
+    rng = random.Random(41)
+    pairs = [(rng.randrange(80), rng.randrange(80)) for _ in range(120)]
+    pairs += [(5, 5), (77, 77), (3, 2), (2, 3), (2, 3)]
+    e = _edges(spark, pairs)
+    fast_hm = {(r.node_id, r.component) for r in connected_components(e).collect()}
+    fast_st = {(r.node_id, r.component) for r in connected_components_star(e).collect()}
+    spark.conf.set("spark.graft.cc.driverEdgeCap", "0")
+    try:
+        slow_hm = {(r.node_id, r.component) for r in connected_components(e).collect()}
+        slow_st = {(r.node_id, r.component) for r in connected_components_star(e).collect()}
+    finally:
+        spark.conf.unset("spark.graft.cc.driverEdgeCap")
+    assert fast_hm == slow_hm == fast_st == slow_st
+
+
+def test_cc_driver_fast_path_is_jvm_literal(spark):
+    # the fast path's result must not plan a pickled Python RDD scan:
+    # json-literal relation + checkpoint (localrel contract)
+    e = _edges(spark, [(1, 2), (2, 3)])
+    comp = connected_components(e)
+    assert {(r.node_id, r.component) for r in comp.collect()} == {
+        (1, 1), (2, 1), (3, 1)
+    }
+    plan = comp._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_star_cc_random_matches_hashmin(spark):
