@@ -969,11 +969,24 @@ def reference_postings(
         max_postings = 8 * max_df
     # Same reuse boundary as exact_substring_spans: the index feeds
     # both the cap aggregate and the packing join — checkpoint so the
-    # gram pass runs once. NO `_n >= 2` prune here: a single-posting
-    # reference gram is still a valid contamination anchor for a
-    # stream doc that hits it.
+    # gram pass runs once.
     sh = positional_shingles(df, id_col, text_col, k, granularity)
     sh = sh.localCheckpoint(eager=False)
+    return pack_reference_postings(sh, max_df, max_postings)
+
+
+def pack_reference_postings(
+    sh: DataFrame, max_df: int, max_postings: int
+) -> DataFrame:
+    """The cap+pack half of ``reference_postings``, over an already-
+    built positional-shingle frame (_id, pos, gh). Factored out so
+    callers that derive SEVERAL reference epochs from one corpus (the
+    q201 rotation runner: epoch 1 ⊃ epoch 0) tokenize once and pack
+    per epoch — the caps apply over whatever slice of ``sh`` is
+    passed, identical to building from the sliced corpus because the
+    shingle pass is row-wise per document. NO `_n >= 2` prune here:
+    a single-posting reference gram is still a valid contamination
+    anchor for a stream doc that hits it."""
     keep = (
         sh.groupBy("gh")
         .agg(

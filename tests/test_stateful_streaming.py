@@ -537,3 +537,36 @@ def test_tws_contamination_rotation_applies_mid_stream(spark, sf_small):
         "fixture too weak: epoch rotation changed nothing for chunk 2 — "
         "pick epochs so the new reference docs actually match"
     )
+
+
+def test_pack_reference_postings_sliced_shingles_parity(spark, sf_small):
+    """Optimization r14: the rotation runner tokenizes ONCE over the
+    wider epoch and packs each epoch from a SLICE of that shingle
+    frame. Pin the equivalence the restructure relies on: packing
+    sh(docs < E1).where(_id < E0) with E0-scoped caps equals building
+    reference_postings directly from docs < E0 — row for row,
+    including the packed array order."""
+    from biodwh2_arcadedb_server_spark.operators import dedup
+    from biodwh2_arcadedb_server_spark.sources.registry import load_table
+
+    E0, E1, K, MAXDF = 150, 250, 8, 16
+    docs = load_table(spark, sf_small, "documents")
+    direct = dedup.reference_postings(
+        docs.where(F.col("doc_id") < E0), "doc_id", "text", k=K, max_df=MAXDF
+    )
+    sh = dedup.positional_shingles(
+        docs.where(F.col("doc_id") < E1), "doc_id", "text", K
+    )
+    sliced = dedup.pack_reference_postings(
+        sh.where(F.col("_id") < E0), MAXDF, 8 * MAXDF
+    )
+
+    def rows(df):
+        return sorted(
+            (r.gh, tuple(r.refs), tuple(r.poss)) for r in df.collect()
+        )
+
+    got, want = rows(sliced), rows(direct)
+    assert got == want and got, (
+        "sliced-shingle pack must reproduce the direct epoch build"
+    )
