@@ -278,14 +278,24 @@ RERUN_THRESHOLD = 1.2  # s — probes slower than this get a min-of-2
 # r8's only adverse "regression" (q106 +1.0s) was exactly this
 # artifact (VERDICT r8 "next" #3). Segment breaks shift AROUND the
 # family, never through it.
-CACHE_FAMILY = {
-    "q31_ann_topk", "q77_ivf_topk", "q116_pq_topk",
-    "q26_neardup_jaccard", "q100_neardup_clusters",
-    "q104_leakage_safe_split", "q144_minhash_estimate",
-    "q27_minhash_neardup", "q28_simhash_neardup",
-    "q29_cosine_neardup", "q106_cosine_neardup_clusters",
-    "q156_semdedup_ann_clusters",
-}
+CACHE_FAMILIES = [
+    {
+        "q31_ann_topk", "q77_ivf_topk", "q116_pq_topk",
+        "q26_neardup_jaccard", "q100_neardup_clusters",
+        "q104_leakage_safe_split", "q144_minhash_estimate",
+        "q27_minhash_neardup", "q28_simhash_neardup",
+        "q29_cosine_neardup", "q106_cosine_neardup_clusters",
+        "q156_semdedup_ann_clusters",
+    },
+    # exact-substring span table (pipeline_queries4._es_spans):
+    # q183 emits it, q187 applies it — one detection pass per session
+    {"q183_exact_substring_spans", "q187_exact_substring_removal"},
+]
+# Union for break-deferral: segment_breaks only defers a restart when
+# prev AND current probe are both family members, so disjoint blocks
+# in the union behave independently (per-family contiguity is the
+# pytest invariant, tests/test_bench.py).
+CACHE_FAMILY = set().union(*CACHE_FAMILIES)
 
 
 class StageMeter:

@@ -483,16 +483,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("_id"),
         F.explode(F.filter(F.split(F.lower(text_col), r"\s+"), lambda x: x != "")).alias("_t"),
     ).select("_id", F.xxhash64("_t").alias("_h"))
+    # Branch-free aggregates (optimization r14): Σ_tokens ±1 per bit
+    # is 2·s_b − n for s_b = Σ bit_b and n = token count, so ">0" is
+    # exactly "2·s_b > n" — 64 plain bit sums + ONE count replace 64
+    # conditional sums (no per-row branch in the hash aggregate, and
+    # a ~40% smaller expression tree for Catalyst to analyze per
+    # evaluation; the fingerprint values are bit-identical).
     aggs = [
-        F.sum(
-            F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_b{b}")
+        F.sum(F.shiftright("_h", b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
         for b in range(64)
-    ]
+    ] + [F.count(F.lit(1)).alias("_n")]
     sums = toks.groupBy("_id").agg(*aggs)
     fingerprint = None
     for b in range(64):
-        bit = F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(
+            F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         term = bit * F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
         fingerprint = term if fingerprint is None else fingerprint + term
     return sums.select("_id", fingerprint.alias("simhash"))

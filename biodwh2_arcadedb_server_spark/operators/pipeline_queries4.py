@@ -153,6 +153,29 @@ _ES_K, _ES_MINLEN, _ES_MAXDF = 8, 20, 16
 _ES_MAXPOST = 8 * _ES_MAXDF  # postings cap (within-doc spam guard)
 
 
+def _es_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc exact-substring span table at the family operating
+    point, session-cached (optimization r14): q183 emits it and q187
+    re-derives the IDENTICAL deterministic frame as its removal
+    input — the detection leg (the interpreted-HOF tokenize pass +
+    anchor join) is the family's dominant executor cost, so it joins
+    the shared derived-table cache beside the shingle/pair/closure
+    tables. Deterministic ⇒ sharing cannot change either consumer's
+    rows (spans dedup before islanding, so window ties are unique)."""
+    return _cached_ckpt(
+        spark,
+        ("es_spans", sf_dir, _ES_K, _ES_MINLEN, _ES_MAXDF),
+        lambda: dedup.exact_substring_spans(
+            load_table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            k=_ES_K,
+            min_len=_ES_MINLEN,
+            max_df=_ES_MAXDF,
+        ),
+    )
+
+
 def q183_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (Lee et al. 2022 ExactSubstr, the one
     LLM-dedup modality dedup.py lacked): per-doc merged token spans
@@ -164,14 +187,7 @@ def q183_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide window). The DuckDB twin replays the identical
     positional-gram SQL, so the whole removal-decision surface is
     hash-checked."""
-    return dedup.exact_substring_spans(
-        load_table(spark, sf_dir, "documents"),
-        "doc_id",
-        "text",
-        k=_ES_K,
-        min_len=_ES_MINLEN,
-        max_df=_ES_MAXDF,
-    ).orderBy("doc_id", "span_start")
+    return _es_spans(spark, sf_dir).orderBy("doc_id", "span_start")
 
 
 QUERIES["q183_exact_substring_spans"] = q183_exact_substring_spans
@@ -346,10 +362,7 @@ def q187_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     q183's span CTEs, so detection AND application are hash-checked
     in one probe — including the rebuilt text itself."""
     docs = load_table(spark, sf_dir, "documents")
-    spans = dedup.exact_substring_spans(
-        docs, "doc_id", "text",
-        k=_ES_K, min_len=_ES_MINLEN, max_df=_ES_MAXDF,
-    )
+    spans = _es_spans(spark, sf_dir)
     return (
         dedup.remove_spans(docs, spans, "doc_id", "text")
         .orderBy("doc_id")

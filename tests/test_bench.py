@@ -10,15 +10,17 @@ import bench
 
 def test_segment_breaks_avoid_cache_family():
     breaks = bench.segment_breaks(bench.HEADLINE)
-    fam_idx = [
-        i for i, n in enumerate(bench.HEADLINE) if n in bench.CACHE_FAMILY
-    ]
-    assert fam_idx, "cache family missing from HEADLINE"
-    # family probes are contiguous in HEADLINE (one segment pays the
-    # session caches once)
-    assert fam_idx == list(range(fam_idx[0], fam_idx[-1] + 1))
-    # no restart strictly inside the family block
-    assert all(not (fam_idx[0] < b <= fam_idx[-1]) for b in breaks)
+    assert bench.CACHE_FAMILY == set().union(*bench.CACHE_FAMILIES)
+    for fam in bench.CACHE_FAMILIES:
+        fam_idx = [
+            i for i, n in enumerate(bench.HEADLINE) if n in fam
+        ]
+        assert fam_idx, f"cache family {sorted(fam)[:1]}... missing from HEADLINE"
+        # each family's probes are contiguous in HEADLINE (one segment
+        # pays that family's session caches once)
+        assert fam_idx == list(range(fam_idx[0], fam_idx[-1] + 1))
+        # no restart strictly inside the family block
+        assert all(not (fam_idx[0] < b <= fam_idx[-1]) for b in breaks)
 
 
 def test_segment_breaks_synthetic():
