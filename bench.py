@@ -291,10 +291,11 @@ CACHE_FAMILIES = [
     # q183 emits it, q187 applies it — one detection pass per session
     {"q183_exact_substring_spans", "q187_exact_substring_removal"},
 ]
-# Union for break-deferral: segment_breaks only defers a restart when
-# prev AND current probe are both family members, so disjoint blocks
-# in the union behave independently (per-family contiguity is the
-# pytest invariant, tests/test_bench.py).
+# Union kept for callers that only need membership; break-deferral is
+# strictly PER-FAMILY (ADVICE r14: a union-based check would fuse two
+# distinct families into one deferral block if they ever became
+# adjacent in HEADLINE). Families must stay pairwise-disjoint
+# (pytest invariant, tests/test_bench.py).
 CACHE_FAMILY = set().union(*CACHE_FAMILIES)
 
 
@@ -356,16 +357,21 @@ class StageMeter:
 
 
 def segment_breaks(names: list[str], segment: int = SEGMENT,
-                   family: frozenset | set = frozenset(CACHE_FAMILY)) -> set[int]:
+                   families: list[set] | None = None) -> set[int]:
     """Indices where the timed loop restarts the session: the first
     probe at-or-past each SEGMENT boundary that does NOT continue a
     cache family already in progress. Deterministic in the probe list
     alone, so adding probes elsewhere can't silently move a restart
-    into the family block."""
+    into the family block. Deferral is per-family (ADVICE r14): the
+    previous and current probe must belong to the SAME family for the
+    break to move past them."""
+    fams = CACHE_FAMILIES if families is None else families
     breaks: set[int] = set()
     count = 0
     for i, name in enumerate(names):
-        mid_family = name in family and i > 0 and names[i - 1] in family
+        mid_family = i > 0 and any(
+            name in f and names[i - 1] in f for f in fams
+        )
         if count >= segment and not mid_family:
             breaks.add(i)
             count = 0
@@ -473,6 +479,16 @@ def main() -> None:
             if t2 is not None:
                 stream_times[name] = min(stream_times[name], t2)
 
+    # Environment-insensitive totals (VERDICT r14 next #2b): executor
+    # task-time summed over each probe's published (min) sample, batch
+    # and streaming separately — the signal that decides "wall noise"
+    # vs "plan regression" from the one-line BENCH record alone.
+    task_total = round(
+        sum(min(v) for n, v in task_samples.items() if v and n in times), 2
+    )
+    stream_task_total = round(
+        sum(min(v) for n, v in task_samples.items() if v and n in stream_times), 2
+    )
     payload = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(times.values()), 3),
@@ -480,6 +496,8 @@ def main() -> None:
         "queries": times,
         "streaming": stream_times,
         "streaming_total_sec": round(sum(stream_times.values()), 3),
+        "task_total_sec": task_total,
+        "streaming_task_total_sec": stream_task_total,
         "sf": sf,
         # raw per-probe timing samples in run order; len > 1 ⟺ the
         # min-of-2 rerun fired for that probe (published = min)
@@ -507,21 +525,28 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench", "last_run.json"), "w") as fh:
         json.dump(payload, fh, indent=1)
+    # Per-query values at 1 decimal UNCONDITIONALLY (VERDICT r14 next
+    # #2a): the former 2-decimal line with a conditional 1-decimal
+    # fallback flips precision exactly when the registry grows, which
+    # is when round-over-round comparability matters most. Full
+    # 3-decimal walls live in bench/last_run.json (and the per-round
+    # bench/r*/ snapshots); the one-line record carries 1-decimal
+    # walls plus the task-time totals above so wall-noise vs plan
+    # regression is decidable from BENCH_r*.json alone.
     compact = {
         "metric": payload["metric"],
         "value": payload["value"],
         "unit": "sec",
         "sf": sf,
-        "queries": {k.split("_")[0]: round(v, 2) for k, v in times.items()},
-        "streaming": {k.split("_")[0]: round(v, 2) for k, v in stream_times.items()},
+        "queries": {k.split("_")[0]: round(v, 1) for k, v in times.items()},
+        "streaming": {k.split("_")[0]: round(v, 1) for k, v in stream_times.items()},
         "streaming_total_sec": payload["streaming_total_sec"],
+        "task_total_sec": task_total,
+        "streaming_task_total_sec": stream_task_total,
     }
     if errors:
         compact["n_errors"] = len(errors)
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # stay inside the driver's tail window
-        compact["queries"] = {k: round(v, 1) for k, v in compact["queries"].items()}
-        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 

@@ -961,24 +961,40 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_edges = live.count()
+
+    # Peel steps BATCHED between checkpoints with the CC loop's
+    # geometric cadence (optimization r15, VERDICT r14 next #7):
+    # peeling is monotone (the live edge set only shrinks) and
+    # idempotent at the fixpoint, so an unchanged edge count across a
+    # batch proves no step in the batch removed anything — the same
+    # argument as min-propagation — and extra steps past convergence
+    # are no-ops. Checking/checkpointing per batch cuts the per-round
+    # driver cost (checkpoint job + count job + Catalyst analysis)
+    # ~2-3x on deep peelings; the batch caps at 4 (the measured
+    # Catalyst plan-depth cliff, see connected_components).
+    def _peel(cur: DataFrame) -> DataFrame:
+        deg = (
+            cur.select(F.col("a").alias("n"))
+            .unionAll(cur.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("n")
+        return cur.join(
+            keep.withColumnRenamed("n", "a"), "a", "left_semi"
+        ).join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+
+    done, batch = 0, 1
     with _tight_loop(edges.sparkSession, n_edges):
-        for _ in range(max_iter):
-            if n_edges == 0:
-                break
-            deg = (
-                live.select(F.col("a").alias("n"))
-                .unionAll(live.select(F.col("b").alias("n")))
-                .groupBy("n")
-                .agg(F.count(F.lit(1)).alias("d"))
-            )
-            keep = deg.where(F.col("d") >= k).select("n")
-            nxt = (
-                live.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
-                .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
-                .localCheckpoint(eager=True)
-            )
-            n_next = nxt.count()
-            live = nxt
+        while done < max_iter and n_edges > 0:
+            steps = min(batch, max_iter - done)
+            cur = live
+            for _ in range(steps):
+                cur = _peel(cur)
+            live = cur.localCheckpoint(eager=True)
+            n_next = live.count()
+            done += steps
+            batch = min(batch * 2, 4)
             if n_next == n_edges:
                 break
             n_edges = n_next
@@ -1023,32 +1039,48 @@ def core_decomposition(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     ).localCheckpoint(eager=True)
     deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint(eager=True)
     core = deg.select("v", F.col("_deg").alias("core"))
+
+    # h-index steps BATCHED between checkpoints (optimization r15,
+    # same cadence/argument as k_core): estimates only DECREASE
+    # (Montresor et al.'s invariant), so "no node changed across the
+    # batch" ⟺ no step in the batch changed anything, and extra steps
+    # past the fixpoint recompute the identical estimates. One
+    # checkpoint + one changed-count join per batch instead of per
+    # round; batch capped at 4 (Catalyst depth cliff).
+    def _hstep(cur: DataFrame) -> DataFrame:
+        nb = adj.join(cur.withColumnRenamed("v", "u"), "u").groupBy("v").agg(
+            F.sort_array(F.collect_list("core"), asc=False).alias("_nc")
+        )
+        h = F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("_nc"),
+                    F.sequence(F.lit(1), F.size("_nc")),
+                    lambda c, i: (c >= i).cast("int"),
+                ),
+                lambda x: x == 1,
+            )
+        )
+        return deg.join(nb, "v").select(
+            "v", F.least(F.col("_deg"), h).alias("core")
+        )
+
+    done, batch = 0, 1
     with _tight_loop(edges.sparkSession, und.count() * 2):
-        for _ in range(max_iter):
-            nb = adj.join(core.withColumnRenamed("v", "u"), "u").groupBy("v").agg(
-                F.sort_array(F.collect_list("core"), asc=False).alias("_nc")
-            )
-            h = F.size(
-                F.filter(
-                    F.zip_with(
-                        F.col("_nc"),
-                        F.sequence(F.lit(1), F.size("_nc")),
-                        lambda c, i: (c >= i).cast("int"),
-                    ),
-                    lambda x: x == 1,
-                )
-            )
-            nxt = (
-                deg.join(nb, "v")
-                .select("v", F.least(F.col("_deg"), h).alias("core"))
-                .localCheckpoint(eager=True)
-            )
+        while done < max_iter:
+            steps = min(batch, max_iter - done)
+            cur = core
+            for _ in range(steps):
+                cur = _hstep(cur)
+            nxt = cur.localCheckpoint(eager=True)
             changed = (
                 nxt.join(core.withColumnRenamed("core", "_prev"), "v")
                 .where(F.col("core") != F.col("_prev"))
                 .count()
             )
             core = nxt
+            done += steps
+            batch = min(batch * 2, 4)
             if changed == 0:
                 break
     return core.select(F.col("v").alias("node_id"), "core")
@@ -1342,39 +1374,66 @@ def strongly_connected_components(
                 .join(live.withColumnRenamed("node_id", "dst"), "dst", "left_semi")
                 .localCheckpoint(eager=True)
             )
-            # (1) forward min-label to fixpoint
+            # (1) forward min-label to fixpoint — steps BATCHED between
+            # checkpoints (optimization r15): this IS min-propagation,
+            # the same monotone fixpoint connected_components batches
+            # geometrically, and the (count, sum) fingerprint is
+            # batch-valid for the same reason (count is constant, sum
+            # only decreases — an unchanged fingerprint across a batch
+            # proves no step changed any color; extra steps past the
+            # fixpoint are no-ops). One checkpoint + one 1-row agg per
+            # batch instead of per step; batch capped at 4.
             color = live.withColumn("color", F.col("node_id"))
             prev_fp = None
-            for _i in range(max_inner):
-                offers = (
-                    color.join(e, color.node_id == e.src)
-                    .select(F.col("dst").alias("node_id"), "color")
-                )
-                color = (
-                    color.unionByName(offers)
-                    .groupBy("node_id")
-                    .agg(F.min("color").alias("color"))
-                    .localCheckpoint(eager=True)
-                )
+            done_i, batch = 0, 1
+            while done_i < max_inner:
+                steps = min(batch, max_inner - done_i)
+                for _ in range(steps):
+                    offers = (
+                        color.join(e, color.node_id == e.src)
+                        .select(F.col("dst").alias("node_id"), "color")
+                    )
+                    color = (
+                        color.unionByName(offers)
+                        .groupBy("node_id")
+                        .agg(F.min("color").alias("color"))
+                    )
+                color = color.localCheckpoint(eager=True)
                 row = color.agg(F.count(F.lit(1)).alias("n"), F.sum("color").alias("s")).collect()[0]
+                done_i += steps
+                batch = min(batch * 2, 4)
                 if (row.n, row.s) == prev_fp:
                     break
                 prev_fp = (row.n, row.s)
-            # (2) backward sweep from pivots within each color class
-            reach = color.where(F.col("color") == F.col("node_id")).select("node_id", "color")
-            prev_n = -1
-            for _i in range(max_inner):
+            # (2) backward sweep from pivots within each color class —
+            # batched the same way (reach only GROWS; an unchanged
+            # count across a batch means no step added a node, and a
+            # converged reach is a fixpoint of the step).
+            reach = (
+                color.where(F.col("color") == F.col("node_id"))
+                .select("node_id", "color")
+                .localCheckpoint(eager=True)
+            )
+            prev_n = reach.count()
+            done_i, batch = 0, 1
+            while done_i < max_inner:
+                steps = min(batch, max_inner - done_i)
+                cur = reach
+                for _ in range(steps):
+                    step = (
+                        e.join(cur.withColumnRenamed("node_id", "dst"), "dst")
+                        .select(F.col("src").alias("node_id"), "color")
+                    )
+                    # keep only nodes whose own color matches the pivot color
+                    step = step.join(color, ["node_id", "color"], "left_semi")
+                    cur = cur.unionByName(step).dropDuplicates(["node_id"])
+                reach = cur.localCheckpoint(eager=True)
                 n = reach.count()
+                done_i += steps
+                batch = min(batch * 2, 4)
                 if n == prev_n:
                     break
                 prev_n = n
-                step = (
-                    e.join(reach.withColumnRenamed("node_id", "dst"), "dst")
-                    .select(F.col("src").alias("node_id"), "color")
-                )
-                # keep only nodes whose own color matches the pivot color
-                step = step.join(color, ["node_id", "color"], "left_semi")
-                reach = reach.unionByName(step).dropDuplicates(["node_id"]).localCheckpoint(eager=True)
             assigned = assigned.unionByName(
                 reach.select("node_id", F.col("color").alias("scc"))
             ).localCheckpoint(eager=True)
@@ -1399,9 +1458,16 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
         "community", F.col("node_id")
     )
     # loop shuffles move O(|E|) (src, community) rows — derived
-    # partition geometry (optimization r14, see _tight_loop)
+    # partition geometry (optimization r14, see _tight_loop).
+    # Checkpoint every SECOND round (optimization r15): LPA runs a
+    # fixed round count with no convergence probe, so the per-round
+    # eager checkpoint bought nothing but lineage truncation — paying
+    # it every 2 rounds halves the checkpoint jobs at an
+    # un-checkpointed depth of 2 joins + 4 aggregations, still under
+    # the measured Catalyst depth cliff (each LPA round is ~2 CC
+    # steps of plan, and CC's cliff sits at 4 steps).
     with _tight_loop(edges.sparkSession, und.count()):
-        for _ in range(max_iter):
+        for it in range(1, max_iter + 1):
             freq = (
                 und.join(labels, und.dst == labels.node_id)
                 .groupBy(F.col("src").alias("node_id"), "community")
@@ -1412,5 +1478,7 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
                     F.struct("community"), F.struct(F.col("cnt").cast("long") * -1, F.col("community"))
                 )["community"].alias("community")
             )
-            labels = best.localCheckpoint(eager=True)
+            labels = best
+            if it % 2 == 0 or it == max_iter:
+                labels = labels.localCheckpoint(eager=True)
     return labels

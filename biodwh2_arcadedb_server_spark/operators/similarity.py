@@ -219,7 +219,31 @@ def ann_topk(
         queries, "query_id", "qe", vec_col, id_col,
         planes_lit, n_planes, n_tables,
     )
-    hit = F.broadcast(q).join(c, ["t", "bucket"]).select(
+    # Broadcast GATE (VERDICT r14 #4 / guide §3.1): the bucketed query
+    # side is |queries| x n_tables rows — force-broadcasting it is
+    # right for a bounded query set but OOMs the driver/executors when
+    # a caller passes a large one (e.g. corpus-vs-corpus at 100 TB).
+    # Gate on the optimizer's size estimate of the RAW query frame
+    # (driver-only, no job) times the n_tables explosion; above the
+    # cap the hint is omitted and the planner picks a shuffle join
+    # (or auto-broadcasts if ITS estimate qualifies). Both paths are
+    # row-identical — the join produces the same candidate set and the
+    # rank tail orders deterministically (tests/test_localrel.py).
+    cap = int(
+        spark.conf.get("spark.graft.ann.broadcastQueryBytesCap",
+                       str(64 << 20))
+    )
+    try:
+        est = int(
+            queries._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes().toString()
+        )
+    except Exception:  # noqa: BLE001 — estimate unavailable: keep the hint
+        est = 0
+    # cap <= 0 disables the hint outright (test hook + the posture for
+    # clusters that want the planner's own estimate to decide)
+    q_side = F.broadcast(q) if cap > 0 and est * n_tables <= cap else q
+    hit = q_side.join(c, ["t", "bucket"]).select(
         "query_id", "neighbor_id", "qe", "ce"
     )
     cands = hit.dropDuplicates(["query_id", "neighbor_id"])

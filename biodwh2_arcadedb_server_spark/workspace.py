@@ -44,7 +44,7 @@ import shutil
 from dataclasses import dataclass, field
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from biodwh2_arcadedb_server_spark.sources.registry import load_table
@@ -486,9 +486,17 @@ def _append_via_tmp(df: DataFrame, path: str, driver_cap: int = 10_000) -> int:
     # at-threshold case no longer pays the validation joins twice.
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        rows = df.limit(driver_cap + 1).collect()
-        if len(rows) <= driver_cap:
-            return driver_staged_append(path, df.schema, rows)
+        # ONE parallel count materializes the persist and sizes the
+        # dispatch (optimization r15, VERDICT r14 next #3): the former
+        # ``limit(cap+1).collect()`` probe ran through executeTake's
+        # incremental partition escalation — 3-5 tiny sequential jobs
+        # per statement, each paying the ~50-80 ms scheduling gap the
+        # q158 profile attributed most of the probe's wall to. The
+        # ≤cap path then collects from the cache (cheap second job);
+        # the >cap path no longer collects cap+1 rows at all.
+        n = df.count()
+        if n <= driver_cap:
+            return driver_staged_append(path, df.schema, df.collect())
         ensure_registered(spark)
         token = _uuid.uuid4().hex
         (
@@ -565,8 +573,19 @@ def update_nodes(
             f"{unknown} on vertex type {label!r} — declare with "
             "CREATE PROPERTY first"
         )
-    touched = cur.where(predicate).count()
-    out = cur
+    # touched-count FOLDED into the rewrite via CollectMetrics
+    # (optimization r15, VERDICT r14 next #3): the former
+    # ``cur.where(predicate).count()`` was a separate scan + job per
+    # UPDATE statement; observing sum(predicate) on the pre-update
+    # rows during the write job computes the identical number (nulls
+    # count 0 either way) in the same pass.
+    obs = Observation()
+    out = cur.observe(
+        obs,
+        F.coalesce(
+            F.sum(F.when(predicate, 1).otherwise(0)), F.lit(0)
+        ).alias("touched"),
+    )
     for col_name, expr in assignments.items():
         # cast the assignment to the column's DECLARED type: the
         # schema is the contract (manifest-registered views read with
@@ -581,7 +600,7 @@ def update_nodes(
             ).otherwise(F.col(col_name)),
         )
     _rewrite_dataset(out, path)
-    return touched
+    return int(obs.get["touched"])
 
 
 def delete_nodes(spark: SparkSession, ws_dir: str, label: str, predicate: F.Column) -> int:
@@ -611,8 +630,15 @@ def delete_nodes(spark: SparkSession, ws_dir: str, label: str, predicate: F.Colu
             kept = kept.join(doomed.withColumnRenamed("node_id", "src"), "src", "left_anti")
         if info["dst_label"] == label:
             kept = kept.join(doomed.withColumnRenamed("node_id", "dst"), "dst", "left_anti")
-        _rewrite_dataset(kept, info["path"])
-        _update_manifest_count(ws_dir, "edges", e_label, spark.read.parquet(info["path"]).count())
+        # surviving-edge count observed DURING the rewrite
+        # (optimization r15): the former post-swap
+        # ``spark.read.parquet(path).count()`` re-read the dataset a
+        # second time for a number the write job already knows.
+        obs = Observation()
+        _rewrite_dataset(
+            kept.observe(obs, F.count(F.lit(1)).alias("n")), info["path"]
+        )
+        _update_manifest_count(ws_dir, "edges", e_label, int(obs.get["n"]))
     return n_del
 
 
@@ -688,8 +714,15 @@ def update_edges(
             f"{unknown} on edge type {label!r} — declare with "
             "CREATE PROPERTY first"
         )
-    touched = cur.where(predicate).count()
-    out = cur
+    # same CollectMetrics fold as update_nodes (optimization r15):
+    # touched-count computed inside the rewrite job, no separate scan
+    obs = Observation()
+    out = cur.observe(
+        obs,
+        F.coalesce(
+            F.sum(F.when(predicate, 1).otherwise(0)), F.lit(0)
+        ).alias("touched"),
+    )
     for col_name, expr in assignments.items():
         # cast the assignment to the column's DECLARED type: the
         # schema is the contract (manifest-registered views read with
@@ -704,7 +737,7 @@ def update_edges(
             ).otherwise(F.col(col_name)),
         )
     _rewrite_dataset(out, path)
-    return touched
+    return int(obs.get["touched"])
 
 
 def delete_edges_between(

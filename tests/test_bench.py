@@ -10,7 +10,9 @@ import bench
 
 def test_segment_breaks_avoid_cache_family():
     breaks = bench.segment_breaks(bench.HEADLINE)
-    assert bench.CACHE_FAMILY == set().union(*bench.CACHE_FAMILIES)
+    # families are pairwise-disjoint (ADVICE r14: a probe in two
+    # families would make the per-family deferral ambiguous)
+    assert sum(len(f) for f in bench.CACHE_FAMILIES) == len(bench.CACHE_FAMILY)
     for fam in bench.CACHE_FAMILIES:
         fam_idx = [
             i for i, n in enumerate(bench.HEADLINE) if n in fam
@@ -28,11 +30,17 @@ def test_segment_breaks_synthetic():
     # family straddles the nominal boundary at index 4: the break must
     # defer to the first post-family probe
     names = ["a", "b", "c", "f1", "f2", "f3", "d", "e"]
-    got = bench.segment_breaks(names, segment=4, family=fam)
+    got = bench.segment_breaks(names, segment=4, families=[fam])
     assert got == {6}
     # no family: plain every-N restart
-    got = bench.segment_breaks(["a", "b", "c", "d", "e"], segment=2, family=set())
+    got = bench.segment_breaks(["a", "b", "c", "d", "e"], segment=2, families=[])
     assert got == {2, 4}
+    # ADVICE r14: two DISTINCT families that happen to be adjacent in
+    # the probe list must NOT fuse into one deferral block — the break
+    # lands at the seam between them
+    names = ["a", "b", "f1", "f2", "g1", "g2", "c"]
+    got = bench.segment_breaks(names, segment=3, families=[{"f1", "f2"}, {"g1", "g2"}])
+    assert got == {4}
 
 
 def test_verify_all_sweep_covers_registry():

@@ -155,3 +155,32 @@ def test_hyperplane_lits_match_hyperplane_exprs(spark):
     for t in range(n_tables):
         for p in range(n_planes):
             assert hps[t][p] == list(row[f"h_{t}_{p}"])
+
+
+def test_ann_topk_broadcast_gate_paths_identical(spark, sf_small):
+    """VERDICT r14 #4: the ann_topk query-side broadcast is gated on
+    the optimizer's size estimate; above the cap (or with the cap
+    disabled) the hint is omitted and the planner joins however it
+    likes. Both paths must return byte-identical rows."""
+    e = load_table(spark, sf_small, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    key = "spark.graft.ann.broadcastQueryBytesCap"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, str(64 << 20))
+        hinted = sorted(
+            map(tuple, similarity.ann_topk(e, q, k=3, dim=64, n_planes=4,
+                                           n_tables=4).collect())
+        )
+        spark.conf.set(key, "0")  # disable the hint: planner's choice
+        unhinted = sorted(
+            map(tuple, similarity.ann_topk(e, q, k=3, dim=64, n_planes=4,
+                                           n_tables=4).collect())
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert hinted == unhinted
+    assert hinted  # non-trivial
