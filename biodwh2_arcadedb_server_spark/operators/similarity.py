@@ -445,9 +445,16 @@ def _kmll_train_centroids(
         ).alias("c")
     ).collect()[0]["c"]
     cands: list[tuple[int, list[float]]] = [(int(r0["i"]), list(r0["v"]))]
+    # lazy checkpoints (optimization r15, VERDICT r14 next #4 — the
+    # fusion kmeans_assign's inline km|| path already uses): the
+    # round's φ aggregation is the FIRST action on the updated state,
+    # so a lazy localCheckpoint materializes inside the φ job — one
+    # scan per round computes update+φ instead of separate
+    # checkpoint and aggregate jobs; the selection scan then reads
+    # the materialized state.
     state = unit.withColumn(
         "_best", _new_best([cands[0][1]], 0)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev_phi: float | None = None
     phis: list[float] = []
     rounds_run = 0
@@ -482,7 +489,7 @@ def _kmll_train_centroids(
         state = state.withColumn(
             "_best",
             F.least(F.col("_best"), _new_best([v for _, v in new], offset)),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # folds into the next φ agg (or the final Voronoi count)
     word = {
         int(r["ord"]): int(r["count"])
         for r in state.select(F.col("_best")["ord"].alias("ord"))
