@@ -304,3 +304,25 @@ def test_curation_funnel_duplicate_and_null_ids(spark):
     rows = {r.stage: r.n_docs for r in curation_funnel(df).collect()}
     assert rows["0_ingested"] == 3
     assert rows["1_lang"] == 3 and rows["2_length"] == 3
+
+
+def test_scan_partitions_matches_rdd_gate(spark, sf_small):
+    """VERDICT r14 #5: the plan-free split estimator must land on the
+    same side of _spread's gate as the exact RDD count, and bail to
+    None for non-file plans (localrel)."""
+    from biodwh2_arcadedb_server_spark.localrel import local_df
+    from biodwh2_arcadedb_server_spark.operators.curation import (
+        _scan_partitions,
+    )
+    from biodwh2_arcadedb_server_spark.sources.registry import load_table
+
+    par = spark.sparkContext.defaultParallelism
+    gate = min(par, 8)
+    for t in ("documents", "orders", "region"):
+        df = load_table(spark, sf_small, t)
+        est = _scan_partitions(df)
+        assert est is not None and est >= 1
+        actual = df.rdd.getNumPartitions()
+        assert (est >= gate) == (actual >= gate), (t, est, actual)
+    loc = local_df(spark, [(1, "a")], "id long, s string")
+    assert _scan_partitions(loc) is None
